@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.functions.VectorFunctions._
+import graft.operators.{KnnJoin, SetSim, TopK}
+
+/** Vector-kernel + similarity-search queries over the driver's
+  * `embeddings` fixture (vec_id long, embedding array<float> dim=64,
+  * label int).
+  *
+  * Fixture convention (mirrors the reference's fixed-cardinality
+  * multivector mode, `set_id = vector_id / c` —
+  * `/root/reference/tests/test_search_multivector_rerank.cpp:241-244`):
+  * data sets have cardinality C=4, `set_id = vec_id / 4`; the first
+  * NQ sets double as query sets.
+  *
+  * All scores are float32-promoted-to-double, sequential left-fold — the
+  * same arithmetic the DuckDB oracle SQL performs — and rounded to 6
+  * decimals at the output boundary so hash-compare is stable.
+  */
+object VectorQueries extends QueryPack {
+  val C = 4 // multivector cardinality
+  val NQ = 5 // query sets
+  val K = 10
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  /** (q_id, q_vec) for the query vector subset: vec_id < NQ*C. */
+  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < NQ * C)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def dataVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+
+  /** Sim triples between query sets and ALL data sets (brute-force rerank
+    * input — the fullscan path `RerankAllBySequentialScan`,
+    * `/root/reference/src/multivector_reranker.cpp:100-158`). */
+  private def simTriples(s: SparkSession, dir: String): DataFrame =
+    dataVecs(s, dir).crossJoin(broadcast(queryVecs(s, dir)))
+      .select(
+        (col("q_id") / C).cast("long").as("qset_id"),
+        (col("d_id") / C).cast("long").as("dset_id"),
+        (col("q_id") % C).as("q_sub"),
+        (col("d_id") % C).as("d_sub"),
+        vecCosine(col("q_vec"), col("d_vec")).as("sim"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2: inner product kernel (distance.h:91-225), pairwise on a slice.
+    "p2_vec_dot" -> ((s, dir) => {
+      val q = queryVecs(s, dir)
+      val d = dataVecs(s, dir).filter(col("d_id") < 50)
+      d.crossJoin(broadcast(q))
+        .select(col("q_id"), col("d_id"),
+          round(vecDot(col("q_vec"), col("d_vec")), 6).as("dot"))
+    }),
+    // P1: squared-L2 kernel (distance.h:21-89).
+    "p1_vec_l2sq" -> ((s, dir) => {
+      val q = queryVecs(s, dir)
+      val d = dataVecs(s, dir).filter(col("d_id") < 50)
+      d.crossJoin(broadcast(q))
+        .select(col("q_id"), col("d_id"),
+          round(vecL2Sq(col("q_vec"), col("d_vec")), 6).as("l2sq"))
+    }),
+    // P4: L2-normalize (util.h:214-229) — norm before, 1st element after.
+    "p4_vec_normalize" -> ((s, dir) => {
+      emb(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          round(vecNorm(col("embedding")), 6).as("norm"),
+          round(element_at(col("embedding"), 1).cast("double") /
+            vecNorm(col("embedding")), 6).as("first_elem_normed"))
+    }),
+    // J1+W1: brute-force cosine k-NN join, top-K per query vector.
+    "j1_knn_cosine" -> ((s, dir) => {
+      KnnJoin.bruteForce(queryVecs(s, dir), dataVecs(s, dir), K,
+          metric = "cosine", excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+    // A2+W1: summed-max-similarity (MaxSim) set-to-set top-K rerank.
+    "a2_maxsim_topk" -> ((s, dir) => {
+      val scored = SetSim.maxSim(simTriples(s, dir))
+      TopK.perGroup(scored, Seq(col("qset_id")),
+          Seq(col("score").desc, col("dset_id").asc), K)
+        .select(col("qset_id"), col("rank"), col("dset_id"),
+          round(col("score"), 6).as("score"))
+    }),
+    // A1+W1: smooth-Chamfer set-to-set top-K rerank.
+    "a1_smooth_chamfer_topk" -> ((s, dir) => {
+      val scored = SetSim.smoothChamfer(simTriples(s, dir), C)
+      TopK.perGroup(scored, Seq(col("qset_id")),
+          Seq(col("score").desc, col("dset_id").asc), K)
+        .select(col("qset_id"), col("rank"), col("dset_id"),
+          round(col("score"), 6).as("score"))
+    })
+  )
+
+  // DuckDB equivalents. Table names are bound by the driver to the same
+  // parquet files. dot-product spec: same float→double promotion and
+  // sequential left fold (list_sum over the transformed pair list).
+  private val dotSql =
+    "list_sum(list_transform(list_zip(q.embedding, d.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def dotSqlAB(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private val normSql =
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def normSqlOf(t: String) =
+    s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosineSql(a: String, b: String) =
+    s"(${dotSqlAB(s"$a.embedding", s"$b.embedding")} / (${normSqlOf(a)} * ${normSqlOf(b)}))"
+
+  /** Shared CTE: cosine sim triples between query sets and all data. */
+  private val simTriplesCte =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+       |sims AS (
+       |  SELECT CAST(q.q_id // $C AS BIGINT) AS qset_id,
+       |         CAST(d.d_id // $C AS BIGINT) AS dset_id,
+       |         q.q_id % $C AS q_sub, d.d_id % $C AS d_sub,
+       |         ${cosineSql("q", "d")} AS sim
+       |  FROM q CROSS JOIN d)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "p2_vec_dot" ->
+      s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id, round($dotSql, 6) AS dot
+         |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) d""".stripMargin,
+    "p1_vec_l2sq" ->
+      s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         |round(list_sum(list_transform(list_zip(q.embedding, d.embedding),
+         |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS l2sq
+         |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) d""".stripMargin,
+    "p4_vec_normalize" ->
+      s"""SELECT vec_id, round($normSql, 6) AS norm,
+         |round(CAST(embedding[1] AS DOUBLE) / $normSql, 6) AS first_elem_normed
+         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "j1_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.q_id, d.d_id, ${cosineSql("q", "d")} AS score
+         |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
+         |ranked AS (
+         |  SELECT q_id, d_id, score,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, d_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, d_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    "a2_maxsim_topk" ->
+      s"""$simTriplesCte,
+         |per_i AS (
+         |  SELECT qset_id, dset_id, q_sub, max(sim) AS max_sim
+         |  FROM sims GROUP BY qset_id, dset_id, q_sub),
+         |scored AS (
+         |  SELECT qset_id, dset_id, sum(max_sim) AS score
+         |  FROM per_i GROUP BY qset_id, dset_id),
+         |ranked AS (
+         |  SELECT qset_id, dset_id, score,
+         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    "a1_smooth_chamfer_topk" -> {
+      val ts = SetSim.Temperature * SetSim.TxtScale
+      val t = SetSim.Temperature
+      s"""$simTriplesCte,
+         |rl AS (
+         |  SELECT qset_id, dset_id, q_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+         |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
+         |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS m
+         |    FROM sims) GROUP BY qset_id, dset_id, q_sub, m),
+         |cl AS (
+         |  SELECT qset_id, dset_id, d_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+         |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
+         |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS m
+         |    FROM sims) GROUP BY qset_id, dset_id, d_sub, m),
+         |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
+         |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
+         |scored AS (
+         |  SELECT t1.qset_id, t1.dset_id,
+         |         (t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator} AS score
+         |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
+         |ranked AS (
+         |  SELECT qset_id, dset_id, score,
+         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
+    }
+  )
+}

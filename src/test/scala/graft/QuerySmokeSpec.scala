@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Every declared query runs end-to-end on sf0.001 and returns rows. */
+class QuerySmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name returns rows on sf0.001") {
+      assert(fn(spark, sfDir).count() > 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
