@@ -1,6 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Every query is FORCED to full evaluation by hashing every column of
+  * every row (xxhash64 over the whole row struct, summed): a bare
+  * `.count()` would let Catalyst prune unreferenced projections, so pure
+  * projection kernels (p1/p2) would never execute. */
 object Bench {
+  /** Evaluate df completely; returns the row-hash sum (and row count). */
+  def force(df: DataFrame): Long = {
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(sum("h")).collect()(0)
+    if (h.isNullAt(0)) 0L else h.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,7 +28,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

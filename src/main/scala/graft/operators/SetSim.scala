@@ -39,12 +39,36 @@ object SetSim {
   val TxtScale = 1.0
   val Denominator = 2.0
 
-  /** MaxSim: groupBy (qset,dset,q_sub) max → groupBy (qset,dset) sum. */
+  /** MaxSim spec: groupBy (qset,dset,q_sub) max → groupBy (qset,dset) sum.
+    * Two shuffles; kept as the DuckDB-checkable relational form. */
   def maxSim(sims: DataFrame): DataFrame =
     sims.groupBy("qset_id", "dset_id", "q_sub")
       .agg(max("sim").as("max_sim"))
       .groupBy("qset_id", "dset_id")
       .agg(sum("max_sim").as("score"))
+
+  /** MaxSim scale path: ONE shuffle via [[graft.functions.MaxSimAggregator]]
+    * (buffer = per-i running max, map-side combine). */
+  def maxSimAgg(sims: DataFrame): DataFrame = {
+    val agg = graft.functions.MaxSimAggregator.column
+    sims.groupBy("qset_id", "dset_id")
+      .agg(agg(col("q_sub"), col("sim")).as("score"))
+  }
+
+  /** Smooth-Chamfer scale path: ONE shuffle via
+    * [[graft.functions.ChamferAggregator]] (buffer = the ≤ c_q·c_d sim
+    * cells of one set pair; exact two-pass LSE at finish). `cQ` is the
+    * QUERY-side cardinality — the denominator even when the data side's
+    * cardinality varies (`multivector_reranker.cpp:377-430`). */
+  def smoothChamferAgg(sims: DataFrame, cQ: Int,
+                       temperature: Double = Temperature,
+                       txtScale: Double = TxtScale,
+                       denominator: Double = Denominator): DataFrame = {
+    val agg = graft.functions.ChamferAggregator.column(
+      cQ, temperature, txtScale, denominator)
+    sims.groupBy("qset_id", "dset_id")
+      .agg(agg(col("q_sub"), col("d_sub"), col("sim")).as("score"))
+  }
 
   /** Smooth-Chamfer with fixed query cardinality `c`. */
   def smoothChamfer(sims: DataFrame, c: Int,

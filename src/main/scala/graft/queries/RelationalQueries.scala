@@ -90,11 +90,13 @@ object RelationalQueries extends QueryPack {
         |WHERE rank <= 3""".stripMargin,
     "p9_dedup" ->
       "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    // NOT EXISTS (not NOT IN): null-safe anti-join semantics matching
+    // Spark's left_anti even if o_custkey ever contained NULLs.
     "s16_semi_split" ->
-      """SELECT c_custkey, 1 AS has_orders FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      """SELECT c_custkey, 1 AS has_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |UNION ALL
-        |SELECT c_custkey, 0 AS has_orders FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+        |SELECT c_custkey, 0 AS has_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
   )
 }

@@ -39,15 +39,23 @@ object VectorQueries extends QueryPack {
 
   /** Sim triples between query sets and ALL data sets (brute-force rerank
     * input — the fullscan path `RerankAllBySequentialScan`,
-    * `/root/reference/src/multivector_reranker.cpp:100-158`). */
-  private def simTriples(s: SparkSession, dir: String): DataFrame =
-    dataVecs(s, dir).crossJoin(broadcast(queryVecs(s, dir)))
+    * `/root/reference/src/multivector_reranker.cpp:100-158`). Norms are
+    * materialized once per side before the cross join (the reference
+    * normalizes at load, `index_bipartite.cpp:37-39`) — the per-pair
+    * kernel is a single dot product, and `dot/(‖q‖·‖d‖)` stays
+    * bit-identical to the oracle SQL's arithmetic. */
+  private def simTriples(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVecs(s, dir).withColumn("q_norm", vecNorm(col("q_vec")))
+    val d = dataVecs(s, dir).withColumn("d_norm", vecNorm(col("d_vec")))
+    d.crossJoin(broadcast(q))
       .select(
         (col("q_id") / C).cast("long").as("qset_id"),
         (col("d_id") / C).cast("long").as("dset_id"),
         (col("q_id") % C).as("q_sub"),
         (col("d_id") % C).as("d_sub"),
-        vecCosine(col("q_vec"), col("d_vec")).as("sim"))
+        (vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm"))).as("sim"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2: inner product kernel (distance.h:91-225), pairwise on a slice.
@@ -67,33 +75,40 @@ object VectorQueries extends QueryPack {
           round(vecL2Sq(col("q_vec"), col("d_vec")), 6).as("l2sq"))
     }),
     // P4: L2-normalize (util.h:214-229) — norm before, 1st element after.
+    // Norm is materialized once per row, not recomputed per output column.
     "p4_vec_normalize" -> ((s, dir) => {
       emb(s, dir).filter(col("vec_id") < 100)
+        .withColumn("norm_raw", vecNorm(col("embedding")))
         .select(col("vec_id"),
-          round(vecNorm(col("embedding")), 6).as("norm"),
+          round(col("norm_raw"), 6).as("norm"),
           round(element_at(col("embedding"), 1).cast("double") /
-            vecNorm(col("embedding")), 6).as("first_elem_normed"))
+            col("norm_raw"), 6).as("first_elem_normed"))
     }),
-    // J1+W1: brute-force cosine k-NN join, top-K per query vector.
+    // J1+W1: brute-force cosine k-NN join, top-K per query vector
+    // (bounded-heap top-k; ranks on the 9-decimal-quantized score).
     "j1_knn_cosine" -> ((s, dir) => {
       KnnJoin.bruteForce(queryVecs(s, dir), dataVecs(s, dir), K,
           metric = "cosine", excludeSelf = true)
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
     }),
-    // A2+W1: summed-max-similarity (MaxSim) set-to-set top-K rerank.
+    // A2+W1: summed-max-similarity (MaxSim) set-to-set top-K rerank —
+    // single-shuffle MaxSimAggregator + bounded-heap top-k.
     "a2_maxsim_topk" -> ((s, dir) => {
-      val scored = SetSim.maxSim(simTriples(s, dir))
-      TopK.perGroup(scored, Seq(col("qset_id")),
-          Seq(col("score").desc, col("dset_id").asc), K)
+      val scored = SetSim.maxSimAgg(simTriples(s, dir))
+        .withColumn("score", round(col("score"), 9))
+      TopK.perGroupAgg(scored, Seq(col("qset_id")),
+          col("score"), col("dset_id"), K, idName = "dset_id")
         .select(col("qset_id"), col("rank"), col("dset_id"),
           round(col("score"), 6).as("score"))
     }),
-    // A1+W1: smooth-Chamfer set-to-set top-K rerank.
+    // A1+W1: smooth-Chamfer set-to-set top-K rerank — single-shuffle
+    // ChamferAggregator + bounded-heap top-k.
     "a1_smooth_chamfer_topk" -> ((s, dir) => {
-      val scored = SetSim.smoothChamfer(simTriples(s, dir), C)
-      TopK.perGroup(scored, Seq(col("qset_id")),
-          Seq(col("score").desc, col("dset_id").asc), K)
+      val scored = SetSim.smoothChamferAgg(simTriples(s, dir), C)
+        .withColumn("score", round(col("score"), 9))
+      TopK.perGroupAgg(scored, Seq(col("qset_id")),
+          col("score"), col("dset_id"), K, idName = "dset_id")
         .select(col("qset_id"), col("rank"), col("dset_id"),
           round(col("score"), 6).as("score"))
     })
@@ -143,7 +158,7 @@ object VectorQueries extends QueryPack {
       s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
          |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
          |scored AS (
-         |  SELECT q.q_id, d.d_id, ${cosineSql("q", "d")} AS score
+         |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
          |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
          |ranked AS (
          |  SELECT q_id, d_id, score,
@@ -156,7 +171,7 @@ object VectorQueries extends QueryPack {
          |  SELECT qset_id, dset_id, q_sub, max(sim) AS max_sim
          |  FROM sims GROUP BY qset_id, dset_id, q_sub),
          |scored AS (
-         |  SELECT qset_id, dset_id, sum(max_sim) AS score
+         |  SELECT qset_id, dset_id, round(sum(max_sim), 9) AS score
          |  FROM per_i GROUP BY qset_id, dset_id),
          |ranked AS (
          |  SELECT qset_id, dset_id, score,
@@ -181,7 +196,7 @@ object VectorQueries extends QueryPack {
          |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
          |scored AS (
          |  SELECT t1.qset_id, t1.dset_id,
-         |         (t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator} AS score
+         |         round((t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator}, 9) AS score
          |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
          |ranked AS (
          |  SELECT qset_id, dset_id, score,

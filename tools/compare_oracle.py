@@ -24,8 +24,9 @@ def norm_val(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
-        # driver-style: stable textual form with limited precision
-        return f"{v:.9g}"
+        # full round-trip precision; FP stability comes from the
+        # engine-side round(...) at the output boundary
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_val(x) for x in v) + "]"
     return str(v)
