@@ -10,14 +10,15 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    VectorQueries
+    VectorQueries,
+    IndexQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001: brute-force multivector
-    * search + smooth-Chamfer rerank top-k (the reference's
-    * `test_search_multivector_rerank` fullscan path). */
+  /** Flagship query on /root/testdata/sf0.001: RoarGraph multivector
+    * adaptive beam search + smooth-Chamfer rerank top-k — the reference's
+    * `test_search_multivector_rerank` path, index-backed end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    VectorQueries.queries("a1_smooth_chamfer_topk")(
+    IndexQueries.queries("g9_multivector_search")(
       spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,262 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** One search hit emitted by the kernels (similarity = −distance). */
+case class SearchHit(q_id: Long, rank: Int, d_id: Long, sim: Double,
+                     cmps: Int, hops: Int)
+
+/** One multivector candidate row: subquery q_sub of set qset_id reached
+  * data vector d_id. */
+case class MultiHit(qset_id: Long, q_sub: Int, d_id: Long, sim: Double,
+                    cmps: Int, hops: Int)
+
+/** G8/G9 — greedy best-first beam search over the RoarGraph projection
+  * graph, the reference's `SearchRoarGraph`
+  * (`/root/reference/src/index_bipartite.cpp:2313-2422`) and
+  * `SearchMultivectorOnRoarGraph` with adaptive beam allocation
+  * (`:2424-2544`; expansion loop `:2491-2520`, normalized tail-gap
+  * `:2496`, growth step `:2459-2461`).
+  *
+  * Spark realization: the graph + packed vectors are broadcast once per
+  * job; query rows flow through `mapPartitions`/`flatMapGroups` and each
+  * task runs the sequential kernel with task-local [[BeamQueue]]s and an
+  * epoch-tagged [[VisitedSet]] — share-nothing, unlike the reference's
+  * OpenMP threads over shared mutable state.
+  */
+object BeamSearch {
+
+  /** G14 — per-thread visited-set pool (`include/visited_list_pool.h:8-74`).
+    * Spark task = thread, so a ThreadLocal replaces the mutex'd pool;
+    * epoch-tagging makes reuse free across queries. */
+  private object VisitedPools {
+    private val tl: ThreadLocal[scala.collection.mutable.HashMap[Int, ArrayBuffer[VisitedSet]]] =
+      ThreadLocal.withInitial(() => scala.collection.mutable.HashMap.empty)
+    def get(n: Int, c: Int): Array[VisitedSet] = {
+      val buf = tl.get().getOrElseUpdate(n, ArrayBuffer.empty)
+      while (buf.length < c) buf += new VisitedSet(n)
+      buf.take(c).toArray
+    }
+  }
+
+  /** Expand-until-converged inner loop shared by G8/G9: grows `queue`
+    * until no unexpanded node remains within the first `l` entries.
+    * Returns (cmps, hops) deltas. */
+  private def expandLoop(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
+                         q: Array[Float], queue: BeamQueue, l: Int,
+                         visited: VisitedSet): (Int, Int) = {
+    var cmps = 0
+    var hops = 0
+    val dim = vecs.dim
+    while (queue.hasUnexpandedInK(l)) {
+      val idx = queue.closestUnexpanded()
+      val node = queue.id(idx)
+      hops += 1
+      var o = graph.nbrStart(node)
+      val end = graph.nbrEnd(node)
+      while (o < end) {
+        val nbr = graph.nbrs(o)
+        if (!visited.visited(nbr)) {
+          visited.visit(nbr)
+          val d = metric.dist(vecs.data, vecs.offset(nbr), q, 0, dim)
+          cmps += 1
+          queue.insert(nbr, d)
+        }
+        o += 1
+      }
+    }
+    (cmps, hops)
+  }
+
+  /** G8 kernel: single-vector search, beam width `l`. Returns the top
+    * min(l, visited) entries best-first. `scored` (optional) collects
+    * every (id, dist) the kernel evaluated — the build pipeline's
+    * candidate pool (`SearchProjectionGraphInternal`'s `full_retset`,
+    * `index_bipartite.cpp:1281-1352`). */
+  def searchSingle(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
+                   query: Array[Float], l: Int, visited: VisitedSet,
+                   scored: ArrayBuffer[(Int, Float)] = null): (BeamQueue, Int, Int) = {
+    val queue = new BeamQueue(l)
+    visited.nextEpoch()
+    val ep = graph.entryPoint
+    visited.visit(ep)
+    val d0 = metric.dist(vecs.data, vecs.offset(ep), query, 0, vecs.dim)
+    queue.insert(ep, d0)
+    if (scored != null) scored += ((ep, d0))
+    var cmps = 1
+    var hops = 0
+    if (scored == null) {
+      val (c, h) = expandLoop(graph, vecs, metric, query, queue, l, visited)
+      cmps += c; hops += h
+    } else {
+      // instrumented variant: record every scored candidate
+      while (queue.hasUnexpandedInK(l)) {
+        val idx = queue.closestUnexpanded()
+        val node = queue.id(idx)
+        hops += 1
+        var o = graph.nbrStart(node)
+        val end = graph.nbrEnd(node)
+        while (o < end) {
+          val nbr = graph.nbrs(o)
+          if (!visited.visited(nbr)) {
+            visited.visit(nbr)
+            val d = metric.dist(vecs.data, vecs.offset(nbr), query, 0, vecs.dim)
+            cmps += 1
+            scored += ((nbr, d))
+            queue.insert(nbr, d)
+          }
+          o += 1
+        }
+      }
+    }
+    (queue, cmps, hops)
+  }
+
+  /** G9 kernel: c subqueries with one shared compute budget. Each queue
+    * starts at `minPq` effective size; while Σ sizes < budget, the queue
+    * with the largest normalized tail gap (d[L−1]−d[0])/L grows by
+    * ⌊0.1·budget⌋ and is re-searched. With `adaptive=false` every queue
+    * gets budget/c up front (`index_bipartite.cpp:2455-2461`).
+    * Returns per-subquery (ids, dists, cmps, hops) — the FULL beam
+    * contents (first currentSize entries), not just top-k, exactly like
+    * the reference (`:2533-2539`). */
+  def searchMulti(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
+                  queries: Array[Array[Float]], minPq: Int, maxPq: Int,
+                  budget: Int, adaptive: Boolean,
+                  visitedPool: Array[VisitedSet]): Array[(Array[Int], Array[Float], Int, Int)] = {
+    val c = queries.length
+    require(visitedPool.length >= c, "visitedPool smaller than subquery count")
+    val queues = Array.fill(c)(new BeamQueue(maxPq))
+    val cmps = new Array[Int](c)
+    val hops = new Array[Int](c)
+    val curSize = new Array[Int](c)
+    var sumSize = 0
+    if (adaptive) {
+      java.util.Arrays.fill(curSize, minPq)
+      sumSize = minPq * c
+    } else {
+      java.util.Arrays.fill(curSize, math.max(1, budget / c))
+      sumSize = budget
+    }
+    val grow = math.max(1, (0.1 * budget).toInt)
+
+    // Each subquery keeps its own visited tags ACROSS adaptive re-search
+    // calls (the reference holds one VisitedList per subquery for the
+    // whole query, `index_bipartite.cpp:2437-2442`).
+    def searchQuery(i: Int): Unit = {
+      val (dc, dh) = expandLoop(graph, vecs, metric, queries(i), queues(i),
+        curSize(i), visitedPool(i))
+      cmps(i) += dc; hops(i) += dh
+    }
+
+    var i = 0
+    while (i < c) {
+      val vs = visitedPool(i)
+      vs.nextEpoch()
+      val ep = graph.entryPoint
+      vs.visit(ep)
+      queues(i).insert(ep, metric.dist(vecs.data, vecs.offset(ep), queries(i), 0, vecs.dim))
+      cmps(i) += 1
+      searchQuery(i)
+      i += 1
+    }
+
+    if (adaptive) {
+      var continue = sumSize < budget
+      while (continue) {
+        var pick = -1
+        var maxGap = 0.0f
+        var j = 0
+        while (j < c) {
+          val q = queues(j)
+          val last = math.min(curSize(j), q.size) - 1
+          if (last >= 0) {
+            val gap = (q.dist(last) - q.dist(0)) / curSize(j)
+            val grown = curSize(j) + grow
+            if (gap > maxGap && grown < maxPq &&
+                sumSize + grown - curSize(j) <= budget) {
+              maxGap = gap
+              pick = j
+            }
+          }
+          j += 1
+        }
+        if (pick == -1) continue = false
+        else {
+          sumSize += grow
+          curSize(pick) += grow
+          searchQuery(pick)
+          continue = sumSize < budget
+        }
+      }
+    }
+
+    Array.tabulate(c) { qi =>
+      val q = queues(qi)
+      val m = math.min(curSize(qi), q.size)
+      val ids = new Array[Int](m)
+      val ds = new Array[Float](m)
+      var j = 0
+      while (j < m) { ids(j) = q.id(j); ds(j) = q.dist(j); j += 1 }
+      (ids, ds, cmps(qi), hops(qi))
+    }
+  }
+
+  /** DataFrame wrapper for G8: `queries` = (q_id long, q_vec array<float>).
+    * Output: (q_id, rank, d_id, sim, cmps, hops), sim = −dist. */
+  def searchSingleDf(spark: SparkSession, queries: DataFrame,
+                     graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
+                     metricName: String, l: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val ds = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+    ds.mapPartitions { it =>
+      val graph = graphB.value
+      val vecs = vecsB.value
+      val metric = Metrics(metricName)
+      val visited = new VisitedSet(graph.n)
+      it.flatMap { case (qid, qraw) =>
+        val q = if (metric.normalizeAtLoad) VectorStore.normalized(qraw) else qraw
+        val (queue, cmps, hops) = searchSingle(graph, vecs, metric, q, l, visited)
+        val m = math.min(k, queue.size)
+        (0 until m).map { r =>
+          SearchHit(qid, r + 1, queue.id(r).toLong, -queue.dist(r).toDouble, cmps, hops)
+        }
+      }
+    }.toDF()
+  }
+
+  /** DataFrame wrapper for G9: `querySets` = (qset_id, q_sub, q_vec).
+    * Groups each set's subvectors into one kernel call. Output:
+    * (qset_id, q_sub, d_id, sim, cmps, hops) — all beam contents. */
+  def searchMultiDf(spark: SparkSession, querySets: DataFrame,
+                    graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
+                    metricName: String, minPq: Int, maxPq: Int, budget: Int,
+                    adaptive: Boolean): DataFrame = {
+    import spark.implicits._
+    val ds = querySets.select(col("qset_id"), col("q_sub"), col("q_vec"))
+      .as[(Long, Int, Array[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qsetId, rows) =>
+      val graph = graphB.value
+      val vecs = vecsB.value
+      val metric = Metrics(metricName)
+      val subs = rows.toArray.sortBy(_._2)
+      val qs = subs.map { case (_, _, v) =>
+        if (metric.normalizeAtLoad) VectorStore.normalized(v) else v
+      }
+      val visitedPool = VisitedPools.get(graph.n, qs.length)
+      val res = searchMulti(graph, vecs, metric, qs, minPq, maxPq, budget,
+        adaptive, visitedPool)
+      res.iterator.zipWithIndex.flatMap { case ((ids, dists, cmps, hops), si) =>
+        val qSub = subs(si)._2
+        ids.indices.map { r =>
+          MultiHit(qsetId, qSub, ids(r).toLong, -dists(r).toDouble, cmps, hops)
+        }
+      }
+    }.toDF()
+  }
+}

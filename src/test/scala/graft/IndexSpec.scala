@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.queries.{IndexQueries, VectorQueries}
+
+/** Kernel-level and end-to-end tests for the RoarGraph index layer:
+  * beam queue, occlusion prune, exact-kNN parity, build, persistence
+  * roundtrip, and the recall harness (search+rerank vs fullscan oracle). */
+class IndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("BeamQueue keeps sorted bounded contents with expansion cursor") {
+    val q = new BeamQueue(3)
+    q.insert(5, 0.5f); q.insert(2, 0.2f); q.insert(9, 0.9f)
+    q.insert(1, 0.1f) // evicts 0.9
+    assert(q.size === 3)
+    assert((0 until 3).map(q.id) === Seq(1, 2, 5))
+    assert((0 until 3).map(q.dist) === Seq(0.1f, 0.2f, 0.5f))
+    assert(q.hasUnexpandedInK(3))
+    assert(q.id(q.closestUnexpanded()) === 1)
+    assert(q.id(q.closestUnexpanded()) === 2)
+    // insert a better node mid-way: cursor must move back
+    q.insert(7, 0.15f)
+    assert(q.id(q.closestUnexpanded()) === 7)
+    // contents now 1,7,2 (5 evicted) and all three are expanded
+    assert((0 until 3).map(q.id) === Seq(1, 7, 2))
+    assert(!q.hasUnexpandedInK(3))
+  }
+
+  test("occlusionPrune applies alpha=1 RNG rule then fill") {
+    // 1-d points: target at 0; candidates at 1, 2, 10.
+    // cand@2 is occluded by kept cand@1 (d(2,1)=1 < d(2,0)=4 in l2sq);
+    // cand@10 occluded by 1 (81 < 100)? d(10,1)=81 < d(10,0)=100 → occluded.
+    // fill pass then restores 2 and 10 in distance order up to m.
+    val data = Array(0f, 1f, 2f, 10f)
+    val vecs = new VectorStore(4, 1, data)
+    val m = Metrics.L2
+    val cands = Seq((1, 1f), (2, 4f), (3, 100f))
+    assert(GraphBuild.occlusionPrune(cands, 0, 1, vecs, m).toSeq === Seq(1))
+    assert(GraphBuild.occlusionPrune(cands, 0, 2, vecs, m).toSeq === Seq(1, 2))
+    assert(GraphBuild.occlusionPrune(cands, 0, 3, vecs, m).toSeq === Seq(1, 2, 3))
+  }
+
+  test("exactKnn matches the relational bruteForce ranking") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = VectorStore.fromDf(emb, "vec_id", "embedding", Metrics.Cosine)
+    val vecsB = spark.sparkContext.broadcast(vecs)
+    val train = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val kernel = GraphBuild.exactKnn(spark, train, 5, vecsB, "cosine",
+        excludeSelf = true)
+      .as[(Long, Seq[Long])].collect().toMap
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val oracle = graft.operators.KnnJoin.bruteForce(train, d, 5, "cosine",
+        excludeSelf = true)
+      .groupBy("q_id").agg(array_sort(collect_list(struct(col("rank"), col("d_id")))).as("l"))
+      .select(col("q_id"), transform(col("l"), x => x.getField("d_id")).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel.keySet === oracle.keySet)
+    // float32 kernel vs double relational can disagree on near-ties; demand
+    // ≥4/5 overlap per query and identical top-1
+    kernel.foreach { case (q, ids) =>
+      val o = oracle(q)
+      assert(ids.head === o.head, s"top-1 mismatch for q=$q: $ids vs $o")
+      assert(ids.toSet.intersect(o.toSet).size >= 4, s"q=$q: $ids vs $o")
+    }
+  }
+
+  lazy val index: RoarIndex = {
+    val emb = Tables.embeddings(spark, sfDir)
+    GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
+  }
+
+  test("build produces a connected-ish graph with bounded degrees") {
+    val g = index.graph
+    assert(g.n === 500)
+    val cap = 2 * IndexQueries.FixtureParams.mPjbp
+    val degs = (0 until g.n).map(g.degree)
+    assert(degs.max <= cap, s"degree ${degs.max} exceeds 2M=$cap")
+    val zero = degs.count(_ == 0)
+    assert(zero == 0, s"$zero zero-degree nodes")
+    assert(g.entryPoint >= 0 && g.entryPoint < g.n)
+  }
+
+  test("graph save/load roundtrip (S10/S11)") {
+    val path = "/tmp/graft_test_graph"
+    CsrGraph.save(spark, index.graph, path, Map("metric" -> "cosine"))
+    val loaded = CsrGraph.load(spark, path)
+    assert(loaded.n === index.graph.n)
+    assert(loaded.entryPoint === index.graph.entryPoint)
+    assert((0 until loaded.n).forall(v =>
+      loaded.neighbors(v).toSeq == index.graph.neighbors(v).toSeq))
+  }
+
+  test("G8 beam search achieves >=0.9 Recall@10 vs exact kNN") {
+    import spark.implicits._
+    val graphB = spark.sparkContext.broadcast(index.graph)
+    val vecsB = spark.sparkContext.broadcast(index.vecs)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = BeamSearch.searchSingleDf(spark, q, graphB, vecsB, "cosine",
+        l = 60, k = 10)
+      .groupBy("q_id").agg(collect_set(col("d_id")).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
+        excludeSelf = false)
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (qid, gt) =>
+      hits.get(qid).map(h => h.toSet.intersect(gt.toSet).size / 10.0).getOrElse(0.0)
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"G8 Recall@10 = $avg")
+  }
+
+  test("G9 search + chamfer rerank achieves >=0.95 Recall@10 vs fullscan") {
+    val approx = IndexQueries.queries("g9_multivector_search")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"G9 Recall@10 = $avg (per-set: $recalls)")
+  }
+
+  test("adaptive budget allocation spends within budget and varies sizes") {
+    val vecs = index.vecs
+    val metric = Metrics.Cosine
+    val qs = Array(0, 7, 123, 400).map(vecs.vector)
+    val pool = Array.fill(qs.length)(new VisitedSet(index.graph.n))
+    val res = BeamSearch.searchMulti(index.graph, vecs, metric, qs,
+      minPq = 5, maxPq = 100, budget = 60, adaptive = true, pool)
+    val sizes = res.map(_._1.length)
+    assert(sizes.sum <= 60 + 6, s"sizes $sizes blow the budget") // +grow slack
+    assert(sizes.forall(_ >= 5))
+    res.foreach { case (ids, dists, cmps, hops) =>
+      assert(ids.length === dists.length)
+      assert(cmps > 0 && hops > 0)
+      // best-first ordering
+      assert(dists.toSeq === dists.sorted.toSeq)
+    }
+  }
+}
