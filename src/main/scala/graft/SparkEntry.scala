@@ -11,7 +11,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     VectorQueries,
-    IndexQueries
+    IndexQueries,
+    EvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001: RoarGraph multivector

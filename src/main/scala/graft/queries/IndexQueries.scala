@@ -110,6 +110,25 @@ object IndexQueries extends QueryPack {
         h.idx.params.metric, l = 40, k = K)
     }),
 
+    // A11/G12: search-path overlap across a query set's subqueries —
+    // unique visited candidates ÷ total candidate rows
+    // (`TestOverlap_SearchMultivectorOnRoarGraph`,
+    // index_bipartite.cpp:2546-2666), measured on the G9 beam contents
+    // (rows-only: kernel-approximate).
+    "a11_overlap" -> ((s, dir) => {
+      val h = handles(s, dir)
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
+          h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
+          adaptive = true)
+        .groupBy("qset_id")
+        .agg(round(countDistinct(col("d_id")).cast("double") /
+          count(lit(1)), 6).as("unique_frac"))
+    }),
+
     // G9 + rerank: the reference's flagship `test_search_multivector_rerank`
     // path — adaptive multivector beam search producing candidates, then
     // the P9-dedup → J2-gather → A1-chamfer → W1-topk relational tail
