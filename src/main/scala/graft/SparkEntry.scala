@@ -12,7 +12,9 @@ object SparkEntry {
     RelationalQueries,
     VectorQueries,
     IndexQueries,
-    EvalQueries
+    EvalQueries,
+    TextQueries,
+    AnnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001: RoarGraph multivector

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline: media
+  * payloads ride as opaque `binary` columns with typed metadata, and
+  * feature extraction runs batched per partition so a real codec could be
+  * slotted in without touching the plan.
+  *
+  * The byte-level features (length, entropy, 16-bin histogram) are REAL
+  * computations on the opaque payload. The codec step —
+  * [[MediaPipeline.decodeStub]] — is a clearly-marked deterministic STUB:
+  * this environment ships no image/audio libraries, so "decoding" derives
+  * a pseudo-embedding from a rolling hash of the bytes. The Spark-side
+  * contract (schema, partition-parallel batching, per-row feature vector)
+  * is exactly what a libjpeg/ffmpeg-backed implementation would keep.
+  */
+object MediaPipeline {
+
+  case class MediaFeatureRow(media_id: Long, mime: String, n_bytes: Long,
+                             entropy: Double, byte_hist: Seq[Double],
+                             frame_embedding: Seq[Float])
+
+  /** Fixture adapter: documents as opaque media blobs. */
+  def fromDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+
+  /** STUB decode — deterministic pseudo-embedding (dim 8) from a rolling
+    * hash of the payload. Replace with a real codec + model encoder; the
+    * signature (bytes, mime) → float vector is the stable contract. */
+  def decodeStub(payload: Array[Byte], mime: String, dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // FNV-ish seed
+    var i = 0
+    while (i < payload.length) {
+      h = h * 31 + (payload(i) & 0xff)
+      // murmur-style finalizer so every byte perturbs the sampled high bits
+      var m = h
+      m ^= m >>> 33; m *= 0xff51afd7ed558ccdL; m ^= m >>> 33
+      out(i % dim) += ((m >>> 40) & 0xffff) / 65535.0f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { out(j) = out(j) / math.max(1, payload.length / dim); j += 1 }
+    out
+  }
+
+  /** Batched feature extraction over (media_id, mime, payload). */
+  def features(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mime, payload) =>
+          val counts = new Array[Long](256)
+          payload.foreach(b => counts(b & 0xff) += 1)
+          val n = math.max(1L, payload.length.toLong)
+          var entropy = 0.0
+          var i = 0
+          while (i < 256) {
+            if (counts(i) > 0) {
+              val p = counts(i).toDouble / n
+              entropy -= p * math.log(p) / math.log(2)
+            }
+            i += 1
+          }
+          val hist = new Array[Double](16)
+          i = 0
+          while (i < 256) { hist(i / 16) += counts(i).toDouble / n; i += 1 }
+          MediaFeatureRow(id, mime, payload.length.toLong,
+            math.rint(entropy * 1e6) / 1e6,
+            hist.map(x => math.rint(x * 1e6) / 1e6).toSeq,
+            decodeStub(payload, mime).toSeq)
+        }
+      }.toDF()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Random-hyperplane LSH approximate k-NN — the scale path for similarity
+  * search when no graph index exists (and the LLM-pipeline embedding
+  * near-dup primitive). SURVEY §7.1's MLlib note: we use a plain
+  * relational formulation instead of `BucketedRandomProjectionLSH` so the
+  * whole plan stays in whole-stage codegen and DuckDB-compatible shapes.
+  *
+  * Shape: sign-bit signature over `numPlanes` seeded Gaussian hyperplanes,
+  * banded into `numBands` keys; candidate generation is an EQUI-join on
+  * (band, key) — a hash-shuffle on short strings, never an all-pairs
+  * cross join; exact cosine rerank + bounded-heap top-k runs only on
+  * bucket collisions. Recall is tunable via planes/bands (asserted ≥0.9
+  * vs the exact j1 oracle in LlmPipelineSpec).
+  */
+object LshAnn {
+
+  /** Deterministic Gaussian hyperplanes (fixed seed → reproducible plans). */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Add (id-col untouched) an exploded (band, key) pair per row. */
+  private def banded(df: DataFrame, vecCol: String, planesLit: Column,
+                     numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bits = transform(planesLit, p =>
+      when(aggregate(zip_with(p, col(vecCol),
+        (x, y) => x * y.cast("double")), lit(0.0), (a, x) => a + x) >= 0, "1")
+        .otherwise("0"))
+    val bandKeys = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(slice(bits, b * rowsPerBand + 1, rowsPerBand), "").as("key"))
+    }
+    df.withColumn("bk", explode(array(bandKeys: _*)))
+      .withColumn("band", col("bk.band"))
+      .withColumn("key", col("bk.key"))
+      .drop("bk")
+  }
+
+  /** Approximate top-k cosine neighbors from `queries` (q_id, q_vec) to
+    * `data` (d_id, d_vec). Output: (q_id, rank, d_id, score), scores
+    * 9-decimal-quantized like the exact path. */
+  def knn(queries: DataFrame, data: DataFrame, k: Int,
+          numPlanes: Int = 12, rowsPerBand: Int = 2,
+          seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
+    require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
+    val numBands = numPlanes / rowsPerBand
+    val dim = queries.select(size(col("q_vec"))).first().getInt(0)
+    val planesLit = typedLit(planes(numPlanes, dim, seed))
+    val qb = banded(queries.withColumn("q_norm", vecNorm(col("q_vec"))),
+      "q_vec", planesLit, numBands, rowsPerBand)
+    val db = banded(data.withColumn("d_norm", vecNorm(col("d_vec"))),
+      "d_vec", planesLit, numBands, rowsPerBand)
+    val cands = qb.join(db, Seq("band", "key"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("d_id"), col("d_vec"), col("d_norm"))
+      .dropDuplicates("q_id", "d_id")
+    val scored0 = cands.withColumn("score",
+      round(vecDot(col("q_vec"), col("d_vec")) /
+        (col("q_norm") * col("d_norm")), 9))
+    val scored =
+      if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
+  }
+}

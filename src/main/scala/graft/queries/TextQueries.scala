@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.operators.TopK
+
+/** LLM-training-data text pipeline over the `documents` fixture — the
+  * operations a 100 TB corpus pipeline runs before anything touches a
+  * model: exact + near dedup, token statistics, quality scoring,
+  * language ID, TF-IDF, fingerprinting. All pure relational (explode /
+  * groupBy / join shapes that partial-aggregate and shuffle on keys), so
+  * every query here is DuckDB-checkable.
+  *
+  * Near-dup uses MinHash whose per-row hash is `md5(seed || shingle)`
+  * compared LEXICOGRAPHICALLY — both engines produce identical hex
+  * strings, so signatures and LSH band keys hash-match without any
+  * engine-specific 64-bit hash. At scale the banded self-join is an
+  * equi-shuffle on band keys (never an all-pairs join).
+  */
+object TextQueries extends QueryPack {
+
+  /** Stopword list shared by quality + langid scoring. */
+  private val Stop = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  private val StopSqlList = Stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** tokens = non-empty lowercase whitespace splits. */
+  private def tokensCol: Column =
+    filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** (doc_id, shingle) distinct token trigrams, built positionally via an
+    * index-range transform (identical construction in the oracle SQL). */
+  private def trigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), explode(
+        // sequence(a,b) is inclusive and runs DESCENDING when b < a, so
+        // short docs (<3 tokens) must yield an explicit empty list
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))
+          .otherwise(typedLit(Seq.empty[String]))).as("shingle"))
+      .distinct()
+
+  private val trigramsSql =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(toks) - 2, 0)),
+       |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+       |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)""".stripMargin
+
+  /** MinHash signature count and LSH banding (2 rows per band). */
+  private val NumHashes = 8
+  private val RowsPerBand = 2
+  private val NumBands = NumHashes / RowsPerBand
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy (md5), keeper = min doc_id.
+    "dedup_exact" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .groupBy("text_hash")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Document fingerprint: md5 over aggressively normalized content
+    // (lowercase, strip non-alphanumerics, collapse whitespace) — the
+    // cheap whitespace/punctuation-invariant near-dup key.
+    "doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))).as("fingerprint"))
+    }),
+
+    // Token statistics: counts + mean token length.
+    "text_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
+          round(aggregate(transform(col("toks"), t => length(t).cast("double")),
+            lit(0.0), (a, x) => a + x) / size(col("toks")), 6).as("mean_token_len"))
+    }),
+
+    // Quality signals: char/token counts + stopword fraction.
+    "text_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          tokensCol.as("toks"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(size(filter(col("toks"), t => t.isin(Stop: _*)))
+            .cast("double") / size(col("toks")), 6).as("stop_frac"))
+    }),
+
+    // Language ID: stopword-marker voting with a deterministic argmax
+    // chain (en ≥ fr ≥ de ≥ es precedence, 'unk' when no marker hits).
+    "text_langid" -> ((s, dir) => {
+      def hits(markers: Seq[String]): Column =
+        size(filter(col("toks"), t => t.isin(markers: _*)))
+      docs(s, dir).select(col("doc_id"), col("lang"), tokensCol.as("toks"))
+        .select(col("doc_id"), col("lang"),
+          hits(Seq("the", "and", "of", "is")).as("c_en"),
+          hits(Seq("le", "la", "et", "les")).as("c_fr"),
+          hits(Seq("der", "die", "und", "das")).as("c_de"),
+          hits(Seq("el", "los", "y", "que")).as("c_es"))
+        .select(col("doc_id"), col("lang"),
+          when(col("c_en") + col("c_fr") + col("c_de") + col("c_es") === 0, "unk")
+            .when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_de") &&
+              col("c_en") >= col("c_es"), "en")
+            .when(col("c_fr") >= col("c_de") && col("c_fr") >= col("c_es"), "fr")
+            .when(col("c_de") >= col("c_es"), "de")
+            .otherwise("es").as("pred_lang"))
+    }),
+
+    // TF-IDF: top-3 terms per document (doc_id < 20) with idf = ln(N/df)
+    // over the full corpus.
+    "text_tfidf" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), explode(tokensCol).as("term"))
+      val n = docs(s, dir).count()
+      val tf = toks.filter(col("doc_id") < 20)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 9).as("tfidf"))
+      TopK.perGroup(scored, Seq(col("doc_id")),
+          Seq(col("tfidf").desc, col("term").asc), 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    // N-gram Jaccard near-dup: top-10 most-similar doc pairs (doc_id < 40)
+    // by token-trigram Jaccard, global TakeOrderedAndProject.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = trigrams(s, dir).filter(col("doc_id") < 40)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 9).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(10)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // MinHash signatures (md5-lexicographic min per seed) for doc_id < 50.
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sh = trigrams(s, dir).filter(col("doc_id") < 50)
+      val sigs = (1 to NumHashes).map(r =>
+        min(md5(concat(lit(r.toString), lit("|"), col("shingle")))).as(s"sig$r"))
+      sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    }),
+
+    // MinHash-LSH candidate pairs: band signatures (2 rows/band), bucket
+    // equi-join, count shared bands per pair. Never an all-pairs join —
+    // the shuffle key is the band hash.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val sh = trigrams(s, dir)
+      val sigs = (1 to NumHashes).map(r =>
+        min(md5(concat(lit(r.toString), lit("|"), col("shingle")))).as(s"sig$r"))
+      val signed = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+      val bandCols = (0 until NumBands).map { b =>
+        val parts = (1 to RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("key")).as(s"b$b")
+      }
+      val banded = signed.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"), explode(array((0 until NumBands).map(b => col(s"b$b")): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val sigExprs = (1 to NumHashes).map(r =>
+      s"min(md5('$r' || '|' || shingle)) AS sig$r").mkString(",\n|         ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (1 to RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sigs"
+    }.mkString("\n|  UNION ALL\n|  ")
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+          |count(*) AS n_copies FROM documents GROUP BY md5(text)""".stripMargin,
+      "doc_fingerprint" ->
+        """SELECT doc_id, md5(trim(regexp_replace(
+          |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |  ' +', ' ', 'g'))) AS fingerprint FROM documents""".stripMargin,
+      "text_tokens" ->
+        s"""SELECT doc_id, len(toks) AS n_tokens,
+           |len(list_distinct(toks)) AS n_uniq_tokens,
+           |round(list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks), 6) AS mean_token_len
+           |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)""".stripMargin,
+      "text_quality" ->
+        s"""SELECT doc_id, len(text) AS n_chars, len(toks) AS n_tokens,
+           |round(CAST(len(list_filter(toks, t -> t IN $StopSqlList)) AS DOUBLE) / len(toks), 6) AS stop_frac
+           |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)""".stripMargin,
+      "text_langid" ->
+        s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+           |c AS (SELECT doc_id, lang,
+           |  len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'is'))) AS c_en,
+           |  len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les'))) AS c_fr,
+           |  len(list_filter(toks, t -> t IN ('der', 'die', 'und', 'das'))) AS c_de,
+           |  len(list_filter(toks, t -> t IN ('el', 'los', 'y', 'que'))) AS c_es
+           |  FROM t)
+           |SELECT doc_id, lang,
+           |  CASE WHEN c_en + c_fr + c_de + c_es = 0 THEN 'unk'
+           |       WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+           |       WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+           |       WHEN c_de >= c_es THEN 'de'
+           |       ELSE 'es' END AS pred_lang
+           |FROM c""".stripMargin,
+      "text_tfidf" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(toks) AS term
+           |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE doc_id < 20 GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df
+           |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 9) AS tfidf
+           |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, term, tfidf,
+           |         row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY tfidf DESC, term ASC) AS rank
+           |  FROM scored)
+           |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+           |FROM ranked WHERE rank <= 3""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH sh AS ($trigramsSql),
+           |sh40 AS (SELECT * FROM sh WHERE doc_id < 40),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh40 GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+           |  FROM sh40 x JOIN sh40 y ON x.shingle = y.shingle
+           |  WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 9), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes a ON a.doc_id = doc_a
+           |JOIN sizes b ON b.doc_id = doc_b
+           |ORDER BY round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 9) DESC,
+           |         doc_a ASC, doc_b ASC
+           |LIMIT 10""".stripMargin,
+      "dedup_minhash_sig" ->
+        s"""WITH sh AS ($trigramsSql)
+           |SELECT doc_id,
+           |         $sigExprs
+           |FROM sh WHERE doc_id < 50 GROUP BY doc_id""".stripMargin,
+      "dedup_minhash_pairs" ->
+        s"""WITH sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects)
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+           |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           |WHERE x.doc_id < y.doc_id
+           |GROUP BY x.doc_id, y.doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MediaPipeline
+import graft.operators.LshAnn
+import graft.queries.{AnnQueries, TextQueries, VectorQueries}
+
+/** LLM-pipeline pack: LSH recall vs the exact oracle, MinHash banding
+  * sanity, multimodal feature determinism. */
+class LlmPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("knn_lsh reaches >=0.9 recall@10 vs exact j1") {
+    val approx = AnnQueries.queries("knn_lsh")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, gt) =>
+      approx.getOrElse(q, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"LSH recall@10 = $avg")
+  }
+
+  test("lsh candidate generation is bucketed, not all-pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val plan = LshAnn.knn(q, d, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
+  }
+
+  test("minhash pairs are consistent with signatures") {
+    val pairs = TextQueries.queries("dedup_minhash_pairs")(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val shared = r.getLong(2)
+      assert(shared >= 1 && shared <= 4)
+    }
+  }
+
+  test("media features are deterministic and well-formed") {
+    val run1 = AnnQueries.queries("mm_media_features")(spark, sfDir)
+      .orderBy("media_id").collect()
+    val run2 = AnnQueries.queries("mm_media_features")(spark, sfDir)
+      .orderBy("media_id").collect()
+    assert(run1.length === 50)
+    run1.zip(run2).foreach { case (a, b) => assert(a === b) }
+    run1.foreach { r =>
+      val entropy = r.getDouble(3)
+      assert(entropy >= 0.0 && entropy <= 8.0)
+      val hist = r.getSeq[Double](4)
+      assert(hist.length === 16)
+      assert(math.abs(hist.sum - 1.0) < 1e-3, s"hist sums to ${hist.sum}")
+      val emb = r.getSeq[Float](5)
+      assert(emb.length === 8)
+    }
+  }
+
+  test("decodeStub is a pure function of payload bytes") {
+    val p1 = "hello world".getBytes("UTF-8")
+    val a = MediaPipeline.decodeStub(p1, "text/plain")
+    val b = MediaPipeline.decodeStub(p1.clone(), "text/plain")
+    assert(a.toSeq === b.toSeq)
+    val c = MediaPipeline.decodeStub("hello worle".getBytes("UTF-8"), "text/plain")
+    assert(a.toSeq !== c.toSeq)
+  }
+}
