@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+
+/** The native codegen expressions must be BIT-identical to the HOF spec
+  * forms (same promotion, same sequential fold), interpreted and codegen. */
+class NativeExprSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val pairs = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    a.crossJoin(b)
+  }
+
+  test("vecDot native == HOF, bit-identical") {
+    val diff = pairs.select(
+        (vecDot(col("va"), col("vb")) - vecDotHof(col("va"), col("vb"))).as("d"))
+      .agg(sum(when(col("d") =!= 0.0, 1).otherwise(0))).first().getLong(0)
+    assert(diff === 0L)
+  }
+
+  test("vecL2Sq native == HOF, bit-identical") {
+    val diff = pairs.select(
+        (vecL2Sq(col("va"), col("vb")) - vecL2SqHof(col("va"), col("vb"))).as("d"))
+      .agg(sum(when(col("d") =!= 0.0, 1).otherwise(0))).first().getLong(0)
+    assert(diff === 0L)
+  }
+
+  test("vecNorm native == HOF, bit-identical") {
+    val diff = Tables.embeddings(spark, sfDir)
+      .select((vecNorm(col("embedding")) - vecNormHof(col("embedding"))).as("d"))
+      .agg(sum(when(col("d") =!= 0.0, 1).otherwise(0))).first().getLong(0)
+    assert(diff === 0L)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val df = pairs.select(vecDot(col("va"), col("vb")).as("dot"))
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the "*(stageId)" prefix; the Project
+    // holding vecdotexpr must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("vecdotexpr") && l.contains("*(")), s"no codegen span:\n$plan")
+  }
+}
