@@ -14,7 +14,8 @@ object SparkEntry {
     IndexQueries,
     EvalQueries,
     TextQueries,
-    AnnQueries
+    AnnQueries,
+    VarcQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001: RoarGraph multivector

@@ -47,6 +47,16 @@ object AnnQueries extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // S14: seeded random-vector source (rows-only; partitioning-invariant
+    // determinism asserted in SourcesSpec). Norm column demonstrates the
+    // normalize-at-generation contract.
+    "s14_random_vectors" -> ((s, dir) => {
+      graft.sources.RandomVectors.df(s, 200, 16, seed = 42)
+        .select(col("vec_id"),
+          round(vecNorm(col("embedding")), 6).as("norm"),
+          round(element_at(col("embedding"), 1), 6).as("first_elem"))
+    }),
+
     // Multimodal: batched byte-level features over opaque binary payloads
     // (rows-only; decode step stubbed — see MediaPipeline).
     "mm_media_features" -> ((s, dir) => {
