@@ -33,7 +33,7 @@ class TopKAggregator(k: Int)
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   override def zero: mutable.ArrayBuffer[ScoredId] =
-    new mutable.ArrayBuffer[ScoredId](k + 1)
+    new mutable.ArrayBuffer[ScoredId](math.min(k, 63) + 1) // k may be MaxValue (W3 full ranking)
 
   private def insert(buf: mutable.ArrayBuffer[ScoredId],
                      in: ScoredId): mutable.ArrayBuffer[ScoredId] = {

@@ -45,10 +45,13 @@ object BeamSearch {
 
   /** Expand-until-converged inner loop shared by G8/G9: grows `queue`
     * until no unexpanded node remains within the first `l` entries.
-    * Returns (cmps, hops) deltas. */
+    * Returns (cmps, hops) deltas. `visitLog` (G12 instrumentation,
+    * `TestOverlap_SearchMultivectorOnRoarGraph`,
+    * `index_bipartite.cpp:2546-2666`) records every newly-visited node. */
   private def expandLoop(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
                          q: Array[Float], queue: BeamQueue, l: Int,
-                         visited: VisitedSet): (Int, Int) = {
+                         visited: VisitedSet,
+                         visitLog: ArrayBuffer[Int] = null): (Int, Int) = {
     var cmps = 0
     var hops = 0
     val dim = vecs.dim
@@ -62,6 +65,7 @@ object BeamSearch {
         val nbr = graph.nbrs(o)
         if (!visited.visited(nbr)) {
           visited.visit(nbr)
+          if (visitLog != null) visitLog += nbr
           val d = metric.dist(vecs.data, vecs.offset(nbr), q, 0, dim)
           cmps += 1
           queue.insert(nbr, d)
@@ -70,6 +74,76 @@ object BeamSearch {
       }
     }
     (cmps, hops)
+  }
+
+  /** G10 — shared-visited-list multivector search
+    * (`SearchMultivectorOnRoarGraphWithSharedVisitedList`,
+    * `index_bipartite.cpp:2668-2764`): fixed budget/c beam per subquery,
+    * ROUND-ROBIN expansion, ONE shared visited set and one shared
+    * "checked" (expanded) set; every expanded node's unvisited neighbors
+    * are scored against ALL c subqueries and inserted into every queue. */
+  def searchMultiShared(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
+                        queries: Array[Array[Float]], maxPq: Int, budget: Int,
+                        visited: VisitedSet, checked: VisitedSet)
+      : Array[(Array[Int], Array[Float], Int, Int)] = {
+    val c = queries.length
+    val l = math.max(1, budget / c)
+    val queues = Array.fill(c)(new BeamQueue(maxPq))
+    val cmps = new Array[Int](c)
+    val hops = new Array[Int](c)
+    visited.nextEpoch()
+    checked.nextEpoch()
+    val ep = graph.entryPoint
+    visited.visit(ep)
+    var i = 0
+    while (i < c) {
+      queues(i).insert(ep, metric.dist(vecs.data, vecs.offset(ep), queries(i), 0, vecs.dim))
+      cmps(i) += 1
+      i += 1
+    }
+    var anyActive = true
+    while (anyActive) {
+      anyActive = false
+      var qi = 0
+      while (qi < c) {
+        val queue = queues(qi)
+        if (queue.hasUnexpandedInK(l)) {
+          anyActive = true
+          val idx = queue.closestUnexpanded()
+          val node = queue.id(idx)
+          if (!checked.visited(node)) {
+            checked.visit(node)
+            hops(qi) += 1
+            var o = graph.nbrStart(node)
+            val end = graph.nbrEnd(node)
+            while (o < end) {
+              val nbr = graph.nbrs(o)
+              if (!visited.visited(nbr)) {
+                visited.visit(nbr)
+                var si = 0
+                while (si < c) {
+                  val d = metric.dist(vecs.data, vecs.offset(nbr), queries(si), 0, vecs.dim)
+                  cmps(si) += 1
+                  queues(si).insert(nbr, d)
+                  si += 1
+                }
+              }
+              o += 1
+            }
+          }
+        }
+        qi += 1
+      }
+    }
+    Array.tabulate(c) { qi =>
+      val q = queues(qi)
+      val m = math.min(l, q.size)
+      val ids = new Array[Int](m)
+      val ds = new Array[Float](m)
+      var j = 0
+      while (j < m) { ids(j) = q.id(j); ds(j) = q.dist(j); j += 1 }
+      (ids, ds, cmps(qi), hops(qi))
+    }
   }
 
   /** G8 kernel: single-vector search, beam width `l`. Returns the top
@@ -127,7 +201,8 @@ object BeamSearch {
   def searchMulti(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
                   queries: Array[Array[Float]], minPq: Int, maxPq: Int,
                   budget: Int, adaptive: Boolean,
-                  visitedPool: Array[VisitedSet]): Array[(Array[Int], Array[Float], Int, Int)] = {
+                  visitedPool: Array[VisitedSet],
+                  visitLogs: Array[ArrayBuffer[Int]] = null): Array[(Array[Int], Array[Float], Int, Int)] = {
     val c = queries.length
     require(visitedPool.length >= c, "visitedPool smaller than subquery count")
     val queues = Array.fill(c)(new BeamQueue(maxPq))
@@ -149,7 +224,7 @@ object BeamSearch {
     // whole query, `index_bipartite.cpp:2437-2442`).
     def searchQuery(i: Int): Unit = {
       val (dc, dh) = expandLoop(graph, vecs, metric, queries(i), queues(i),
-        curSize(i), visitedPool(i))
+        curSize(i), visitedPool(i), if (visitLogs == null) null else visitLogs(i))
       cmps(i) += dc; hops(i) += dh
     }
 
@@ -159,6 +234,7 @@ object BeamSearch {
       vs.nextEpoch()
       val ep = graph.entryPoint
       vs.visit(ep)
+      if (visitLogs != null) visitLogs(i) += ep
       queues(i).insert(ep, metric.dist(vecs.data, vecs.offset(ep), queries(i), 0, vecs.dim))
       cmps(i) += 1
       searchQuery(i)
@@ -228,6 +304,62 @@ object BeamSearch {
         }
       }
     }.toDF()
+  }
+
+  /** DataFrame wrapper for G10: shared-visited-list variant. Output shape
+    * matches [[searchMultiDf]]. */
+  def searchMultiSharedDf(spark: SparkSession, querySets: DataFrame,
+                          graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
+                          metricName: String, maxPq: Int, budget: Int): DataFrame = {
+    import spark.implicits._
+    val ds = querySets.select(col("qset_id"), col("q_sub"), col("q_vec"))
+      .as[(Long, Int, Array[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qsetId, rows) =>
+      val graph = graphB.value
+      val vecs = vecsB.value
+      val metric = Metrics(metricName)
+      val subs = rows.toArray.sortBy(_._2)
+      val qs = subs.map { case (_, _, v) =>
+        if (metric.normalizeAtLoad) VectorStore.normalized(v) else v
+      }
+      val pool = VisitedPools.get(graph.n, 2)
+      val res = searchMultiShared(graph, vecs, metric, qs, maxPq, budget,
+        pool(0), pool(1))
+      res.iterator.zipWithIndex.flatMap { case ((ids, dists, cmps, hops), si) =>
+        val qSub = subs(si)._2
+        ids.indices.map { r =>
+          MultiHit(qsetId, qSub, ids(r).toLong, -dists(r).toDouble, cmps, hops)
+        }
+      }
+    }.toDF()
+  }
+
+  /** G12 — overlap-instrumented G9: per query set, unique vs total TRUE
+    * visited-node counts across the c subquery searches. */
+  def visitedOverlapDf(spark: SparkSession, querySets: DataFrame,
+                       graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
+                       metricName: String, minPq: Int, maxPq: Int, budget: Int,
+                       adaptive: Boolean): DataFrame = {
+    import spark.implicits._
+    val ds = querySets.select(col("qset_id"), col("q_sub"), col("q_vec"))
+      .as[(Long, Int, Array[Float])]
+    ds.groupByKey(_._1).mapGroups { (qsetId, rows) =>
+      val graph = graphB.value
+      val vecs = vecsB.value
+      val metric = Metrics(metricName)
+      val subs = rows.toArray.sortBy(_._2)
+      val qs = subs.map { case (_, _, v) =>
+        if (metric.normalizeAtLoad) VectorStore.normalized(v) else v
+      }
+      val visitedPool = VisitedPools.get(graph.n, qs.length)
+      val logs = Array.fill(qs.length)(new ArrayBuffer[Int])
+      searchMulti(graph, vecs, metric, qs, minPq, maxPq, budget, adaptive,
+        visitedPool, logs)
+      val total = logs.map(_.length.toLong).sum
+      val unique = logs.iterator.flatten.toSet.size.toLong
+      (qsetId, unique, total,
+        math.rint(unique.toDouble / total * 1e6) / 1e6)
+    }.toDF("qset_id", "n_unique", "n_total", "unique_frac")
   }
 
   /** DataFrame wrapper for G9: `querySets` = (qset_id, q_sub, q_vec).

@@ -34,13 +34,16 @@ final class RoarIndex(val graph: CsrGraph, val vecs: VectorStore,
   */
 object GraphBuild {
 
-  /** G5 — occlusion prune, α=1 RNG/DiskANN rule (`PruneBiSearchBaseGetBase`,
-    * `index_bipartite.cpp:1614-1696`): candidates sorted by distance to
-    * the target; keep p unless some already-kept r satisfies
-    * d(p,r) < d(p,target); then fill with nearest leftovers up to `m`.
+  /** G5/G6 — occlusion prune, α-RNG/DiskANN rule (`PruneBiSearchBaseGetBase`
+    * `index_bipartite.cpp:1614-1696`; the G6 prune variants `:1698-1943`
+    * are this same rule over different candidate pools, covered by this
+    * one parameterized kernel): candidates sorted by distance to the
+    * target; keep p unless some already-kept r satisfies
+    * α·d(p,r) < d(p,target); then fill with nearest leftovers up to `m`.
     * Pure function of (candidates, target) — O(|cands|·m) local work. */
   def occlusionPrune(cands0: Iterable[(Int, Float)], target: Int, m: Int,
-                     vecs: VectorStore, metric: VectorMetric): Array[Int] = {
+                     vecs: VectorStore, metric: VectorMetric,
+                     alpha: Float = 1.0f): Array[Int] = {
     // dedup by id (keep best distance), drop the target itself
     val best = new mutable.HashMap[Int, Float]
     cands0.foreach { case (id, d) =>
@@ -58,7 +61,7 @@ object GraphBuild {
       while (t < result.length && !occluded) {
         val djk = metric.dist(vecs.data, vecs.offset(pid),
           vecs.data, vecs.offset(result(t)), dim)
-        if (djk < pdist) occluded = true
+        if (alpha * djk < pdist) occluded = true
         t += 1
       }
       if (!occluded) result += pid

@@ -110,6 +110,32 @@ object IndexQueries extends QueryPack {
         h.idx.params.metric, l = 40, k = K)
     }),
 
+    // G10: shared-visited-list multivector search variant — round-robin
+    // expansion, one shared visited set, every expanded node scored
+    // against all c subqueries (rows-only).
+    "g10_shared_search" -> ((s, dir) => {
+      val h = handles(s, dir)
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      BeamSearch.searchMultiSharedDf(s, querySets, h.graphB, h.vecsB,
+        h.idx.params.metric, maxPq = 200, budget = 120)
+    }),
+
+    // G12: overlap-instrumented search — TRUE visited-node logs per
+    // subquery, unique/total across the set (rows-only).
+    "g12_visited_overlap" -> ((s, dir) => {
+      val h = handles(s, dir)
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      BeamSearch.visitedOverlapDf(s, querySets, h.graphB, h.vecsB,
+        h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
+        adaptive = true)
+    }),
+
     // A11/G12: search-path overlap across a query set's subqueries —
     // unique visited candidates ÷ total candidate rows
     // (`TestOverlap_SearchMultivectorOnRoarGraph`,

@@ -111,6 +111,55 @@ object VectorQueries extends QueryPack {
           col("score"), col("dset_id"), K, idName = "dset_id")
         .select(col("qset_id"), col("rank"), col("dset_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // W3: full GT ranking — k = ALL sets (`RerankAllAndGenerateSetGroundTruth`
+    // sets k to the set count, multivector_reranker.cpp:160-181).
+    "w3_full_ranking" -> ((s, dir) => {
+      val scored = SetSim.smoothChamferAgg(simTriples(s, dir), C)
+        .withColumn("score", round(col("score"), 9))
+      TopK.perGroupAgg(scored, Seq(col("qset_id")),
+          col("score"), col("dset_id"), Int.MaxValue, idName = "dset_id")
+        .select(col("qset_id"), col("rank"), col("dset_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // P3: FastL2 norm-cache rewrite — ‖a‖² + ‖b‖² − 2⟨a,b⟩ from
+    // MATERIALIZED squared norms (distance.h:226-321), the classic
+    // norm-cache identity instead of the direct difference sum.
+    "p3_fastl2_rewrite" -> ((s, dir) => {
+      val q = queryVecs(s, dir)
+        .withColumn("q_nsq", vecDot(col("q_vec"), col("q_vec")))
+      val d = dataVecs(s, dir).filter(col("d_id") < 50)
+        .withColumn("d_nsq", vecDot(col("d_vec"), col("d_vec")))
+      d.crossJoin(broadcast(q))
+        .select(col("q_id"), col("d_id"),
+          round(col("q_nsq") + col("d_nsq") -
+            lit(2.0) * vecDot(col("q_vec"), col("d_vec")), 6).as("l2sq"))
+    }),
+
+    // P9 (true semantics): candidate vector ids → set ids, dedup — the
+    // rerank front door (multivector_reranker.cpp:42-51).
+    "p9_set_dedup" -> ((s, dir) => {
+      KnnJoin.bruteForce(queryVecs(s, dir), dataVecs(s, dir), K,
+          metric = "cosine", excludeSelf = true)
+        .select((col("q_id") / C).cast("long").as("qset_id"),
+          (col("d_id") / C).cast("long").as("dset_id"))
+        .distinct()
+    }),
+
+    // S16 (true semantics): vector-set splitter — semi/anti join of the
+    // corpus against a sampled set-id list (tests/extract_vectorsets.cpp).
+    "s16_vecset_split" -> ((s, dir) => {
+      val m = emb(s, dir).select(col("vec_id"),
+        (col("vec_id") / C).cast("long").as("set_id"))
+      val sampled = m.select("set_id").distinct()
+        .filter(col("set_id") % 3 === 0)
+      val inS = m.join(sampled, Seq("set_id"), "left_semi")
+        .select(col("vec_id"), col("set_id"), lit(1).as("in_sample"))
+      val outS = m.join(sampled, Seq("set_id"), "left_anti")
+        .select(col("vec_id"), col("set_id"), lit(0).as("in_sample"))
+      inS.unionByName(outS)
     })
   )
 
@@ -140,6 +189,34 @@ object VectorQueries extends QueryPack {
        |  FROM q CROSS JOIN d)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "p3_fastl2_rewrite" -> {
+      def nsq(t: String) =
+        s"list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+      s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         |round(${nsq("q")} + ${nsq("d")} - 2.0 * $dotSql, 6) AS l2sq
+         |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) d""".stripMargin
+    },
+    "p9_set_dedup" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
+         |ranked AS (
+         |  SELECT q_id, d_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, d_id ASC) AS rank
+         |  FROM scored)
+         |SELECT DISTINCT q_id // $C AS qset_id, d_id // $C AS dset_id
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "s16_vecset_split" ->
+      s"""WITH m AS (SELECT vec_id, CAST(vec_id // $C AS BIGINT) AS set_id FROM embeddings),
+         |sampled AS (SELECT DISTINCT set_id FROM m WHERE set_id % 3 = 0)
+         |SELECT vec_id, set_id, 1 AS in_sample FROM m
+         |WHERE EXISTS (SELECT 1 FROM sampled s WHERE s.set_id = m.set_id)
+         |UNION ALL
+         |SELECT vec_id, set_id, 0 AS in_sample FROM m
+         |WHERE NOT EXISTS (SELECT 1 FROM sampled s WHERE s.set_id = m.set_id)""".stripMargin,
     "p2_vec_dot" ->
       s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id, round($dotSql, 6) AS dot
          |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
@@ -203,6 +280,32 @@ object VectorQueries extends QueryPack {
          |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
          |  FROM scored)
          |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
+    },
+    "w3_full_ranking" -> {
+      val ts = SetSim.Temperature * SetSim.TxtScale
+      val t = SetSim.Temperature
+      s"""$simTriplesCte,
+         |rl AS (
+         |  SELECT qset_id, dset_id, q_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+         |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
+         |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS m
+         |    FROM sims) GROUP BY qset_id, dset_id, q_sub, m),
+         |cl AS (
+         |  SELECT qset_id, dset_id, d_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+         |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
+         |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS m
+         |    FROM sims) GROUP BY qset_id, dset_id, d_sub, m),
+         |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
+         |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
+         |scored AS (
+         |  SELECT t1.qset_id, t1.dset_id,
+         |         round((t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator}, 9) AS score
+         |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
+         |ranked AS (
+         |  SELECT qset_id, dset_id, score,
+         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked""".stripMargin
     }
   )
 }

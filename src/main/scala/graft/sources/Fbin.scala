@@ -124,6 +124,87 @@ object Fbin {
       }.toDF("row_id", "ids")
   }
 
+  /** S6 — GT scan with distances (`load_gt_data_with_dist`,
+    * `util.h:128-154`): (n,k) header, then ALL n×k uint32 id rows, then
+    * ALL n×k float32 distance rows. → (row_id, ids, dists). */
+  def readGtWithDists(spark: SparkSession, path: String,
+                      numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val (n, k) = meta0(path) // header only; size differs from plain ibin
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val idsBase = 8L
+    val distsBase = 8L + n.toLong * k * 4
+    spark.range(0, n, 1, math.min(parts, math.max(1, n)))
+      .as[Long]
+      .mapPartitions { it =>
+        val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+        val rowBytes = k * 4
+        val buf = ByteBuffer.allocate(rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+        def readRow(base: Long, id: Long): ByteBuffer = {
+          buf.clear()
+          var read = 0
+          while (read < rowBytes) {
+            val r = ch.read(buf, base + id * rowBytes + read)
+            require(r > 0, s"short read at row $id")
+            read += r
+          }
+          buf.flip()
+          buf
+        }
+        it.map { id =>
+          val b1 = readRow(idsBase, id)
+          val ids = new Array[Long](k)
+          var i = 0
+          while (i < k) { ids(i) = b1.getInt.toLong & 0xffffffffL; i += 1 }
+          val b2 = readRow(distsBase, id)
+          val ds = new Array[Float](k)
+          i = 0
+          while (i < k) { ds(i) = b2.getFloat; i += 1 }
+          (id, ids.toSeq, ds.toSeq)
+        }
+      }.toDF("row_id", "ids", "dists")
+  }
+
+  /** S6 writer (ids block then dists block). */
+  def writeGtWithDists(df: DataFrame, path: String): Unit = {
+    val k = df.select(org.apache.spark.sql.functions.size(col("ids")))
+      .first().getInt(0)
+    val rows = df.select(col("row_id"), col("ids"), col("dists")).orderBy("row_id")
+    val n = rows.count().toInt
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      def writeIntLE(x: Int): Unit = {
+        out.write(x & 0xff); out.write((x >> 8) & 0xff)
+        out.write((x >> 16) & 0xff); out.write((x >> 24) & 0xff)
+      }
+      writeIntLE(n); writeIntLE(k)
+      val cached = rows.collect()
+      cached.foreach { r =>
+        val v = r.getSeq[Long](1)
+        require(v.length == k, s"ragged ids row ${r.getLong(0)}")
+        v.foreach(x => writeIntLE(x.toInt))
+      }
+      cached.foreach { r =>
+        val v = r.getSeq[Float](2)
+        require(v.length == k, s"ragged dists row ${r.getLong(0)}")
+        v.foreach(f => writeIntLE(java.lang.Float.floatToIntBits(f)))
+      }
+    } finally out.close()
+  }
+
+  /** Header-only read (no size validation — S6 files have two blocks). */
+  private def meta0(path: String): (Int, Int) = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      ch.read(buf, 0)
+      buf.flip()
+      (buf.getInt, buf.getInt)
+    } finally ch.close()
+  }
+
   /** Write (row_id, ids) as ibin (uint32), id order — the binary GT
     * writer parity (S13). */
   def writeIbin(df: DataFrame, path: String): Unit = {
