@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.functions.VectorFunctions._
+
+/** Structured-Streaming extension surface (SURVEY M6) — the reference is
+  * batch-only (SURVEY §1.4), so these are the engine's streaming-native
+  * additions for a continuously-fed corpus: micro-batch vector ingest
+  * into indexable blocks, watermarked event-time analytics, stateful
+  * streaming dedup, and running per-key statistics via the typed
+  * state API. All are plan-shape-identical between batch and streaming
+  * DataFrames (tested with MemoryStream).
+  */
+object StreamingIngest {
+
+  case class EventIn(ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class TypeStats(event_type: String, n: Long, sum: Double)
+  case class DocIn(doc_id: Long, fingerprint: String)
+
+  /** Vector micro-batch ingest: validate dim, L2-normalize, stamp the
+    * fixed-cardinality set id, carry the norm — rows land partitioned by
+    * `block_id` so each parquet block is independently indexable (the
+    * unit the RoarGraph build job consumes). */
+  def vectorIngest(vecs: DataFrame, cardinality: Int = 4,
+                   blockRows: Long = 100000L): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("norm", vecNorm(col("embedding")))
+      .filter(col("norm") > 0)
+      .select(
+        col("vec_id"),
+        vecScale(col("embedding"), col("norm")).as("embedding"),
+        (col("vec_id") / cardinality).cast("long").as("set_id"),
+        (col("vec_id") / blockRows).cast("long").as("block_id"))
+
+  /** Watermarked tumbling-window event analytics (event-time, late data
+    * bounded by the 2-minute watermark). */
+  def windowedEventStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 6).as("avg_value"))
+
+  /** Stateful streaming dedup: first occurrence of each fingerprint wins,
+    * across micro-batches — the streaming face of `dedup_exact`. */
+  def streamingDedup(ds: Dataset[DocIn]): Dataset[DocIn] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Boolean, DocIn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); it.take(1) }
+      }
+  }
+
+  /** Running per-event-type counters via the typed state API
+    * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
+  def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Double), TypeStats](GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          TypeStats(key, n, math.rint(s * 1e6) / 1e6)
+      }
+  }
+}

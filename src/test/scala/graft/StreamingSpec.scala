@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.{DocIn, EventIn}
+
+/** Structured-Streaming surface: MemoryStream-driven end-to-end runs of
+  * ingest, windowed analytics, stateful dedup and running stats. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  test("vector ingest normalizes and blocks a stream of vectors") {
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingIngest.vectorIngest(
+        input.toDF().toDF("vec_id", "embedding"), cardinality = 4, blockRows = 8)
+      .writeStream.format("memory").queryName("ingested")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, Seq(3f, 4f)), (9L, Seq(0f, 2f)), (16L, Seq(1f, 0f)))
+      q.processAllAvailable()
+      val rows = spark.table("ingested").orderBy("vec_id").collect()
+      assert(rows.length === 3)
+      assert(rows(0).getSeq[Float](1) === Seq(0.6f, 0.8f)) // 3-4-5 normalized
+      assert(rows(0).getLong(2) === 0L) // set_id
+      assert(rows(1).getLong(3) === 1L) // block_id of vec 9 at blockRows=8
+      assert(rows(2).getLong(2) === 4L) // set 16/4
+    } finally q.stop()
+  }
+
+  test("watermarked windowed event stats") {
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingIngest.windowedEventStats(input.toDF())
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("avg_value"))
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        EventIn(ts(0, 10), "click", 1.0), EventIn(ts(0, 50), "click", 3.0),
+        EventIn(ts(1, 10), "click", 5.0), EventIn(ts(0, 30), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("winstats").orderBy("ws", "event_type").collect()
+      assert(rows.length === 3)
+      val first = rows(0)
+      assert(first.getString(1) === "click" && first.getLong(2) === 2L)
+      assert(math.abs(first.getDouble(3) - 2.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("stateful streaming dedup keeps first occurrence across batches") {
+    val input = MemoryStream[DocIn](spark)
+    val q = StreamingIngest.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(DocIn(1, "aaa"), DocIn(2, "bbb"), DocIn(3, "aaa"))
+      q.processAllAvailable()
+      input.addData(DocIn(4, "aaa"), DocIn(5, "ccc"))
+      q.processAllAvailable()
+      val kept = spark.table("deduped").collect().map(_.getLong(0)).toSet
+      assert(kept.contains(5L))
+      assert(kept.intersect(Set(3L, 4L)).isEmpty, s"dup leaked: $kept")
+      assert(kept.count(Set(1L, 2L, 5L)) === 3)
+    } finally q.stop()
+  }
+
+  test("running per-type stats accumulate state across batches") {
+    val input = MemoryStream[EventIn](spark)
+    val q = StreamingIngest.runningTypeStats(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(EventIn(ts(0), "click", 1.0), EventIn(ts(1), "click", 2.0))
+      q.processAllAvailable()
+      input.addData(EventIn(ts(2), "click", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .filter(_.getString(0) == "click").maxBy(_.getLong(1))
+      assert(last.getLong(1) === 3L)
+      assert(math.abs(last.getDouble(2) - 7.0) < 1e-9)
+    } finally q.stop()
+  }
+}
