@@ -306,6 +306,91 @@ object BeamSearch {
     }.toDF()
   }
 
+  /** G13 — bipartite two-hop search (`SearchBipartiteGraph`,
+    * `index_bipartite.cpp:2121-2226`, ablation baseline): nodes < `nd`
+    * are base side, the rest are training-query side. From each expanded
+    * base node, walk 1-hop (query side) then take each 1-hop neighbor's
+    * FIRST unvisited 2-hop base neighbor, tracking which 1-hop neighbor
+    * produced the closest candidate; then fully expand that winner's
+    * 2-hop list. Start node is `seed % nd` (deterministic here; the
+    * reference draws a random start). */
+  def searchBipartite(bip: CsrGraph, nd: Int, vecs: VectorStore,
+                      metric: VectorMetric, query: Array[Float], l: Int,
+                      visited: VisitedSet, seed: Long): (BeamQueue, Int) = {
+    val queue = new BeamQueue(l)
+    visited.nextEpoch()
+    val start = ((seed % nd + nd) % nd).toInt
+    visited.visit(start)
+    queue.insert(start, metric.dist(vecs.data, vecs.offset(start), query, 0, vecs.dim))
+    var cmps = 1
+    while (queue.hasUnexpandedInK(l)) {
+      val cur = queue.id(queue.closestUnexpanded())
+      var bestFirstHop = -1
+      var bestDist = Float.MaxValue
+      var o = bip.nbrStart(cur)
+      val end = bip.nbrEnd(cur)
+      while (o < end) {
+        val nbr = bip.nbrs(o) // query-side node
+        var o2 = bip.nbrStart(nbr)
+        val end2 = bip.nbrEnd(nbr)
+        var taken = false
+        while (o2 < end2 && !taken) {
+          val nsNbr = bip.nbrs(o2) // base-side node
+          if (!visited.visited(nsNbr)) {
+            visited.visit(nsNbr)
+            val d = metric.dist(vecs.data, vecs.offset(nsNbr), query, 0, vecs.dim)
+            cmps += 1
+            if (d < bestDist) { bestDist = d; bestFirstHop = nbr }
+            queue.insert(nsNbr, d)
+            taken = true // reference breaks after the first unvisited 2-hop
+          }
+          o2 += 1
+        }
+        o += 1
+      }
+      if (bestFirstHop >= 0) {
+        var o2 = bip.nbrStart(bestFirstHop)
+        val end2 = bip.nbrEnd(bestFirstHop)
+        while (o2 < end2) {
+          val nsNbr = bip.nbrs(o2)
+          if (!visited.visited(nsNbr)) {
+            visited.visit(nsNbr)
+            val d = metric.dist(vecs.data, vecs.offset(nsNbr), query, 0, vecs.dim)
+            cmps += 1
+            queue.insert(nsNbr, d)
+          }
+          o2 += 1
+        }
+      }
+    }
+    (queue, cmps)
+  }
+
+  /** DataFrame wrapper for G13. `queries` = (q_id, q_vec). */
+  def searchBipartiteDf(spark: SparkSession, queries: DataFrame,
+                        bipB: Broadcast[CsrGraph], nd: Int,
+                        vecsB: Broadcast[VectorStore], metricName: String,
+                        l: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val ds = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+    ds.mapPartitions { it =>
+      val bip = bipB.value
+      val vecs = vecsB.value
+      val metric = Metrics(metricName)
+      val visited = new VisitedSet(bip.n)
+      it.flatMap { case (qid, qraw) =>
+        val q = if (metric.normalizeAtLoad) VectorStore.normalized(qraw) else qraw
+        val (queue, cmps) = searchBipartite(bip, nd, vecs, metric, q, l,
+          visited, seed = qid)
+        val m = math.min(k, queue.size)
+        (0 until m).map { r =>
+          SearchHit(qid, r + 1, queue.id(r).toLong, -queue.dist(r).toDouble, cmps, 0)
+        }
+      }
+    }.toDF()
+  }
+
   /** DataFrame wrapper for G10: shared-visited-list variant. Output shape
     * matches [[searchMultiDf]]. */
   def searchMultiSharedDf(spark: SparkSession, querySets: DataFrame,

@@ -110,6 +110,25 @@ object IndexQueries extends QueryPack {
         h.idx.params.metric, l = 40, k = K)
     }),
 
+    // G3+G13: bipartite graph (qbaseNNbipartite shape) + two-hop search
+    // over it — the reference's ablation baseline (rows-only).
+    "g13_bipartite_search" -> ((s, dir) => {
+      val h = handles(s, dir)
+      val nd = h.idx.vecs.n
+      val train = emb(s, dir).filter(col("vec_id") < TrainN)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val knn = GraphBuild.exactKnn(s, train, MTrain, h.vecsB,
+        h.idx.params.metric, excludeSelf = true)
+      // shift query-node ids by nd and build CSR over nd + TrainN nodes
+      val bipAdj = GraphBuild.bipartiteAdjacency(knn, nd, MTrain)
+      val bip = CsrGraph.collect(bipAdj, nd + TrainN, h.idx.graph.entryPoint)
+      val bipB = s.sparkContext.broadcast(bip)
+      val q = emb(s, dir).filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      BeamSearch.searchBipartiteDf(s, q, bipB, nd, h.vecsB,
+        h.idx.params.metric, l = 40, k = K)
+    }),
+
     // G10: shared-visited-list multivector search variant — round-robin
     // expansion, one shared visited set, every expanded node scored
     // against all c subqueries (rows-only).
