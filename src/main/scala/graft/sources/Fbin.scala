@@ -194,6 +194,76 @@ object Fbin {
     } finally out.close()
   }
 
+  /** S15 — minimal .npy ingest (the reference's
+    * `export_fbin_from_npy.py` converter, repo root): parses the NPY v1/v2
+    * header (magic, little-endian float32/float64, C-order, 2-d shape)
+    * and loads rows positionally. Conversion job: `fromNpy` → [[write]]. */
+  def readNpy(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val (dataStart, n, d, elemBytes) =
+      try {
+        val pre = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+        ch.read(pre, 0)
+        pre.flip()
+        val magic = new Array[Byte](6)
+        pre.get(magic)
+        require(magic.sameElements(Array(0x93.toByte, 'N'.toByte, 'U'.toByte,
+          'M'.toByte, 'P'.toByte, 'Y'.toByte)), s"$path: not an NPY file")
+        val major = pre.get()
+        pre.get() // minor
+        val headerLen =
+          if (major == 1) { pre.getShort & 0xffff }
+          else {
+            val b4 = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            ch.read(b4, 8); b4.flip(); b4.getInt
+          }
+        val headerStart = if (major == 1) 10L else 12L
+        val hb = ByteBuffer.allocate(headerLen)
+        ch.read(hb, headerStart)
+        val header = new String(hb.array(), "ASCII")
+        val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(header)
+          .map(_.group(1)).getOrElse(sys.error(s"no descr in $header"))
+        val eb = descr match {
+          case "<f4" => 4
+          case "<f8" => 8
+          case other => sys.error(s"unsupported npy dtype $other")
+        }
+        require("'fortran_order':\\s*False".r.findFirstIn(header).isDefined,
+          "fortran-order npy unsupported")
+        val shape = "'shape':\\s*\\((\\d+),\\s*(\\d+)\\)".r.findFirstMatchIn(header)
+          .getOrElse(sys.error(s"need 2-d shape in $header"))
+        (headerStart + headerLen, shape.group(1).toInt, shape.group(2).toInt, eb)
+      } finally ch.close()
+
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, math.min(parts, math.max(1, n.toInt)))
+      .as[Long]
+      .mapPartitions { it =>
+        val c = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+        val rowBytes = d * elemBytes
+        val buf = ByteBuffer.allocate(rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+        it.map { id =>
+          buf.clear()
+          var read = 0
+          while (read < rowBytes) {
+            val r = c.read(buf, dataStart + id * rowBytes + read)
+            require(r > 0, s"short read at row $id")
+            read += r
+          }
+          buf.flip()
+          val v = new Array[Float](d)
+          var i = 0
+          while (i < d) {
+            v(i) = if (elemBytes == 4) buf.getFloat else buf.getDouble.toFloat
+            i += 1
+          }
+          (id, v)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   /** Header-only read (no size validation — S6 files have two blocks). */
   private def meta0(path: String): (Int, Int) = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)

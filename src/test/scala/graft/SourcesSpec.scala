@@ -83,6 +83,24 @@ class SourcesSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(ibin))
   }
 
+  test("npy v1 float32 reader (S15) parses header and rows") {
+    val path = "/tmp/graft_test.npy"
+    val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (3, 2), }"
+    val padded = header + " " * (63 - (10 + header.length) % 64) + "\n"
+    val bb = java.nio.ByteBuffer.allocate(10 + padded.length + 3 * 2 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x93.toByte).put("NUMPY".getBytes("ASCII"))
+    bb.put(1.toByte).put(0.toByte)
+    bb.putShort(padded.length.toShort)
+    bb.put(padded.getBytes("ASCII"))
+    Seq(1.5f, -2f, 0f, 4.25f, 7f, -8.5f).foreach(bb.putFloat)
+    Files.write(Paths.get(path), bb.array())
+    val rows = Fbin.readNpy(spark, path, 2).orderBy("vec_id").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getSeq[Float](1) === Seq(1.5f, -2f))
+    assert(rows(2).getSeq[Float](1) === Seq(7f, -8.5f))
+  }
+
   test("GraftConfig typed access and build-params adapter (C1)") {
     val c = GraftConfig().set("M_pjbp", 16).set("metric", "l2").set("adaptive", true)
     assert(c.getInt("M_pjbp", 35) === 16)
