@@ -44,6 +44,10 @@ object VectorQueries extends QueryPack {
     * normalizes at load, `index_bipartite.cpp:37-39`) — the per-pair
     * kernel is a single dot product, and `dot/(‖q‖·‖d‖)` stays
     * bit-identical to the oracle SQL's arithmetic. */
+  /** Public accessor for cross-query reuse (EvalQueries scores both set
+    * metrics in one pass over these triples). */
+  def simTriplesDf(s: SparkSession, dir: String): DataFrame = simTriples(s, dir)
+
   private def simTriples(s: SparkSession, dir: String): DataFrame = {
     val q = queryVecs(s, dir).withColumn("q_norm", vecNorm(col("q_vec")))
     val d = dataVecs(s, dir).withColumn("d_norm", vecNorm(col("d_vec")))
