@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.index.{GraphBuild, Metrics}
+import graft.queries.IndexQueries
+import graft.sources.Fbin
+
+/** SQL function surface, build determinism, and error paths. */
+class RobustnessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("graft_* SQL functions register and match the Column API") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("e50")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, graft_vec_dot(a.embedding, b.embedding) AS dot,
+        |       graft_vec_norm(a.embedding) AS nrm,
+        |       graft_vec_l2sq(a.embedding, b.embedding) AS l2
+        |FROM e50 a JOIN e50 b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      .orderBy("vec_id").collect()
+    import graft.functions.VectorFunctions._
+    val a = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    val b = Tables.embeddings(spark, sfDir).limit(50)
+      .select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+    val viaCol = a.join(b, "vec_id")
+      .select(col("vec_id"), vecDot(col("ea"), col("eb")).as("dot"),
+        vecNorm(col("ea")).as("nrm"), vecL2Sq(col("ea"), col("eb")).as("l2"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.length === viaCol.length && viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getDouble(1) === y.getDouble(1)) // bitwise: same expression
+      assert(x.getDouble(2) === y.getDouble(2))
+      assert(x.getDouble(3) === y.getDouble(3))
+    }
+  }
+
+  test("index build is deterministic across repeated runs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val g1 = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams).graph
+    val g2 = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams).graph
+    assert(g1.n === g2.n)
+    assert(g1.entryPoint === g2.entryPoint)
+    (0 until g1.n).foreach { v =>
+      assert(g1.neighbors(v).toSeq == g2.neighbors(v).toSeq,
+        s"node $v differs between builds")
+    }
+  }
+
+  test("error paths: unknown metric, truncated fbin, bad knn args") {
+    assertThrows[IllegalArgumentException](Metrics("manhattan"))
+    val p = "/tmp/graft_truncated.fbin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      Array[Byte](5, 0, 0, 0, 4, 0, 0, 0, 1, 2, 3)) // header claims 5x4 floats
+    assertThrows[IllegalArgumentException](Fbin.meta(p))
+    assertThrows[IllegalArgumentException](
+      graft.operators.KnnJoin.bruteForce(
+        Tables.embeddings(spark, sfDir).limit(1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("d_id"), col("embedding").as("d_vec")),
+        3, metric = "manhattan"))
+  }
+}
