@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Evaluation joins — the reference's `RecallCalculator`
@@ -14,9 +14,14 @@ object Recall {
     * membership becomes `array_intersect`. */
   def atK(results: DataFrame, gt: DataFrame, k: Int): DataFrame =
     results.join(gt, "query_id")
-      .select(col("query_id"),
-        (size(array_intersect(slice(col("ids"), 1, k),
-          slice(col("gt_ids"), 1, k))).cast("double") / k).as("recall"))
+      .select(col("query_id"), atKCol(col("ids"), col("gt_ids"), k).as("recall"))
+
+  /** Column form of [[atK]] for when results and GT already share a row
+    * (e.g. both rankings computed in one aggregation) — same semantics,
+    * no join. */
+  def atKCol(ids: Column, gtIds: Column, k: Int): Column =
+    size(array_intersect(slice(ids, 1, k), slice(gtIds, 1, k)))
+      .cast("double") / k
 
   /** Paired recall: hit iff any of the top-k ids falls in the query's
     * paired id range [start, start+count) — `ComputePairedRecall`

@@ -35,23 +35,32 @@ object EvalQueries extends QueryPack {
         array_sort(collect_list(struct(col("rank"), col(id)))),
         x => x.getField(id)).as(outCol))
 
-  /** ONE cross-join pass scoring BOTH set metrics per (qset, dset) —
-    * j3/a4/j6 need chamfer (GT) and MaxSim (system) together; scoring
-    * them in a single groupBy halves the dominant scan vs running the
-    * a1 and a2 chains separately. */
-  private def bothScored(s: SparkSession, dir: String): DataFrame = {
+  /** ONE plan for the whole eval family: a single cross-join pass scores
+    * BOTH set metrics per (qset, dset) (ChamferAggregator +
+    * MaxSimAggregator in one groupBy), then a single per-qset aggregation
+    * computes BOTH top-K rankings (two TopKAggregators in one `agg`) —
+    * no join between GT and system rankings, no second scan. (Two
+    * separate ranking branches defeat exchange reuse: column pruning
+    * specializes each branch's aggregate, so the cross join would run
+    * twice.) Output: (qset_id, gt_ids, ids) best-first arrays —
+    * gt = chamfer (W3 role), ids = MaxSim (system role). */
+  private def rankedBoth(s: SparkSession, dir: String): DataFrame = {
     val chamfer = graft.functions.ChamferAggregator.column(C)
     val maxsim = graft.functions.MaxSimAggregator.column
+    val topk = graft.functions.TopKAggregator.column(K)
     VectorQueries.simTriplesDf(s, dir)
       .groupBy("qset_id", "dset_id")
       .agg(
         round(chamfer(col("q_sub"), col("d_sub"), col("sim")), 9).as("a1_score"),
         round(maxsim(col("q_sub"), col("sim")), 9).as("a2_score"))
+      .groupBy("qset_id")
+      .agg(
+        topk(col("a1_score"), col("dset_id")).as("t1"),
+        topk(col("a2_score"), col("dset_id")).as("t2"))
+      .select(col("qset_id"),
+        transform(col("t1"), x => x.getField("id")).as("gt_ids"),
+        transform(col("t2"), x => x.getField("id")).as("ids"))
   }
-
-  private def rankOf(scored: DataFrame, scoreCol: String): DataFrame =
-    graft.operators.TopK.perGroupAgg(scored, Seq(col("qset_id")),
-      col(scoreCol), col("dset_id"), K, idName = "dset_id")
 
   private def a1Top(s: SparkSession, dir: String): DataFrame =
     VectorQueries.queries("a1_smooth_chamfer_topk")(s, dir)
@@ -63,14 +72,11 @@ object EvalQueries extends QueryPack {
     VectorQueries.queries("j1_knn_cosine")(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J3: Recall@K of MaxSim results against the Chamfer set-GT — both
-    // metrics scored in ONE pass over the sim triples.
+    // J3: Recall@K of MaxSim results against the Chamfer set-GT — one
+    // plan, no GT-vs-system join (see rankedBoth).
     "j3_recall_at_k" -> ((s, dir) => {
-      val scored = bothScored(s, dir)
-      val res = topIdArrays(rankOf(scored, "a2_score"), "qset_id", "dset_id", "ids")
-      val gt = topIdArrays(rankOf(scored, "a1_score"), "qset_id", "dset_id", "gt_ids")
-      Recall.atK(res, gt, K)
-        .select(col("query_id"), round(col("recall"), 6).as("recall"))
+      rankedBoth(s, dir).select(col("qset_id").as("query_id"),
+        round(Recall.atKCol(col("ids"), col("gt_ids"), K), 6).as("recall"))
     }),
 
     // J4: paired recall — query set i is paired with data-set range
@@ -85,10 +91,8 @@ object EvalQueries extends QueryPack {
 
     // A4: recall averaging aggregate over J3's per-query rows.
     "a4_recall_agg" -> ((s, dir) => {
-      val scored = bothScored(s, dir)
-      val res = topIdArrays(rankOf(scored, "a2_score"), "qset_id", "dset_id", "ids")
-      val gt = topIdArrays(rankOf(scored, "a1_score"), "qset_id", "dset_id", "gt_ids")
-      Recall.atK(res, gt, K)
+      rankedBoth(s, dir).select(
+          Recall.atKCol(col("ids"), col("gt_ids"), K).as("recall"))
         .agg(round(avg("recall"), 6).as("avg_recall"),
           count(lit(1)).as("n_queries"))
     }),
@@ -166,17 +170,11 @@ object EvalQueries extends QueryPack {
 
     // J6: superset validation — which of MaxSim's top-5 sets are missing
     // from the Chamfer top-10 (0 = contained, the reference's pass state).
+    // array_except on the single rankedBoth row replaces the anti-join.
     "j6_superset_check" -> ((s, dir) => {
-      val scored = bothScored(s, dir)
-      val a2top5 = rankOf(scored, "a2_score").filter(col("rank") <= 5)
-        .select(col("qset_id"), col("dset_id"))
-      val a1top = rankOf(scored, "a1_score").select(col("qset_id"), col("dset_id"))
-      val viol = a2top5.join(a1top, Seq("qset_id", "dset_id"), "left_anti")
-        .groupBy("qset_id").agg(count(lit(1)).as("n_missing"))
-      a2top5.select("qset_id").distinct()
-        .join(viol, Seq("qset_id"), "left")
-        .select(col("qset_id"),
-          coalesce(col("n_missing"), lit(0L)).as("n_missing"))
+      rankedBoth(s, dir).select(col("qset_id"),
+        size(array_except(slice(col("ids"), 1, 5), col("gt_ids")))
+          .cast("long").as("n_missing"))
     })
   )
 
