@@ -15,7 +15,8 @@ object SparkEntry {
     EvalQueries,
     TextQueries,
     AnnQueries,
-    VarcQueries
+    VarcQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001: RoarGraph multivector

@@ -26,8 +26,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses outright — read nanos as long (legacy conf) and convert to a
+    * microsecond timestamp (integer division, truncating like DuckDB's
+    * internal µs timestamps). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
