@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
 import graft.functions.VectorFunctions._
-import graft.operators.{KnnJoin, SetSim, TopK}
+import graft.operators.{KnnJoin, KnnKernel, SetSim, TopK}
 
 /** Vector-kernel + similarity-search queries over the driver's
   * `embeddings` fixture (vec_id long, embedding array<float> dim=64,
@@ -96,6 +96,15 @@ object VectorQueries extends QueryPack {
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
     }),
+    // J1 kernel tier: same semantics/oracle as j1_knn_cosine but with the
+    // broadcast-queries / streaming-data orientation (KnnKernel) — the
+    // shape that survives a corpus too big to broadcast.
+    "j1_knn_block" -> ((s, dir) => {
+      KnnKernel.bruteForce(s, queryVecs(s, dir), dataVecs(s, dir), K,
+          excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
     // A2+W1: summed-max-similarity (MaxSim) set-to-set top-K rerank —
     // single-shuffle MaxSimAggregator + bounded-heap top-k.
     "a2_maxsim_topk" -> ((s, dir) => {
@@ -181,6 +190,19 @@ object VectorQueries extends QueryPack {
   private def cosineSql(a: String, b: String) =
     s"(${dotSqlAB(s"$a.embedding", s"$b.embedding")} / (${normSqlOf(a)} * ${normSqlOf(b)}))"
 
+  /** Oracle for BOTH j1 variants (relational and kernel tier). */
+  private lazy val j1OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+       |scored AS (
+       |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
+       |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
+
   /** Shared CTE: cosine sim triples between query sets and all data. */
   private val simTriplesCte =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
@@ -235,17 +257,9 @@ object VectorQueries extends QueryPack {
       s"""SELECT vec_id, round($normSql, 6) AS norm,
          |round(CAST(embedding[1] AS DOUBLE) / $normSql, 6) AS first_elem_normed
          |FROM embeddings WHERE vec_id < 100""".stripMargin,
-    "j1_knn_cosine" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
-         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
-         |scored AS (
-         |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
-         |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
-         |ranked AS (
-         |  SELECT q_id, d_id, score,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, d_id ASC) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, d_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    "j1_knn_cosine" -> j1OracleSql,
+    // identical semantics, kernel-tier execution — same oracle
+    "j1_knn_block" -> j1OracleSql,
     "a2_maxsim_topk" ->
       s"""$simTriplesCte,
          |per_i AS (

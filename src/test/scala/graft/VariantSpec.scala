@@ -61,6 +61,15 @@ class VariantSpec extends AnyFunSuite {
     assert(back(1).getSeq[Float](2) === Seq(0.1f, 0.9f))
   }
 
+  test("kernel-tier j1_knn_block equals relational j1_knn_cosine exactly") {
+    val rel = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .orderBy("q_id", "rank").collect()
+    val ker = VectorQueries.queries("j1_knn_block")(spark, sfDir)
+      .orderBy("q_id", "rank").collect()
+    assert(rel.length === ker.length && rel.nonEmpty)
+    rel.zip(ker).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("W3 full ranking covers every set per query with contiguous ranks") {
     val rows = VectorQueries.queries("w3_full_ranking")(spark, sfDir)
       .collect()
