@@ -52,9 +52,13 @@ object CsrGraph {
 
   def toAdjacencyDf(spark: SparkSession, g: CsrGraph): DataFrame = {
     import spark.implicits._
-    (0 until g.n).iterator.map { node =>
-      (node.toLong, g.neighbors(node).map(_.toLong).toSeq)
-    }.toSeq.toDF("src", "nbrs")
+    // stream rows from a broadcast of the graph — no driver-side Seq of
+    // n tuples (n can be 10M+)
+    val gB = spark.sparkContext.broadcast(g)
+    spark.range(0, g.n).as[Long].mapPartitions { it =>
+      val graph = gB.value
+      it.map(node => (node, graph.neighbors(node.toInt).map(_.toLong).toSeq))
+    }.toDF("src", "nbrs")
   }
 
   /** S11: persist graph + metadata sidecar. */

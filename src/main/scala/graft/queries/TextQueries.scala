@@ -159,11 +159,15 @@ object TextQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // MinHash signatures (md5-lexicographic min per seed) for doc_id < 50.
+    // MinHash signatures for doc_id < 50. The 8 hash values per shingle
+    // are the 8 four-hex-char chunks of ONE md5 (split-hash practice —
+    // one digest instead of eight per shingle row); min is lexicographic,
+    // identical in both engines.
     "dedup_minhash_sig" -> ((s, dir) => {
       val sh = trigrams(s, dir).filter(col("doc_id") < 50)
+        .withColumn("h", md5(col("shingle")))
       val sigs = (1 to NumHashes).map(r =>
-        min(md5(concat(lit(r.toString), lit("|"), col("shingle")))).as(s"sig$r"))
+        min(substring(col("h"), (r - 1) * 4 + 1, 4)).as(s"sig$r"))
       sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
     }),
 
@@ -171,9 +175,9 @@ object TextQueries extends QueryPack {
     // equi-join, count shared bands per pair. Never an all-pairs join —
     // the shuffle key is the band hash.
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val sh = trigrams(s, dir)
+      val sh = trigrams(s, dir).withColumn("h", md5(col("shingle")))
       val sigs = (1 to NumHashes).map(r =>
-        min(md5(concat(lit(r.toString), lit("|"), col("shingle")))).as(s"sig$r"))
+        min(substring(col("h"), (r - 1) * 4 + 1, 4)).as(s"sig$r"))
       val signed = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
       val bandCols = (0 until NumBands).map { b =>
         val parts = (1 to RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
@@ -192,7 +196,8 @@ object TextQueries extends QueryPack {
 
   def oracles: Map[String, String] = {
     val sigExprs = (1 to NumHashes).map(r =>
-      s"min(md5('$r' || '|' || shingle)) AS sig$r").mkString(",\n|         ")
+      s"min(substr(md5(shingle), ${(r - 1) * 4 + 1}, 4)) AS sig$r")
+      .mkString(",\n|         ")
     val bandSelects = (0 until NumBands).map { b =>
       val parts = (1 to RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sigs"
