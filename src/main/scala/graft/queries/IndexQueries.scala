@@ -110,6 +110,39 @@ object IndexQueries extends QueryPack {
         h.idx.params.metric, l = 40, k = K)
     }),
 
+    // G8 + rerank: single-vector query (cardinality-1 query set) → graph
+    // search → set-level chamfer rerank — the reference's
+    // `test_search_singlevector_rerank` path (rows-only).
+    "g8_singlevector_rerank" -> ((s, dir) => {
+      val h = handles(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cands = BeamSearch.searchSingleDf(s, q, h.graphB, h.vecsB,
+        h.idx.params.metric, l = 60, k = 60)
+      val candSets = cands.select(col("q_id").as("qset_id"),
+        (col("d_id") / C).cast("long").as("dset_id")).distinct()
+      val members = emb(s, dir).select(
+        (col("vec_id") / C).cast("long").as("dset_id"),
+        (col("vec_id") % C).cast("int").as("d_sub"),
+        col("embedding").as("d_vec"))
+        .withColumn("d_norm", vecNorm(col("d_vec")))
+      val qv = q.select(col("q_id").as("qset_id"), lit(0).as("q_sub"),
+        col("q_vec")).withColumn("q_norm", vecNorm(col("q_vec")))
+      val triples = candSets
+        .join(members, Seq("dset_id"))
+        .join(broadcast(qv), Seq("qset_id"))
+        .select(col("qset_id"), col("dset_id"), col("q_sub"), col("d_sub"),
+          (vecDot(col("q_vec"), col("d_vec")) /
+            (col("q_norm") * col("d_norm"))).as("sim"))
+      // cardinality-1 query set: denominator c_q = 1
+      val scored = SetSim.smoothChamferAgg(triples, cQ = 1)
+        .withColumn("score", round(col("score"), 9))
+      TopK.perGroupAgg(scored, Seq(col("qset_id")),
+          col("score"), col("dset_id"), K, idName = "dset_id")
+        .select(col("qset_id"), col("rank"), col("dset_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // G3+G13: bipartite graph (qbaseNNbipartite shape) + two-hop search
     // over it — the reference's ablation baseline (rows-only).
     "g13_bipartite_search" -> ((s, dir) => {

@@ -11,6 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-partition RNG. */
 object RandomVectors {
 
+  /** `gen_rand_ids` parity (`/root/reference/tests/gen_rand_ids.cpp`):
+    * a seeded sample of distinct ids from [0, maxId) — the input of the
+    * vector-set splitter (S16). Per-draw determinism like [[df]]. */
+  def randomIds(spark: SparkSession, n: Int, maxId: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
+    while (picked.size < math.min(n.toLong, maxId)) picked += math.abs(rnd.nextLong()) % maxId
+    picked.toSeq.toDF("id")
+  }
+
   def df(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L,
          normalize: Boolean = true): DataFrame = {
     import spark.implicits._

@@ -61,6 +61,27 @@ class VariantSpec extends AnyFunSuite {
     assert(back(1).getSeq[Float](2) === Seq(0.1f, 0.9f))
   }
 
+  test("g8 single-vector rerank returns ranked sets per singleton query") {
+    val rows = IndexQueries.queries("g8_singlevector_rerank")(spark, sfDir)
+      .collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size === 5)
+    perQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      assert(rs.length === 10)
+    }
+  }
+
+  test("randomIds is deterministic and within range") {
+    val a = graft.sources.RandomVectors.randomIds(spark, 20, 500, seed = 9)
+      .collect().map(_.getLong(0))
+    val b = graft.sources.RandomVectors.randomIds(spark, 20, 500, seed = 9)
+      .collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 20 && a.distinct.length === 20)
+    assert(a.forall(id => id >= 0 && id < 500))
+  }
+
   test("kernel-tier j1_knn_block equals relational j1_knn_cosine exactly") {
     val rel = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
       .orderBy("q_id", "rank").collect()
