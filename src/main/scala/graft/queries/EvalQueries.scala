@@ -76,7 +76,7 @@ object EvalQueries extends QueryPack {
     // plan, no GT-vs-system join (see rankedBoth).
     "j3_recall_at_k" -> ((s, dir) => {
       rankedBoth(s, dir).select(col("qset_id").as("query_id"),
-        round(Recall.atKCol(col("ids"), col("gt_ids"), K), 6).as("recall"))
+        round(round(Recall.atKCol(col("ids"), col("gt_ids"), K), 9), 6).as("recall"))
     }),
 
     // J4: paired recall — query set i is paired with data-set range
@@ -93,7 +93,7 @@ object EvalQueries extends QueryPack {
     "a4_recall_agg" -> ((s, dir) => {
       rankedBoth(s, dir).select(
           Recall.atKCol(col("ids"), col("gt_ids"), K).as("recall"))
-        .agg(round(avg("recall"), 6).as("avg_recall"),
+        .agg(round(round(avg("recall"), 9), 6).as("avg_recall"),
           count(lit(1)).as("n_queries"))
     }),
 
@@ -125,7 +125,7 @@ object EvalQueries extends QueryPack {
         .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
       hist.select(col("pos"), col("hits"),
           ((lit(K + 1) - col("pos")) / lit(K.toDouble)).as("w"))
-        .agg(round(sum(col("hits") * col("w")) / sum(col("w")), 6)
+        .agg(round(round(sum(col("hits") * col("w")) / sum(col("w")), 9), 6)
           .as("weighted_score"))
     }),
 
@@ -165,7 +165,7 @@ object EvalQueries extends QueryPack {
         .select(col("q_id"), col("id1"),
           (vecDot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
         .groupBy(col("q_id"), col("id1").as("d_id"))
-        .agg(round(avg("sim"), 6).as("avg_sim"))
+        .agg(round(round(avg("sim"), 9), 6).as("avg_sim"))
     }),
 
     // J6: superset validation — which of MaxSim's top-5 sets are missing
@@ -195,7 +195,7 @@ object EvalQueries extends QueryPack {
          |    ON a.qset_id = b.qset_id AND a.dset_id = b.dset_id
          |  GROUP BY a.qset_id)
          |SELECT q.qset_id AS query_id,
-         |       round(coalesce(m.cnt, 0) / ${K.toDouble}, 6) AS recall
+         |       round(round(coalesce(m.cnt, 0) / ${K.toDouble}, 9), 6) AS recall
          |FROM (SELECT DISTINCT qset_id FROM a1top) q
          |LEFT JOIN m ON q.qset_id = m.qset_id""".stripMargin,
     "j4_paired_recall" ->
@@ -214,7 +214,7 @@ object EvalQueries extends QueryPack {
          |  SELECT q.qset_id, coalesce(m.cnt, 0) / ${K.toDouble} AS recall
          |  FROM (SELECT DISTINCT qset_id FROM a1top) q
          |  LEFT JOIN m ON q.qset_id = m.qset_id)
-         |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries FROM r""".stripMargin,
+         |SELECT round(round(avg(recall), 9), 6) AS avg_recall, count(*) AS n_queries FROM r""".stripMargin,
     "j7_knn_significance" ->
       s"""WITH ${cte("j1top", j1Sql)}, ${cte("a1top", a1Sql)}
          |SELECT j.rank AS pos,
@@ -230,8 +230,8 @@ object EvalQueries extends QueryPack {
          |  FROM j1top j LEFT JOIN a1top a
          |    ON a.qset_id = j.q_id // $C AND a.dset_id = j.d_id // $C
          |  GROUP BY j.rank)
-         |SELECT round(sum(hits * (${K + 1} - pos) / ${K.toDouble}) /
-         |             sum((${K + 1} - pos) / ${K.toDouble}), 6) AS weighted_score
+         |SELECT round(round(sum(hits * (${K + 1} - pos) / ${K.toDouble}) /
+         |             sum((${K + 1} - pos) / ${K.toDouble}), 9), 6) AS weighted_score
          |FROM hist""".stripMargin,
     "a8_cosine_histogram" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
@@ -253,8 +253,8 @@ object EvalQueries extends QueryPack {
          |c AS (SELECT j.q_id, j.d_id, e.embedding, e.norm
          |      FROM j1top j JOIN e ON j.d_id = e.vec_id)
          |SELECT c1.q_id, c1.d_id,
-         |       round(avg(list_sum(list_transform(list_zip(c1.embedding, c2.embedding),
-         |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c1.norm * c2.norm)), 6) AS avg_sim
+         |       round(round(avg(list_sum(list_transform(list_zip(c1.embedding, c2.embedding),
+         |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c1.norm * c2.norm)), 9), 6) AS avg_sim
          |FROM c c1 JOIN c c2 ON c1.q_id = c2.q_id
          |GROUP BY c1.q_id, c1.d_id""".stripMargin,
     "j6_superset_check" ->

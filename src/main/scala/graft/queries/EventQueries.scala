@@ -27,7 +27,7 @@ object EventQueries extends QueryPack {
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(avg("value"), 6).as("avg_value"))
+          round(round(avg("value"), 9), 6).as("avg_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("avg_value"))
     }),
@@ -64,7 +64,7 @@ object EventQueries extends QueryPack {
     "e1_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |       event_type, count(*) AS n_events,
-        |       round(avg(value), 6) AS avg_value
+        |       round(round(avg(value), 9), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e2_sessionize" ->
       s"""WITH e AS (

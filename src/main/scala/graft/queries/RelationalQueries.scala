@@ -22,7 +22,7 @@ object RelationalQueries extends QueryPack {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          round(round(avg("l_discount"), 9), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
     // Broadcast-join chain: orders → customer → nation → region.
@@ -69,7 +69,7 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
-        |round(avg(l_discount), 6) AS avg_disc,
+        |round(round(avg(l_discount), 9), 6) AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_star" ->

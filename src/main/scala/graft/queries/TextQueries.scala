@@ -87,8 +87,8 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
-          round(aggregate(transform(col("toks"), t => length(t).cast("double")),
-            lit(0.0), (a, x) => a + x) / size(col("toks")), 6).as("mean_token_len"))
+          round(round(aggregate(transform(col("toks"), t => length(t).cast("double")),
+            lit(0.0), (a, x) => a + x) / size(col("toks")), 9), 6).as("mean_token_len"))
     }),
 
     // Quality signals: char/token counts + stopword fraction.
@@ -97,8 +97,8 @@ object TextQueries extends QueryPack {
           tokensCol.as("toks"))
         .select(col("doc_id"), col("n_chars"),
           size(col("toks")).cast("long").as("n_tokens"),
-          round(size(filter(col("toks"), t => t.isin(Stop: _*)))
-            .cast("double") / size(col("toks")), 6).as("stop_frac"))
+          round(round(size(filter(col("toks"), t => t.isin(Stop: _*)))
+            .cast("double") / size(col("toks")), 9), 6).as("stop_frac"))
     }),
 
     // Language ID: stopword-marker voting with a deterministic argmax
@@ -213,11 +213,11 @@ object TextQueries extends QueryPack {
       "text_tokens" ->
         s"""SELECT doc_id, len(toks) AS n_tokens,
            |len(list_distinct(toks)) AS n_uniq_tokens,
-           |round(list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks), 6) AS mean_token_len
+           |round(round(list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks), 9), 6) AS mean_token_len
            |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)""".stripMargin,
       "text_quality" ->
         s"""SELECT doc_id, len(text) AS n_chars, len(toks) AS n_tokens,
-           |round(CAST(len(list_filter(toks, t -> t IN $StopSqlList)) AS DOUBLE) / len(toks), 6) AS stop_frac
+           |round(round(CAST(len(list_filter(toks, t -> t IN $StopSqlList)) AS DOUBLE) / len(toks), 9), 6) AS stop_frac
            |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)""".stripMargin,
       "text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
