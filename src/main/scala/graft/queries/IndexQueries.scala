@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.functions.VectorFunctions._
 import graft.index._
-import graft.operators.{KnnJoin, SetSim, TopK}
+import graft.operators.{KnnJoin, Rerank, SetSim, TopK}
 
 /** Graph-index operator surface: J5 edge construction, A5 degree stats,
   * A6/A7 medoid (all DuckDB-checkable, relational), plus the kernel-side
@@ -88,7 +88,7 @@ object IndexQueries extends QueryPack {
         .select(transform(col("pc"), x => x.getField("c")).as("centroid"))
       emb(s, dir).crossJoin(broadcast(cent))
         .select(col("vec_id"),
-          round(vecL2Sq(col("embedding"), col("centroid")), 6).as("dist"))
+          round(round(vecL2Sq(col("embedding"), col("centroid")), 9), 6).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc).limit(1)
         .select(col("vec_id").as("medoid_id"), col("dist"))
     }),
@@ -119,28 +119,11 @@ object IndexQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cands = BeamSearch.searchSingleDf(s, q, h.graphB, h.vecsB,
         h.idx.params.metric, l = 60, k = 60)
-      val candSets = cands.select(col("q_id").as("qset_id"),
-        (col("d_id") / C).cast("long").as("dset_id")).distinct()
-      val members = emb(s, dir).select(
-        (col("vec_id") / C).cast("long").as("dset_id"),
-        (col("vec_id") % C).cast("int").as("d_sub"),
-        col("embedding").as("d_vec"))
-        .withColumn("d_norm", vecNorm(col("d_vec")))
-      val qv = q.select(col("q_id").as("qset_id"), lit(0).as("q_sub"),
-        col("q_vec")).withColumn("q_norm", vecNorm(col("q_vec")))
-      val triples = candSets
-        .join(members, Seq("dset_id"))
-        .join(broadcast(qv), Seq("qset_id"))
-        .select(col("qset_id"), col("dset_id"), col("q_sub"), col("d_sub"),
-          (vecDot(col("q_vec"), col("d_vec")) /
-            (col("q_norm") * col("d_norm"))).as("sim"))
-      // cardinality-1 query set: denominator c_q = 1
-      val scored = SetSim.smoothChamferAgg(triples, cQ = 1)
-        .withColumn("score", round(col("score"), 9))
-      TopK.perGroupAgg(scored, Seq(col("qset_id")),
-          col("score"), col("dset_id"), K, idName = "dset_id")
-        .select(col("qset_id"), col("rank"), col("dset_id"),
-          round(col("score"), 6).as("score"))
+      val querySets = q.select(col("q_id").as("qset_id"),
+        lit(0).as("q_sub"), col("q_vec"))
+      // cardinality-1 query set: chamfer denominator c_q = 1
+      Rerank.chamferTopK(emb(s, dir), querySets,
+        cands.select(col("q_id").as("qset_id"), col("d_id")), C, K, cQ = 1)
     }),
 
     // G3+G13: bipartite graph (qbaseNNbipartite shape) + two-hop search
@@ -221,28 +204,8 @@ object IndexQueries extends QueryPack {
       val cands = BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
         h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
         adaptive = true)
-      // P9: candidate vector ids → candidate set ids, dedup.
-      val candSets = cands.select(col("qset_id"),
-        (col("d_id") / C).cast("long").as("dset_id")).distinct()
-      // J2 gather: all member vectors of each candidate set × query set.
-      val members = emb(s, dir).select(
-        (col("vec_id") / C).cast("long").as("dset_id"),
-        (col("vec_id") % C).cast("int").as("d_sub"),
-        col("embedding").as("d_vec"))
-        .withColumn("d_norm", vecNorm(col("d_vec")))
-      val qv = querySets.withColumn("q_norm", vecNorm(col("q_vec")))
-      val triples = candSets
-        .join(members, Seq("dset_id"))
-        .join(broadcast(qv), Seq("qset_id"))
-        .select(col("qset_id"), col("dset_id"), col("q_sub"), col("d_sub"),
-          (vecDot(col("q_vec"), col("d_vec")) /
-            (col("q_norm") * col("d_norm"))).as("sim"))
-      val scored = SetSim.smoothChamferAgg(triples, C)
-        .withColumn("score", round(col("score"), 9))
-      TopK.perGroupAgg(scored, Seq(col("qset_id")),
-          col("score"), col("dset_id"), K, idName = "dset_id")
-        .select(col("qset_id"), col("rank"), col("dset_id"),
-          round(col("score"), 6).as("score"))
+      Rerank.chamferTopK(emb(s, dir), querySets,
+        cands.select(col("qset_id"), col("d_id")), C, K)
     })
   )
 
@@ -288,8 +251,8 @@ object IndexQueries extends QueryPack {
         |cent AS (SELECT list(c ORDER BY pos) AS centroid FROM cvals),
         |scored AS (
         |  SELECT vec_id,
-        |         round(list_sum(list_transform(list_zip(embedding, centroid),
-        |           x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))), 6) AS dist
+        |         round(round(list_sum(list_transform(list_zip(embedding, centroid),
+        |           x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))), 9), 6) AS dist
         |  FROM embeddings CROSS JOIN cent)
         |SELECT vec_id AS medoid_id, dist FROM scored
         |ORDER BY dist ASC, vec_id ASC LIMIT 1""".stripMargin

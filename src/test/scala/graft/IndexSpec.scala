@@ -131,6 +131,15 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"G9 Recall@10 = $avg (per-set: $recalls)")
   }
 
+  test("budget sweep: recall does not degrade as budget grows (M5)") {
+    val rows = Sweep.run(spark, sfDir, Seq(40, 160))
+    assert(rows.length === 2)
+    val lo = rows.head._2
+    val hi = rows.last._2
+    assert(hi >= lo - 0.05, s"recall fell with budget: $rows")
+    assert(hi >= 0.9, s"recall at generous budget only $hi")
+  }
+
   test("adaptive budget allocation spends within budget and varies sizes") {
     val vecs = index.vecs
     val metric = Metrics.Cosine
