@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Bench {
   /** Evaluate df completely; returns the row-hash sum (and row count). */
   def force(df: DataFrame): Long = {
-    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val h = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
       .agg(sum("h")).collect()(0)
     if (h.isNullAt(0)) 0L else h.getLong(0)
   }

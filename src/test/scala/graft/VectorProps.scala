@@ -68,6 +68,24 @@ object VectorProps extends Properties("graft.vector") {
         (0 until q.size).map(i => (q.dist(i), q.id(i))) == expect
     }
 
+  property("occlusionPrune: bounded, duplicate-free subset led by nearest") =
+    forAll(Gen.chooseNum(2, 40), Gen.chooseNum(1, 10), Gen.long) { (nc, m, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val n = nc + 1
+      val data = Array.fill(n * 4)(rnd.nextFloat() * 2 - 1)
+      val vecs = new graft.index.VectorStore(n, 4, data)
+      val metric = graft.index.Metrics.L2
+      val cands = (1 until n).map { id =>
+        (id, metric.dist(vecs.data, vecs.offset(id), vecs.data, vecs.offset(0), 4))
+      }
+      val out = graft.index.GraphBuild.occlusionPrune(cands, 0, m, vecs, metric)
+      val nearest = cands.minBy { case (id, d) => (d, id) }._1
+      out.length == math.min(m, nc) &&
+        out.distinct.length == out.length &&
+        out.forall(id => id >= 1 && id < n) &&
+        (out.isEmpty || out.head == nearest)
+    }
+
   property("chamfer LSE stays finite under extreme temperature") =
     forAll(Gen.chooseNum(1, 4), Gen.chooseNum(1, 4)) { (ci, cj) =>
       val agg = new ChamferAggregator(ci, temperature = 1e4)
