@@ -49,8 +49,13 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the opt-in ANN
+  * top-k rewrite (rule + strategy; inert until
+  * `spark.graft.ann.rewrite=true` AND an index is registered). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.AnnTopKRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AnnStrategy)
+  }
 }

@@ -1,0 +1,162 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, SortOrder, Descending, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+
+import graft.functions.expressions.VecDotExpr
+import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
+
+/** SQL auto-routing of exhaustive top-k similarity queries to the ANN
+  * index — the deferred `SparkStrategy` tier of SURVEY §7.4 / §2.7:
+  *
+  * ```sql
+  * SET spark.graft.ann.rewrite=true;
+  * SELECT vec_id, graft_vec_dot(embedding, <query literal>) AS score
+  * FROM corpus ORDER BY score DESC LIMIT k
+  * ```
+  *
+  * [[AnnTopKRule]] (an optimizer `Rule[LogicalPlan]`) pattern-matches the
+  * `GlobalLimit(LocalLimit(Sort(desc score, Project(id, vec_dot AS
+  * score))))` shape over a corpus registered in [[AnnIndexRegistry]] and
+  * replaces the whole subtree with a logical [[AnnSearchNode]];
+  * [[AnnStrategy]] plans it as [[AnnSearchExec]], which runs the G8 beam
+  * search over the broadcast RoarGraph and then scores the candidates
+  * EXACTLY (double-promoted dot over the raw vectors) — so returned
+  * scores equal the original expression's values and only the candidate
+  * SET is approximate. OPT-IN via `spark.graft.ann.rewrite` (default
+  * off: silently trading exact for approximate results is never a
+  * default).
+  */
+object AnnIndexRegistry {
+
+  /** `searchVecs` is the metric-normalized store the graph was built on;
+    * `rawVecs` keeps the unnormalized vectors for exact rescoring. */
+  case class Entry(graphB: Broadcast[CsrGraph], searchVecsB: Broadcast[VectorStore],
+                   rawVecsB: Broadcast[VectorStore], metricName: String,
+                   searchL: Int)
+
+  private val entries = new TrieMap[(String, String), Entry]
+
+  /** Register an index for relations exposing (`idCol`, `vecCol`). */
+  def register(idCol: String, vecCol: String, entry: Entry): Unit =
+    entries.put((idCol, vecCol), entry)
+
+  def lookup(idCol: String, vecCol: String): Option[Entry] =
+    entries.get((idCol, vecCol))
+
+  def clear(): Unit = entries.clear()
+}
+
+/** Logical stand-in for an index-backed top-k search. */
+case class AnnSearchNode(output: Seq[Attribute], idName: String,
+                         vecName: String, queryVec: Array[Float], k: Int,
+                         idFirst: Boolean) extends LeafNode {
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = k.toLong * 16)
+}
+
+/** Optimizer rule: exhaustive sort-limit over `graft_vec_dot` → ANN. */
+object AnnTopKRule extends Rule[LogicalPlan] {
+
+  private def asFloatArray(l: Literal): Option[Array[Float]] = l.dataType match {
+    case ArrayType(FloatType, _) =>
+      Some(l.value.asInstanceOf[ArrayData].toFloatArray())
+    case ArrayType(DoubleType, _) =>
+      Some(l.value.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
+    case _ => None
+  }
+
+  private def dotOf(e: Expression): Option[(AttributeReference, Array[Float])] =
+    e match {
+      case VecDotExpr(a: AttributeReference, l: Literal) =>
+        asFloatArray(l).map(v => (a, v))
+      case VecDotExpr(l: Literal, a: AttributeReference) =>
+        asFloatArray(l).map(v => (a, v))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!SQLConf.get.getConfString("spark.graft.ann.rewrite", "false").toBoolean) {
+      return plan
+    }
+    plan.transformDown {
+      case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
+          Sort(Seq(SortOrder(sortKey: AttributeReference, Descending, _, _)), true,
+            Project(projList, _), _)))
+          if projList.length == 2 =>
+        val rewritten = for {
+          scoreAlias <- projList.collectFirst {
+            case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
+          }
+          (vecAttr, qv) <- dotOf(scoreAlias._2)
+          idAttr <- projList.collectFirst {
+            case a: AttributeReference if a.exprId != sortKey.exprId => a
+          }
+          if idAttr.dataType == LongType
+          _ <- AnnIndexRegistry.lookup(idAttr.name, vecAttr.name)
+        } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
+          idFirst = projList.head.exprId == idAttr.exprId)
+        rewritten.getOrElse(limit)
+    }
+  }
+}
+
+/** Physical planning for [[AnnSearchNode]]. */
+object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AnnSearchNode => AnnSearchExec(n) :: Nil
+    case _ => Nil
+  }
+}
+
+/** G8 search + exact rescoring, emitted as a one-partition scan. */
+case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
+  override def output: Seq[Attribute] = node.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val entry = AnnIndexRegistry.lookup(node.idName, node.vecName)
+      .getOrElse(sys.error(s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
+    val qv = node.queryVec
+    val k = node.k
+    val idFirst = node.idFirst
+    val schema = node.output.map(_.dataType).toArray
+    sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val graph = entry.graphB.value
+      val searchVecs = entry.searchVecsB.value
+      val raw = entry.rawVecsB.value
+      val metric = Metrics(entry.metricName)
+      val q = if (metric.normalizeAtLoad) VectorStore.normalized(qv) else qv
+      val visited = new VisitedSet(graph.n)
+      val l = math.max(entry.searchL, 4 * k)
+      val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
+        q, l, visited)
+      // exact rescoring over RAW vectors — scores == graft_vec_dot values
+      val scored = (0 until queue.size).map { i =>
+        val id = queue.id(i)
+        var dot = 0.0
+        val off = raw.offset(id)
+        val n = math.min(raw.dim, qv.length)
+        var j = 0
+        while (j < n) { dot += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
+        (id.toLong, dot)
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      val proj = UnsafeProjection.create(schema)
+      scored.iterator.map { case (id, s) =>
+        val row = if (idFirst) InternalRow(id, s) else InternalRow(s, id)
+        proj(row)
+      }
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.index.{GraphBuild, Metrics, VectorStore}
+import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
+import graft.queries.IndexQueries
+
+/** The opt-in ANN auto-routing: ORDER BY graft_vec_dot(...) DESC LIMIT k
+  * over a registered corpus plans as AnnSearchExec, returns exact scores,
+  * and recalls >=0.9 of the exhaustive answer. Inert when the conf is off
+  * or no index is registered. */
+class AnnRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val setup: Unit = {
+    GraftFunctions.register(spark)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
+      cls.experimental.extraOptimizations =
+        cls.experimental.extraOptimizations :+ AnnTopKRule
+      cls.experimental.extraStrategies =
+        cls.experimental.extraStrategies :+ AnnStrategy
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
+    val raw = VectorStore.fromDf(emb, "vec_id", "embedding", Metrics.InnerProduct)
+    AnnIndexRegistry.register("vec_id", "embedding", AnnIndexRegistry.Entry(
+      spark.sparkContext.broadcast(idx.graph),
+      spark.sparkContext.broadcast(idx.vecs),
+      spark.sparkContext.broadcast(raw),
+      idx.params.metric, searchL = 80))
+    emb.createOrReplaceTempView("ann_corpus")
+  }
+
+  private def queryLit: String = {
+    val v = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 7)
+      .select("embedding").first().getSeq[Float](0)
+    v.map(x => s"${x}F").mkString("array(", ", ", ")")
+  }
+
+  private val sql =
+    (q: String) => s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+                      |FROM ann_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+
+  test("rewrite is inert with the conf off") {
+    setup
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val plan = spark.sql(sql(queryLit)).queryExecution.executedPlan.toString
+    assert(!plan.contains("AnnSearch"))
+  }
+
+  test("rewrite routes to AnnSearchExec with exact scores and >=0.9 recall") {
+    setup
+    val q = queryLit
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(sql(q)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(sql(q))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AnnSearch"), s"not routed:\n$plan")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      // scores are EXACT: every returned id's score matches the
+      // exhaustive computation for that id
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"ANN recall $recall")
+      // best-first ordering
+      val scores = approx.map(_._2)
+      assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+}
