@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Metrics, VectorStore}
+
+/** IVF (inverted-file) approximate kNN — the brief's named scale path
+  * alongside LSH and the graph index: a coarse k-means quantizer
+  * partitions the corpus into `nlist` cells; queries probe the `nProbe`
+  * nearest cells and rerank exactly inside them.
+  *
+  * Honesty note on the fixture: the synthetic embeddings cluster weakly,
+  * so recall tracks the probed fraction (defaults probe 10/16 cells for
+  * the ≥0.85 gate). On genuinely clustered corpora (the regime IVF is
+  * for) small nProbe/nlist fractions reach high recall; the knobs are
+  * the operator's contract either way.
+  *
+  * Spark shape: centroids are tiny (nlist × dim) — trained driver-side
+  * with deterministic Lloyd iterations on a sample, then broadcast; cell
+  * assignment is a `mapPartitions` argmin over the broadcast centroids
+  * (one linear pass, no shuffle); the probe step is a broadcast-hash
+  * semi-equi-join on `cell` — candidates ≈ (nProbe/nlist)·N rows instead
+  * of all-pairs. At 100 TB the assignment column is precomputed and the
+  * corpus bucketed/partitioned BY cell so a probe touches only its
+  * partitions (partition pruning on the cell key).
+  */
+object IvfAnn {
+
+  /** Deterministic Lloyd's k-means on collected sample vectors (cosine
+    * space: vectors and centroids L2-normalized each round). */
+  def trainCentroids(sample: Array[Array[Float]], nlist: Int,
+                     iters: Int = 10, seed: Long = 42L): Array[Array[Float]] = {
+    require(sample.nonEmpty && nlist > 0)
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    // k-means++-lite seeding: distinct random picks
+    val picks = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (picks.size < math.min(nlist, n)) picks += rnd.nextInt(n)
+    var centroids = picks.toArray.map(i => VectorStore.normalized(sample(i)))
+    val metric = Metrics.Cosine
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v0 =>
+        val v = VectorStore.normalized(v0)
+        var best = 0
+        var bestD = Float.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val d = metric.dist(centroids(c), 0, v, 0, dim)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else VectorStore.normalized(
+          sums(c).map(x => (x / counts(c)).toFloat))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCells(v: Array[Float], centroids: Array[Array[Float]],
+                           nProbe: Int): Array[Int] = {
+    val metric = Metrics.Cosine
+    val q = VectorStore.normalized(v)
+    centroids.indices
+      .map(c => (metric.dist(centroids(c), 0, q, 0, q.length), c))
+      .sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** Assign each (id, vec) row its IVF cell (no shuffle). */
+  def assign(spark: SparkSession, data: DataFrame, idCol: String, vecCol: String,
+             centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    data.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cB.value
+        it.map { case (id, v) => (id, v, nearestCells(v, cs, 1)(0)) }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
+  /** Approximate top-k: probe `nProbe` cells per query, exact cosine
+    * rerank inside them (same quantized scoring as the exact paths). */
+  def knn(spark: SparkSession, queries: DataFrame, data: DataFrame, k: Int,
+          nlist: Int = 16, nProbe: Int = 10, sampleN: Int = 2000,
+          seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    val sample = data.select(col("d_vec")).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, nlist, seed = seed)
+    val cB = spark.sparkContext.broadcast(centroids)
+
+    val assigned = assign(spark, data, "d_id", "d_vec", centroids)
+      .withColumn("d_norm", vecNorm(col("d_vec")))
+    val probes = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(v, cB.value, nProbe).map(c => (id, v, c))
+      }.toDF("q_id", "q_vec", "cell")
+      .withColumn("q_norm", vecNorm(col("q_vec")))
+
+    val scored0 = probes.join(assigned, Seq("cell"))
+      .select(col("q_id"), col("d_id"),
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9).as("score"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
+  }
+}

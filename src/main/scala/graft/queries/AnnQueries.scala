@@ -28,6 +28,19 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // IVF-bucketed approximate kNN (rows-only: approximate by design;
+    // recall gate in LlmPipelineSpec). Probe join touches ~nProbe/nlist
+    // of the corpus instead of all pairs.
+    "knn_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.IvfAnn.knn(s, q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Embedding-cosine near-dup: global top-20 most-similar vector pairs
     // (a < b) — TakeOrderedAndProject, quantized ordering.
     "dedup_embedding_cosine" -> ((s, dir) => {

@@ -26,6 +26,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"LSH recall@10 = $avg")
   }
 
+  test("knn_ivf reaches >=0.85 recall@10 vs exact j1") {
+    val approx = AnnQueries.queries("knn_ivf")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, gt) =>
+      approx.getOrElse(q, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.85, s"IVF recall@10 = $avg")
+  }
+
   test("lsh candidate generation is bucketed, not all-pairs") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 20)
