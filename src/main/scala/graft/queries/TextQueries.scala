@@ -159,6 +159,28 @@ object TextQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // SimHash (16-bit, md5-derived): per token, each bit of the first 4
+    // hex digits votes ±tf; the signature sets bit b when the vote sum is
+    // positive. Bit arithmetic generated from one loop on both engines.
+    "dedup_simhash" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokensCol).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", md5(col("term")))
+      val voteCols = (0 until 16).map { b =>
+        val d = b / 4 + 1
+        val sh = 3 - (b % 4)
+        val digit = expr(s"instr('0123456789abcdef', substring(h, $d, 1)) - 1")
+        sum(when(shiftright(digit, sh).bitwiseAND(lit(1)) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"v$b")
+      }
+      val sums = tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val simhash = (0 until 16).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      sums.select(col("doc_id"), simhash.as("simhash"))
+    }),
+
     // MinHash signatures for doc_id < 50. The 8 hash values per shingle
     // are the 8 four-hex-char chunks of ONE md5 (split-hash practice —
     // one digest instead of eight per shingle row); min is lexicographic,
@@ -195,6 +217,13 @@ object TextQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = {
+    val voteSql = (0 until 16).map { b =>
+      val d = b / 4 + 1
+      val sh = 3 - (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $d, 1)) - 1) >> $sh) & 1 = 1 THEN tf ELSE -tf END) AS v$b"
+    }.mkString(",\n|         ")
+    val simhashSql = (0 until 16).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     val sigExprs = (1 to NumHashes).map(r =>
       s"min(substr(md5(shingle), ${(r - 1) * 4 + 1}, 4)) AS sig$r")
       .mkString(",\n|         ")
@@ -270,6 +299,17 @@ object TextQueries extends QueryPack {
            |ORDER BY round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 9) DESC,
            |         doc_a ASC, doc_b ASC
            |LIMIT 10""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf, md5(term) AS h
+           |  FROM (SELECT doc_id, unnest(toks) AS term
+           |        FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+           |  GROUP BY doc_id, term),
+           |sums AS (
+           |  SELECT doc_id,
+           |         $voteSql
+           |  FROM tf GROUP BY doc_id)
+           |SELECT doc_id, $simhashSql AS simhash FROM sums""".stripMargin,
       "dedup_minhash_sig" ->
         s"""WITH sh AS ($trigramsSql)
            |SELECT doc_id,
