@@ -91,6 +91,19 @@ object TextQueries extends QueryPack {
             lit(0.0), (a, x) => a + x) / size(col("toks")), 9), 6).as("mean_token_len"))
     }),
 
+    // BPE-ish token counting: GPT-style pre-tokenizer regex (letter runs,
+    // digit runs, punctuation runs, each with optional leading space),
+    // whitespace-only matches dropped — the subword-budget estimator a
+    // training pipeline runs before real BPE.
+    "text_tokens_bpe" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"), lit(0)).as("m"))
+        .select(col("doc_id"),
+          size(filter(col("m"), x => length(trim(x)) > 0)).cast("long")
+            .as("n_bpe_tokens"))
+    }),
+
     // Quality signals: char/token counts + stopword fraction.
     "text_quality" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
@@ -299,6 +312,11 @@ object TextQueries extends QueryPack {
            |ORDER BY round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 9) DESC,
            |         doc_a ASC, doc_b ASC
            |LIMIT 10""".stripMargin,
+      "text_tokens_bpe" ->
+        """SELECT doc_id,
+          |len(list_filter(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'),
+          |  x -> len(trim(x)) > 0)) AS n_bpe_tokens
+          |FROM documents""".stripMargin,
       "dedup_simhash" ->
         s"""WITH tf AS (
            |  SELECT doc_id, term, count(*) AS tf, md5(term) AS h
