@@ -31,10 +31,9 @@ object LshAnn {
   /** Add (id-col untouched) an exploded (band, key) pair per row. */
   private def banded(df: DataFrame, vecCol: String, planesLit: Column,
                      numBands: Int, rowsPerBand: Int): DataFrame = {
+    // native fused-loop dot per plane (no per-plane zip_with allocation)
     val bits = transform(planesLit, p =>
-      when(aggregate(zip_with(p, col(vecCol),
-        (x, y) => x * y.cast("double")), lit(0.0), (a, x) => a + x) >= 0, "1")
-        .otherwise("0"))
+      when(vecDot(p, col(vecCol)) >= 0, "1").otherwise("0"))
     val bandKeys = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         array_join(slice(bits, b * rowsPerBand + 1, rowsPerBand), "").as("key"))

@@ -39,6 +39,19 @@ object SetSim {
   val TxtScale = 1.0
   val Denominator = 2.0
 
+  /** A3 (set half) — name→scorer dispatch, the reference's
+    * `SetDistanceMetric` map (`multivector_reranker.cpp:440-503`:
+    * `smooth_chamfer` / `summed_max_similarity`; the vector half lives in
+    * `graft.index.Metrics`). Scorers take (simTriples, queryCardinality). */
+  val registry: Map[String, (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "smooth_chamfer" -> ((sims, cQ) => smoothChamferAgg(sims, cQ)),
+      "summed_max_similarity" -> ((sims, _) => maxSimAgg(sims)))
+
+  def apply(name: String): (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown set metric '$name' (have: ${registry.keys.mkString(", ")})"))
+
   /** MaxSim spec: groupBy (qset,dset,q_sub) max → groupBy (qset,dset) sum.
     * Two shuffles; kept as the DuckDB-checkable relational form. */
   def maxSim(sims: DataFrame): DataFrame =

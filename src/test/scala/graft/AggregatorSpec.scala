@@ -77,6 +77,17 @@ class AggregatorSpec extends AnyFunSuite {
     rows.toDF("qset_id", "dset_id", "q_sub", "d_sub", "sim")
   }
 
+  test("set-metric registry dispatches both scorers and rejects unknowns") {
+    val df = simTriplesFixture
+    val viaReg = SetSim("smooth_chamfer")(df, 3).orderBy("qset_id", "dset_id")
+      .collect().map(_.getDouble(2))
+    val direct = SetSim.smoothChamferAgg(df, 3).orderBy("qset_id", "dset_id")
+      .collect().map(_.getDouble(2))
+    assert(viaReg.toSeq === direct.toSeq)
+    assert(SetSim("summed_max_similarity")(df, 3).count() > 0)
+    assertThrows[IllegalArgumentException](SetSim("chamfer_typo"))
+  }
+
   test("maxSimAgg matches two-stage relational maxSim") {
     val df = simTriplesFixture
     val a = SetSim.maxSimAgg(df).orderBy("qset_id", "dset_id")
