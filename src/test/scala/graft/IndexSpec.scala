@@ -131,6 +131,20 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"G9 Recall@10 = $avg (per-set: $recalls)")
   }
 
+  test("non-adaptive G9 splits the budget evenly and stays sorted") {
+    val vecs = index.vecs
+    val qs = Array(0, 7, 123, 400).map(vecs.vector)
+    val pool = Array.fill(qs.length)(new VisitedSet(index.graph.n))
+    val res = BeamSearch.searchMulti(index.graph, vecs, Metrics.Cosine, qs,
+      minPq = 5, maxPq = 100, budget = 80, adaptive = false, pool)
+    res.foreach { case (ids, dists, cmps, _) =>
+      assert(ids.length === 20) // budget / c exactly, no reallocation
+      assert(dists.toSeq === dists.sorted.toSeq)
+      assert(ids.distinct.length === ids.length)
+      assert(cmps > 0)
+    }
+  }
+
   test("budget sweep: recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
     assert(rows.length === 2)

@@ -39,6 +39,16 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects functions, rule and strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // builders registered for every function name (buildFunction applies
+    // the injected seq to a session at creation; here we assert the
+    // injections landed by name)
+    val names = GraftFunctions.injections.map(_._1.funcName)
+    assert(names === Seq("graft_vec_dot", "graft_vec_l2sq", "graft_vec_norm"))
+  }
+
   test("index build is deterministic across repeated runs") {
     val emb = Tables.embeddings(spark, sfDir)
     val g1 = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams).graph
