@@ -3,17 +3,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main. Prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"ok":{...},
+  * "failed":N,"sf":...}`.
   *
   * Every query is FORCED to full evaluation by hashing every column of
-  * every row (xxhash64 over the whole row struct, summed): a bare
-  * `.count()` would let Catalyst prune unreferenced projections, so pure
-  * projection kernels (p1/p2) would never execute. */
+  * every row (xxhash64 over the whole row struct) and XOR-folding the
+  * hashes: a bare `.count()` would let Catalyst prune unreferenced
+  * projections, so pure projection kernels (p1/p2) would never execute.
+  * XOR (not sum) because Spark 4 defaults ANSI mode, where summing
+  * uniform 64-bit hashes overflows a long and aborts the job mid-stream —
+  * a timing of an aborted job is not a measurement. */
 object Bench {
-  /** Evaluate df completely; returns the row-hash sum (and row count). */
+  /** Evaluate df completely; returns the XOR-fold of all row hashes. */
   def force(df: DataFrame): Long = {
     val h = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
-      .agg(sum("h")).collect()(0)
+      .agg(bit_xor(col("h"))).collect()(0)
     if (h.isNullAt(0)) 0L else h.getLong(0)
   }
 
@@ -30,21 +34,34 @@ object Bench {
     // Untimed warmup: JIT/codegen/footer caches plus the ONE-TIME index
     // build (an offline job in production — searches are measured against
     // a built index, as in the reference) would otherwise be billed to
-    // whichever query happens to run first.
-    try force(SparkEntry.queries("q1_agg")(spark, sfDir))
-    catch { case _: Throwable => () }
-    try force(SparkEntry.queries("g2_graph_stats")(spark, sfDir))
-    catch { case _: Throwable => () }
+    // whichever query happens to run first. Warmup failures are printed
+    // (never silently swallowed) but don't abort the run.
+    for (w <- Seq("q1_agg", "g2_graph_stats")) {
+      try force(SparkEntry.queries(w)(spark, sfDir))
+      catch { case t: Throwable =>
+        System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")
+      }
+    }
+    // Per-query {seconds, ok}. A failed query records ok=false and
+    // seconds=-1 so it can never masquerade as a timing.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { force(fn(spark, sfDir)); true }
+        catch { case t: Throwable =>
+          System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      name -> (sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val failed = results.count { case (_, (_, ok)) => !ok }
+    val total = results.values.collect { case (sec, true) => sec }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

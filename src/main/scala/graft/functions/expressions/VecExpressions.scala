@@ -34,6 +34,20 @@ private[expressions] trait VecElemType { self: Expression =>
     case DoubleType => arr.getDouble(i)
     case other => throw new IllegalArgumentException(s"unsupported element $other")
   }
+
+  /** Fail loudly on ragged input — same contract as VectorStore's
+    * "ragged dim" require; silent truncation would diverge from the HOF
+    * forms exactly on malformed data. */
+  protected def checkSameLength(op: String, a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"$op: vector dimension mismatch ($a vs $b)")
+
+  /** Codegen twin of [[checkSameLength]]. */
+  protected def lengthGuard(op: String, a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$op: vector dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
 /** Σ aᵢ·bᵢ with double accumulation (`distance.h:91-225`, un-negated). */
@@ -48,7 +62,8 @@ case class VecDotExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val etL = elemType(left.dataType)
     val etR = elemType(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    checkSameLength("graft_vec_dot", x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += getElem(etL, x, i) * getElem(etR, y, i); i += 1 }
@@ -63,7 +78,8 @@ case class VecDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lengthGuard("graft_vec_dot", a, b)}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${getter(etL, a, i)} * ${getter(etR, b, i)};
@@ -89,7 +105,8 @@ case class VecL2SqExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val etL = elemType(left.dataType)
     val etR = elemType(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    checkSameLength("graft_vec_l2sq", x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -109,7 +126,8 @@ case class VecL2SqExpr(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lengthGuard("graft_vec_l2sq", a, b)}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = ${getter(etL, a, i)} - ${getter(etR, b, i)};

@@ -61,11 +61,20 @@ object CsrGraph {
     }.toDF("src", "nbrs")
   }
 
+  /** Sidecar keys/values are identifier-ish tokens by contract — the
+    * naive writer/regex reader pair would silently corrupt on quotes or
+    * backslashes, so reject them loudly at write time. */
+  private val MetaToken = "[A-Za-z0-9_.,:+\\- ]*".r
+
   /** S11: persist graph + metadata sidecar. */
   def save(spark: SparkSession, g: CsrGraph, path: String,
            meta: Map[String, String] = Map.empty): Unit = {
     toAdjacencyDf(spark, g).write.mode("overwrite").parquet(s"$path/adjacency")
     val all = meta ++ Map("n" -> g.n.toString, "entry_point" -> g.entryPoint.toString)
+    all.foreach { case (k, v) =>
+      require(MetaToken.matches(k) && MetaToken.matches(v),
+        s"meta entry '$k' -> '$v' contains characters outside [A-Za-z0-9_.,:+- ]")
+    }
     val json = all.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), json)

@@ -8,9 +8,18 @@ import org.apache.spark.sql.functions._
 
 /** RoarGraph build parameters (`scripts/roargraph/build_roargraph_index.sh:27-29`:
   * M_sq=100, M_pjbp=35, L_pjpq=100 at 10M scale; PROJECTION_SLACK=2,
-  * `index_bipartite.cpp:28`). */
+  * `index_bipartite.cpp:28`).
+  *
+  * `knnSource` picks the learn→base kNN-list generator: "exact" scores
+  * every (train, base) pair against the broadcast corpus — fine for
+  * fixtures, O(N²·d) at scale — while "lsh"/"ivf" feed the build from the
+  * bucketed approximate operators, mirroring the reference, which does NOT
+  * compute exact kNN at scale either: it loads OFFLINE approximate lists
+  * (DiskANN — `scripts/utils/generate_vector_groundtruth.sh:4-8`, read at
+  * `index_bipartite.cpp:3111-3131`). Graph parity is judged by recall
+  * (SURVEY §7.3); IndexSpec asserts recall parity of the lsh-fed build. */
 case class BuildParams(mSq: Int = 100, mPjbp: Int = 35, lPjpq: Int = 100,
-                       metric: String = "cosine")
+                       metric: String = "cosine", knnSource: String = "exact")
 
 /** A built RoarGraph index: broadcastable graph + packed base vectors. */
 final class RoarIndex(val graph: CsrGraph, val vecs: VectorStore,
@@ -140,6 +149,39 @@ object GraphBuild {
       }.toDF("q_id", "nbrs")
   }
 
+  /** Ranked (q_id, rank, d_id) rows → (q_id, nbrs) lists in rank order —
+    * adapter from the approximate operators' output to the kNN-list shape
+    * the build consumes. */
+  private def rankedToLists(ranked: DataFrame): DataFrame =
+    ranked.groupBy("q_id").agg(
+      transform(array_sort(collect_list(struct(col("rank"), col("d_id")))),
+        x => x("d_id")).as("nbrs"))
+
+  /** Learn→base kNN lists per `params.knnSource` (see [[BuildParams]]).
+    * Approximate sources are cosine-order generators, so they require the
+    * cosine metric (the fixtures' metric and the reference's main arm). */
+  def knnLists(spark: SparkSession, trainQ: DataFrame, base: DataFrame,
+               params: BuildParams,
+               vecsB: org.apache.spark.broadcast.Broadcast[VectorStore]): DataFrame =
+    params.knnSource match {
+      case "exact" =>
+        exactKnn(spark, trainQ, params.mSq, vecsB, params.metric,
+          excludeSelf = true)
+      case src @ ("lsh" | "ivf") =>
+        require(params.metric == "cosine",
+          s"knnSource=$src generates cosine-ordered candidates; metric is ${params.metric}")
+        val d = base.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+        val ranked =
+          if (src == "lsh")
+            graft.operators.LshAnn.knn(trainQ, d, params.mSq,
+              numPlanes = 16, rowsPerBand = 2, excludeSelf = true)
+          else
+            graft.operators.IvfAnn.knn(spark, trainQ, d, params.mSq,
+              excludeSelf = true)
+        rankedToLists(ranked)
+      case other => sys.error(s"unknown knnSource '$other' (exact|lsh|ivf)")
+    }
+
   /** Merge per-node candidate lists and occlusion-prune each to `m` —
     * the shared shape of LinkProjection phases (a)+(c) and (e): input
     * (node, candidate ids), output (src, nbrs) sorted-by-distance. */
@@ -186,10 +228,10 @@ object GraphBuild {
     val ep = medoid(vecs, metric)
     val n = vecs.n
 
-    // learn→base kNN lists (the reference's precomputed S9 input)
+    // learn→base kNN lists (the reference's precomputed S9 input);
+    // exact for fixtures, LSH/IVF-bucketed at scale (BuildParams.knnSource)
     val trainQ = train.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val knn = exactKnn(spark, trainQ, params.mSq, vecsB, params.metric,
-      excludeSelf = true).cache()
+    val knn = knnLists(spark, trainQ, base, params, vecsB).cache()
 
     // Phase (a): per training query, tgt = NN#1, candidates = the rest;
     // union per target, prune once (deterministic vs the reference's

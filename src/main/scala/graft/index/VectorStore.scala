@@ -37,16 +37,19 @@ object VectorStore {
     require(n > 0, "empty vector corpus")
     val dim = rows(0).getSeq[Float](1).length
     val data = new Array[Float](n * dim)
-    var seen = 0L
+    // per-id occupancy: a duplicate id would otherwise overwrite one slot
+    // and leave another silently all-zeros (row count alone can't tell)
+    val filled = new Array[Boolean](n)
     rows.foreach { r =>
       val id = r.getLong(0)
       require(id >= 0 && id < n, s"non-contiguous id $id for corpus of $n")
+      require(!filled(id.toInt), s"duplicate id $id in vector corpus")
+      filled(id.toInt) = true
       val v = r.getSeq[Float](1)
       require(v.length == dim, s"ragged dim at id $id")
       var i = 0
       val off = id.toInt * dim
       while (i < dim) { data(off + i) = v(i); i += 1 }
-      seen += 1
     }
     if (metric.normalizeAtLoad) {
       var row = 0

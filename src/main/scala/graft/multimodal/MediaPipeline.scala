@@ -49,7 +49,13 @@ object MediaPipeline {
     out
   }
 
-  /** Batched feature extraction over (media_id, mime, payload). */
+  /** Batched feature extraction over (media_id, mime, payload).
+    *
+    * Feature values are emitted at FULL precision; any output rounding is
+    * the query's job (the oracle-compare convention is round(round(x,9),6)
+    * at the boundary). Histogram bins are integer byte counts divided
+    * once by n — a single exact division, bit-reproducible in any engine —
+    * rather than a float accumulation. */
   def features(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -69,12 +75,11 @@ object MediaPipeline {
             }
             i += 1
           }
-          val hist = new Array[Double](16)
+          val binCounts = new Array[Long](16)
           i = 0
-          while (i < 256) { hist(i / 16) += counts(i).toDouble / n; i += 1 }
-          MediaFeatureRow(id, mime, payload.length.toLong,
-            math.rint(entropy * 1e6) / 1e6,
-            hist.map(x => math.rint(x * 1e6) / 1e6).toSeq,
+          while (i < 256) { binCounts(i / 16) += counts(i); i += 1 }
+          MediaFeatureRow(id, mime, payload.length.toLong, entropy,
+            binCounts.map(_.toDouble / n).toSeq,
             decodeStub(payload, mime).toSeq)
         }
       }.toDF()

@@ -94,8 +94,12 @@ object IvfAnn {
           seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     import spark.implicits._
-    val sample = data.select(col("d_vec")).limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // deterministic sample: orderBy before limit — a bare limit takes
+    // whichever partitions answer first, so the trained quantizer (and
+    // hence the returned neighbors) would depend on partition layout
+    val sample = data.select(col("d_id"), col("d_vec"))
+      .orderBy(col("d_id")).limit(sampleN)
+      .select(col("d_vec")).collect().map(_.getSeq[Float](0).toArray)
     val centroids = trainCentroids(sample, nlist, seed = seed)
     val cB = spark.sparkContext.broadcast(centroids)
 

@@ -70,4 +70,45 @@ object LshAnn {
     TopK.perGroupAgg(scored, Seq(col("q_id")),
       col("score"), col("d_id"), k, idName = "d_id")
   }
+
+  /** Global top-N most-similar vector pairs (id_a < id_b) — the
+    * scale-safe form of embedding-cosine near-dup. Candidates come from
+    * a banded equi-join on (band, key) — a hash shuffle on short keys,
+    * never an N×N cross join — then exact cosine rerank + bounded global
+    * top-N (TakeOrderedAndProject).
+    *
+    * Input: (id, vec). Output: (id_a, id_b, cos) with the same
+    * quantized ordering as the exhaustive oracle (rank on round(cos,9),
+    * ties by ids, emit round(cos,6)).
+    *
+    * The default 24 bands × 2 bits is sized so that candidate recall on
+    * the fixtures is exactly 1.0 even at the moderate cosines (~0.44) of
+    * random data — per-pair miss probability (1-p²)^24 ≈ 2e-6 at
+    * cos 0.44 (p = 1-θ/π) — asserted against the exhaustive formulation
+    * in LlmPipelineSpec. At production near-dup thresholds (cos ≥ 0.9)
+    * far smaller configs prune far harder; this knob is the
+    * recall/candidate-volume dial. */
+  def nearDupPairs(vectors: DataFrame, topN: Int,
+                   numPlanes: Int = 48, rowsPerBand: Int = 2,
+                   seed: Long = 42L): DataFrame = {
+    require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
+    val numBands = numPlanes / rowsPerBand
+    val dim = vectors.select(size(col("vec"))).first().getInt(0)
+    val planesLit = typedLit(planes(numPlanes, dim, seed))
+    val base = vectors.withColumn("norm", vecNorm(col("vec")))
+    val a = banded(base.select(col("id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na")), "va", planesLit, numBands, rowsPerBand)
+    val b = banded(base.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb")), "vb", planesLit, numBands, rowsPerBand)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"),
+        col("na"), col("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos",
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

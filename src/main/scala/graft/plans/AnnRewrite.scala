@@ -46,14 +46,55 @@ object AnnIndexRegistry {
                    rawVecsB: Broadcast[VectorStore], metricName: String,
                    searchL: Int)
 
-  private val entries = new TrieMap[(String, String), Entry]
+  private val entries = new TrieMap[(String, String), (String, Entry)]
 
-  /** Register an index for relations exposing (`idCol`, `vecCol`). */
-  def register(idCol: String, vecCol: String, entry: Entry): Unit =
-    entries.put((idCol, vecCol), entry)
+  /** Canonical identity of a corpus scan: the single leaf relation under
+    * (optional) attribute-only projections and subquery aliases. None if
+    * anything else (Filter, Sample, Join, expression Project…) sits in the
+    * plan — such a query must NOT be routed to a whole-corpus index. */
+  @annotation.tailrec
+  def scanFingerprint(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => scanFingerprint(child)
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanFingerprint(child)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          Some("fsv1:" + fs.fileFormat.toString + ":" +
+            fs.location.rootPaths.map(_.toString).sorted.mkString(","))
+        case other =>
+          Some("v1:" + other.getClass.getName + ":" + other.schema.catalogString)
+      }
+    case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      Some("v2:" + v2.table.name())
+    case _ => None
+  }
+
+  /** Register an index over `corpus` (a bare scan) exposing
+    * (`idCol`, `vecCol`). The rule only routes queries whose Project sits
+    * DIRECTLY on this same relation — same-named columns on another table,
+    * or a Filter/Sample between the Project and the scan, never match. */
+  def register(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+               vecCol: String, entry: Entry): Unit = {
+    val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
+      sys.error("ANN registration requires a bare scan corpus (no " +
+        "Filter/Join/expression-Project above the relation): " +
+        corpus.queryExecution.optimizedPlan.nodeName))
+    entries.put((idCol, vecCol), (fp, entry))
+  }
 
   def lookup(idCol: String, vecCol: String): Option[Entry] =
-    entries.get((idCol, vecCol))
+    entries.get((idCol, vecCol)).map(_._2)
+
+  /** Lookup that also proves `child` IS the registered corpus relation. */
+  def lookupFor(idCol: String, vecCol: String,
+                child: LogicalPlan): Option[Entry] =
+    for {
+      (fp, entry) <- entries.get((idCol, vecCol))
+      childFp <- scanFingerprint(child)
+      if childFp == fp
+    } yield entry
 
   def clear(): Unit = entries.clear()
 }
@@ -94,7 +135,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
     plan.transformDown {
       case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
           Sort(Seq(SortOrder(sortKey: AttributeReference, Descending, _, _)), true,
-            Project(projList, _), _)))
+            Project(projList, projChild), _)))
           if projList.length == 2 =>
         val rewritten = for {
           scoreAlias <- projList.collectFirst {
@@ -105,7 +146,12 @@ object AnnTopKRule extends Rule[LogicalPlan] {
             case a: AttributeReference if a.exprId != sortKey.exprId => a
           }
           if idAttr.dataType == LongType
-          _ <- AnnIndexRegistry.lookup(idAttr.name, vecAttr.name)
+          // identity check: the Project must sit directly on the
+          // REGISTERED relation — a Filter/Sample/Join in between, or a
+          // different table that happens to share column names, bails out
+          // to the exhaustive plan rather than silently searching the
+          // whole registered corpus.
+          _ <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, projChild)
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId)
         rewritten.getOrElse(limit)

@@ -42,22 +42,14 @@ object AnnQueries extends QueryPack {
     }),
 
     // Embedding-cosine near-dup: global top-20 most-similar vector pairs
-    // (a < b) — TakeOrderedAndProject, quantized ordering.
+    // (a < b). Candidates from an LSH-banded equi-join (no N×N cross
+    // join — the exhaustive formulation lives only in the DuckDB oracle);
+    // exact cosine rerank on collisions, bounded global top-20. Candidate
+    // recall 1.0 on the fixtures is asserted in LlmPipelineSpec.
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("norm", vecNorm(col("embedding")))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("norm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("norm").as("nb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 9)
-            .as("cos"))
-        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-        .limit(20)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      LshAnn.nearDupPairs(e, topN = 20)
     }),
 
     // S14: seeded random-vector source (rows-only; partitioning-invariant
@@ -70,13 +62,18 @@ object AnnQueries extends QueryPack {
           round(element_at(col("embedding"), 1), 6).as("first_elem"))
     }),
 
-    // Multimodal: batched byte-level features over opaque binary payloads
-    // (rows-only; decode step stubbed — see MediaPipeline).
+    // Multimodal: batched byte-level features over opaque binary payloads,
+    // scalarized at the query boundary (the driver's compare can't sort
+    // array columns) and DuckDB-oracled: n_bytes + entropy + all 16
+    // histogram bins as scalar columns. The decode stub's embedding is
+    // covered by LlmPipelineSpec (not SQL-expressible).
     "mm_media_features" -> ((s, dir) => {
-      MediaPipeline.features(
+      val f = MediaPipeline.features(
         MediaPipeline.fromDocuments(s, dir).filter(col("media_id") < 50))
-        .select(col("media_id"), col("mime"), col("n_bytes"),
-          col("entropy"), col("byte_hist"), col("frame_embedding"))
+      val histCols = (0 until 16).map(k =>
+        round(round(element_at(col("byte_hist"), k + 1), 9), 6).as(s"hist_$k"))
+      f.select(col("media_id") +: col("mime") +: col("n_bytes") +:
+        round(round(col("entropy"), 9), 6).as("entropy") +: histCols: _*)
     })
   )
 
@@ -85,7 +82,45 @@ object AnnQueries extends QueryPack {
   private def normSqlOf(t: String) =
     s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** DuckDB byte extraction for the media oracle: hex-encode the payload
+    * and decode each byte as two nibble lookups (pure SQL, no blob
+    * indexing needed). */
+  private val mmOracle: String = {
+    val histExprs = (0 until 16).map(k =>
+      s"round(round(CAST(sum(CASE WHEN byte // 16 = $k THEN c ELSE 0 END) AS DOUBLE) / any_value(n_bytes), 9), 6) AS hist_$k")
+      .mkString(",\n         ")
+    val histSelect = (0 until 16).map(k => s"hist.hist_$k").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n_bytes
+       |  FROM documents WHERE doc_id < 50),
+       |pos AS (
+       |  SELECT media_id, n_bytes, hx,
+       |         unnest(range(1, CAST(n_bytes AS INTEGER) + 1)) AS i
+       |  FROM d),
+       |b AS (
+       |  SELECT media_id, n_bytes,
+       |         (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+       |       + (strpos('0123456789ABCDEF', substring(hx, 2*i,   1)) - 1) AS byte
+       |  FROM pos),
+       |cnt AS (SELECT media_id, n_bytes, byte, count(*) AS c
+       |        FROM b GROUP BY 1, 2, 3),
+       |ent AS (SELECT media_id,
+       |               round(round(-sum((CAST(c AS DOUBLE) / n_bytes)
+       |                     * ln(CAST(c AS DOUBLE) / n_bytes) / ln(2)), 9), 6) AS entropy
+       |        FROM cnt GROUP BY 1),
+       |hist AS (SELECT media_id,
+       |         $histExprs
+       |         FROM cnt GROUP BY 1)
+       |SELECT d.media_id, 'text/plain' AS mime, d.n_bytes, ent.entropy,
+       |       $histSelect
+       |FROM d
+       |JOIN ent ON ent.media_id = d.media_id
+       |JOIN hist ON hist.media_id = d.media_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "mm_media_features" -> mmOracle,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |pairs AS (

@@ -77,8 +77,8 @@ object EventQueries extends QueryPack {
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          |sess AS (
          |  SELECT user_id, event_id, us,
-         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          |  FROM flagged)
          |SELECT user_id, session_idx, count(*) AS n_events,
          |       min(us) AS start_us, max(us) AS end_us

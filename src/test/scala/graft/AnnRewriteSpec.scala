@@ -27,7 +27,7 @@ class AnnRewriteSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
     val raw = VectorStore.fromDf(emb, "vec_id", "embedding", Metrics.InnerProduct)
-    AnnIndexRegistry.register("vec_id", "embedding", AnnIndexRegistry.Entry(
+    AnnIndexRegistry.register(emb, "vec_id", "embedding", AnnIndexRegistry.Entry(
       spark.sparkContext.broadcast(idx.graph),
       spark.sparkContext.broadcast(idx.vecs),
       spark.sparkContext.broadcast(raw),
@@ -77,6 +77,42 @@ class AnnRewriteSpec extends AnyFunSuite {
       // best-first ordering
       val scores = approx.map(_._2)
       assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("a filtered query is NOT routed (and keeps its filter)") {
+    setup
+    val q = queryLit
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(
+        s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+           |FROM ann_corpus WHERE vec_id >= 100
+           |ORDER BY score DESC LIMIT 10""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnSearch"), s"filtered query was routed:\n$plan")
+      // the filter actually applied — no row below 100 leaks through
+      df.collect().foreach(r => assert(r.getLong(0) >= 100))
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("same-named columns on a DIFFERENT relation are NOT routed") {
+    setup
+    val q = queryLit
+    // a different source with identical column names (vec_id, embedding)
+    Tables.embeddings(spark, sfDir)
+      .limit(50).write.mode("overwrite")
+      .parquet("target/tmp/ann_other_corpus")
+    spark.read.parquet("target/tmp/ann_other_corpus")
+      .createOrReplaceTempView("other_corpus")
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(
+        s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+           |FROM other_corpus ORDER BY score DESC LIMIT 10""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnSearch"), s"foreign relation was routed:\n$plan")
+      assert(df.count() === 10)
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 }

@@ -116,6 +116,34 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"G8 Recall@10 = $avg")
   }
 
+  test("lsh-fed build reaches recall parity with the exact-kNN build") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val approxIdx = GraphBuild.build(spark, emb, emb,
+      IndexQueries.FixtureParams.copy(knnSource = "lsh"))
+    def recallOf(idx: RoarIndex): Double = {
+      val graphB = spark.sparkContext.broadcast(idx.graph)
+      val vecsB = spark.sparkContext.broadcast(idx.vecs)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val hits = BeamSearch.searchSingleDf(spark, q, graphB, vecsB, "cosine",
+          l = 60, k = 10)
+        .groupBy("q_id").agg(collect_set(col("d_id")).as("ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
+          excludeSelf = false)
+        .as[(Long, Seq[Long])].collect().toMap
+      exact.map { case (qid, gt) =>
+        hits.get(qid).map(_.toSet.intersect(gt.toSet).size / 10.0).getOrElse(0.0)
+      }.sum / exact.size
+    }
+    val exactRecall = recallOf(index)
+    val approxRecall = recallOf(approxIdx)
+    assert(approxRecall >= exactRecall - 0.05,
+      s"lsh-fed build recall $approxRecall vs exact-build $exactRecall")
+    assert(approxRecall >= 0.85, s"lsh-fed build recall only $approxRecall")
+  }
+
   test("G9 search + chamfer rerank achieves >=0.95 Recall@10 vs fullscan") {
     val approx = IndexQueries.queries("g9_multivector_search")(spark, sfDir)
       .select("qset_id", "dset_id").collect()

@@ -70,12 +70,48 @@ class LlmPipelineSpec extends AnyFunSuite {
     run1.foreach { r =>
       val entropy = r.getDouble(3)
       assert(entropy >= 0.0 && entropy <= 8.0)
-      val hist = r.getSeq[Double](4)
-      assert(hist.length === 16)
+      val hist = (0 until 16).map(k => r.getDouble(r.fieldIndex(s"hist_$k")))
       assert(math.abs(hist.sum - 1.0) < 1e-3, s"hist sums to ${hist.sum}")
-      val emb = r.getSeq[Float](5)
-      assert(emb.length === 8)
     }
+  }
+
+  test("media frame embeddings are emitted per row with the stub dim") {
+    val f = MediaPipeline.features(
+      MediaPipeline.fromDocuments(spark, sfDir).filter(col("media_id") < 10))
+      .collect()
+    assert(f.length === 10)
+    f.foreach { r =>
+      val emb = r.getSeq[Float](r.fieldIndex("frame_embedding"))
+      assert(emb.length === 8)
+      val hist = r.getSeq[Double](r.fieldIndex("byte_hist"))
+      assert(hist.length === 16)
+    }
+  }
+
+  test("dedup_embedding_cosine (LSH-banded) equals the exhaustive top-20") {
+    import graft.functions.VectorFunctions._
+    val lsh = AnnQueries.queries("dedup_embedding_cosine")(spark, sfDir)
+      .collect().toSeq
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .withColumn("norm", vecNorm(col("vec")))
+    val a = base.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .collect().toSeq
+    assert(lsh === exact)
+  }
+
+  test("dedup_embedding_cosine plan has no all-pairs join") {
+    val plan = AnnQueries.queries("dedup_embedding_cosine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
 
   test("decodeStub is a pure function of payload bytes") {
