@@ -55,13 +55,25 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       name -> (sec, ok)
     }
-    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
-    val failed = results.count { case (_, (_, ok)) => !ok }
-    val total = results.values.collect { case (sec, true) => sec }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}""")
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + fmt(sec) }
+        .mkString("{", ",", "}")
+      val failedNames = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val failed = results.count { case (_, (_, ok)) => !ok }
+      val total = results.values.collect { case (sec, true) => sec }.sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+    }
+    // Full-precision copy goes to a file (survives any log-tail bound);
+    // the printed line is 3-decimal so the whole line fits in a bounded
+    // capture even at 56 queries.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (jsonLine(_.toString) + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH_OUT write failed: ${t.getMessage}")
+    }
+    println(jsonLine(s => f"$s%.3f"))
     spark.stop()
   }
 }

@@ -16,13 +16,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Per-query ok/fail is RECORDED (verify_status.json + a loud summary),
+    // not just stderr-logged: a regressed query must read as a failure,
+    // never as a silently-missing parquet.
+    val status = SparkEntry.queries.map { case (name, fn) =>
+      val ok =
+        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      name -> ok
     }
+    val statusJson = status.map { case (k, ok) => s""""$k": $ok""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+    val nFail = status.count(!_._2)
+    if (nFail > 0) System.err.println(
+      s"[verify] $nFail QUERY FAILURES: ${status.collect { case (k, false) => k }.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -87,6 +87,28 @@ object IvfAnn {
       }.toDF(idCol, vecCol, "cell")
   }
 
+  /** Deterministic training sample WITHOUT a global sort: rows whose
+    * seeded id-hash falls under a threshold sized from a cheap count.
+    * The picked SET depends only on ids (never partition layout); the
+    * collected handful is sorted driver-side so the training order is
+    * stable too. A total sort of the corpus just to take 2 000 rows is
+    * the kind of O(N log N) shuffle that kills an otherwise
+    * O(N/nlist·nProbe) operator at scale. */
+  def sampleVectors(data: DataFrame, idCol: String, vecCol: String,
+                    sampleN: Int, seed: Long): DataFrame = {
+    val n = data.count()
+    if (n <= sampleN) data.select(col(idCol), col(vecCol))
+    else {
+      // 1.3x slack over the target rate: hash-binomial shortfall below
+      // sampleN has probability < 1e-9 at these sizes; extras are
+      // trimmed after the driver-side sort.
+      val buckets = 1000000L
+      val cut = math.min(buckets, (buckets * 1.3 * sampleN / n).toLong max 1L)
+      data.select(col(idCol), col(vecCol))
+        .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(buckets)) < lit(cut))
+    }
+  }
+
   /** Approximate top-k: probe `nProbe` cells per query, exact cosine
     * rerank inside them (same quantized scoring as the exact paths). */
   def knn(spark: SparkSession, queries: DataFrame, data: DataFrame, k: Int,
@@ -94,12 +116,10 @@ object IvfAnn {
           seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     import spark.implicits._
-    // deterministic sample: orderBy before limit — a bare limit takes
-    // whichever partitions answer first, so the trained quantizer (and
-    // hence the returned neighbors) would depend on partition layout
-    val sample = data.select(col("d_id"), col("d_vec"))
-      .orderBy(col("d_id")).limit(sampleN)
-      .select(col("d_vec")).collect().map(_.getSeq[Float](0).toArray)
+    val sample = sampleVectors(data, "d_id", "d_vec", sampleN, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(sampleN).map(_._2)
     val centroids = trainCentroids(sample, nlist, seed = seed)
     val cB = spark.sparkContext.broadcast(centroids)
 

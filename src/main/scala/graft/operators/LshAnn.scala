@@ -28,6 +28,17 @@ object LshAnn {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Vector dim: the caller's hint if given (saves a tiny probe job per
+    * call), else derived from the first row — with a clear error instead
+    * of a bare NoSuchElementException when the input is empty. */
+  private def dimOf(df: DataFrame, vecCol: String, hint: Int): Int =
+    if (hint > 0) hint
+    else df.select(size(col(vecCol))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => sys.error(
+        s"LshAnn: cannot derive vector dim from empty input ('$vecCol'); pass dim explicitly")
+    }
+
   /** Add (id-col untouched) an exploded (band, key) pair per row. */
   private def banded(df: DataFrame, vecCol: String, planesLit: Column,
                      numBands: Int, rowsPerBand: Int): DataFrame = {
@@ -49,11 +60,12 @@ object LshAnn {
     * 9-decimal-quantized like the exact path. */
   def knn(queries: DataFrame, data: DataFrame, k: Int,
           numPlanes: Int = 12, rowsPerBand: Int = 2,
-          seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
+          seed: Long = 42L, excludeSelf: Boolean = false,
+          dim: Int = 0): DataFrame = {
     require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
     val numBands = numPlanes / rowsPerBand
-    val dim = queries.select(size(col("q_vec"))).first().getInt(0)
-    val planesLit = typedLit(planes(numPlanes, dim, seed))
+    val dimV = dimOf(queries, "q_vec", dim)
+    val planesLit = typedLit(planes(numPlanes, dimV, seed))
     val qb = banded(queries.withColumn("q_norm", vecNorm(col("q_vec"))),
       "q_vec", planesLit, numBands, rowsPerBand)
     val db = banded(data.withColumn("d_norm", vecNorm(col("d_vec"))),
@@ -90,11 +102,11 @@ object LshAnn {
     * recall/candidate-volume dial. */
   def nearDupPairs(vectors: DataFrame, topN: Int,
                    numPlanes: Int = 48, rowsPerBand: Int = 2,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L, dim: Int = 0): DataFrame = {
     require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
     val numBands = numPlanes / rowsPerBand
-    val dim = vectors.select(size(col("vec"))).first().getInt(0)
-    val planesLit = typedLit(planes(numPlanes, dim, seed))
+    val dimV = dimOf(vectors, "vec", dim)
+    val planesLit = typedLit(planes(numPlanes, dimV, seed))
     val base = vectors.withColumn("norm", vecNorm(col("vec")))
     val a = banded(base.select(col("id").as("id_a"), col("vec").as("va"),
       col("norm").as("na")), "va", planesLit, numBands, rowsPerBand)

@@ -67,7 +67,12 @@ object AnnIndexRegistry {
           Some("v1:" + other.getClass.getName + ":" + other.schema.catalogString)
       }
     case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      Some("v2:" + v2.table.name())
+      // name() alone can collide across catalogs; pin the catalog-qualified
+      // identifier and the schema so a foreign same-named table never
+      // routes to this corpus's index.
+      Some("v2:" + v2.catalog.map(_.name()).getOrElse("") + ":" +
+        v2.identifier.map(_.toString).getOrElse(v2.table.name()) + ":" +
+        v2.table.columns().map(_.toString).mkString(","))
     case _ => None
   }
 
@@ -151,7 +156,11 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           // different table that happens to share column names, bails out
           // to the exhaustive plan rather than silently searching the
           // whole registered corpus.
-          _ <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, projChild)
+          entry <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, projChild)
+          // dim mismatch: the exhaustive plan's VecDotExpr throws on it;
+          // the index path must not instead return truncated-dot scores.
+          // Bail out so both routes fail identically on malformed input.
+          if entry.rawVecsB.value.dim == qv.length
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId)
         rewritten.getOrElse(limit)
@@ -189,11 +198,13 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
         q, l, visited)
       // exact rescoring over RAW vectors — scores == graft_vec_dot values
+      require(raw.dim == qv.length,
+        s"query dim ${qv.length} != corpus dim ${raw.dim}")
       val scored = (0 until queue.size).map { i =>
         val id = queue.id(i)
         var dot = 0.0
         val off = raw.offset(id)
-        val n = math.min(raw.dim, qv.length)
+        val n = raw.dim
         var j = 0
         while (j < n) { dot += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
         (id.toLong, dot)

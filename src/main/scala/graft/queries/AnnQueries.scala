@@ -89,7 +89,8 @@ object AnnQueries extends QueryPack {
     val histExprs = (0 until 16).map(k =>
       s"round(round(CAST(sum(CASE WHEN byte // 16 = $k THEN c ELSE 0 END) AS DOUBLE) / any_value(n_bytes), 9), 6) AS hist_$k")
       .mkString(",\n         ")
-    val histSelect = (0 until 16).map(k => s"hist.hist_$k").mkString(", ")
+    val histSelect = (0 until 16)
+      .map(k => s"COALESCE(hist.hist_$k, 0) AS hist_$k").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
        |         octet_length(encode(text)) AS n_bytes
@@ -112,11 +113,12 @@ object AnnQueries extends QueryPack {
        |hist AS (SELECT media_id,
        |         $histExprs
        |         FROM cnt GROUP BY 1)
-       |SELECT d.media_id, 'text/plain' AS mime, d.n_bytes, ent.entropy,
+       |SELECT d.media_id, 'text/plain' AS mime, d.n_bytes,
+       |       COALESCE(ent.entropy, 0) AS entropy,
        |       $histSelect
        |FROM d
-       |JOIN ent ON ent.media_id = d.media_id
-       |JOIN hist ON hist.media_id = d.media_id""".stripMargin
+       |LEFT JOIN ent ON ent.media_id = d.media_id
+       |LEFT JOIN hist ON hist.media_id = d.media_id""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
