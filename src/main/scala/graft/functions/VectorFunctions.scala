@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{VecDotExpr, VecL2SqExpr, VecNormExpr}
+import graft.functions.expressions.{VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr}
 
 /** Column-level vector kernels over `array<float>` columns.
   *
@@ -48,6 +48,14 @@ object VectorFunctions {
   /** ‖a‖₂ (native codegen; the FastL2 norm-cache kernel). */
   def vecNorm(a: Column): Column =
     GraftColumnBridge.column(VecNormExpr(GraftColumnBridge.expression(a)))
+
+  /** Packed sign-bit LSH band keys (native codegen) — one fused loop over
+    * a plan-time hyperplane matrix; `array<long>` of
+    * planesFlat.length/dim/rowsPerBand keys. See
+    * [[graft.operators.LshAnn]]. */
+  def vecLshBands(a: Column, planesFlat: Array[Double], rowsPerBand: Int): Column =
+    GraftColumnBridge.column(
+      VecLshBandKeysExpr(GraftColumnBridge.expression(a), planesFlat, rowsPerBand))
 
   /** HOF spec form of [[vecDot]] — mirrors the oracle SQL. */
   def vecDotHof(a: Column, b: Column): Column =

@@ -181,3 +181,99 @@ case class VecNormExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): VecNormExpr =
     copy(child = c)
 }
+
+/** Sign-bit LSH band keys in one fused pass: dot the input vector against
+  * `nPlanes` hyperplanes (a flattened row-major matrix baked in at plan
+  * time), take sign bits, and pack each consecutive `rowsPerBand` bits
+  * into one long band key — `array<long>` of nPlanes/rowsPerBand keys.
+  *
+  * Exists because the HOF formulation (`transform(planes, p ->
+  * vec_dot(p, v))`) evaluates the lambda interpreted per plane per row —
+  * ~100× the cost of this single generated loop nest — and LSH banding
+  * sits on the candidate-generation hot path of knn_lsh /
+  * dedup_embedding_threshold (the reference's hash-bucketed candidate
+  * tier analog). Plane count and dim are compile-time-constant per plan,
+  * so the whole signature stays inside whole-stage codegen with zero
+  * per-plane allocation.
+  */
+case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
+                              rowsPerBand: Int)
+    extends UnaryExpression with VecElemType {
+
+  override def child: Expression = vec
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def keysOf(x: ArrayData, et: DataType): Array[Long] = {
+    val dim = x.numElements()
+    require(planesFlat.length % dim == 0,
+      s"graft_lsh_bands: planes matrix (${planesFlat.length}) not a multiple of dim $dim")
+    val nPlanes = planesFlat.length / dim
+    val nBands = nPlanes / rowsPerBand
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = getElem(et, x, i); i += 1 }
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val off = (b * rowsPerBand + r) * dim
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += planesFlat(off + j) * v(j); j += 1 }
+        key = (key << 1) | (if (s >= 0) 1L else 0L)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    keys
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keysOf(a.asInstanceOf[ArrayData], elemType(vec.dataType)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = elemType(vec.dataType)
+    val mat = ctx.addReferenceObj("lshPlanes", planesFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim")
+      val nBands = ctx.freshName("nBands")
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val key = ctx.freshName("key")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($mat.length % $dim != 0) {
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_bands: planes matrix (" + $mat.length + ") not a multiple of dim " + $dim);
+         |}
+         |int $nBands = $mat.length / $dim / $rowsPerBand;
+         |long[] $keys = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $key = 0L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    int $off = ($b * $rowsPerBand + $r) * $dim;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $s += $mat[$off + $j] * ${getter(et, a, j)};
+         |    }
+         |    $key = ($key << 1) | ($s >= 0 ? 1L : 0L);
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecLshBandKeysExpr =
+    copy(vec = c)
+}

@@ -118,6 +118,75 @@ object GraphBuild {
     bestId
   }
 
+  /** CollectPoints — connectivity repair (`index_bipartite.cpp:3010-3094`,
+    * `dfs`/`findroot`; present in the reference, disabled in its default
+    * build path at `:213`): DFS from the entry point, then graft each
+    * unreached component onto the corpus so ONE entry point covers every
+    * node. Matters on clustered corpora, where the α-RNG occlusion rule
+    * prunes inter-cluster edges and leaves islands no beam search can
+    * enter. Deviations from the reference, both deterministic-by-design:
+    * the graft target is the exact nearest REACHED node (the reference
+    * beam-searches then falls back to `rand()`), and the bridge edge is
+    * added in both directions (root→node for reachability, node→root so
+    * a beam inside the island can also leave it). Driver-side
+    * O(components · n · d) — build-tier work on the broadcast corpus. */
+  def collectPoints(g: CsrGraph, vecs: VectorStore,
+                    metric: VectorMetric): CsrGraph = {
+    val n = g.n
+    val seen = new Array[Boolean](n)
+    val stack = new mutable.ArrayDeque[Int](64)
+    def dfs(from: Int): Unit = {
+      if (!seen(from)) { seen(from) = true; stack.append(from) }
+      while (stack.nonEmpty) {
+        val u = stack.removeLast()
+        var i = g.nbrStart(u)
+        while (i < g.nbrEnd(u)) {
+          val v = g.nbrs(i)
+          if (!seen(v)) { seen(v) = true; stack.append(v) }
+          i += 1
+        }
+      }
+    }
+    dfs(g.entryPoint)
+    // graft targets come from the entry point's ORIGINAL component (star
+    // topology, every island ≤2 bridge hops from it) — not from
+    // already-grafted islands, which would chain bridges and make distant
+    // clusters need many low-similarity hops a bounded beam won't take
+    val epComp = seen.clone()
+    val bridges = new ArrayBuffer[(Int, Int)] // (reached root, island node)
+    var u = 0
+    while (u < n) {
+      if (!seen(u)) {
+        var best = -1
+        var bestD = Float.MaxValue
+        var v = 0
+        while (v < n) {
+          if (epComp(v)) {
+            val d = metric.dist(vecs.data, vecs.offset(v),
+              vecs.data, vecs.offset(u), vecs.dim)
+            if (d < bestD) { bestD = d; best = v }
+          }
+          v += 1
+        }
+        bridges += ((best, u))
+        // the bridge opens u's whole component; flood it before moving on
+        dfs(u)
+      }
+      u += 1
+    }
+    if (bridges.isEmpty) g
+    else {
+      val adj = Array.tabulate(n)(i => ArrayBuffer(g.neighbors(i).toSeq: _*))
+      bridges.foreach { case (root, node) =>
+        adj(root) += node
+        adj(node) += root
+      }
+      CsrGraph.fromAdjacency(
+        Array.tabulate(n)(i => (i.toLong, adj(i).toSeq.map(_.toLong))),
+        n, g.entryPoint)
+    }
+  }
+
   /** Exact kNN of each `train` row against the whole broadcast store —
     * the build-input kNN lists the reference loads precomputed (S9,
     * `LoadLearnBaseKNN` `index_bipartite.cpp:3111-3131`). Queries stay
@@ -173,8 +242,13 @@ object GraphBuild {
         val d = base.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
         val ranked =
           if (src == "lsh")
+            // honest banding (16 bands × 8 bits): prunes to ~6% of |Q|·|D|
+            // on the uncorrelated bulk; meaningful when the corpus has
+            // near-neighbor structure (IndexSpec gates the lsh-fed build
+            // on a clustered fixture — on uniform-random data use
+            // knnSource="exact"/"ivf")
             graft.operators.LshAnn.knn(trainQ, d, params.mSq,
-              numPlanes = 16, rowsPerBand = 2, excludeSelf = true)
+              numPlanes = 128, rowsPerBand = 8, excludeSelf = true)
           else
             graft.operators.IvfAnn.knn(spark, trainQ, d, params.mSq,
               excludeSelf = true)
@@ -285,7 +359,9 @@ object GraphBuild {
           coalesce(col("supply_nbrs"), typedLit(Seq.empty[Long]))),
           1, 2 * params.mPjbp).as("nbrs"))
 
-    val graph = CsrGraph.collect(finalAdj, n, ep)
+    // Phase (g): CollectPoints connectivity repair — no-op on corpora the
+    // α-RNG rule already leaves connected (e.g. uniform-random fixtures).
+    val graph = collectPoints(CsrGraph.collect(finalAdj, n, ep), vecs, metric)
     knn.unpersist()
     projAdj.unpersist()
     new RoarIndex(graph, vecs, params)

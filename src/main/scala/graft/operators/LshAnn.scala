@@ -39,41 +39,61 @@ object LshAnn {
         s"LshAnn: cannot derive vector dim from empty input ('$vecCol'); pass dim explicitly")
     }
 
-  /** Add (id-col untouched) an exploded (band, key) pair per row. */
-  private def banded(df: DataFrame, vecCol: String, planesLit: Column,
-                     numBands: Int, rowsPerBand: Int): DataFrame = {
-    // native fused-loop dot per plane (no per-plane zip_with allocation)
-    val bits = transform(planesLit, p =>
-      when(vecDot(p, col(vecCol)) >= 0, "1").otherwise("0"))
-    val bandKeys = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        array_join(slice(bits, b * rowsPerBand + 1, rowsPerBand), "").as("key"))
-    }
-    df.withColumn("bk", explode(array(bandKeys: _*)))
-      .withColumn("band", col("bk.band"))
-      .withColumn("key", col("bk.key"))
-      .drop("bk")
+  /** Add (id-col untouched) an exploded (band int, key long) pair per
+    * row. The signature is ONE fused codegen loop
+    * ([[graft.functions.expressions.VecLshBandKeysExpr]]) — plane dots,
+    * sign bits, and per-band key packing with zero per-plane allocation;
+    * the packed long keys also keep the band equi-join's shuffle keys
+    * fixed-width. */
+  private def banded(df: DataFrame, vecCol: String, planesFlat: Array[Double],
+                     rowsPerBand: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(vecLshBands(col(vecCol), planesFlat, rowsPerBand))
+        .as(Seq("band", "key")))
+
+  /** Deduplicated candidate set for a query→data LSH probe — exposed so
+    * tests can assert the measured candidate VOLUME stays ≪ |Q|·|D| (the
+    * guard against a regression to an effective cross join). Output:
+    * (q_id, q_vec, q_norm, d_id, d_vec, d_norm), one row per colliding
+    * (query, data) pair across any band. */
+  def candidates(queries: DataFrame, data: DataFrame,
+                 numPlanes: Int, rowsPerBand: Int,
+                 seed: Long = 42L, dim: Int = 0): DataFrame = {
+    require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
+    require(rowsPerBand >= 8,
+      s"rowsPerBand=$rowsPerBand gives a ${1 << rowsPerBand}-key band space; " +
+        "< 8 bits degenerates toward an all-pairs join (candidate volume " +
+        "~bands/2^bits of |Q|x|D| per band)")
+    val dimV = dimOf(queries, "q_vec", dim)
+    val planesFlat = planes(numPlanes, dimV, seed).flatten.toArray
+    val qb = banded(queries.withColumn("q_norm", vecNorm(col("q_vec"))),
+      "q_vec", planesFlat, rowsPerBand)
+    val db = banded(data.withColumn("d_norm", vecNorm(col("d_vec"))),
+      "d_vec", planesFlat, rowsPerBand)
+    qb.join(db, Seq("band", "key"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("d_id"), col("d_vec"), col("d_norm"))
+      .dropDuplicates("q_id", "d_id")
   }
 
   /** Approximate top-k cosine neighbors from `queries` (q_id, q_vec) to
     * `data` (d_id, d_vec). Output: (q_id, rank, d_id, score), scores
-    * 9-decimal-quantized like the exact path. */
+    * 9-decimal-quantized like the exact path.
+    *
+    * Default banding: 16 bands × 8 bits (256-key band space) — honest
+    * LSH that prunes. Per-band collision p^8 (p = 1-θ/π), so recall
+    * concentrates on genuinely-near neighbors (cos ≥ ~0.8) while the
+    * uncorrelated bulk collides at ≈16·(1/2)^8 ≈ 6% — the recall ≥0.9 +
+    * candidate-volume <20% gates in LlmPipelineSpec run on a clustered
+    * fixture, the data regime LSH exists for. (On a uniform-random corpus
+    * no sign-LSH parameterization is simultaneously selective and
+    * high-recall: the neighbor/bulk angle gap is too thin. The exact
+    * paths — KnnJoin/KnnKernel/PairKernel — are the right tool there.) */
   def knn(queries: DataFrame, data: DataFrame, k: Int,
-          numPlanes: Int = 12, rowsPerBand: Int = 2,
+          numPlanes: Int = 128, rowsPerBand: Int = 8,
           seed: Long = 42L, excludeSelf: Boolean = false,
           dim: Int = 0): DataFrame = {
-    require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
-    val numBands = numPlanes / rowsPerBand
-    val dimV = dimOf(queries, "q_vec", dim)
-    val planesLit = typedLit(planes(numPlanes, dimV, seed))
-    val qb = banded(queries.withColumn("q_norm", vecNorm(col("q_vec"))),
-      "q_vec", planesLit, numBands, rowsPerBand)
-    val db = banded(data.withColumn("d_norm", vecNorm(col("d_vec"))),
-      "d_vec", planesLit, numBands, rowsPerBand)
-    val cands = qb.join(db, Seq("band", "key"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("d_id"), col("d_vec"), col("d_norm"))
-      .dropDuplicates("q_id", "d_id")
+    val cands = candidates(queries, data, numPlanes, rowsPerBand, seed, dim)
     val scored0 = cands.withColumn("score",
       round(vecDot(col("q_vec"), col("d_vec")) /
         (col("q_norm") * col("d_norm")), 9))
@@ -83,44 +103,35 @@ object LshAnn {
       col("score"), col("d_id"), k, idName = "d_id")
   }
 
-  /** Global top-N most-similar vector pairs (id_a < id_b) — the
-    * scale-safe form of embedding-cosine near-dup. Candidates come from
-    * a banded equi-join on (band, key) — a hash shuffle on short keys,
-    * never an N×N cross join — then exact cosine rerank + bounded global
-    * top-N (TakeOrderedAndProject).
+  /** Thresholded near-dup pairs — ALL pairs with cosine ≥ `tau`
+    * (id_a < id_b), the 100 TB-shaped embedding near-dup primitive:
+    * candidates come from a banded equi-join on (band, key) — a hash
+    * shuffle on short keys, never an N×N cross join — and only bucket
+    * collisions are rerank-scored. Contrast [[PairKernel.globalTopPairs]],
+    * which answers the EXACT global-top-N question by scanning all pairs.
     *
-    * Input: (id, vec). Output: (id_a, id_b, cos) with the same
-    * quantized ordering as the exhaustive oracle (rank on round(cos,9),
-    * ties by ids, emit round(cos,6)).
+    * Input: (id, vec). Output: (id_a, id_b, cos) with cos ≥ tau, ordered
+    * (cos desc, ids asc), cos rounded to 6 decimals.
     *
-    * The default 24 bands × 2 bits is sized so that candidate recall on
-    * the fixtures is exactly 1.0 even at the moderate cosines (~0.44) of
-    * random data — per-pair miss probability (1-p²)^24 ≈ 2e-6 at
-    * cos 0.44 (p = 1-θ/π) — asserted against the exhaustive formulation
-    * in LlmPipelineSpec. At production near-dup thresholds (cos ≥ 0.9)
-    * far smaller configs prune far harder; this knob is the
-    * recall/candidate-volume dial. */
-  def nearDupPairs(vectors: DataFrame, topN: Int,
-                   numPlanes: Int = 48, rowsPerBand: Int = 2,
-                   seed: Long = 42L, dim: Int = 0): DataFrame = {
-    require(numPlanes % rowsPerBand == 0, "numPlanes must divide into bands")
-    val numBands = numPlanes / rowsPerBand
-    val dimV = dimOf(vectors, "vec", dim)
-    val planesLit = typedLit(planes(numPlanes, dimV, seed))
+    * Default banding 16 bands × 12 bits: at cos 0.95 a band collides with
+    * prob (1-θ/π)^12 ≈ 0.28 → pair recall 1-(1-0.28)^16 ≈ 0.995; an
+    * uncorrelated pair collides at ≈16·2^-12 ≈ 0.4% (asserted, with a
+    * ≥0.95 recall gate vs the exhaustive thresholded set, in
+    * LlmPipelineSpec). */
+  def thresholdPairs(vectors: DataFrame, tau: Double,
+                     numPlanes: Int = 192, rowsPerBand: Int = 12,
+                     seed: Long = 42L, dim: Int = 0): DataFrame = {
     val base = vectors.withColumn("norm", vecNorm(col("vec")))
-    val a = banded(base.select(col("id").as("id_a"), col("vec").as("va"),
-      col("norm").as("na")), "va", planesLit, numBands, rowsPerBand)
-    val b = banded(base.select(col("id").as("id_b"), col("vec").as("vb"),
-      col("norm").as("nb")), "vb", planesLit, numBands, rowsPerBand)
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"),
-        col("na"), col("nb"))
-      .dropDuplicates("id_a", "id_b")
+    val q = base.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val d = base.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    candidates(q, d, numPlanes, rowsPerBand, seed, dim)
+      .filter(col("q_id") < col("d_id"))
       .withColumn("cos",
-        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
-      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-      .limit(topN)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9))
+      .filter(col("cos") >= tau)
+      .orderBy(col("cos").desc, col("q_id").asc, col("d_id").asc)
+      .select(col("q_id").as("id_a"), col("d_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
   }
 }

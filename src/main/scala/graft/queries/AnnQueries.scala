@@ -41,15 +41,28 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
-    // Embedding-cosine near-dup: global top-20 most-similar vector pairs
-    // (a < b). Candidates from an LSH-banded equi-join (no N×N cross
-    // join — the exhaustive formulation lives only in the DuckDB oracle);
-    // exact cosine rerank on collisions, bounded global top-20. Candidate
-    // recall 1.0 on the fixtures is asserted in LlmPipelineSpec.
+    // Embedding-cosine near-dup, EXACT form: global top-20 most-similar
+    // vector pairs (a < b) via the blocked pair kernel — broadcast block ×
+    // streamed corpus, one bounded top-20 heap per task, no O(N²) rows in
+    // any shuffle. Same arithmetic as the DuckDB exhaustive oracle.
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      LshAnn.nearDupPairs(e, topN = 20)
+      graft.operators.PairKernel.globalTopPairs(s, e, topN = 20)
+    }),
+
+    // Embedding-cosine near-dup, THRESHOLD form (rows-only: banding is
+    // probabilistic by design; LlmPipelineSpec gates candidate recall
+    // ≥0.95 vs the exhaustive thresholded set and candidate volume ≪ N²).
+    // The fixture corpus is uniform-random (max pair cos ≈0.6), so the
+    // query plants one deterministic near-dup per vector — id+10⁶, each
+    // coordinate scaled by (1 + 0.5·sin(id + 37j)), cos ≈ 0.96 — and the
+    // honest 16-band × 12-bit LSH must find those pairs and prune the
+    // rest.
+    "dedup_embedding_threshold" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      LshAnn.thresholdPairs(plantNearDups(base), tau = 0.85)
     }),
 
     // S14: seeded random-vector source (rows-only; partitioning-invariant
@@ -76,6 +89,18 @@ object AnnQueries extends QueryPack {
         round(round(col("entropy"), 9), 6).as("entropy") +: histCols: _*)
     })
   )
+
+  /** Base corpus ∪ one deterministic perturbed copy per vector (id+10⁶,
+    * per-coordinate multiplicative noise, cos(original, copy) ≈ 0.96) —
+    * partition-invariant (pure function of id and coordinate index). */
+  def plantNearDups(base: DataFrame): DataFrame = {
+    val planted = base.select(
+      (col("id") + 1000000L).as("id"),
+      transform(col("vec"), (x, j) =>
+        (x * (lit(1.0) + lit(0.5) * sin(col("id") + lit(37.0) * j)))
+          .cast("float")).as("vec"))
+    base.unionAll(planted)
+  }
 
   private def dotSqlAB(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"

@@ -40,6 +40,31 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("vecLshBands packs sign bits into band keys, codegen == HOF spec") {
+    import graft.operators.LshAnn
+    val dim = 64
+    val planesFlat = LshAnn.planes(16, dim, seed = 42L).flatten.toArray
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val planesLit = typedLit(LshAnn.planes(16, dim, seed = 42L))
+    // HOF spec: per-plane interpreted dot, bits packed via arithmetic
+    val bitsHof = transform(planesLit, p =>
+      when(vecDotHof(p, col("embedding")) >= 0, 1L).otherwise(0L))
+    val keyHof = (b: Int) => (0 until 8).map(r =>
+      element_at(bitsHof, b * 8 + r + 1) * lit(1L << (7 - r))
+    ).reduce(_ + _)
+    val rows = e.select(col("vec_id"),
+        vecLshBands(col("embedding"), planesFlat, 8).as("native"),
+        array(keyHof(0), keyHof(1)).as("spec"))
+      .collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      val spec = r.getSeq[Long](2)
+      assert(native.length === 2)
+      assert(native === spec, s"vec_id=${r.getLong(0)}")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = pairs.select(vecDot(col("va"), col("vb")).as("dot"))
     df.collect() // AQE finalizes the physical plan only on execution
