@@ -1,21 +1,31 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{BeamSearch, GraphBuild}
-import graft.operators.{Recall, Rerank, SetSim, TopK}
+import graft.index.{BeamSearch, GraphBuild, Hnsw}
+import graft.operators.{Recall, Rerank}
 import graft.queries.{IndexQueries, VectorQueries}
 import graft.sources.Sinks
 
 /** M5 — experiment harness parity: the reference's budget-sweep runner
   * (`scripts/roargraph/run_roargraph_search_multivector_rerank_expr.sh`:
   * for each beam budget, search + rerank, then report
-  * (budget, recall, QPS) — `test_search_multivector_rerank.cpp:341-347`).
+  * (budget, recall, QPS) — `test_search_multivector_rerank.cpp:341-347`)
+  * with BOTH reference arms:
+  *
+  *  - `roar`  — RoarGraph adaptive multivector search (G9)
+  *  - `hnsw`  — the hnswlib baseline (`tests/hnsw/search_rerank_hnsw.cpp`:
+  *    M=35, ef_construction=500, per-subquery `ef = budget/c`, union of
+  *    per-subvector candidates into the same chamfer rerank)
+  *
+  * and the reference's second quality metric, relative distance error
+  * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
+  * the negated chamfer scores, reported beside Recall@K per row.
   *
   * Usage: `runMain graft.Sweep [sfDir] [budgets-csv] [outDir]` —
   * defaults: sf0.01 fixtures, budgets 40,80,120,200, stdout TSV only.
-  * With outDir set, per-budget rows land as an S12 TSV sink.
+  * With outDir set, rows land as an S12 TSV sink.
   */
 object Sweep {
   import VectorQueries.{C, NQ, K}
@@ -34,50 +44,76 @@ object Sweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val rows = run(spark, sfDir, budgets)
-    println("budget\trecall\tqps\tsearch_sec")
-    rows.foreach { case (b, r, q, t) => println(f"$b\t$r%.4f\t$q%.1f\t$t%.3f") }
+    println("arm\tbudget\trecall\trderr\tqps\tsearch_sec")
+    rows.foreach { case (arm, b, r, e, q, t) =>
+      println(f"$arm\t$b\t$r%.4f\t$e%.5f\t$q%.1f\t$t%.3f") }
     outDir.foreach { dir =>
       import spark.implicits._
-      Sinks.writeTsv(rows.toDF("budget", "recall", "qps", "search_sec"), dir)
+      Sinks.writeTsv(
+        rows.toDF("arm", "budget", "recall", "rderr", "qps", "search_sec"), dir)
     }
     spark.stop()
   }
 
-  /** One (budget, Recall@K vs fullscan GT, QPS, wall sec) row per budget. */
+  /** One (arm, budget, Recall@K, rel-dist-err, QPS, wall sec) row per
+    * (arm × budget). */
   def run(spark: SparkSession, sfDir: String,
-          budgets: Seq[Int]): Seq[(Int, Double, Double, Double)] = {
+          budgets: Seq[Int]): Seq[(String, Int, Double, Double, Double, Double)] = {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
     val graphB = spark.sparkContext.broadcast(idx.graph)
     val vecsB = spark.sparkContext.broadcast(idx.vecs)
+    // HNSW arm shares the corpus store; reference knobs M=35, efC=500
+    val hnswB = spark.sparkContext.broadcast(
+      Hnsw.build(idx.vecs, idx.params.metric))
     val querySets = emb.filter(col("vec_id") < NQ * C).select(
       (col("vec_id") / C).cast("long").as("qset_id"),
       (col("vec_id") % C).cast("int").as("q_sub"),
       col("embedding").as("q_vec"))
+    val queryVecs = emb.filter(col("vec_id") < NQ * C)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
-    // fullscan chamfer GT (W3 role)
-    val gt = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+    // fullscan chamfer GT (W3 role): ids for recall, scores for rderr
+    val gtRanked = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .cache()
+    val gt = gtRanked
       .groupBy(col("qset_id").as("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("rank"), col("dset_id")))),
         x => x.getField("dset_id")).as("gt_ids"))
       .cache()
     gt.count()
+    // negated-similarity distance convention (the reference's IP branch)
+    val gtLong = gtRanked.select(col("qset_id").as("query_id"), col("rank"),
+      (-col("score")).as("gt_dist"))
 
-    budgets.map { budget =>
+    def evalArm(arm: String, budget: Int,
+                cands: DataFrame): (String, Int, Double, Double, Double, Double) = {
       val t0 = System.nanoTime()
-      val cands = BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
-        idx.params.metric, minPq = math.min(10, budget / C),
-        maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
-      val reranked = Rerank.chamferTopK(emb, querySets,
-        cands.select(col("qset_id"), col("d_id")), C, K)
+      val reranked = Rerank.chamferTopK(emb, querySets, cands, C, K).cache()
       val res = reranked.groupBy(col("qset_id").as("query_id"))
         .agg(transform(array_sort(collect_list(struct(col("rank"), col("dset_id")))),
           x => x.getField("dset_id")).as("ids"))
       val recalls = Recall.atK(res, gt, K).collect()
       val dt = (System.nanoTime() - t0) / 1e9
+      val resLong = reranked.select(col("qset_id").as("query_id"), col("rank"),
+        (-col("score")).as("dist"))
+      val errRows = Recall.rderr(resLong, gtLong).collect()
+      val rderr = errRows.map(_.getDouble(1)).sum / math.max(errRows.length, 1)
+      reranked.unpersist()
       val recall = recalls.map(_.getDouble(1)).sum / recalls.length
-      val qps = recalls.length / dt
-      (budget, recall, qps, dt)
+      (arm, budget, recall, rderr, recalls.length / dt, dt)
+    }
+
+    budgets.flatMap { budget =>
+      val roarCands = BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
+        idx.params.metric, minPq = math.min(10, budget / C),
+        maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
+        .select(col("qset_id"), col("d_id"))
+      val ef = math.max(budget / C, 1)
+      val hnswCands = Hnsw.searchDf(spark, queryVecs, hnswB, k = ef, ef = ef)
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      Seq(evalArm("roar", budget, roarCands),
+        evalArm("hnsw", budget, hnswCands))
     }
   }
 }

@@ -1,5 +1,7 @@
 package graft.index
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +92,63 @@ object CsrGraph {
     val n = field("n").toInt
     val ep = field("entry_point").toInt
     collect(spark.read.parquet(s"$path/adjacency"), n, ep)
+  }
+
+  /** S11 (NSG interop) — import the reference's NSG byte format
+    * (`LoadNsgGraph`, `/root/reference/src/index_bipartite.cpp:2075-2097`):
+    * little-endian `uint32 width` (max degree, informational),
+    * `uint32 entry_point`, then per node `uint32 nbr_count` followed by
+    * `nbr_count × uint32` neighbor ids. The reference hardcodes
+    * npts=1,000,000; this reader consumes records until EOF so any corpus
+    * size round-trips. Driver-side I/O like the other binary parity
+    * sources (Fbin) — an interop boundary, not a query path. */
+  def loadNsg(path: String): CsrGraph = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 8, s"$path: too short for an NSG header")
+    buf.getInt() // width — informational in the reference loader too
+    val ep = buf.getInt()
+    val offsets = new ArrayBuffer[Int](1024)
+    offsets += 0
+    val nbrs = new ArrayBuffer[Int](1024)
+    while (buf.remaining() >= 4) {
+      val deg = buf.getInt()
+      require(deg >= 0 && buf.remaining() >= deg.toLong * 4,
+        s"$path: truncated adjacency record at node ${offsets.length - 1}")
+      var i = 0
+      while (i < deg) { nbrs += buf.getInt(); i += 1 }
+      offsets += nbrs.length
+    }
+    require(buf.remaining() == 0, s"$path: ${buf.remaining()} trailing bytes")
+    val n = offsets.length - 1
+    val g = new CsrGraph(n, offsets.toArray, nbrs.toArray, ep)
+    require(ep >= 0 && ep < n, s"$path: entry point $ep out of range for n=$n")
+    g.nbrs.foreach(v => require(v >= 0 && v < n,
+      s"$path: neighbor id $v out of range for n=$n"))
+    g
+  }
+
+  /** NSG-format writer — the parity sink twin of [[loadNsg]] (lets built
+    * graphs flow back into reference tooling; also the roundtrip test
+    * surface). `width` defaults to the true max degree. */
+  def saveNsg(g: CsrGraph, path: String, width: Int = -1): Unit = {
+    val w = if (width >= 0) width
+      else (0 until g.n).foldLeft(0)((m, v) => math.max(m, g.degree(v)))
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))))
+    try {
+      def writeIntLE(x: Int): Unit = out.writeInt(Integer.reverseBytes(x))
+      writeIntLE(w)
+      writeIntLE(g.entryPoint)
+      var v = 0
+      while (v < g.n) {
+        writeIntLE(g.degree(v))
+        var i = g.nbrStart(v)
+        while (i < g.nbrEnd(v)) { writeIntLE(g.nbrs(i)); i += 1 }
+        v += 1
+      }
+    } finally out.close()
   }
 
   /** A5 degree statistics (`index_bipartite.cpp:107-141,1145-1181`) as a

@@ -1,0 +1,202 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** HNSW baseline arm — the reference's comparison index
+  * (`/root/reference/tests/hnsw/search_rerank_hnsw.cpp:134,148-149`:
+  * hnswlib with `M=35, ef_construction=500, ef = budget/c`). Re-expressed
+  * from the published algorithm (Malkov & Yashunin, arXiv:1603.09320):
+  * layered proximity graphs, greedy 1-NN descent through the upper
+  * layers, beam (`ef`) search at layer 0.
+  *
+  * Deviations, both deterministic-by-design: the level of node v is drawn
+  * from a Random seeded by (seed, v) — insertion-order independent — and
+  * neighbor selection uses the plain nearest-M rule (hnswlib's default
+  * heuristic toggles; recall parity is judged by the Sweep monotone-recall
+  * gate, like the RoarGraph arm).
+  *
+  * Sits on the same broadcast tier as [[CsrGraph]]/[[BeamSearch]]: build
+  * is a driver/executor-local kernel over the packed [[VectorStore]],
+  * search fans out per query partition against the broadcast index.
+  */
+final class HnswIndex(val vecs: VectorStore, val m: Int,
+                      val layers: Array[Array[Array[Int]]], // layer -> node -> nbrs
+                      val levels: Array[Int], val entryPoint: Int,
+                      val maxLevel: Int, val metricName: String)
+    extends Serializable {
+  def neighbors(layer: Int, node: Int): Array[Int] = {
+    val l = layers(layer)(node)
+    if (l == null) Array.emptyIntArray else l
+  }
+}
+
+object Hnsw {
+
+  /** level(v) = floor(−ln(U(seed,v)) · 1/ln(M)) — the paper's geometric
+    * level distribution, made insertion-order independent. */
+  private def levelOf(v: Int, m: Int, seed: Long): Int = {
+    val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + v)
+    val u = math.max(rnd.nextDouble(), 1e-12)
+    (-math.log(u) / math.log(m.toDouble)).toInt
+  }
+
+  /** Beam search one layer: best-first expand from `eps`, keep ≤ ef
+    * closest visited. Returns (id, dist) ascending by distance. */
+  private def searchLayer(vecs: VectorStore, metric: VectorMetric,
+                          layers: Array[Array[Array[Int]]], layer: Int,
+                          q: Array[Float], eps: Seq[Int],
+                          ef: Int): mutable.ArrayBuffer[(Int, Float)] = {
+    val visited = new mutable.HashSet[Int]
+    // candidates: min-heap by dist; results: max-heap by dist (bounded ef)
+    val cand = mutable.PriorityQueue.empty[(Float, Int)](
+      Ordering.by[(Float, Int), Float](_._1).reverse)
+    val res = mutable.PriorityQueue.empty[(Float, Int)](
+      Ordering.by[(Float, Int), Float](_._1))
+    eps.foreach { e =>
+      if (visited.add(e)) {
+        val d = metric.dist(vecs.data, vecs.offset(e), q, 0, vecs.dim)
+        cand.enqueue((d, e))
+        res.enqueue((d, e))
+        if (res.size > ef) res.dequeue()
+      }
+    }
+    while (cand.nonEmpty && cand.head._1 <= res.head._1) {
+      val (_, u) = cand.dequeue()
+      val nbrs = layers(layer)(u)
+      if (nbrs != null) {
+        var i = 0
+        while (i < nbrs.length) {
+          val v = nbrs(i)
+          if (visited.add(v)) {
+            val d = metric.dist(vecs.data, vecs.offset(v), q, 0, vecs.dim)
+            if (res.size < ef || d < res.head._1) {
+              cand.enqueue((d, v))
+              res.enqueue((d, v))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.from(res.dequeueAll)
+    out.sortInPlaceBy(_._1)
+    out.map { case (d, id) => (id, d) }
+  }
+
+  /** Keep the `max` nearest, dropping ties deterministically (id asc). */
+  private def nearestM(cands: Iterable[(Int, Float)], max: Int): Array[Int] =
+    cands.toSeq.sortBy { case (id, d) => (d, id) }.take(max).map(_._1).toArray
+
+  /** Build with the reference arm's knobs (M=35, efConstruction=500). */
+  def build(vecs: VectorStore, metricName: String, m: Int = 35,
+            efConstruction: Int = 500, seed: Long = 42L): HnswIndex = {
+    val metric = Metrics(metricName)
+    val n = vecs.n
+    val levels = Array.tabulate(n)(v => levelOf(v, m, seed))
+    val maxLevel = levels.max
+    val layers = Array.fill(maxLevel + 1)(new Array[Array[Int]](n))
+    val mMax0 = 2 * m
+    var entry = -1
+    var entryLevel = -1
+    var v = 0
+    while (v < n) {
+      val lv = levels(v)
+      val q = vecs.vector(v)
+      if (entry < 0) { entry = v; entryLevel = lv }
+      else {
+        var ep = entry
+        // greedy descent through layers above the node's level
+        var layer = entryLevel
+        while (layer > lv) {
+          var changed = true
+          while (changed) {
+            changed = false
+            val nbrs = layers(layer)(ep)
+            if (nbrs != null) {
+              var i = 0
+              var bestD = metric.dist(vecs.data, vecs.offset(ep), q, 0, vecs.dim)
+              while (i < nbrs.length) {
+                val d = metric.dist(vecs.data, vecs.offset(nbrs(i)), q, 0, vecs.dim)
+                if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
+                i += 1
+              }
+            }
+          }
+          layer -= 1
+        }
+        // connect at each layer from min(entryLevel, lv) down to 0
+        var eps = Seq(ep)
+        layer = math.min(entryLevel, lv)
+        while (layer >= 0) {
+          val found = searchLayer(vecs, metric, layers, layer, q, eps, efConstruction)
+          val cap = if (layer == 0) mMax0 else m
+          val chosen = nearestM(found.map { case (id, d) => (id, d) }, m)
+          layers(layer)(v) = chosen
+          // bidirectional edges, pruning over-full neighbors to cap
+          chosen.foreach { u =>
+            val cur = layers(layer)(u)
+            val merged = if (cur == null) Array(v) else cur :+ v
+            layers(layer)(u) =
+              if (merged.length <= cap) merged
+              else nearestM(merged.map(x => (x,
+                metric.dist(vecs.data, vecs.offset(x), vecs.data,
+                  vecs.offset(u), vecs.dim))), cap)
+          }
+          eps = found.map(_._1).toSeq
+          layer -= 1
+        }
+        if (lv > entryLevel) { entry = v; entryLevel = lv }
+      }
+      v += 1
+    }
+    new HnswIndex(vecs, m, layers, levels, entry, entryLevel, metricName)
+  }
+
+  /** Top-k search, `ef` beam at layer 0 (`hnsw->setEf(budget/c)` in the
+    * reference arm). Returns (id, dist) ascending. */
+  def searchKnn(idx: HnswIndex, q0: Array[Float], k: Int,
+                ef: Int): Seq[(Int, Float)] = {
+    val metric = Metrics(idx.metricName)
+    val q = if (metric.normalizeAtLoad) VectorStore.normalized(q0) else q0
+    var ep = idx.entryPoint
+    var layer = idx.maxLevel
+    while (layer > 0) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val nbrs = idx.neighbors(layer, ep)
+        var bestD = metric.dist(idx.vecs.data, idx.vecs.offset(ep), q, 0, idx.vecs.dim)
+        var i = 0
+        while (i < nbrs.length) {
+          val d = metric.dist(idx.vecs.data, idx.vecs.offset(nbrs(i)), q, 0, idx.vecs.dim)
+          if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
+          i += 1
+        }
+      }
+      layer -= 1
+    }
+    searchLayer(idx.vecs, metric, idx.layers, 0, q, Seq(ep),
+      math.max(ef, k)).take(k).map { case (id, d) => (id, d) }.toSeq
+  }
+
+  /** Distributed search surface, shaped like
+    * [[BeamSearch.searchSingleDf]]: queries (q_id, q_vec) fan out per
+    * partition against the broadcast index; output (q_id, rank, d_id,
+    * score) with score = −dist (similarity convention). */
+  def searchDf(spark: SparkSession, queries: DataFrame, idxB: Broadcast[HnswIndex],
+               k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
+    queries.select(col("q_id"), col("q_vec")).as[(Long, Array[Float])]
+      .flatMap { case (qid, qvec) =>
+        val idx = idxB.value
+        searchKnn(idx, qvec, k, ef).zipWithIndex.map { case ((id, d), r) =>
+          (qid, r + 1, id.toLong, -d.toDouble)
+        }
+      }.toDF("q_id", "rank", "d_id", "score")
+  }
+}

@@ -65,6 +65,17 @@ object AnnQueries extends QueryPack {
       LshAnn.thresholdPairs(plantNearDups(base), tau = 0.85)
     }),
 
+    // S15 (closing): CLIP4Clip mean-pool prep — frames grouped 5-per-video
+    // (video_id = vec_id / 5), per-frame L2-normalize, per-dim mean,
+    // renormalize (prepare_for_clip_webvid.py:70-105). Long form
+    // (video_id, pos, val) so the pooled vectors are DuckDB-hashable.
+    "s15_meanpool" -> ((s, dir) => {
+      val frames = Tables.embeddings(s, dir)
+        .select((col("vec_id") / 5).cast("long").as("video_id"),
+          col("embedding"))
+      graft.operators.MeanPool.clip4clip(frames)
+    }),
+
     // S14: seeded random-vector source (rows-only; partitioning-invariant
     // determinism asserted in SourcesSpec). Norm column demonstrates the
     // normalize-at-generation contract.
@@ -148,6 +159,24 @@ object AnnQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
+    "s15_meanpool" ->
+      """WITH f AS (
+        |  SELECT vec_id // 5 AS video_id,
+        |         unnest(embedding) AS x,
+        |         unnest(range(1, len(embedding) + 1)) AS pos,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS fn0
+        |  FROM embeddings),
+        |e AS (SELECT video_id, pos,
+        |             CAST(x AS DOUBLE) /
+        |               (CASE WHEN fn0 = 0 THEN 1 ELSE fn0 END) AS xn
+        |      FROM f),
+        |m AS (SELECT video_id, pos, avg(xn) AS mean_val FROM e GROUP BY 1, 2),
+        |n AS (SELECT video_id, sqrt(sum(mean_val * mean_val)) AS vnorm
+        |      FROM m GROUP BY 1)
+        |SELECT m.video_id, m.pos,
+        |       round(round(m.mean_val / n.vnorm, 9), 6) AS val
+        |FROM m JOIN n ON m.video_id = n.video_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |pairs AS (

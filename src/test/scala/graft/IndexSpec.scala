@@ -179,13 +179,65 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
-  test("budget sweep: recall does not degrade as budget grows (M5)") {
+  test("HNSW baseline arm reaches >=0.9 Recall@10 vs exact kNN") {
+    import spark.implicits._
+    val vecsB = spark.sparkContext.broadcast(index.vecs)
+    val hnswB = spark.sparkContext.broadcast(Hnsw.build(index.vecs, "cosine"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Hnsw.searchDf(spark, q, hnswB, k = 10, ef = 60)
+      .groupBy("q_id").agg(collect_set(col("d_id")).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
+        excludeSelf = false)
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (qid, gt) =>
+      hits.get(qid).map(_.toSet.intersect(gt.toSet).size / 10.0).getOrElse(0.0)
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"HNSW Recall@10 = $avg")
+  }
+
+  test("budget sweep: both arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    assert(rows.length === 2)
-    val lo = rows.head._2
-    val hi = rows.last._2
-    assert(hi >= lo - 0.05, s"recall fell with budget: $rows")
-    assert(hi >= 0.9, s"recall at generous budget only $hi")
+    assert(rows.length === 4) // 2 budgets x {roar, hnsw}
+    for (arm <- Seq("roar", "hnsw")) {
+      val armRows = rows.filter(_._1 == arm).sortBy(_._2)
+      assert(armRows.length === 2, s"missing $arm rows: $rows")
+      val lo = armRows.head._3
+      val hi = armRows.last._3
+      assert(hi >= lo - 0.05, s"$arm recall fell with budget: $rows")
+      assert(hi >= 0.9, s"$arm recall at generous budget only $hi")
+      // rderr (ComputeRderr twin) is reported beside recall: finite,
+      // non-negative, and small once the budget is generous
+      armRows.foreach { r =>
+        assert(r._4 >= 0.0 && !r._4.isNaN && !r._4.isInfinite,
+          s"$arm rderr malformed: $r")
+      }
+      assert(armRows.last._4 <= 0.05,
+        s"$arm rel-dist-err at generous budget: ${armRows.last._4}")
+    }
+  }
+
+  test("rderr matches the hand-computed ComputeRderr on a tiny fixture") {
+    import spark.implicits._
+    // gt dists per rank: q0 -> (1, 2, 4); result dists: (1.1, 2, 5)
+    // rderr(q0) = (0.1/1 + 0 + 1/4) / 3 = 0.35/3
+    val gt = Seq((0L, 1, 1.0), (0L, 2, 2.0), (0L, 3, 4.0))
+      .toDF("query_id", "rank", "gt_dist")
+    val res = Seq((0L, 1, 1.1), (0L, 2, 2.0), (0L, 3, 5.0))
+      .toDF("query_id", "rank", "dist")
+    val got = graft.operators.Recall.rderr(res, gt).collect()
+    assert(got.length === 1)
+    assert(math.abs(got(0).getDouble(1) - 0.35 / 3) < 1e-12)
+    // zero-distance GT: exact hit contributes 0; miss row is dropped
+    val gt0 = Seq((1L, 1, 0.0), (1L, 2, 2.0)).toDF("query_id", "rank", "gt_dist")
+    val hit = Seq((1L, 1, 0.0), (1L, 2, 3.0)).toDF("query_id", "rank", "dist")
+    val g0 = graft.operators.Recall.rderr(hit, gt0).collect()
+    assert(math.abs(g0(0).getDouble(1) - 0.25) < 1e-12)
+    val miss = Seq((1L, 1, 0.5), (1L, 2, 2.0)).toDF("query_id", "rank", "dist")
+    val g1 = graft.operators.Recall.rderr(miss, gt0).collect()
+    assert(math.abs(g1(0).getDouble(1) - 0.0) < 1e-12)
   }
 
   test("adaptive budget allocation spends within budget and varies sizes") {

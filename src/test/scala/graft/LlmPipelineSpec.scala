@@ -169,6 +169,26 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("s15 mean-pool emits unit vectors and survives zero-norm frames") {
+    import spark.implicits._
+    val frames = Seq(
+      (0L, Array(1f, 0f, 0f)), (0L, Array(0f, 2f, 0f)),
+      (1L, Array(0f, 0f, 0f)), (1L, Array(3f, 4f, 0f))
+    ).toDF("video_id", "embedding")
+    val wide = graft.operators.MeanPool.clip4clipVectors(frames)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(wide.keySet === Set(0L, 1L))
+    wide.values.foreach { v =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"pooled norm $norm")
+      assert(v.forall(x => !x.isNaN))
+    }
+    // video 0: mean of (1,0,0) and (0,1,0) -> normalize -> (√2/2, √2/2, 0)
+    wide(0L).zip(Seq(0.707107, 0.707107, 0.0)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-5, s"${wide(0L)}")
+    }
+  }
+
   test("pair kernel multi-block passes equal the single-block result") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

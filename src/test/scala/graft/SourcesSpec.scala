@@ -101,6 +101,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(2).getSeq[Float](1) === Seq(7f, -8.5f))
   }
 
+  test("NSG byte-format import reads a hand-written file and roundtrips (S11)") {
+    import graft.index.CsrGraph
+    // hand-write the reference byte layout (LoadNsgGraph,
+    // index_bipartite.cpp:2075-2097): width, ep, then [deg, ids...] per node
+    val path = "/tmp/graft_test_nsg.bin"
+    val buf = java.nio.ByteBuffer.allocate(4 * (2 + 3 + 6))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(3) // width
+    buf.putInt(1) // entry point
+    buf.putInt(2).putInt(1).putInt(2) // node 0 -> 1, 2
+    buf.putInt(3).putInt(0).putInt(2).putInt(1) // node 1 -> 0, 2, 1
+    buf.putInt(1).putInt(0) // node 2 -> 0
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+    val g = CsrGraph.loadNsg(path)
+    assert(g.n === 3)
+    assert(g.entryPoint === 1)
+    assert(g.neighbors(0).toSeq === Seq(1, 2))
+    assert(g.neighbors(1).toSeq === Seq(0, 2, 1))
+    assert(g.neighbors(2).toSeq === Seq(0))
+    // writer twin: save and re-load must preserve everything
+    val rt = "/tmp/graft_test_nsg_rt.bin"
+    CsrGraph.saveNsg(g, rt)
+    val g2 = CsrGraph.loadNsg(rt)
+    assert(g2.n === g.n && g2.entryPoint === g.entryPoint)
+    (0 until g.n).foreach(v =>
+      assert(g2.neighbors(v).toSeq === g.neighbors(v).toSeq))
+    // truncated file fails loudly, not with a silent short graph
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      java.util.Arrays.copyOfRange(buf.array(), 0, 4 * 4))
+    assertThrows[IllegalArgumentException](CsrGraph.loadNsg(path))
+  }
+
   test("GraftConfig typed access and build-params adapter (C1)") {
     val c = GraftConfig().set("M_pjbp", 16).set("metric", "l2").set("adaptive", true)
     assert(c.getInt("M_pjbp", 35) === 16)
