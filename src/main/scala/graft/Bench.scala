@@ -36,7 +36,7 @@ object Bench {
     // a built index, as in the reference) would otherwise be billed to
     // whichever query happens to run first. Warmup failures are printed
     // (never silently swallowed) but don't abort the run.
-    for (w <- Seq("q1_agg", "g2_graph_stats")) {
+    for (w <- Seq("q1_agg", "g2_graph_stats", "g9_sharded")) {
       try force(SparkEntry.queries(w)(spark, sfDir))
       catch { case t: Throwable =>
         System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")

@@ -109,6 +109,49 @@ object IvfAnn {
     }
   }
 
+  /** Materialize the cell-partitioned corpus layout promised in the
+    * header note: one parquet partition directory per IVF cell, so a
+    * probe query's cell filter prunes unprobed partitions AT THE SCAN
+    * (never reads their files). This is the offline half of IVF at
+    * 100 TB — assignment runs once, every probe query afterwards touches
+    * ~nProbe/nlist of the bytes. */
+  def writeCellLayout(spark: SparkSession, data: DataFrame, path: String,
+                      centroids: Array[Array[Float]]): Unit =
+    assign(spark, data, "d_id", "d_vec", centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Approximate top-k over a [[writeCellLayout]] corpus: probe cells are
+    * resolved first (queries × centroids — tiny), then pushed into the
+    * scan as a LITERAL partition filter, so only the probed cells'
+    * files are read (IvfSpec asserts the `PartitionFilters` pruning).
+    * Scoring/ranking arithmetic is identical to [[knn]]. */
+  def knnOverLayout(spark: SparkSession, queries: DataFrame, path: String,
+                    centroids: Array[Array[Float]], k: Int, nProbe: Int = 10,
+                    excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(v, cB.value, nProbe).map(c => (id, v, c))
+      }.toDF("q_id", "q_vec", "cell")
+      .withColumn("q_norm", vecNorm(col("q_vec")))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .withColumn("d_norm", vecNorm(col("d_vec")))
+    val scored0 = probes.join(corpus, Seq("cell"))
+      .select(col("q_id"), col("d_id"),
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9).as("score"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
+  }
+
   /** Approximate top-k: probe `nProbe` cells per query, exact cosine
     * rerank inside them (same quantized scoring as the exact paths). */
   def knn(spark: SparkSession, queries: DataFrame, data: DataFrame, k: Int,

@@ -43,6 +43,21 @@ object IndexQueries extends QueryPack {
         s.sparkContext.broadcast(idx.vecs))
     })
 
+  /** One sharded index per (dir, nShards) — the scale-tier twin of
+    * [[handles]]. */
+  private val shardedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardedIndex]()
+
+  private def shardedHandles(s: SparkSession, dir: String,
+                             nShards: Int): ShardedIndex =
+    shardedCache.computeIfAbsent((dir, nShards), _ =>
+      ShardedIndex.build(s, Tables.embeddings(s, dir), FixtureParams, nShards))
+
+  /** Flagship-tier shard knob: 1 (default) = broadcast tier, >1 = sharded
+    * tier (per-shard graphs + bounded merge — the 100 TB layout). */
+  def confShards(s: SparkSession): Int =
+    s.conf.get("spark.graft.index.shards", "1").toInt
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
@@ -196,14 +211,39 @@ object IndexQueries extends QueryPack {
     // restricted to those candidates (rows-only; recall harness in
     // IndexSpec asserts ≥0.95 Recall@10 vs the fullscan oracle).
     "g9_multivector_search" -> ((s, dir) => {
-      val h = handles(s, dir)
       val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
         (col("vec_id") / C).cast("long").as("qset_id"),
         (col("vec_id") % C).cast("int").as("q_sub"),
         col("embedding").as("q_vec"))
-      val cands = BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
-        h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
-        adaptive = true)
+      // tier switch: spark.graft.index.shards > 1 routes the flagship
+      // path through the sharded tier (per-shard search + bounded merge)
+      val cands = confShards(s) match {
+        case 1 =>
+          val h = handles(s, dir)
+          BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
+            h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
+            adaptive = true)
+        case n =>
+          ShardedIndex.searchMultiDf(s, querySets, shardedHandles(s, dir, n),
+            FixtureParams.metric, minPq = 10, maxPq = 200, budget = 120,
+            adaptive = true)
+      }
+      Rerank.chamferTopK(emb(s, dir), querySets,
+        cands.select(col("qset_id"), col("d_id")), C, K)
+    }),
+
+    // G9 over the sharded tier explicitly (2 strided shards, per-shard
+    // RoarGraph, same budget per shard, one bounded rerank merge) —
+    // rows-only; IndexSpec holds it to the same >=0.95 Recall@10 gate as
+    // the broadcast-tier G9.
+    "g9_sharded" -> ((s, dir) => {
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      val cands = ShardedIndex.searchMultiDf(s, querySets,
+        shardedHandles(s, dir, 2), FixtureParams.metric,
+        minPq = 10, maxPq = 200, budget = 120, adaptive = true)
       Rerank.chamferTopK(emb(s, dir), querySets,
         cands.select(col("qset_id"), col("d_id")), C, K)
     })

@@ -208,25 +208,13 @@ object TextQueries extends QueryPack {
 
     // MinHash-LSH candidate pairs: band signatures (2 rows/band), bucket
     // equi-join, count shared bands per pair. Never an all-pairs join —
-    // the shuffle key is the band hash.
-    "dedup_minhash_pairs" -> ((s, dir) => {
-      val sh = trigrams(s, dir).withColumn("h", md5(col("shingle")))
-      val sigs = (1 to NumHashes).map(r =>
-        min(substring(col("h"), (r - 1) * 4 + 1, 4)).as(s"sig$r"))
-      val signed = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
-      val bandCols = (0 until NumBands).map { b =>
-        val parts = (1 to RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), md5(concat(parts: _*)).as("key")).as(s"b$b")
-      }
-      val banded = signed.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"), explode(array((0 until NumBands).map(b => col(s"b$b")): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-    })
+    // the shuffle key is the band hash. Logic lives in
+    // operators.MinHashLsh so the hot-band skew path is testable on
+    // synthetic fixtures.
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      graft.operators.MinHashLsh.bandedPairs(
+        trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+        NumHashes, RowsPerBand))
   )
 
   def oracles: Map[String, String] = {

@@ -96,6 +96,26 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("wrong-dim query literal is NOT routed (fails like the exhaustive plan)") {
+    setup
+    // 3-dim literal against the 64-dim corpus: the exhaustive VecDotExpr
+    // throws on dimension mismatch, so the index path must never instead
+    // return truncated-dot scores — the rewrite bails out and the query
+    // fails identically on both routes
+    val shortQ = "array(1.0F, 2.0F, 3.0F)"
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(sql(shortQ))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnSearch"), s"wrong-dim query was routed:\n$plan")
+      val e = intercept[Exception](df.collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("dimension mismatch")), s"$e")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("same-named columns on a DIFFERENT relation are NOT routed") {
     setup
     val q = queryLit

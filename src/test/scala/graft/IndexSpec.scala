@@ -179,6 +179,36 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("g9_sharded (2-shard tier) achieves >=0.95 Recall@10 vs fullscan") {
+    val approx = IndexQueries.queries("g9_sharded")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"sharded G9 Recall@10 = $avg (per-set: $recalls)")
+  }
+
+  test("flagship g9 routes through the sharded tier under the conf switch") {
+    val conf = "spark.graft.index.shards"
+    spark.conf.set(conf, "2")
+    try {
+      val sharded = IndexQueries.queries("g9_multivector_search")(spark, sfDir)
+        .select("qset_id", "dset_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val explicit = IndexQueries.queries("g9_sharded")(spark, sfDir)
+        .select("qset_id", "dset_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      assert(sharded === explicit,
+        "conf-routed flagship disagrees with the explicit sharded query")
+    } finally spark.conf.set(conf, "1")
+  }
+
   test("HNSW baseline arm reaches >=0.9 Recall@10 vs exact kNN") {
     import spark.implicits._
     val vecsB = spark.sparkContext.broadcast(index.vecs)

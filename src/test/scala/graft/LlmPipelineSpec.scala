@@ -113,6 +113,66 @@ class LlmPipelineSpec extends AnyFunSuite {
       || plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
   }
 
+  test("IVF cell layout prunes unprobed partitions and matches the in-memory path") {
+    import graft.operators.IvfAnn
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // train the same centroids knn() derives internally (same sample, seed)
+    val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(2000).map(_._2)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val path = "/tmp/graft_ivf_layout"
+    IvfAnn.writeCellLayout(spark, d, path, centroids)
+    val fromLayout = IvfAnn.knnOverLayout(spark, q, path, centroids, 10,
+      nProbe = 2, excludeSelf = true)
+    val layoutRows = fromLayout.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    assert(plan.contains("cell"), s"cell filter missing from scan:\n$plan")
+    val mem = IvfAnn.knn(spark, q, d, 10, nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(layoutRows === mem,
+      "cell-layout probe disagrees with the in-memory IVF path")
+  }
+
+  test("hot band: AQE skew-join split engages on the banded self-join") {
+    import spark.implicits._
+    // 600 exact near-dups (one hot (band,key) bucket) + 200 distinct docs
+    val hotShingles = Seq("aa bb cc", "bb cc dd", "cc dd ee")
+    val sh = ((0 until 600).flatMap(i => hotShingles.map(s => (i.toLong, s))) ++
+      (600 until 800).flatMap(i =>
+        Seq((i.toLong, s"u$i v$i w$i"), (i.toLong, s"v$i w$i x$i"))))
+      .toDF("doc_id", "shingle")
+      .withColumn("h", md5(col("shingle")))
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pairs = graft.operators.MinHashLsh.bandedPairs(sh)
+      val rows = pairs.collect() // forces the AQE final plan
+      // correctness under the split: every hot pair present, all 4 bands
+      val hot = rows.filter(r => r.getLong(0) < 600 && r.getLong(1) < 600)
+      assert(hot.length === 600 * 599 / 2, s"hot pairs ${hot.length}")
+      assert(hot.forall(_.getLong(2) === 4))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE skew split did not engage:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash pairs are consistent with signatures") {
     val pairs = TextQueries.queries("dedup_minhash_pairs")(spark, sfDir).collect()
     pairs.foreach { r =>
