@@ -51,11 +51,17 @@ object LshAnn {
       posexplode(vecLshBands(col(vecCol), planesFlat, rowsPerBand))
         .as(Seq("band", "key")))
 
-  /** Deduplicated candidate set for a query→data LSH probe — exposed so
-    * tests can assert the measured candidate VOLUME stays ≪ |Q|·|D| (the
-    * guard against a regression to an effective cross join). Output:
-    * (q_id, q_vec, q_norm, d_id, d_vec, d_norm), one row per colliding
-    * (query, data) pair across any band. */
+  /** Deduplicated candidate ID PAIRS for a query→data LSH probe —
+    * exposed so tests can assert the measured candidate VOLUME stays
+    * ≪ |Q|·|D| (the guard against a regression to an effective cross
+    * join). Output: (q_id, d_id), one row per colliding pair across any
+    * band.
+    *
+    * Ids only, deliberately: the banded explode duplicates every row
+    * once per band, so carrying vectors here would push numBands copies
+    * of each vector (plus two vectors per surviving candidate) through
+    * the band shuffle and the dedup exchange. Pairs are two longs; the
+    * scoring callers join the vectors back exactly once per side. */
   def candidates(queries: DataFrame, data: DataFrame,
                  numPlanes: Int, rowsPerBand: Int,
                  seed: Long = 42L, dim: Int = 0): DataFrame = {
@@ -66,15 +72,28 @@ object LshAnn {
         "~bands/2^bits of |Q|x|D| per band)")
     val dimV = dimOf(queries, "q_vec", dim)
     val planesFlat = planes(numPlanes, dimV, seed).flatten.toArray
-    val qb = banded(queries.withColumn("q_norm", vecNorm(col("q_vec"))),
-      "q_vec", planesFlat, rowsPerBand)
-    val db = banded(data.withColumn("d_norm", vecNorm(col("d_vec"))),
-      "d_vec", planesFlat, rowsPerBand)
+    val qb = banded(queries, "q_vec", planesFlat, rowsPerBand)
+      .select(col("band"), col("key"), col("q_id"))
+    val db = banded(data, "d_vec", planesFlat, rowsPerBand)
+      .select(col("band"), col("key"), col("d_id"))
     qb.join(db, Seq("band", "key"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("d_id"), col("d_vec"), col("d_norm"))
+      .select(col("q_id"), col("d_id"))
       .dropDuplicates("q_id", "d_id")
   }
+
+  /** Exact cosine on candidate pairs: vectors joined back once per side
+    * (query side broadcastable in the knn shape; corpus side one hash
+    * join on d_id), scored with the oracle arithmetic. */
+  private def scorePairs(pairs: DataFrame, queries: DataFrame,
+                         data: DataFrame): DataFrame =
+    pairs
+      .join(data.select(col("d_id"), col("d_vec"),
+        vecNorm(col("d_vec")).as("d_norm")), Seq("d_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"),
+        vecNorm(col("q_vec")).as("q_norm"))), Seq("q_id"))
+      .withColumn("score",
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9))
 
   /** Approximate top-k cosine neighbors from `queries` (q_id, q_vec) to
     * `data` (d_id, d_vec). Output: (q_id, rank, d_id, score), scores
@@ -94,9 +113,7 @@ object LshAnn {
           seed: Long = 42L, excludeSelf: Boolean = false,
           dim: Int = 0): DataFrame = {
     val cands = candidates(queries, data, numPlanes, rowsPerBand, seed, dim)
-    val scored0 = cands.withColumn("score",
-      round(vecDot(col("q_vec"), col("d_vec")) /
-        (col("q_norm") * col("d_norm")), 9))
+    val scored0 = scorePairs(cands, queries, data)
     val scored =
       if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
     TopK.perGroupAgg(scored, Seq(col("q_id")),
@@ -121,11 +138,18 @@ object LshAnn {
   def thresholdPairs(vectors: DataFrame, tau: Double,
                      numPlanes: Int = 192, rowsPerBand: Int = 12,
                      seed: Long = 42L, dim: Int = 0): DataFrame = {
-    val base = vectors.withColumn("norm", vecNorm(col("vec")))
-    val q = base.select(col("id").as("q_id"), col("vec").as("q_vec"))
-    val d = base.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    val q = vectors.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val d = vectors.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    val withNorm = vectors.select(col("id"), col("vec"),
+      vecNorm(col("vec")).as("norm"))
+    // self-join: both vector join-backs hit the same (possibly huge)
+    // corpus, so neither side is broadcast here — two hash joins on id
     candidates(q, d, numPlanes, rowsPerBand, seed, dim)
       .filter(col("q_id") < col("d_id"))
+      .join(withNorm.select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm")), Seq("q_id"))
+      .join(withNorm.select(col("id").as("d_id"), col("vec").as("d_vec"),
+        col("norm").as("d_norm")), Seq("d_id"))
       .withColumn("cos",
         round(vecDot(col("q_vec"), col("d_vec")) /
           (col("q_norm") * col("d_norm")), 9))
