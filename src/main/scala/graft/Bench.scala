@@ -42,38 +42,53 @@ object Bench {
         System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
-    // Per-query {seconds, ok}. A failed query records ok=false and
-    // seconds=-1 so it can never masquerade as a timing.
+    // Per-query: each query runs TWICE and the reported timing is the MIN
+    // of the two (both raw timings are kept in the JSON under "raw").
+    // A single run is hostage to one-off JIT/GC/machine-load spikes — the
+    // r5 driver bench recorded 40.6 s for a query that takes 1.6 s — and a
+    // gate that can emit that is not a gate. Min-of-2 bounds the damage a
+    // single spike can do to one run's noise floor. A failed query records
+    // ok=false and seconds=-1 so it can never masquerade as a timing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch { case t: Throwable =>
-          System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-          false
-        }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      name -> (sec, ok)
+      val raw = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case t: Throwable =>
+            System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            false
+          }
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val ok = raw.forall(_._2)
+      val sec = if (ok) raw.map(_._1).min else -1.0
+      name -> (sec, ok, raw.map(_._1))
     }
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + fmt(sec) }
+    def jsonLine(fmt: Double => String, withRaw: Boolean): String = {
+      val qs = results.map { case (k, (sec, _, _)) => "\"" + k + "\":" + fmt(sec) }
         .mkString("{", ",", "}")
-      val failedNames = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      val rawJson =
+        if (!withRaw) ""
+        else "," + results.map { case (k, (_, _, raw)) =>
+          "\"" + k + "\":" + raw.map(fmt).mkString("[", ",", "]")
+        }.mkString("\"raw\":{", ",", "}")
+      val failedNames = results.collect { case (k, (_, false, _)) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val failed = results.count { case (_, (_, ok)) => !ok }
-      val total = results.values.collect { case (sec, true) => sec }.sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+      val failed = results.count { case (_, (_, ok, _)) => !ok }
+      val total = results.values.collect { case (sec, true, _) => sec }.sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
     }
     // Full-precision copy goes to a file (survives any log-tail bound);
     // the printed line is 3-decimal so the whole line fits in a bounded
     // capture even at 56 queries.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (jsonLine(_.toString) + "\n").getBytes("UTF-8"))
+      (jsonLine(_.toString, withRaw = true) + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
       System.err.println(s"BENCH_OUT write failed: ${t.getMessage}")
     }
-    println(jsonLine(s => f"$s%.3f"))
+    println(jsonLine(s => f"$s%.3f", withRaw = true))
     spark.stop()
   }
 }
