@@ -21,7 +21,11 @@ import graft.sources.Sinks
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
-  * the negated chamfer scores, reported beside Recall@K per row.
+  * the negated chamfer scores, reported beside Recall@K per row — plus
+  * the reference's rerank-time fraction (`rerank_time / total` per
+  * budget row, `test_search_multivector_rerank.cpp:343-347`): the search
+  * stage is materialized and timed separately from the chamfer rerank,
+  * and `rerank_frac` = rerank / (search + rerank).
   *
   * Usage: `runMain graft.Sweep [sfDir] [budgets-csv] [outDir]` —
   * defaults: sf0.01 fixtures, budgets 40,80,120,200, stdout TSV only.
@@ -44,26 +48,28 @@ object Sweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val rows = run(spark, sfDir, budgets)
-    println("arm\tbudget\trecall\trderr\tqps\tsearch_sec")
-    rows.foreach { case (arm, b, r, e, q, t) =>
-      println(f"$arm\t$b\t$r%.4f\t$e%.5f\t$q%.1f\t$t%.3f") }
+    println("arm\tbudget\trecall\trderr\tqps\tsearch_sec\trerank_frac")
+    rows.foreach { case (arm, b, r, e, q, t, f) =>
+      println(f"$arm\t$b\t$r%.4f\t$e%.5f\t$q%.1f\t$t%.3f\t$f%.3f") }
     outDir.foreach { dir =>
       import spark.implicits._
       Sinks.writeTsv(
-        rows.toDF("arm", "budget", "recall", "rderr", "qps", "search_sec"), dir)
+        rows.toDF("arm", "budget", "recall", "rderr", "qps", "search_sec",
+          "rerank_frac"), dir)
     }
     spark.stop()
   }
 
-  /** One (arm, budget, Recall@K, rel-dist-err, QPS, wall sec) row per
-    * (arm × budget). */
+  /** One (arm, budget, Recall@K, rel-dist-err, QPS, search wall sec,
+    * rerank_frac) row per (arm × budget). */
   def run(spark: SparkSession, sfDir: String,
-          budgets: Seq[Int]): Seq[(String, Int, Double, Double, Double, Double)] = {
+          budgets: Seq[Int]): Seq[(String, Int, Double, Double, Double, Double, Double)] = {
     val emb = Tables.embeddings(spark, sfDir)
     val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
     val graphB = spark.sparkContext.broadcast(idx.graph)
     val vecsB = spark.sparkContext.broadcast(idx.vecs)
-    // HNSW arm shares the corpus store; reference knobs M=35, efC=500
+    // HNSW arm SHARES the corpus broadcast (vecsB) — the index itself
+    // carries only adjacency; reference knobs M=35, efC=500
     val hnswB = spark.sparkContext.broadcast(
       Hnsw.build(idx.vecs, idx.params.metric))
     val querySets = emb.filter(col("vec_id") < NQ * C).select(
@@ -87,21 +93,28 @@ object Sweep {
       (-col("score")).as("gt_dist"))
 
     def evalArm(arm: String, budget: Int,
-                cands: DataFrame): (String, Int, Double, Double, Double, Double) = {
+                cands0: DataFrame): (String, Int, Double, Double, Double, Double, Double) = {
+      // search stage timed on its own: materialize the candidate set
+      // (localCheckpoint is eager) before the rerank plan sees it
       val t0 = System.nanoTime()
+      val cands = cands0.localCheckpoint(true)
+      val searchSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
       val reranked = Rerank.chamferTopK(emb, querySets, cands, C, K).cache()
       val res = reranked.groupBy(col("qset_id").as("query_id"))
         .agg(transform(array_sort(collect_list(struct(col("rank"), col("dset_id")))),
           x => x.getField("dset_id")).as("ids"))
       val recalls = Recall.atK(res, gt, K).collect()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val rerankSec = (System.nanoTime() - t1) / 1e9
       val resLong = reranked.select(col("qset_id").as("query_id"), col("rank"),
         (-col("score")).as("dist"))
       val errRows = Recall.rderr(resLong, gtLong).collect()
       val rderr = errRows.map(_.getDouble(1)).sum / math.max(errRows.length, 1)
       reranked.unpersist()
       val recall = recalls.map(_.getDouble(1)).sum / recalls.length
-      (arm, budget, recall, rderr, recalls.length / dt, dt)
+      val total = searchSec + rerankSec
+      (arm, budget, recall, rderr, recalls.length / total, searchSec,
+        rerankSec / total)
     }
 
     budgets.flatMap { budget =>
@@ -110,7 +123,7 @@ object Sweep {
         maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
         .select(col("qset_id"), col("d_id"))
       val ef = math.max(budget / C, 1)
-      val hnswCands = Hnsw.searchDf(spark, queryVecs, hnswB, k = ef, ef = ef)
+      val hnswCands = Hnsw.searchDf(spark, queryVecs, hnswB, vecsB, k = ef, ef = ef)
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
         evalArm("hnsw", budget, hnswCands))

@@ -55,7 +55,10 @@ object VectorFunctions {
     * [[graft.operators.LshAnn]]. */
   def vecLshBands(a: Column, planesFlat: Array[Double], rowsPerBand: Int): Column =
     GraftColumnBridge.column(
-      VecLshBandKeysExpr(GraftColumnBridge.expression(a), planesFlat, rowsPerBand))
+      // immutable copy: the expression compares planes by VALUE (equality
+      // drives canonicalization), so it must not share a mutable array
+      VecLshBandKeysExpr(GraftColumnBridge.expression(a),
+        planesFlat.toIndexedSeq, rowsPerBand))
 
   /** HOF spec form of [[vecDot]] — mirrors the oracle SQL. */
   def vecDotHof(a: Column, b: Column): Column =

@@ -196,7 +196,7 @@ case class VecNormExpr(child: Expression)
   * so the whole signature stays inside whole-stage codegen with zero
   * per-plane allocation.
   */
-case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
+case class VecLshBandKeysExpr(vec: Expression, planesFlat: Seq[Double],
                               rowsPerBand: Int)
     extends UnaryExpression with VecElemType {
 
@@ -204,11 +204,17 @@ case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Seq in the case-class fields (an Array would compare by reference and
+  // defeat canonicalization / subexpression elimination); flat array for
+  // the hot loop and the codegen reference object.
+  private lazy val planesArr: Array[Double] = planesFlat.toArray
+
   private def keysOf(x: ArrayData, et: DataType): Array[Long] = {
     val dim = x.numElements()
-    require(planesFlat.length % dim == 0,
-      s"graft_lsh_bands: planes matrix (${planesFlat.length}) not a multiple of dim $dim")
-    val nPlanes = planesFlat.length / dim
+    require(dim > 0, "graft_lsh_bands: zero-length input vector")
+    require(planesArr.length % dim == 0,
+      s"graft_lsh_bands: planes matrix (${planesArr.length}) not a multiple of dim $dim")
+    val nPlanes = planesArr.length / dim
     val nBands = nPlanes / rowsPerBand
     val v = new Array[Double](dim)
     var i = 0
@@ -222,7 +228,7 @@ case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
         val off = (b * rowsPerBand + r) * dim
         var s = 0.0
         var j = 0
-        while (j < dim) { s += planesFlat(off + j) * v(j); j += 1 }
+        while (j < dim) { s += planesArr(off + j) * v(j); j += 1 }
         key = (key << 1) | (if (s >= 0) 1L else 0L)
         r += 1
       }
@@ -238,7 +244,7 @@ case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val et = elemType(vec.dataType)
-    val mat = ctx.addReferenceObj("lshPlanes", planesFlat, "double[]")
+    val mat = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val dim = ctx.freshName("dim")
       val nBands = ctx.freshName("nBands")
@@ -251,6 +257,10 @@ case class VecLshBandKeysExpr(vec: Expression, planesFlat: Array[Double],
       val key = ctx.freshName("key")
       s"""
          |int $dim = $a.numElements();
+         |if ($dim == 0) {
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_bands: zero-length input vector");
+         |}
          |if ($mat.length % $dim != 0) {
          |  throw new IllegalArgumentException(
          |    "graft_lsh_bands: planes matrix (" + $mat.length + ") not a multiple of dim " + $dim);

@@ -128,10 +128,15 @@ object GraphBuild {
     * the graft target is the exact nearest REACHED node (the reference
     * beam-searches then falls back to `rand()`), and the bridge edge is
     * added in both directions (root→node for reachability, node→root so
-    * a beam inside the island can also leave it). Driver-side
-    * O(components · n · d) — build-tier work on the broadcast corpus. */
+    * a beam inside the island can also leave it). Driver-side, bounded:
+    * the graft target is the nearest of a ≤[[GraftScanCap]] deterministic
+    * stride-sample of the entry component, so repair costs
+    * O(components · GraftScanCap · d) even on heavily fragmented corpora
+    * (the reference's own fallback is `rand()` — `:3060-3070`). `cap`
+    * re-applies the build's degree bound after bridging (bridge edges are
+    * never evicted; farthest non-bridge neighbors are). */
   def collectPoints(g: CsrGraph, vecs: VectorStore,
-                    metric: VectorMetric): CsrGraph = {
+                    metric: VectorMetric, cap: Int = Int.MaxValue): CsrGraph = {
     val n = g.n
     val seen = new Array[Boolean](n)
     val stack = new mutable.ArrayDeque[Int](64)
@@ -153,20 +158,21 @@ object GraphBuild {
     // already-grafted islands, which would chain bridges and make distant
     // clusters need many low-similarity hops a bounded beam won't take
     val epComp = seen.clone()
+    val epIds = (0 until n).filter(epComp).toArray
+    val stride = math.max(1, epIds.length / GraftScanCap)
     val bridges = new ArrayBuffer[(Int, Int)] // (reached root, island node)
     var u = 0
     while (u < n) {
       if (!seen(u)) {
         var best = -1
         var bestD = Float.MaxValue
-        var v = 0
-        while (v < n) {
-          if (epComp(v)) {
-            val d = metric.dist(vecs.data, vecs.offset(v),
-              vecs.data, vecs.offset(u), vecs.dim)
-            if (d < bestD) { bestD = d; best = v }
-          }
-          v += 1
+        var k = 0
+        while (k < epIds.length) {
+          val v = epIds(k)
+          val d = metric.dist(vecs.data, vecs.offset(v),
+            vecs.data, vecs.offset(u), vecs.dim)
+          if (d < bestD) { bestD = d; best = v }
+          k += stride
         }
         bridges += ((best, u))
         // the bridge opens u's whole component; flood it before moving on
@@ -177,15 +183,31 @@ object GraphBuild {
     if (bridges.isEmpty) g
     else {
       val adj = Array.tabulate(n)(i => ArrayBuffer(g.neighbors(i).toSeq: _*))
+      val bridgeNbrs = mutable.Map.empty[Int, mutable.Set[Int]]
       bridges.foreach { case (root, node) =>
         adj(root) += node
         adj(node) += root
+        bridgeNbrs.getOrElseUpdate(root, mutable.Set.empty) += node
+        bridgeNbrs.getOrElseUpdate(node, mutable.Set.empty) += root
+      }
+      // re-apply the degree cap on bridged nodes: keep every bridge edge
+      // (they carry reachability), evict the farthest non-bridge neighbors
+      if (cap < Int.MaxValue) bridgeNbrs.foreach { case (v, bset) =>
+        if (adj(v).length > cap) {
+          val (keep, evictable) = adj(v).distinct.partition(bset.contains)
+          val nearest = evictable.sortBy(w => metric.dist(vecs.data,
+            vecs.offset(w), vecs.data, vecs.offset(v), vecs.dim))
+          adj(v) = keep ++ nearest.take(math.max(cap - keep.length, 0))
+        }
       }
       CsrGraph.fromAdjacency(
         Array.tabulate(n)(i => (i.toLong, adj(i).toSeq.map(_.toLong))),
         n, g.entryPoint)
     }
   }
+
+  /** Bound on the per-island graft scan in [[collectPoints]]. */
+  val GraftScanCap: Int = 8192
 
   /** Exact kNN of each `train` row against the whole broadcast store —
     * the build-input kNN lists the reference loads precomputed (S9,
@@ -361,9 +383,15 @@ object GraphBuild {
 
     // Phase (g): CollectPoints connectivity repair — no-op on corpora the
     // α-RNG rule already leaves connected (e.g. uniform-random fixtures).
-    val graph = collectPoints(CsrGraph.collect(finalAdj, n, ep), vecs, metric)
+    val graph = collectPoints(CsrGraph.collect(finalAdj, n, ep), vecs, metric,
+      cap = 2 * params.mPjbp)
     knn.unpersist()
     projAdj.unpersist()
+    // everything downstream of the build's DataFrames is materialized by
+    // the collect above — release the build-scoped broadcasts so repeated
+    // builds (e.g. the persisted sharded tier) hold ONE corpus at a time
+    g0B.destroy()
+    vecsB.destroy()
     new RoarIndex(graph, vecs, params)
   }
 }

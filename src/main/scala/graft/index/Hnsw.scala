@@ -21,9 +21,21 @@ import org.apache.spark.sql.functions.col
   *
   * Sits on the same broadcast tier as [[CsrGraph]]/[[BeamSearch]]: build
   * is a driver/executor-local kernel over the packed [[VectorStore]],
-  * search fans out per query partition against the broadcast index.
+  * search fans out per query partition against the broadcast index. The
+  * index deliberately does NOT embed the [[VectorStore]]: search takes
+  * the store as its own (shared) broadcast, so a session that already
+  * broadcast the corpus (e.g. Sweep's RoarGraph arm) ships it once, not
+  * once per index.
+  *
+  * Scale scope: [[Hnsw.build]] is a SEQUENTIAL driver loop (the paper's
+  * insert algorithm is inherently ordered; hnswlib parallelizes it with
+  * fine-grained locks on shared mutable adjacency, which has no
+  * shared-nothing Spark analog) — O(n · efConstruction · d) on one core.
+  * It exists as the reference's BASELINE arm at fixture scale and is
+  * guarded by `maxBuildN`; the scale path for graph ANN is the RoarGraph
+  * build (distributed stages) and the sharded tier.
   */
-final class HnswIndex(val vecs: VectorStore, val m: Int,
+final class HnswIndex(val m: Int,
                       val layers: Array[Array[Array[Int]]], // layer -> node -> nbrs
                       val levels: Array[Int], val entryPoint: Int,
                       val maxLevel: Int, val metricName: String)
@@ -92,9 +104,17 @@ object Hnsw {
   private def nearestM(cands: Iterable[(Int, Float)], max: Int): Array[Int] =
     cands.toSeq.sortBy { case (id, d) => (d, id) }.take(max).map(_._1).toArray
 
-  /** Build with the reference arm's knobs (M=35, efConstruction=500). */
+  /** Build with the reference arm's knobs (M=35, efConstruction=500).
+    * Driver-sequential (see class doc) — refuses corpora past
+    * `maxBuildN` so the baseline arm cannot silently become a days-long
+    * single-core job at scale. */
   def build(vecs: VectorStore, metricName: String, m: Int = 35,
-            efConstruction: Int = 500, seed: Long = 42L): HnswIndex = {
+            efConstruction: Int = 500, seed: Long = 42L,
+            maxBuildN: Int = 1 << 20): HnswIndex = {
+    require(vecs.n <= maxBuildN,
+      s"Hnsw.build is a sequential driver loop (baseline arm): n=${vecs.n} " +
+        s"exceeds maxBuildN=$maxBuildN. Use GraphBuild/ShardedIndex for " +
+        "corpora past fixture scale, or raise maxBuildN deliberately.")
     val metric = Metrics(metricName)
     val n = vecs.n
     val levels = Array.tabulate(n)(v => levelOf(v, m, seed))
@@ -134,8 +154,10 @@ object Hnsw {
         layer = math.min(entryLevel, lv)
         while (layer >= 0) {
           val found = searchLayer(vecs, metric, layers, layer, q, eps, efConstruction)
+          // layer 0 connects up to M_max0 = 2M (the paper's layer-0 cap);
+          // upper layers connect up to M
           val cap = if (layer == 0) mMax0 else m
-          val chosen = nearestM(found.map { case (id, d) => (id, d) }, m)
+          val chosen = nearestM(found.map { case (id, d) => (id, d) }, cap)
           layers(layer)(v) = chosen
           // bidirectional edges, pruning over-full neighbors to cap
           chosen.foreach { u =>
@@ -154,12 +176,13 @@ object Hnsw {
       }
       v += 1
     }
-    new HnswIndex(vecs, m, layers, levels, entry, entryLevel, metricName)
+    new HnswIndex(m, layers, levels, entry, entryLevel, metricName)
   }
 
   /** Top-k search, `ef` beam at layer 0 (`hnsw->setEf(budget/c)` in the
-    * reference arm). Returns (id, dist) ascending. */
-  def searchKnn(idx: HnswIndex, q0: Array[Float], k: Int,
+    * reference arm). `vecs` is the same store the index was built over
+    * (shared broadcast, see class doc). Returns (id, dist) ascending. */
+  def searchKnn(idx: HnswIndex, vecs: VectorStore, q0: Array[Float], k: Int,
                 ef: Int): Seq[(Int, Float)] = {
     val metric = Metrics(idx.metricName)
     val q = if (metric.normalizeAtLoad) VectorStore.normalized(q0) else q0
@@ -170,31 +193,32 @@ object Hnsw {
       while (changed) {
         changed = false
         val nbrs = idx.neighbors(layer, ep)
-        var bestD = metric.dist(idx.vecs.data, idx.vecs.offset(ep), q, 0, idx.vecs.dim)
+        var bestD = metric.dist(vecs.data, vecs.offset(ep), q, 0, vecs.dim)
         var i = 0
         while (i < nbrs.length) {
-          val d = metric.dist(idx.vecs.data, idx.vecs.offset(nbrs(i)), q, 0, idx.vecs.dim)
+          val d = metric.dist(vecs.data, vecs.offset(nbrs(i)), q, 0, vecs.dim)
           if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
           i += 1
         }
       }
       layer -= 1
     }
-    searchLayer(idx.vecs, metric, idx.layers, 0, q, Seq(ep),
+    searchLayer(vecs, metric, idx.layers, 0, q, Seq(ep),
       math.max(ef, k)).take(k).map { case (id, d) => (id, d) }.toSeq
   }
 
   /** Distributed search surface, shaped like
     * [[BeamSearch.searchSingleDf]]: queries (q_id, q_vec) fan out per
-    * partition against the broadcast index; output (q_id, rank, d_id,
-    * score) with score = −dist (similarity convention). */
+    * partition against the broadcast index + the SHARED corpus broadcast;
+    * output (q_id, rank, d_id, score) with score = −dist (similarity
+    * convention). */
   def searchDf(spark: SparkSession, queries: DataFrame, idxB: Broadcast[HnswIndex],
-               k: Int, ef: Int): DataFrame = {
+               vecsB: Broadcast[VectorStore], k: Int, ef: Int): DataFrame = {
     import spark.implicits._
     queries.select(col("q_id"), col("q_vec")).as[(Long, Array[Float])]
       .flatMap { case (qid, qvec) =>
         val idx = idxB.value
-        searchKnn(idx, qvec, k, ef).zipWithIndex.map { case ((id, d), r) =>
+        searchKnn(idx, vecsB.value, qvec, k, ef).zipWithIndex.map { case ((id, d), r) =>
           (qid, r + 1, id.toLong, -d.toDouble)
         }
       }.toDF("q_id", "rank", "d_id", "score")

@@ -1,10 +1,11 @@
 package graft.index
 
-import org.apache.spark.broadcast.Broadcast
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Sharded graph tier — the 100 TB path past the broadcast ceiling
+/** Sharded graph tier — the 100 TB path past BOTH broadcast ceilings
   * (SURVEY §7.3). [[VectorStore.fromDf]]/[[CsrGraph.collect]] materialize
   * one corpus copy per executor, which holds to the reference's own scale
   * (10M × 200d ≈ 8 GB) and no further; this tier partitions the corpus
@@ -14,11 +15,19 @@ import org.apache.spark.sql.functions._
   * shard, and answers a query by searching EVERY shard with the same
   * budget and merging through the ordinary bounded rerank/top-k tail.
   *
-  * Scale posture: each shard's graph+vectors is 1/nShards of the corpus —
-  * pick nShards so a SHARD is broadcastable and the corpus axis is
-  * unbounded. Per-shard searches are independent (no cross-shard state),
-  * so the fan-out is embarrassingly parallel; the union carries
-  * O(queries × budget × nShards) candidate rows into the existing
+  * The tier is PERSISTED, like the reference's offline index build
+  * (`/root/reference/tests/test_build_roargraph.cpp:34-136` writes the
+  * index to disk; search jobs load it): [[buildPersisted]] writes each
+  * shard's graph ([[CsrGraph.save]]) and vectors (parquet) as it is
+  * built, releasing every byte of the previous shard before starting the
+  * next, and [[searchMultiDf]] re-loads one shard at a time, materializes
+  * that shard's (output-sized) candidate set, and destroys the shard's
+  * broadcasts before touching the next. Peak footprint — driver AND
+  * executor — is therefore ONE shard, not the corpus: pick nShards so a
+  * shard is broadcastable and the corpus axis is unbounded.
+  *
+  * Per-shard searches are independent (no cross-shard state); the union
+  * carries O(queries × budget × nShards) candidate rows into the existing
   * partial-aggregated rerank — no new shuffle shape. Recall can only
   * improve over a single equal-budget graph (each shard's beam explores
   * its sub-corpus exhaustively w.r.t. the budget; the IndexSpec gate
@@ -30,32 +39,76 @@ import org.apache.spark.sql.functions._
   * sample, which keeps the per-shard graphs statistically alike (same
   * reason the reference samples training queries uniformly).
   */
-final class ShardedIndex(val shards: IndexedSeq[ShardHandle], val nShards: Int)
-    extends Serializable
-
-/** One shard's built index plus its registered broadcasts. */
-final case class ShardHandle(idx: RoarIndex, graphB: Broadcast[CsrGraph],
-                             vecsB: Broadcast[VectorStore], shard: Int)
+final case class ShardedIndexRef(path: String, nShards: Int, metric: String)
 
 object ShardedIndex {
 
-  /** Build one RoarGraph per strided shard of `emb` (vec_id, embedding).
-    * Builds run sequentially on the driver loop (each build is itself a
-    * distributed job); shard count is a layout knob, not a parallelism
-    * knob. */
-  def build(spark: SparkSession, emb: DataFrame, params: BuildParams,
-            nShards: Int): ShardedIndex = {
+  // Residency accounting for the lifecycle gate (IndexSpec): how many
+  // shards' worth of graph+vector state this JVM holds at once. build and
+  // search both enter/exit around each shard; the invariant is peak == 1.
+  private val liveShards = new AtomicInteger(0)
+  private val peakShards = new AtomicInteger(0)
+  private def enterShard(): Unit = {
+    val now = liveShards.incrementAndGet()
+    peakShards.getAndAccumulate(now, math.max)
+  }
+  private def exitShard(): Unit = liveShards.decrementAndGet()
+  def peakResidentShards: Int = peakShards.get()
+  private[graft] def resetResidencyTracking(): Unit = {
+    liveShards.set(0); peakShards.set(0)
+  }
+
+  private def shardDir(ref: ShardedIndexRef, s: Int): String =
+    s"${ref.path}/shard$s"
+
+  /** Build one RoarGraph per strided shard of `emb` (vec_id, embedding),
+    * persisting each shard to `path/shard<s>/{graph,vectors}` and
+    * releasing it before the next build starts. Builds run sequentially
+    * on the driver loop (each build is itself a distributed job); shard
+    * count is a layout knob, not a parallelism knob. Returns a data-free
+    * descriptor — nothing of the corpus stays resident. */
+  def buildPersisted(spark: SparkSession, emb: DataFrame, params: BuildParams,
+                     nShards: Int, path: String): ShardedIndexRef = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val shards = (0 until nShards).map { s =>
-      val shardDf = emb.filter(col("vec_id") % nShards === s)
-        .select((col("vec_id") / nShards).cast("long").as("vec_id"),
-          col("embedding"))
-      val idx = GraphBuild.build(spark, shardDf, shardDf, params)
-      ShardHandle(idx,
-        spark.sparkContext.broadcast(idx.graph),
-        spark.sparkContext.broadcast(idx.vecs), s)
+    val ref = ShardedIndexRef(path, nShards, params.metric)
+    (0 until nShards).foreach { s =>
+      enterShard()
+      try {
+        val shardDf = emb.filter(col("vec_id") % nShards === s)
+          .select((col("vec_id") / nShards).cast("long").as("vec_id"),
+            col("embedding"))
+        val idx = GraphBuild.build(spark, shardDf, shardDf, params)
+        CsrGraph.save(spark, idx.graph, s"${shardDir(ref, s)}/graph",
+          Map("metric" -> params.metric, "shard" -> s.toString,
+            "n_shards" -> nShards.toString))
+        shardDf.write.mode("overwrite")
+          .parquet(s"${shardDir(ref, s)}/vectors")
+      } finally exitShard()
+      // idx goes out of scope here; GraphBuild.build destroyed its own
+      // broadcasts, so the next iteration starts from a clean slate
     }
-    new ShardedIndex(shards, nShards)
+    ref
+  }
+
+  /** Load one shard, run `body` against its broadcasts, eagerly
+    * materialize the (output-sized) result via localCheckpoint, then
+    * destroy the broadcasts — the one-shard-resident search step. At
+    * cluster scale the materialized candidates would land in a durable
+    * sink instead of the block manager; the lifecycle is the same. */
+  private def withShard(spark: SparkSession, ref: ShardedIndexRef, s: Int)(
+      body: (org.apache.spark.broadcast.Broadcast[CsrGraph],
+             org.apache.spark.broadcast.Broadcast[VectorStore]) => DataFrame): DataFrame = {
+    enterShard()
+    val g = CsrGraph.load(spark, s"${shardDir(ref, s)}/graph")
+    val vecs = VectorStore.fromDf(
+      spark.read.parquet(s"${shardDir(ref, s)}/vectors"),
+      "vec_id", "embedding", Metrics(ref.metric))
+    val gB = spark.sparkContext.broadcast(g)
+    val vB = spark.sparkContext.broadcast(vecs)
+    try body(gB, vB).localCheckpoint(true)
+    finally {
+      gB.destroy(); vB.destroy(); exitShard()
+    }
   }
 
   /** G9 multivector adaptive search across all shards: per-shard
@@ -63,26 +116,28 @@ object ShardedIndex {
     * back to global (g = local · nShards + shard), results unioned for
     * the caller's rerank/top-k merge. Output: (qset_id, d_id). */
   def searchMultiDf(spark: SparkSession, querySets: DataFrame,
-                    sharded: ShardedIndex, metricName: String, minPq: Int,
-                    maxPq: Int, budget: Int, adaptive: Boolean): DataFrame =
-    sharded.shards.map { h =>
-      BeamSearch.searchMultiDf(spark, querySets, h.graphB, h.vecsB,
-        metricName, minPq, maxPq, budget, adaptive)
-        .select(col("qset_id"),
-          (col("d_id") * sharded.nShards + h.shard).as("d_id"))
+                    ref: ShardedIndexRef, minPq: Int, maxPq: Int,
+                    budget: Int, adaptive: Boolean): DataFrame =
+    (0 until ref.nShards).map { s =>
+      withShard(spark, ref, s) { (gB, vB) =>
+        BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
+          minPq, maxPq, budget, adaptive)
+          .select(col("qset_id"),
+            (col("d_id") * ref.nShards + s).as("d_id"))
+      }
     }.reduce(_ unionAll _)
 
   /** G8 single-vector twin: per-shard beam search, global ids, union;
     * caller applies the bounded per-query top-k merge. Output:
     * (q_id, d_id, score). */
   def searchSingleDf(spark: SparkSession, queries: DataFrame,
-                     sharded: ShardedIndex, metricName: String, l: Int,
-                     k: Int): DataFrame =
-    sharded.shards.map { h =>
-      BeamSearch.searchSingleDf(spark, queries, h.graphB, h.vecsB,
-        metricName, l, k)
-        .select(col("q_id"),
-          (col("d_id") * sharded.nShards + h.shard).as("d_id"),
-          col("score"))
+                     ref: ShardedIndexRef, l: Int, k: Int): DataFrame =
+    (0 until ref.nShards).map { s =>
+      withShard(spark, ref, s) { (gB, vB) =>
+        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k)
+          .select(col("q_id"),
+            (col("d_id") * ref.nShards + s).as("d_id"),
+            col("score"))
+      }
     }.reduce(_ unionAll _)
 }

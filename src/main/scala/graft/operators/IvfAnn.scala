@@ -140,9 +140,80 @@ object IvfAnn {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(path)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Int.box): _*))
       .withColumn("d_norm", vecNorm(col("d_vec")))
     val scored0 = probes.join(corpus, Seq("cell"))
+      .select(col("q_id"), col("d_id"),
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9).as("score"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
+  }
+
+  /** Oracle-checkable IVF twin — a corpus-SEEDED coarse quantizer instead
+    * of a Lloyd-trained one: the `nlist` cell centers are the corpus
+    * vectors with the smallest (md5(id), id) rank. Training-free, so the
+    * ENTIRE operator (seed pick → cell assignment → probe → exact rerank)
+    * is expressible in the DuckDB oracle, converting IVF's probe+rerank
+    * tail from rows-only to hash-checked; [[knn]] keeps the trained
+    * quantizer (better cells, same tail) as the production path.
+    *
+    * Assignment/probing runs in a mapPartitions kernel over the broadcast
+    * seeds — one linear pass, no shuffle, no N×nlist row blowup — with
+    * the cosine computed in DOUBLE and HALF_UP-rounded to 9 decimals
+    * before the argmax (the [[PairKernel]] parity recipe), so near-tie
+    * cell choices agree with the oracle's double arithmetic bit-for-bit.
+    * Ties break (score desc, cell asc) in both engines. */
+  def knnSeeded(spark: SparkSession, queries: DataFrame, data: DataFrame,
+                k: Int, nlist: Int = 16, nProbe: Int = 10,
+                excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    // seed pick: TakeOrdered (orderBy+limit — bounded, not a full sort)
+    val seedRows = data
+      .select(col("d_id"), col("d_vec"),
+        md5(col("d_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("d_id")).limit(nlist)
+      .select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])].collect()
+    val seeds: Array[(Int, Array[Float], Double)] =
+      seedRows.zipWithIndex.map { case ((_, v), cell) =>
+        (cell, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)))
+      }
+    val seedsB = spark.sparkContext.broadcast(seeds)
+
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // best `take` cells per vector: score desc, cell asc — double math
+    def topCells(v: Array[Float], take: Int): Array[Int] = {
+      val ss = seedsB.value
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
+      val norm = math.sqrt(nv)
+      ss.map { case (cell, sv, snorm) =>
+        var dot = 0.0
+        var j = 0
+        while (j < sv.length) { dot += sv(j).toDouble * v(j).toDouble; j += 1 }
+        (-round9(dot / (snorm * norm)), cell)
+      }.sorted.take(take).map(_._2)
+    }
+
+    val assigned = data.select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, topCells(v, 1)(0)) })
+      .toDF("d_id", "d_vec", "cell")
+      .withColumn("d_norm", vecNorm(col("d_vec")))
+    val probes = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        topCells(v, nProbe).map(c => (id, v, c)) })
+      .toDF("q_id", "q_vec", "cell")
+      .withColumn("q_norm", vecNorm(col("q_vec")))
+
+    val scored0 = probes.join(assigned, Seq("cell"))
       .select(col("q_id"), col("d_id"),
         round(vecDot(col("q_vec"), col("d_vec")) /
           (col("q_norm") * col("d_norm")), 9).as("score"))

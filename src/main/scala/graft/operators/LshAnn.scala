@@ -81,16 +81,20 @@ object LshAnn {
       .dropDuplicates("q_id", "d_id")
   }
 
-  /** Exact cosine on candidate pairs: vectors joined back once per side
-    * (query side broadcastable in the knn shape; corpus side one hash
-    * join on d_id), scored with the oracle arithmetic. */
+  /** Exact cosine on candidate pairs: vectors joined back once per side,
+    * scored with the oracle arithmetic. No broadcast hint on either side:
+    * the query side is small in the interactive knn shape but is the FULL
+    * training corpus when GraphBuild(knnSource="lsh") feeds the build, so
+    * a forced broadcast would hit the driver/8 GB ceiling exactly where
+    * the operator is supposed to scale — AQE picks broadcast-hash on its
+    * own whenever the runtime size is actually under the threshold. */
   private def scorePairs(pairs: DataFrame, queries: DataFrame,
                          data: DataFrame): DataFrame =
     pairs
       .join(data.select(col("d_id"), col("d_vec"),
         vecNorm(col("d_vec")).as("d_norm")), Seq("d_id"))
-      .join(broadcast(queries.select(col("q_id"), col("q_vec"),
-        vecNorm(col("q_vec")).as("q_norm"))), Seq("q_id"))
+      .join(queries.select(col("q_id"), col("q_vec"),
+        vecNorm(col("q_vec")).as("q_norm")), Seq("q_id"))
       .withColumn("score",
         round(vecDot(col("q_vec"), col("d_vec")) /
           (col("q_norm") * col("d_norm")), 9))
@@ -127,8 +131,13 @@ object LshAnn {
     * collisions are rerank-scored. Contrast [[PairKernel.globalTopPairs]],
     * which answers the EXACT global-top-N question by scanning all pairs.
     *
-    * Input: (id, vec). Output: (id_a, id_b, cos) with cos ≥ tau, ordered
-    * (cos desc, ids asc), cos rounded to 6 decimals.
+    * Input: (id, vec). Output: (id_a, id_b, cos) with cos ≥ tau, cos
+    * rounded to 6 decimals. UNORDERED by contract: the result is a pair
+    * SET, and a global sort inside the operator would range-partition the
+    * full result for every caller, whether or not downstream needs order.
+    * Presentation ordering ((cos desc, ids asc)) belongs at the sink or
+    * query boundary — e.g. the dedup_embedding_threshold query orders its
+    * (output-sized) result before dumping.
     *
     * Default banding 16 bands × 12 bits: at cos 0.95 a band collides with
     * prob (1-θ/π)^12 ≈ 0.28 → pair recall 1-(1-0.28)^16 ≈ 0.995; an
@@ -154,7 +163,6 @@ object LshAnn {
         round(vecDot(col("q_vec"), col("d_vec")) /
           (col("q_norm") * col("d_norm")), 9))
       .filter(col("cos") >= tau)
-      .orderBy(col("cos").desc, col("q_id").asc, col("d_id").asc)
       .select(col("q_id").as("id_a"), col("d_id").as("id_b"),
         round(col("cos"), 6).as("cos"))
   }

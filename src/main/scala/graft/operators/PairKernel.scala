@@ -99,9 +99,15 @@ object PairKernel {
             var i = 0
             while (i < nb && ids(i) < idB) { // enforce id_a < id_b
               val va = vecs(i)
+              // fail loudly on a mixed-dim corpus, like the expression
+              // path (VecDotExpr throws) — a silent min() would truncate
+              // and produce a wrong cosine
+              require(va.length == vecB.length,
+                s"PairKernel: dim mismatch ${va.length} vs ${vecB.length} " +
+                  s"(ids ${ids(i)}, $idB)")
               var dot = 0.0
               var j = 0
-              val n = math.min(va.length, vecB.length)
+              val n = va.length
               while (j < n) { dot += va(j).toDouble * vecB(j).toDouble; j += 1 }
               val cos = BigDecimal(dot / (norms(i) * nB))
                 .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble

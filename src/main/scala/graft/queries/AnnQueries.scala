@@ -62,7 +62,25 @@ object AnnQueries extends QueryPack {
     "dedup_embedding_threshold" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // operator returns an unordered pair set; presentation order is
+      // applied here, at the query boundary, on the output-sized result
       LshAnn.thresholdPairs(plantNearDups(base), tau = 0.85)
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+    }),
+
+    // IVF with a corpus-SEEDED (training-free) quantizer — the
+    // oracle-checkable twin of knn_ivf: seed pick, cell assignment,
+    // probing, and exact rerank are ALL deterministic double arithmetic,
+    // so DuckDB hash-checks the complete probe+rerank tail that knn_ivf
+    // (Lloyd-trained, rows-only) shares.
+    "knn_ivf_seeded" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.IvfAnn.knnSeeded(s, q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
     }),
 
     // S15 (closing): CLIP4Clip mean-pool prep — frames grouped 5-per-video
@@ -117,6 +135,51 @@ object AnnQueries extends QueryPack {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def normSqlOf(t: String) =
     s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def normSqlExpr(e: String) =
+    s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSqlAB(a, b)} / (${normSqlExpr(a)} * ${normSqlExpr(b)}), 9)"
+
+  /** knn_ivf_seeded oracle — the complete seeded-IVF pipeline in SQL:
+    * md5-ranked seed pick, argmax-cosine cell assignment, nProbe probe,
+    * exact rerank, all on the same 9-decimal double quantization as the
+    * Spark kernel. */
+  private val ivfSeededOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val nlist = 16
+    val nProbe = 10
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT cell, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS cell,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE cell < $nlist),
+       |assigned AS (
+       |  SELECT d_id, d_vec, cell FROM (
+       |    SELECT d.d_id, d.d_vec, s.cell,
+       |           row_number() OVER (PARTITION BY d.d_id
+       |             ORDER BY ${cosSql("d.d_vec", "s.s_vec")} DESC, s.cell ASC) AS rn
+       |    FROM d CROSS JOIN seeds s) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_vec, cell FROM (
+       |    SELECT q.q_id, q.q_vec, s.cell,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cosSql("q.q_vec", "s.s_vec")} DESC, s.cell ASC) AS rn
+       |    FROM q CROSS JOIN seeds s) t WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.d_id, ${cosSql("p.q_vec", "a.d_vec")} AS score
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE p.q_id <> a.d_id),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
 
   /** DuckDB byte extraction for the media oracle: hex-encode the payload
     * and decode each byte as two nibble lookups (pure SQL, no blob
@@ -159,6 +222,7 @@ object AnnQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
+    "knn_ivf_seeded" -> ivfSeededOracle,
     "s15_meanpool" ->
       """WITH f AS (
         |  SELECT vec_id // 5 AS video_id,

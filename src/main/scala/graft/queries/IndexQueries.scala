@@ -43,15 +43,20 @@ object IndexQueries extends QueryPack {
         s.sparkContext.broadcast(idx.vecs))
     })
 
-  /** One sharded index per (dir, nShards) — the scale-tier twin of
-    * [[handles]]. */
+  /** One persisted sharded index per (dir, nShards) — the scale-tier twin
+    * of [[handles]]. The descriptor is data-free: the index lives on disk
+    * and each search loads one shard at a time (ShardedIndex lifecycle). */
   private val shardedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardedIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardedIndexRef]()
 
   private def shardedHandles(s: SparkSession, dir: String,
-                             nShards: Int): ShardedIndex =
-    shardedCache.computeIfAbsent((dir, nShards), _ =>
-      ShardedIndex.build(s, Tables.embeddings(s, dir), FixtureParams, nShards))
+                             nShards: Int): ShardedIndexRef =
+    shardedCache.computeIfAbsent((dir, nShards), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      ShardedIndex.buildPersisted(s, Tables.embeddings(s, dir),
+        FixtureParams, nShards, path)
+    })
 
   /** Flagship-tier shard knob: 1 (default) = broadcast tier, >1 = sharded
     * tier (per-shard graphs + bounded merge — the 100 TB layout). */
@@ -225,8 +230,7 @@ object IndexQueries extends QueryPack {
             adaptive = true)
         case n =>
           ShardedIndex.searchMultiDf(s, querySets, shardedHandles(s, dir, n),
-            FixtureParams.metric, minPq = 10, maxPq = 200, budget = 120,
-            adaptive = true)
+            minPq = 10, maxPq = 200, budget = 120, adaptive = true)
       }
       Rerank.chamferTopK(emb(s, dir), querySets,
         cands.select(col("qset_id"), col("d_id")), C, K)
@@ -242,7 +246,7 @@ object IndexQueries extends QueryPack {
         (col("vec_id") % C).cast("int").as("q_sub"),
         col("embedding").as("q_vec"))
       val cands = ShardedIndex.searchMultiDf(s, querySets,
-        shardedHandles(s, dir, 2), FixtureParams.metric,
+        shardedHandles(s, dir, 2),
         minPq = 10, maxPq = 200, budget = 120, adaptive = true)
       Rerank.chamferTopK(emb(s, dir), querySets,
         cands.select(col("qset_id"), col("d_id")), C, K)

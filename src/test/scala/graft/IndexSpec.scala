@@ -194,6 +194,36 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"sharded G9 Recall@10 = $avg (per-set: $recalls)")
   }
 
+  test("persisted sharded tier holds at most ONE shard resident end-to-end") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sharded_lifecycle_").toString
+    ShardedIndex.resetResidencyTracking()
+    val ref = ShardedIndex.buildPersisted(spark, emb,
+      IndexQueries.FixtureParams, nShards = 3, path)
+    // every shard landed on disk (graph sidecar + vectors parquet) ...
+    (0 until 3).foreach { s =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/shard$s/graph/meta.json")))
+      assert(spark.read.parquet(s"$path/shard$s/vectors").count() > 0)
+    }
+    // ... the descriptor is data-free, and search loads one shard at a time
+    val querySets = emb.filter(col("vec_id") < 5 * VectorQueries.C).select(
+      (col("vec_id") / VectorQueries.C).cast("long").as("qset_id"),
+      (col("vec_id") % VectorQueries.C).cast("int").as("q_sub"),
+      col("embedding").as("q_vec"))
+    val cands = ShardedIndex.searchMultiDf(spark, querySets, ref,
+      minPq = 10, maxPq = 200, budget = 120, adaptive = true)
+    val n = emb.count()
+    val ids = cands.select("d_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(id => id >= 0 && id < n),
+      "sharded candidates must map back into the global id space")
+    assert(ShardedIndex.peakResidentShards === 1,
+      s"peak resident shards = ${ShardedIndex.peakResidentShards}, want 1 " +
+        "(build or search kept more than one shard's broadcasts alive)")
+  }
+
   test("flagship g9 routes through the sharded tier under the conf switch") {
     val conf = "spark.graft.index.shards"
     spark.conf.set(conf, "2")
@@ -215,7 +245,7 @@ class IndexSpec extends AnyFunSuite {
     val hnswB = spark.sparkContext.broadcast(Hnsw.build(index.vecs, "cosine"))
     val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val hits = Hnsw.searchDf(spark, q, hnswB, k = 10, ef = 60)
+    val hits = Hnsw.searchDf(spark, q, hnswB, vecsB, k = 10, ef = 60)
       .groupBy("q_id").agg(collect_set(col("d_id")).as("ids"))
       .as[(Long, Seq[Long])].collect().toMap
     val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
@@ -246,6 +276,11 @@ class IndexSpec extends AnyFunSuite {
       }
       assert(armRows.last._4 <= 0.05,
         s"$arm rel-dist-err at generous budget: ${armRows.last._4}")
+      // rerank_frac (reference's rerank-time fraction): a true fraction of
+      // a two-stage pipeline where both stages did real work
+      armRows.foreach { r =>
+        assert(r._7 > 0.0 && r._7 < 1.0, s"$arm rerank_frac out of (0,1): $r")
+      }
     }
   }
 
