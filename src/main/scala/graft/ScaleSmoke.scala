@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke — the cheap tripwire for super-linear plan regressions
+  * (the r3 LSH degeneration would have shown up here a round early): scale
+  * the sf0.1 fixtures by `factor` (default 10× ≈ "sf1"), run every bench
+  * query ONCE, and assert nothing exceeds ~10× its recorded sf0.1 time.
+  *
+  * Replication is deterministic and SIMILARITY-BREAKING, so data volume
+  * scales linearly without manufacturing quadratic duplicate blowups that
+  * would measure the replication trick instead of the plans:
+  *  - embeddings: replica r rotates each vector by r coordinates (distinct
+  *    directions, same norm/dim; uniform-random corpora stay uniform);
+  *  - documents: replica r Caesar-shifts the letters by r (disjoint
+  *    shingle/ngram/minhash spaces per replica, length preserved);
+  *  - events: user/event id spaces shifted per replica (10× users, same
+  *    per-user density);
+  *  - orders+lineitem: order-key space shifted together (joins intact);
+  *  - dims (region/nation/customer/supplier/part): copied once — the
+  *    fact:dim ratio grows like a real SF bump.
+  *
+  * Per-query budget: 10 × max(base, 0.3s) — the 0.3s floor keeps
+  * fixed-overhead-dominated sub-second queries from tripping on noise.
+  * Exemptions (documented super-linear SEMANTICS, not plan defects):
+  * dedup_embedding_cosine is an exact all-pairs top-N — compute is O(N²)
+  * by definition (its scale path is the thresholded LSH twin).
+  *
+  * Usage: `runMain graft.ScaleSmoke [srcDir] [factor] [workDir]`;
+  * reads BENCH_LOCAL.json (env SPARK_GRAFT_BASE_BENCH overrides), writes
+  * BENCH_SF1_SMOKE.json (env SPARK_GRAFT_SMOKE_OUT), exits 1 on any
+  * violation.
+  */
+object ScaleSmoke {
+
+  private val Exempt = Set("dedup_embedding_cosine")
+
+  /** Letters shifted by `r` within each case; digits/punct unchanged. */
+  private def caesar(c: Column, r: Int): Column = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val hi = lo.toUpperCase
+    def rot(s: String) = s.drop(r % 26) + s.take(r % 26)
+    translate(c, lo + hi, rot(lo) + rot(hi))
+  }
+
+  def scaleTables(spark: SparkSession, src: String, dst: String,
+                  factor: Int): Unit = {
+    def out(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def reps(f: Int => DataFrame): DataFrame =
+      (0 until factor).map(f).reduce(_ unionByName _)
+
+    val emb = Tables.embeddings(spark, src)
+    val nEmb = emb.count()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    out("embeddings", reps { r =>
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(r * nEmb)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    })
+
+    val doc = Tables.documents(spark, src)
+    val nDoc = doc.count()
+    out("documents", reps { r =>
+      doc.select((col("doc_id") + lit(r * nDoc)).as("doc_id"),
+        caesar(col("text"), r).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    })
+
+    // raw read keeps ts as INT64 nanos (Tables.events' legacy conf), so
+    // the scaled copy round-trips through the same loader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, src, "events")
+    val Array(nEvent, maxUser) = ev
+      .select(count(lit(1)), max(col("user_id")) + 1).first()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    out("events", reps { r =>
+      ev.select((col("event_id") + lit(r * nEvent)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * maxUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    })
+
+    val ord = Tables.orders(spark, src)
+    val li = Tables.lineitem(spark, src)
+    val okSpan = ord.select(max(col("o_orderkey")) + 1).first().getLong(0)
+    out("orders", reps { r =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * okSpan)) })
+    out("lineitem", reps { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * okSpan)) })
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => out(t, Tables.load(spark, src, t)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_sf1")
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BASE_BENCH", "BENCH_LOCAL.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SMOKE_OUT", "BENCH_SF1_SMOKE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaleTables(spark, srcDir, workDir, factor)
+
+    // same untimed warmup as Bench: one-time index builds + JIT
+    for (w <- Seq("q1_agg", "g2_graph_stats", "g9_sharded")) {
+      try Bench.force(SparkEntry.queries(w)(spark, workDir))
+      catch { case t: Throwable =>
+        System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")
+      }
+    }
+
+    val base: Map[String, Double] = {
+      val row = spark.read.json(basePath).select("queries.*").head()
+      row.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> row.getDouble(i) }.toMap
+    }
+
+    // min-of-2, like Bench: a single timing is hostage to one-off
+    // JIT/GC/load spikes, and a tripwire that flaps is not a tripwire
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val raw = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { Bench.force(fn(spark, workDir)); true }
+          catch { case t: Throwable =>
+            System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            false
+          }
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val ok = raw.forall(_._2)
+      name -> (if (ok) raw.map(_._1).min else -1.0, ok)
+    }
+
+    def limitOf(b: Double): Double = 10.0 * math.max(b, 0.3)
+    val violations = results.collect {
+      case (name, (sec, true))
+        if !Exempt(name) && base.get(name).exists(b => sec > limitOf(b)) =>
+        name
+    }.toSeq
+    val failed = results.collect { case (n, (_, false)) => n }.toSeq
+
+    def fmt(d: Double) = f"$d%.3f"
+    val qs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + fmt(sec) }
+      .mkString("{", ",", "}")
+    val ratios = results.collect { case (k, (sec, true)) if base.contains(k) =>
+      "\"" + k + "\":" + fmt(sec / math.max(base(k), 0.3))
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (sec, true) => sec }.sum
+    val json =
+      s"""{"metric":"sf1_smoke","factor":$factor,"value":${fmt(total)},"unit":"sec","queries":$qs,"ratio_vs_floor":$ratios,"violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"exempt":${Exempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"base":"$basePath","src":"$srcDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    if (violations.nonEmpty || failed.nonEmpty) {
+      System.err.println(s"SCALE SMOKE FAILED: violations=$violations failed=$failed")
+      sys.exit(1)
+    }
+  }
+}

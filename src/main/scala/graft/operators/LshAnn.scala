@@ -139,21 +139,39 @@ object LshAnn {
     * query boundary — e.g. the dedup_embedding_threshold query orders its
     * (output-sized) result before dumping.
     *
-    * Default banding 16 bands × 12 bits: at cos 0.95 a band collides with
-    * prob (1-θ/π)^12 ≈ 0.28 → pair recall 1-(1-0.28)^16 ≈ 0.995; an
-    * uncorrelated pair collides at ≈16·2^-12 ≈ 0.4% (asserted, with a
-    * ≥0.95 recall gate vs the exhaustive thresholded set, in
-    * LlmPipelineSpec). */
+    * Banding AUTO-SCALES with corpus size by default (rowsPerBand = 0):
+    * fixed band bits make the uncorrelated-bulk candidate volume grow
+    * ~n²/2^bits per band — fine at one scale, quadratic at the next (the
+    * sf1 scale smoke trips on it at 10× with 12 fixed bits). Auto mode
+    * sets bits = max(12, ⌈log₂ n⌉ + 2), so bulk volume per band stays
+    * ≈ n²/4n = n/4 (linear), and sizes the band count to hold ≥0.98
+    * expected recall for cos ≥ 0.95 near-dups (collision p = 1 − θ/π per
+    * plane): bands = ⌈ln(0.02)/ln(1 − p^bits)⌉. At the test fixture
+    * (n≈1000) this lands on the proven 12-bit/12-band regime; at 100k it
+    * moves to ~19 bits × 28 bands. Explicit rowsPerBand/numPlanes
+    * override auto for callers pinning a regime. */
   def thresholdPairs(vectors: DataFrame, tau: Double,
-                     numPlanes: Int = 192, rowsPerBand: Int = 12,
+                     numPlanes: Int = 0, rowsPerBand: Int = 0,
                      seed: Long = 42L, dim: Int = 0): DataFrame = {
     val q = vectors.select(col("id").as("q_id"), col("vec").as("q_vec"))
     val d = vectors.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    val (planesN, bitsN) =
+      if (rowsPerBand > 0) {
+        (if (numPlanes > 0) numPlanes else 16 * rowsPerBand, rowsPerBand)
+      } else {
+        val n = vectors.count().toDouble.max(2)
+        val bits = math.max(12,
+          math.ceil(math.log(n) / math.log(2)).toInt + 2)
+        val p = 1.0 - math.acos(0.95) / math.Pi
+        val bands = math.ceil(
+          math.log(0.02) / math.log(1.0 - math.pow(p, bits))).toInt.max(8)
+        (bands * bits, bits)
+      }
     val withNorm = vectors.select(col("id"), col("vec"),
       vecNorm(col("vec")).as("norm"))
     // self-join: both vector join-backs hit the same (possibly huge)
     // corpus, so neither side is broadcast here — two hash joins on id
-    candidates(q, d, numPlanes, rowsPerBand, seed, dim)
+    candidates(q, d, planesN, bitsN, seed, dim)
       .filter(col("q_id") < col("d_id"))
       .join(withNorm.select(col("id").as("q_id"), col("vec").as("q_vec"),
         col("norm").as("q_norm")), Seq("q_id"))
