@@ -106,6 +106,9 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // serving posture, same as Bench: resident cache sized to the
+      // fixture shard count so repeated sharded searches amortize loads
+      .config("spark.graft.index.residentShards", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

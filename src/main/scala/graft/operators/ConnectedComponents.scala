@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution — the second half of near-dup dedup.
+  * Every pair generator in this repo ([[MinHashLsh.bandedPairs]],
+  * [[LshAnn.thresholdPairs]], [[PairKernel.globalTopPairs]]) stops at
+  * *pairs*; a training-data pipeline needs *clusters* and one canonical
+  * survivor per cluster. This operator closes the gap: connected
+  * components over the pair edge set, then a keep-rule.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+  * is two `groupBy(min)` + join shapes, i.e. pure hash shuffles on node
+  * ids with map-side partial mins, nothing driver-side. Converges to
+  * per-component stars centered at the minimum id in O(log² n) rounds
+  * (in practice < ~12 even on adversarial chains; see
+  * DedupClusterSpec's giant-chain fixture). This shape survives 100 TB:
+  * no `collect()`, no driver graph, each round's state is just the edge
+  * set, and a hot component (one giant near-dup cluster) degrades into a
+  * star after the first rounds — after which its edges all share the hub
+  * key only on the *label* side, never as a reduce key with O(cluster²)
+  * output.
+  *
+  * Lineage: each round's edge set is `localCheckpoint`ed — 25 iterative
+  * self-joins would otherwise stack a plan Catalyst re-optimizes (and
+  * re-executes) from scratch each round. On a real cluster a reliable
+  * checkpoint dir serves the same purpose.
+  */
+object ConnectedComponents {
+
+  /** (count, xor-of-row-hashes) fingerprint of an edge set — cheap
+    * equality probe for the convergence test (one partial-agg job, two
+    * longs to the driver). */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Large-star: for every node u, link every strictly-larger neighbor v
+    * to m(u) = min(Γ(u) ∪ {u}). Emitted edges keep the large→small
+    * orientation (v > m always, since m ≤ u < v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge large→small, then for every node u
+    * link every smaller neighbor (and u itself) to m(u) = min Γ⁻(u). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("mv"))
+    oriented.join(mins, "u")
+      .select(col("v").as("n"), col("mv"))
+      .unionAll(mins.select(col("u").as("n"), col("mv")))
+      .where(col("n") =!= col("mv"))
+      .select(col("n").as("u"), col("mv").as("v"))
+      .distinct()
+  }
+
+  /** Component labels for every node that appears in `pairs`
+    * (id_a, id_b): output (id, cluster_id) with cluster_id = the
+    * component's minimum id (roots label themselves). Also returns the
+    * number of large+small rounds run — asserted bounded in
+    * DedupClusterSpec's skew test. Fails loudly (never silently returns
+    * partial labels) if `maxRounds` is hit. */
+  def componentsWithRounds(pairs: DataFrame,
+                           maxRounds: Int = 25): (DataFrame, Int) = {
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds " +
+        s"(edge set still moving: $sig)")
+    // Fixed point is a star per component: every non-root appears exactly
+    // once as u with v = root; roots appear only as v.
+    val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** Labels only (common call shape). */
+  def components(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    componentsWithRounds(pairs, maxRounds)._1
+
+  /** Full cluster resolution over a document table: every doc gets a
+    * cluster (docs in no pair become singletons), plus the canonical
+    * survivor per the min-id keep-rule. Output:
+    * (doc_id, cluster_id, is_canonical∈{0,1}).
+    *
+    * `docs` needs a `doc_id` column; `pairs` is any (id_a, id_b) near-dup
+    * pair set over the same ids. The labels side is the (small) set of
+    * docs that near-dup'd at all, so the join back to the corpus is
+    * broadcast-able in the common regime — AQE picks that up from runtime
+    * sizes; no hint is forced here because at pathological dup rates the
+    * label set is NOT small. */
+  def resolve(docs: DataFrame, pairs: DataFrame,
+              maxRounds: Int = 25): DataFrame = {
+    val labels = components(pairs, maxRounds)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
+  /** Keep-rule variant: canonical = the cluster member maximizing
+    * `quality` (ties → min doc_id), for pipelines that keep the
+    * highest-quality copy instead of the smallest id. `docs` needs
+    * (doc_id, quality). One window per cluster — the partition key is
+    * cluster_id, so a giant cluster lands on one task; that is inherent
+    * to "pick 1 of the cluster" semantics and bounded by the largest
+    * cluster, not the corpus. */
+  def resolveByQuality(docs: DataFrame, pairs: DataFrame,
+                       maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = components(pairs, maxRounds)
+      .withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(col("doc_id"), col("quality"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    labeled
+      .withColumn("is_canonical",
+        (row_number().over(w) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+  }
+}

@@ -72,6 +72,14 @@ object LshAnn {
         "~bands/2^bits of |Q|x|D| per band)")
     val dimV = dimOf(queries, "q_vec", dim)
     val planesFlat = planes(numPlanes, dimV, seed).flatten.toArray
+    candidatesWithPlanes(queries, data, planesFlat, rowsPerBand)
+  }
+
+  /** Candidate pairs for an EXPLICIT plane matrix (flattened row-major)
+    * — the shared tail of the Gaussian and corpus-seeded paths. */
+  private def candidatesWithPlanes(queries: DataFrame, data: DataFrame,
+                                   planesFlat: Array[Double],
+                                   rowsPerBand: Int): DataFrame = {
     val qb = banded(queries, "q_vec", planesFlat, rowsPerBand)
       .select(col("band"), col("key"), col("q_id"))
     val db = banded(data, "d_vec", planesFlat, rowsPerBand)
@@ -79,6 +87,43 @@ object LshAnn {
     qb.join(db, Seq("band", "key"))
       .select(col("q_id"), col("d_id"))
       .dropDuplicates("q_id", "d_id")
+  }
+
+  /** Corpus-SEEDED hyperplanes: the `numPlanes` corpus vectors of
+    * smallest (md5(id), id) rank, flattened row-major — the same
+    * training-free seeding trick as [[IvfAnn.knnSeeded]], and for the
+    * same reason: a deterministic, ORACLE-EXPRESSIBLE plane matrix
+    * (DuckDB re-derives it from the same table with the same md5
+    * ranking), where the Gaussian planes of [[planes]] are reproducible
+    * in the JVM only. Bounded collect: numPlanes × dim doubles. */
+  def seededPlanesFlat(data: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int): Array[Double] = {
+    val rows = data
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        md5(col(idCol).cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("id")).limit(numPlanes)
+      .select(col("v")).collect()
+    require(rows.length == numPlanes,
+      s"seeded planes: corpus has only ${rows.length} rows, need $numPlanes")
+    rows.flatMap(_.getSeq[Float](0).map(_.toDouble))
+  }
+
+  /** Oracle-checkable LSH kNN twin: same banding/scoring machinery as
+    * [[knn]] but over corpus-seeded planes, so the ENTIRE pipeline
+    * (plane pick → sign-bit band keys → bucket equi-join → exact cosine
+    * rerank → top-k) is deterministic double arithmetic DuckDB can
+    * hash-check (query `knn_lsh_seeded`). [[knn]] keeps the Gaussian
+    * planes (better-conditioned buckets) as the production path. */
+  def knnSeeded(queries: DataFrame, data: DataFrame, k: Int,
+                numPlanes: Int = 64, rowsPerBand: Int = 8,
+                excludeSelf: Boolean = false): DataFrame = {
+    val planesFlat = seededPlanesFlat(data, "d_id", "d_vec", numPlanes)
+    val cands = candidatesWithPlanes(queries, data, planesFlat, rowsPerBand)
+    val scored0 = scorePairs(cands, queries, data)
+    val scored =
+      if (excludeSelf) scored0.filter(col("q_id") =!= col("d_id")) else scored0
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
   }
 
   /** Exact cosine on candidate pairs: vectors joined back once per side,
@@ -149,17 +194,25 @@ object LshAnn {
     * plane): bands = ⌈ln(0.02)/ln(1 − p^bits)⌉. At the test fixture
     * (n≈1000) this lands on the proven 12-bit/12-band regime; at 100k it
     * moves to ~19 bits × 28 bands. Explicit rowsPerBand/numPlanes
-    * override auto for callers pinning a regime. */
+    * override auto for callers pinning a regime.
+    *
+    * `nRows`: caller-supplied row-count hint for auto-banding. Auto mode
+    * only needs the corpus size to pick band bits, and most callers (the
+    * dedup query, any pipeline that just counted its corpus) already know
+    * it — without the hint the operator pays one extra full corpus scan
+    * per invocation just to size the bands. Unset (≤0) falls back to
+    * `count()`. */
   def thresholdPairs(vectors: DataFrame, tau: Double,
                      numPlanes: Int = 0, rowsPerBand: Int = 0,
-                     seed: Long = 42L, dim: Int = 0): DataFrame = {
+                     seed: Long = 42L, dim: Int = 0,
+                     nRows: Long = -1L): DataFrame = {
     val q = vectors.select(col("id").as("q_id"), col("vec").as("q_vec"))
     val d = vectors.select(col("id").as("d_id"), col("vec").as("d_vec"))
     val (planesN, bitsN) =
       if (rowsPerBand > 0) {
         (if (numPlanes > 0) numPlanes else 16 * rowsPerBand, rowsPerBand)
       } else {
-        val n = vectors.count().toDouble.max(2)
+        val n = (if (nRows > 0) nRows else vectors.count()).toDouble.max(2)
         val bits = math.max(12,
           math.ceil(math.log(n) / math.log(2)).toInt + 2)
         val p = 1.0 - math.acos(0.95) / math.Pi
@@ -172,6 +225,37 @@ object LshAnn {
     // self-join: both vector join-backs hit the same (possibly huge)
     // corpus, so neither side is broadcast here — two hash joins on id
     candidates(q, d, planesN, bitsN, seed, dim)
+      .filter(col("q_id") < col("d_id"))
+      .join(withNorm.select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm")), Seq("q_id"))
+      .join(withNorm.select(col("id").as("d_id"), col("vec").as("d_vec"),
+        col("norm").as("d_norm")), Seq("d_id"))
+      .withColumn("cos",
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9))
+      .filter(col("cos") >= tau)
+      .select(col("q_id").as("id_a"), col("d_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Oracle-checkable thresholded-near-dup twin of [[thresholdPairs]]:
+    * corpus-seeded planes and a PINNED banding regime (the auto-banding
+    * formula depends on the runtime row count, which a static oracle SQL
+    * cannot follow), so candidate generation + threshold rerank are
+    * hash-checked end-to-end in DuckDB (query
+    * `dedup_embedding_threshold_seeded`). Production path remains
+    * [[thresholdPairs]] (auto-scaled Gaussian banding, recall+volume
+    * gates). Output contract identical: unordered (id_a, id_b, cos ≥
+    * tau) pair set, cos 6-decimal. */
+  def thresholdPairsSeeded(vectors: DataFrame, tau: Double,
+                           numPlanes: Int = 144,
+                           rowsPerBand: Int = 12): DataFrame = {
+    val planesFlat = seededPlanesFlat(vectors, "id", "vec", numPlanes)
+    val q = vectors.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val d = vectors.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    val withNorm = vectors.select(col("id"), col("vec"),
+      vecNorm(col("vec")).as("norm"))
+    candidatesWithPlanes(q, d, planesFlat, rowsPerBand)
       .filter(col("q_id") < col("d_id"))
       .join(withNorm.select(col("id").as("q_id"), col("vec").as("q_vec"),
         col("norm").as("q_norm")), Seq("q_id"))

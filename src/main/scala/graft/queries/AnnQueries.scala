@@ -62,9 +62,42 @@ object AnnQueries extends QueryPack {
     "dedup_embedding_threshold" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // Row-count hint: the planted corpus is exactly 2× the base table,
+      // and counting the pruned parquet base is footer-metadata cheap —
+      // without the hint the operator would re-scan the full planted
+      // union (including the transform) just to size its bands.
+      val nPlanted = 2L * base.count()
       // operator returns an unordered pair set; presentation order is
       // applied here, at the query boundary, on the output-sized result
-      LshAnn.thresholdPairs(plantNearDups(base), tau = 0.85)
+      LshAnn.thresholdPairs(plantNearDups(base), tau = 0.85, nRows = nPlanted)
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+    }),
+
+    // LSH kNN with corpus-SEEDED planes — the oracle-checkable twin of
+    // knn_lsh: plane pick (md5 rank), sign-bit band keys, bucket
+    // equi-join, exact cosine rerank, top-k — ALL deterministic double
+    // arithmetic, hash-checked in DuckDB end-to-end. Same recipe that
+    // converted IVF (knn_ivf_seeded).
+    "knn_lsh_seeded" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      LshAnn.knnSeeded(q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Thresholded embedding near-dup with corpus-seeded planes and a
+    // pinned banding regime — the oracle-checkable twin of
+    // dedup_embedding_threshold. The planted near-dups here use EXACT
+    // integer-mod perturbation (no sin): libm transcendentals are the
+    // one place Spark and DuckDB doubles could differ by an ulp, and an
+    // oracle fixture must be bit-reproducible in both engines.
+    "dedup_embedding_threshold_seeded" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      LshAnn.thresholdPairsSeeded(plantNearDupsExact(base), tau = 0.85)
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
     }),
 
@@ -118,6 +151,26 @@ object AnnQueries extends QueryPack {
         round(round(col("entropy"), 9), 6).as("entropy") +: histCols: _*)
     })
   )
+
+  /** Like [[plantNearDups]] but with EXACT integer-mod perturbation
+    * instead of sin: factor = 1 + 0.05·((id + 37j) mod 19 − 9) ∈
+    * [0.55, 1.45], cos(original, copy) ≈ 0.96. Pure integer/rational
+    * double arithmetic → bit-identical in Spark and DuckDB, which the
+    * seeded oracle twin requires (sin is libm, not IEEE-pinned). */
+  def plantNearDupsExact(base: DataFrame): DataFrame = {
+    // perturb FIRST, re-id in a second select: an `.as("id")` alias in
+    // the same projection would capture the lambda's col("id") reference
+    // (analyzer resolves it against the aliased output), silently keying
+    // the factor off id+10⁶ — the oracle SQL keys off the BASE id
+    val planted = base
+      .select(col("id"),
+        transform(col("vec"), (x, j) =>
+          (x * (lit(1.0) + lit(0.05) *
+            (((col("id") + lit(37L) * j) % 19) - lit(9)).cast("double")))
+            .cast("float")).as("vec"))
+      .select((col("id") + 1000000L).as("id"), col("vec"))
+    base.unionAll(planted)
+  }
 
   /** Base corpus ∪ one deterministic perturbed copy per vector (id+10⁶,
     * per-coordinate multiplicative noise, cos(original, copy) ≈ 0.96) —
@@ -181,6 +234,87 @@ object AnnQueries extends QueryPack {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** Sign-bit band keys in SQL for a (id-col, vec-col) relation against
+    * the md5-ranked seeded planes `pl(r, p_vec)`: bit r of band r/B is
+    * sign(dot) packed big-endian — exactly VecLshBandKeysExpr's
+    * `key = (key << 1) | (s >= 0)` loop. */
+  private def bandKeysSql(rel: String, idCol: String, vecCol: String,
+                          rowsPerBand: Int): String =
+    s"""SELECT $idCol, r // $rowsPerBand AS band,
+       |       CAST(sum(CASE WHEN ${dotSqlAB("p_vec", vecCol)} >= 0
+       |            THEN (CAST(1 AS BIGINT) << (${rowsPerBand - 1} - (r % $rowsPerBand)))
+       |            ELSE 0 END) AS BIGINT) AS key
+       |FROM $rel CROSS JOIN pl GROUP BY 1, 2""".stripMargin
+
+  /** knn_lsh_seeded oracle — the complete seeded-LSH pipeline in SQL:
+    * md5-ranked plane pick, sign-bit band keys, bucket equi-join, exact
+    * cosine rerank, top-k, on the same 9-decimal double quantization as
+    * the Spark kernel. */
+  private val lshSeededOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val p = 64
+    val b = 8
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |pl AS (
+       |  SELECT rn - 1 AS r, p_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) AS rn,
+       |           d_vec AS p_vec
+       |    FROM d) t WHERE rn <= $p),
+       |dk AS (
+       |  ${bandKeysSql("d", "d_id", "d_vec", b)}),
+       |qk AS (
+       |  ${bandKeysSql("q", "q_id", "q_vec", b)}),
+       |cand AS (
+       |  SELECT DISTINCT q_id, d_id FROM qk JOIN dk USING (band, key)),
+       |scored AS (
+       |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN d ON d.d_id = c.d_id
+       |  WHERE c.q_id <> c.d_id),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  /** dedup_embedding_threshold_seeded oracle: exact-mod planted corpus,
+    * seeded planes, pinned 12×12 banding, threshold rerank. */
+  private val thresholdSeededOracle: String = {
+    val p = 144
+    val b = 12
+    s"""WITH plantedlong AS (
+       |  SELECT vec_id, j,
+       |         CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 *
+       |           CAST((vec_id + 37 * (j - 1)) % 19 - 9 AS DOUBLE)) AS FLOAT) AS xf
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |               unnest(range(1, len(embedding) + 1)) AS j
+       |        FROM embeddings)),
+       |corpus AS (
+       |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS id, list(xf ORDER BY j) AS vec
+       |  FROM plantedlong GROUP BY vec_id),
+       |pl AS (
+       |  SELECT rn - 1 AS r, p_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
+       |           vec AS p_vec
+       |    FROM corpus) t WHERE rn <= $p),
+       |k AS (
+       |  ${bandKeysSql("corpus", "id", "vec", b)}),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |scored AS (
+       |  SELECT id_a, id_b, ${cosSql("ca.vec", "cb.vec")} AS cos
+       |  FROM cand JOIN corpus ca ON ca.id = id_a JOIN corpus cb ON cb.id = id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= 0.85""".stripMargin
+  }
+
   /** DuckDB byte extraction for the media oracle: hex-encode the payload
     * and decode each byte as two nibble lookups (pure SQL, no blob
     * indexing needed). */
@@ -223,6 +357,8 @@ object AnnQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
     "knn_ivf_seeded" -> ivfSeededOracle,
+    "knn_lsh_seeded" -> lshSeededOracle,
+    "dedup_embedding_threshold_seeded" -> thresholdSeededOracle,
     "s15_meanpool" ->
       """WITH f AS (
         |  SELECT vec_id // 5 AS video_id,

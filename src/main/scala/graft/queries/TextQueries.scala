@@ -214,7 +214,21 @@ object TextQueries extends QueryPack {
     "dedup_minhash_pairs" -> ((s, dir) =>
       graft.operators.MinHashLsh.bandedPairs(
         trigrams(s, dir).withColumn("h", md5(col("shingle"))),
-        NumHashes, RowsPerBand))
+        NumHashes, RowsPerBand)),
+
+    // Duplicate-CLUSTER resolution — the step every real pipeline runs
+    // right after the pair queries above: connected components over the
+    // MinHash near-dup pairs (alternating large-star/small-star, bounded
+    // rounds, no driver graph), then the min-id keep-rule. Every document
+    // gets a cluster (no-pair docs are singletons); is_canonical marks
+    // the survivor. Oracle: DuckDB recursive CTE over the SAME pair set.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.MinHashLsh.bandedPairs(
+          trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      graft.operators.ConnectedComponents.resolve(docs(s, dir), pairs)
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -332,7 +346,37 @@ object TextQueries extends QueryPack {
            |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
            |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
            |WHERE x.doc_id < y.doc_id
-           |GROUP BY x.doc_id, y.doc_id""".stripMargin
+           |GROUP BY x.doc_id, y.doc_id""".stripMargin,
+      // Same pair set as dedup_minhash_pairs, then components via a
+      // recursive transitive-closure CTE (UNION dedupes, so cycles
+      // terminate) labeled with the component minimum — the min-id
+      // keep-rule the Spark operator implements with large/small-star.
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |pairs AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           |  WHERE x.doc_id < y.doc_id
+           |  GROUP BY x.doc_id, y.doc_id),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |labels AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+           |  FROM reach GROUP BY u)
+           |SELECT d.doc_id,
+           |       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           |       CAST(COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS is_canonical
+           |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin
     )
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+/** Duplicate-cluster resolution: correctness vs a driver-side union-find
+  * on random graphs, bounded rounds on the adversarial giant-chain
+  * fixture (the skew case: ONE component spanning the corpus), and the
+  * keep-rule contracts. */
+class DedupClusterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("id_a", "id_b")
+  }
+
+  /** Reference labels via driver-side union-find (test-only). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("components match union-find on a random pair graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val expected = unionFind(edges)
+    val got = ConnectedComponents.components(pairsDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("giant-chain skew fixture: one 512-node component, bounded rounds") {
+    // A chain is the worst case for label propagation (diameter = n);
+    // large/small-star must collapse it in O(log^2 n) rounds, not O(n).
+    val chain = (0L until 511L).map(i => (i, i + 1))
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(pairsDf(chain))
+    assert(rounds <= 15, s"giant chain took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 512 && got.values.forall(_ == 0L))
+  }
+
+  test("giant-star skew fixture converges fast and keeps one canonical") {
+    // One hub duplicated 1000x — the hot-cluster shape a crawl corpus
+    // actually produces. Must not need many rounds or emit O(n^2) rows.
+    val star = (1L to 1000L).map(i => (0L, i))
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(pairsDf(star))
+    assert(rounds <= 3, s"star took $rounds rounds")
+    assert(labels.count() == 1001)
+    assert(labels.filter(col("id") === col("cluster_id")).count() == 1)
+  }
+
+  test("resolve: singletons, min-id canonical, full doc coverage") {
+    import spark.implicits._
+    val docsDf = (0L to 9L).toDF("doc_id")
+    val pairs = pairsDf(Seq((1L, 3L), (3L, 5L), (7L, 8L)))
+    val out = ConnectedComponents.resolve(docsDf, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val singles = Set(0L, 2L, 4L, 6L, 9L).map(i => (i, i, 1L))
+    val clustered = Set((1L, 1L, 1L), (3L, 1L, 0L), (5L, 1L, 0L),
+      (7L, 7L, 1L), (8L, 7L, 0L))
+    assert(out == singles ++ clustered)
+  }
+
+  test("resolveByQuality keeps the max-quality member") {
+    import spark.implicits._
+    val docsDf = Seq((1L, 0.2), (3L, 0.9), (5L, 0.9), (6L, 0.5))
+      .toDF("doc_id", "quality")
+    val pairs = pairsDf(Seq((1L, 3L), (3L, 5L)))
+    val out = ConnectedComponents.resolveByQuality(docsDf, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // quality tie 3 vs 5 -> min doc_id wins; singleton 6 is canonical
+    assert(out == Set((1L, 1L, 0L), (3L, 1L, 1L), (5L, 1L, 0L), (6L, 6L, 1L)))
+  }
+
+  test("empty pair set: every doc is its own canonical singleton") {
+    import spark.implicits._
+    val docsDf = (0L to 4L).toDF("doc_id")
+    val out = ConnectedComponents.resolve(docsDf, pairsDf(Seq.empty))
+    assert(out.filter(col("is_canonical") === 1).count() == 5)
+    assert(out.filter(col("doc_id") =!= col("cluster_id")).count() == 0)
+  }
+}

@@ -224,6 +224,39 @@ class IndexSpec extends AnyFunSuite {
         "(build or search kept more than one shard's broadcasts alive)")
   }
 
+  test("resident-shard cache: peak <= conf, re-search does zero new loads") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sharded_cache_").toString
+    val conf = "spark.graft.index.residentShards"
+    spark.conf.set(conf, "2")
+    try {
+      ShardedIndex.resetResidencyTracking()
+      val ref = ShardedIndex.buildPersisted(spark, emb,
+        IndexQueries.FixtureParams, nShards = 2, path)
+      val querySets = emb.filter(col("vec_id") < 5 * VectorQueries.C).select(
+        (col("vec_id") / VectorQueries.C).cast("long").as("qset_id"),
+        (col("vec_id") % VectorQueries.C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      def run(): Long = ShardedIndex.searchMultiDf(spark, querySets, ref,
+        minPq = 10, maxPq = 200, budget = 120, adaptive = true).count()
+      val first = run()
+      val loadsAfterFirst = ShardedIndex.shardLoadCount
+      // both shards fit the conf: the SECOND search must be all cache hits
+      val second = run()
+      assert(second === first)
+      assert(ShardedIndex.shardLoadCount === loadsAfterFirst,
+        "re-search over resident shards reloaded from disk")
+      assert(ShardedIndex.peakResidentShards <= 2,
+        s"peak resident shards = ${ShardedIndex.peakResidentShards}, " +
+          "want <= conf (2)")
+    } finally {
+      spark.conf.set(conf, "1")
+      ShardedIndex.resetResidencyTracking()
+    }
+  }
+
   test("flagship g9 routes through the sharded tier under the conf switch") {
     val conf = "spark.graft.index.shards"
     spark.conf.set(conf, "2")
