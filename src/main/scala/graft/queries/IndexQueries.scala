@@ -236,6 +236,27 @@ object IndexQueries extends QueryPack {
         cands.select(col("qset_id"), col("d_id")), C, K)
     }),
 
+    // G9 with VARIABLE-cardinality query sets end-to-end: ragged sets
+    // from the S7 cycle mapping (cards 1..5) run through the SAME
+    // adaptive multivector kernel (searchMultiDf groups whatever rows a
+    // set brings — no fixed stride) and rerank with each set's OWN
+    // cardinality as the chamfer denominator (chamferTopKVarc).
+    // Rows-only (graph search is order-dependent); IndexSpec holds it to
+    // >=0.95 Recall@10 vs the ragged full-scan oracle.
+    "g9_varc" -> ((s, dir) => {
+      val querySets = VarcQueries.membership(s, dir)
+        .filter(col("set_id") < 2 * NQ)
+        .select(col("set_id").as("qset_id"),
+          col("sub_idx").cast("int").as("q_sub"),
+          col("embedding").as("q_vec"))
+      val h = handles(s, dir)
+      val cands = BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
+        h.idx.params.metric, minPq = 10, maxPq = 200, budget = 120,
+        adaptive = true)
+      Rerank.chamferTopKVarc(emb(s, dir), querySets,
+        cands.select(col("qset_id"), col("d_id")), C, K)
+    }),
+
     // G9 over the sharded tier explicitly (2 strided shards, per-shard
     // RoarGraph, same budget per shard, one bounded rerank merge) —
     // rows-only; IndexSpec holds it to the same >=0.95 Recall@10 gate as

@@ -46,8 +46,10 @@ object VarcQueries extends QueryPack {
     "CASE vec_id % 15 " +
       cycle.map(t => s"WHEN ${t._1} THEN ${f(t)}").mkString(" ") + " END"
 
-  /** Membership with variable cardinality: (vector_id, set_id, sub_idx, card). */
-  private def membership(s: SparkSession, dir: String): DataFrame =
+  /** Membership with variable cardinality: (vector_id, set_id, sub_idx, card).
+    * Shared with IndexQueries' g9_varc (ragged QUERY sets for the graph
+    * search path). */
+  private[graft] def membership(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       ((col("vec_id") / CycleLen).cast("long") * SetsPerCycle +

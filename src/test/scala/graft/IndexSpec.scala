@@ -194,6 +194,35 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"sharded G9 Recall@10 = $avg (per-set: $recalls)")
   }
 
+  test("g9_varc: ragged query sets reach >=0.95 Recall@10 vs ragged fullscan") {
+    val varcSets = graft.queries.VarcQueries.membership(spark, sfDir)
+      .filter(col("set_id") < 2 * VectorQueries.NQ)
+      .select(col("set_id").as("qset_id"),
+        col("sub_idx").cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+    // sanity: the fixture really is ragged (cards 1..5 present)
+    val cards = varcSets.groupBy("qset_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).sorted
+    assert(cards.length > 1, s"varc fixture degenerated to fixed c: $cards")
+    val approx = IndexQueries.queries("g9_varc")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // oracle: same ragged rerank over ALL data sets (full scan)
+    val emb = Tables.embeddings(spark, sfDir)
+    val allCands = varcSets.select("qset_id").distinct()
+      .crossJoin(emb.select(col("vec_id").as("d_id")))
+    val oracle = graft.operators.Rerank.chamferTopKVarc(emb, varcSets,
+        allCands, VectorQueries.C, VectorQueries.K)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"g9_varc Recall@10 = $avg (per-set: $recalls)")
+  }
+
   test("persisted sharded tier holds at most ONE shard resident end-to-end") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
