@@ -69,9 +69,10 @@ object Sweep {
     val graphB = spark.sparkContext.broadcast(idx.graph)
     val vecsB = spark.sparkContext.broadcast(idx.vecs)
     // HNSW arm SHARES the corpus broadcast (vecsB) — the index itself
-    // carries only adjacency; reference knobs M=35, efC=500
+    // carries only adjacency; reference knobs M=35, efC=500; the
+    // deterministic batch-parallel build (same recall gate, all cores)
     val hnswB = spark.sparkContext.broadcast(
-      Hnsw.build(idx.vecs, idx.params.metric))
+      Hnsw.buildParallel(idx.vecs, idx.params.metric))
     val querySets = emb.filter(col("vec_id") < NQ * C).select(
       (col("vec_id") / C).cast("long").as("qset_id"),
       (col("vec_id") % C).cast("int").as("q_sub"),

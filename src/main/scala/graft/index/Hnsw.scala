@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions.col
   * broadcast the corpus (e.g. Sweep's RoarGraph arm) ships it once, not
   * once per index.
   *
-  * Scale scope: [[Hnsw.build]] is a SEQUENTIAL driver loop (the paper's
-  * insert algorithm is inherently ordered; hnswlib parallelizes it with
-  * fine-grained locks on shared mutable adjacency, which has no
-  * shared-nothing Spark analog) — O(n · efConstruction · d) on one core.
-  * It exists as the reference's BASELINE arm at fixture scale and is
-  * guarded by `maxBuildN`; the scale path for graph ANN is the RoarGraph
-  * build (distributed stages) and the sharded tier.
+  * Scale scope: the build is a DRIVER-LOCAL kernel guarded by
+  * `maxBuildN`. [[Hnsw.build]] keeps the paper's strictly sequential
+  * insert semantics; [[Hnsw.buildParallel]] runs deterministic
+  * batch-parallel inserts (read-only concurrent searches against a
+  * frozen snapshot, sequential id-order edge apply — hnswlib
+  * parallelizes with fine-grained locks on shared adjacency, which is
+  * scheduling-dependent; ours is bit-reproducible). Either way it is
+  * the reference's BASELINE arm at fixture scale; the scale path for
+  * graph ANN is the RoarGraph build (distributed stages) and the
+  * sharded tier.
   */
 final class HnswIndex(val m: Int,
                       val layers: Array[Array[Array[Int]]], // layer -> node -> nbrs
@@ -105,77 +108,142 @@ object Hnsw {
     cands.toSeq.sortBy { case (id, d) => (d, id) }.take(max).map(_._1).toArray
 
   /** Build with the reference arm's knobs (M=35, efConstruction=500).
-    * Driver-sequential (see class doc) — refuses corpora past
-    * `maxBuildN` so the baseline arm cannot silently become a days-long
-    * single-core job at scale. */
+    * Sequential semantics (batch size 1): every insert sees all earlier
+    * nodes — the paper's algorithm exactly. */
   def build(vecs: VectorStore, metricName: String, m: Int = 35,
             efConstruction: Int = 500, seed: Long = 42L,
-            maxBuildN: Int = 1 << 20): HnswIndex = {
+            maxBuildN: Int = 1 << 20): HnswIndex =
+    buildBatched(vecs, metricName, m, efConstruction, seed, maxBuildN,
+      maxBatch = 1, threads = 1)
+
+  /** Batch-PARALLEL build, deterministic: nodes are processed in id order
+    * in batches that ramp 1,2,4,…,`maxBatch`; within a batch every node
+    * runs its greedy descent + per-layer ef-search CONCURRENTLY against
+    * the frozen pre-batch graph (read-only), then edges are applied
+    * sequentially in id order (forward lists, reverse-edge pruning, entry
+    * update). Thread scheduling cannot affect the result — each node's
+    * neighbor choice depends only on the snapshot, and the apply order is
+    * fixed — so two builds are bit-identical (asserted in IndexSpec).
+    *
+    * The trade vs sequential: batch peers don't see each other at insert
+    * time (they connect only through later reverse edges), a mild
+    * sparsification bounded by the ramp (a batch is never larger than the
+    * already-built graph). hnswlib's own parallel build pays a similar
+    * (scheduling-DEPENDENT) deviation via fine-grained locks; ours keeps
+    * determinism. Recall parity is held by the same Sweep monotone-recall
+    * gate as the sequential arm. */
+  def buildParallel(vecs: VectorStore, metricName: String, m: Int = 35,
+                    efConstruction: Int = 500, seed: Long = 42L,
+                    maxBuildN: Int = 1 << 20, maxBatch: Int = 256,
+                    threads: Int = Runtime.getRuntime.availableProcessors)
+      : HnswIndex =
+    buildBatched(vecs, metricName, m, efConstruction, seed, maxBuildN,
+      maxBatch, threads)
+
+  private def buildBatched(vecs: VectorStore, metricName: String, m: Int,
+                           efConstruction: Int, seed: Long, maxBuildN: Int,
+                           maxBatch: Int, threads: Int): HnswIndex = {
     require(vecs.n <= maxBuildN,
-      s"Hnsw.build is a sequential driver loop (baseline arm): n=${vecs.n} " +
+      s"Hnsw build is a driver-local kernel (baseline arm): n=${vecs.n} " +
         s"exceeds maxBuildN=$maxBuildN. Use GraphBuild/ShardedIndex for " +
         "corpora past fixture scale, or raise maxBuildN deliberately.")
     val metric = Metrics(metricName)
     val n = vecs.n
     val levels = Array.tabulate(n)(v => levelOf(v, m, seed))
-    val maxLevel = levels.max
+    val maxLevel = if (n > 0) levels.max else 0
     val layers = Array.fill(maxLevel + 1)(new Array[Array[Int]](n))
     val mMax0 = 2 * m
-    var entry = -1
-    var entryLevel = -1
-    var v = 0
-    while (v < n) {
+    if (n == 0) return new HnswIndex(m, layers, levels, -1, -1, metricName)
+    var entry = 0
+    var entryLevel = levels(0)
+
+    /** Read-only phase for node v against the frozen graph: greedy
+      * descent from the batch-start entry, then per-layer ef-search;
+      * returns chosen neighbors per layer (index = layer). */
+    def chooseFor(v: Int): Array[Array[Int]] = {
       val lv = levels(v)
       val q = vecs.vector(v)
-      if (entry < 0) { entry = v; entryLevel = lv }
-      else {
-        var ep = entry
-        // greedy descent through layers above the node's level
-        var layer = entryLevel
-        while (layer > lv) {
-          var changed = true
-          while (changed) {
-            changed = false
-            val nbrs = layers(layer)(ep)
-            if (nbrs != null) {
-              var i = 0
-              var bestD = metric.dist(vecs.data, vecs.offset(ep), q, 0, vecs.dim)
-              while (i < nbrs.length) {
-                val d = metric.dist(vecs.data, vecs.offset(nbrs(i)), q, 0, vecs.dim)
-                if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
-                i += 1
-              }
+      var ep = entry
+      var layer = entryLevel
+      while (layer > lv) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val nbrs = layers(layer)(ep)
+          if (nbrs != null) {
+            var bestD = metric.dist(vecs.data, vecs.offset(ep), q, 0, vecs.dim)
+            var i = 0
+            while (i < nbrs.length) {
+              val d = metric.dist(vecs.data, vecs.offset(nbrs(i)), q, 0, vecs.dim)
+              if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
+              i += 1
             }
           }
-          layer -= 1
         }
-        // connect at each layer from min(entryLevel, lv) down to 0
-        var eps = Seq(ep)
-        layer = math.min(entryLevel, lv)
-        while (layer >= 0) {
-          val found = searchLayer(vecs, metric, layers, layer, q, eps, efConstruction)
-          // layer 0 connects up to M_max0 = 2M (the paper's layer-0 cap);
-          // upper layers connect up to M
-          val cap = if (layer == 0) mMax0 else m
-          val chosen = nearestM(found.map { case (id, d) => (id, d) }, cap)
-          layers(layer)(v) = chosen
-          // bidirectional edges, pruning over-full neighbors to cap
-          chosen.foreach { u =>
-            val cur = layers(layer)(u)
-            val merged = if (cur == null) Array(v) else cur :+ v
-            layers(layer)(u) =
-              if (merged.length <= cap) merged
-              else nearestM(merged.map(x => (x,
-                metric.dist(vecs.data, vecs.offset(x), vecs.data,
-                  vecs.offset(u), vecs.dim))), cap)
-          }
-          eps = found.map(_._1).toSeq
-          layer -= 1
-        }
-        if (lv > entryLevel) { entry = v; entryLevel = lv }
+        layer -= 1
       }
-      v += 1
+      var eps = Seq(ep)
+      layer = math.min(entryLevel, lv)
+      val chosen = new Array[Array[Int]](layer + 1)
+      while (layer >= 0) {
+        val found = searchLayer(vecs, metric, layers, layer, q, eps,
+          efConstruction)
+        // layer 0 connects up to M_max0 = 2M (the paper's layer-0 cap)
+        val cap = if (layer == 0) mMax0 else m
+        chosen(layer) = nearestM(found.map { case (id, d) => (id, d) }, cap)
+        eps = found.map(_._1).toSeq
+        layer -= 1
+      }
+      chosen
     }
+
+    val pool =
+      if (threads > 1) new java.util.concurrent.ForkJoinPool(threads) else null
+    try {
+      var start = 1
+      var batch = 1
+      while (start < n) {
+        val end = math.min(n, start + batch)
+        val results = new Array[Array[Array[Int]]](end - start)
+        if (pool == null || end - start == 1) {
+          var i = 0
+          while (i < end - start) { results(i) = chooseFor(start + i); i += 1 }
+        } else {
+          // parallel read-only searches; submit/get gives happens-before
+          // with the apply phases before and after
+          pool.submit(new Runnable {
+            def run(): Unit =
+              java.util.stream.IntStream.range(0, end - start).parallel()
+                .forEach(i => results(i) = chooseFor(start + i))
+          }).get()
+        }
+        // sequential apply in id order — the only phase that writes
+        var i = 0
+        while (i < end - start) {
+          val v = start + i
+          val chosen = results(i)
+          var layer = chosen.length - 1
+          while (layer >= 0) {
+            val cap = if (layer == 0) mMax0 else m
+            layers(layer)(v) = chosen(layer)
+            chosen(layer).foreach { u =>
+              val cur = layers(layer)(u)
+              val merged = if (cur == null) Array(v) else cur :+ v
+              layers(layer)(u) =
+                if (merged.length <= cap) merged
+                else nearestM(merged.map(x => (x,
+                  metric.dist(vecs.data, vecs.offset(x), vecs.data,
+                    vecs.offset(u), vecs.dim))), cap)
+            }
+            layer -= 1
+          }
+          if (levels(v) > entryLevel) { entry = v; entryLevel = levels(v) }
+          i += 1
+        }
+        start = end
+        batch = math.min(maxBatch, batch * 2)
+      }
+    } finally if (pool != null) pool.shutdown()
     new HnswIndex(m, layers, levels, entry, entryLevel, metricName)
   }
 

@@ -245,8 +245,11 @@ object LshAnn {
     * hash-checked end-to-end in DuckDB (query
     * `dedup_embedding_threshold_seeded`). Production path remains
     * [[thresholdPairs]] (auto-scaled Gaussian banding, recall+volume
-    * gates). Output contract identical: unordered (id_a, id_b, cos ≥
-    * tau) pair set, cos 6-decimal. */
+    * gates): a PINNED regime's bulk-collision volume grows ~n²/2^bits —
+    * measured 6.4× at the 10× sf1 smoke (vs 2.3× for the auto-banded
+    * production query) — so this twin is the ORACLE arm at fixture
+    * scales, not a scale path. Output contract identical: unordered
+    * (id_a, id_b, cos ≥ tau) pair set, cos 6-decimal. */
   def thresholdPairsSeeded(vectors: DataFrame, tau: Double,
                            numPlanes: Int = 144,
                            rowsPerBand: Int = 12): DataFrame = {

@@ -301,10 +301,21 @@ class IndexSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, "1")
   }
 
-  test("HNSW baseline arm reaches >=0.9 Recall@10 vs exact kNN") {
+  test("parallel HNSW build is deterministic (two builds bit-identical)") {
+    val a = Hnsw.buildParallel(index.vecs, "cosine")
+    val b = Hnsw.buildParallel(index.vecs, "cosine")
+    assert(a.entryPoint === b.entryPoint && a.maxLevel === b.maxLevel)
+    assert(a.levels.toSeq === b.levels.toSeq)
+    for (layer <- a.layers.indices; v <- a.layers(layer).indices)
+      assert(java.util.Arrays.equals(a.layers(layer)(v), b.layers(layer)(v)),
+        s"adjacency differs at layer $layer node $v")
+  }
+
+  test("HNSW baseline arm (parallel build) reaches >=0.9 Recall@10 vs exact kNN") {
     import spark.implicits._
     val vecsB = spark.sparkContext.broadcast(index.vecs)
-    val hnswB = spark.sparkContext.broadcast(Hnsw.build(index.vecs, "cosine"))
+    val hnswB = spark.sparkContext.broadcast(
+      Hnsw.buildParallel(index.vecs, "cosine"))
     val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val hits = Hnsw.searchDf(spark, q, hnswB, vecsB, k = 10, ef = 60)
