@@ -40,7 +40,11 @@ object ConnectedComponents {
 
   /** Large-star: for every node u, link every strictly-larger neighbor v
     * to m(u) = min(Γ(u) ∪ {u}). Emitted edges keep the large→small
-    * orientation (v > m always, since m ≤ u < v). */
+    * orientation (v > m always, since m ≤ u < v). No dedup here: the
+    * output feeds straight into small-star, whose min-aggregation is
+    * duplicate-insensitive and whose own `distinct` canonicalizes the
+    * round's result — a distinct here would be a whole extra exchange
+    * per round for nothing. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -48,7 +52,6 @@ object ConnectedComponents {
     sym.join(mins, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
-      .distinct()
   }
 
   /** Small-star: orient every edge large→small, then for every node u

@@ -228,6 +228,19 @@ object TextQueries extends QueryPack {
           NumHashes, RowsPerBand)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       graft.operators.ConnectedComponents.resolve(docs(s, dir), pairs)
+    }),
+
+    // Same clusters, max-QUALITY keep-rule (quality = char length, the
+    // "keep the longest copy" heuristic real pipelines default to):
+    // canonical = argmax(quality, tie → min doc_id) per cluster.
+    "dedup_clusters_quality" -> ((s, dir) => {
+      val pairs = graft.operators.MinHashLsh.bandedPairs(
+          trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val docsQ = docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("double").as("quality"))
+      graft.operators.ConnectedComponents.resolveByQuality(docsQ, pairs)
     })
   )
 
@@ -376,7 +389,37 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id,
            |       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
            |       CAST(COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS is_canonical
-           |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin
+           |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
+      "dedup_clusters_quality" ->
+        s"""WITH RECURSIVE sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |pairs AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           |  WHERE x.doc_id < y.doc_id
+           |  GROUP BY x.doc_id, y.doc_id),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |labels AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+           |  FROM reach GROUP BY u),
+           |docsq AS (
+           |  SELECT d.doc_id, CAST(length(d.text) AS DOUBLE) AS quality,
+           |         COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+           |SELECT doc_id, cluster_id,
+           |       CAST(row_number() OVER (PARTITION BY cluster_id
+           |              ORDER BY quality DESC, doc_id ASC) = 1 AS BIGINT) AS is_canonical
+           |FROM docsq""".stripMargin
     )
   }
 }
