@@ -76,17 +76,20 @@ object ConnectedComponents {
     * partial labels) if `maxRounds` is hit. */
   def componentsWithRounds(pairs: DataFrame,
                            maxRounds: Int = 25): (DataFrame, Int) = {
+    // LAZY checkpoints: the signature probe right after is the one
+    // action that materializes each round's edge set — eager would run a
+    // second, redundant job per round just to populate the same blocks
     var e = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig = signature(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next

@@ -85,6 +85,17 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 0L), (3L, 1L, 1L), (5L, 1L, 0L), (6L, 6L, 1L)))
   }
 
+  test("labels are partition-invariant (1 vs 32 partitions, same result)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val one = ConnectedComponents.components(pairsDf(edges).coalesce(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = ConnectedComponents.components(pairsDf(edges).repartition(32))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
   test("empty pair set: every doc is its own canonical singleton") {
     import spark.implicits._
     val docsDf = (0L to 4L).toDF("doc_id")
