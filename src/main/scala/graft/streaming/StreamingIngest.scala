@@ -57,6 +57,49 @@ object StreamingIngest {
       }
   }
 
+  /** One banded MinHash key of one document — the streaming unit of the
+    * batch near-dup candidate generator ([[graft.operators.MinHashLsh]]):
+    * a doc contributes one row per band. */
+  case class BandedDoc(doc_id: Long, band: Int, key: String)
+
+  /** A streaming near-dup CANDIDATE: `doc_id` collided with the bucket
+    * first claimed by `first_doc_id` on `band`. */
+  case class BandCollision(doc_id: Long, first_doc_id: Long, band: Int)
+
+  /** Streaming near-dup candidate generation — the streaming face of the
+    * batch MinHash-LSH banded self-join: state is keyed by (band, key)
+    * and holds the FIRST doc to claim that bucket; every later doc
+    * hashing into the bucket emits a (doc, first_claimant, band)
+    * candidate, across micro-batches. Downstream exact verification
+    * (Jaccard / cosine on the pair) and cluster resolution
+    * ([[graft.operators.ConnectedComponents]]) run as the same batch
+    * operators this repo already oracle-checks — this stage only has to
+    * produce the SAME candidate pairs the batch banded join would.
+    *
+    * State is one long per occupied bucket (bounded by the number of
+    * distinct band keys, the same working set the batch shuffle
+    * materializes); at 100 TB the state store is RocksDB-backed and
+    * partitioned by the same (band, key) hash the batch join shuffles
+    * on. Candidates keyed to the FIRST claimant (not all prior members)
+    * keep per-bucket state O(1) — pair volume is the hot-bucket-bounded
+    * candidate set, exactly like the batch operator's skew posture. */
+  def streamingBandCollisions(ds: Dataset[BandedDoc]): Dataset[BandCollision] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState[Long, BandCollision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), it, state) =>
+          val rows = it.toSeq.sortBy(_.doc_id) // batch-internal determinism
+          val first = state.getOption.getOrElse {
+            val f = rows.head.doc_id
+            state.update(f)
+            f
+          }
+          rows.iterator.filter(_.doc_id != first)
+            .map(b => BandCollision(b.doc_id, first, band))
+      }
+  }
+
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
   def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {

@@ -73,6 +73,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming band collisions emit the batch banded join's candidates") {
+    import StreamingIngest.{BandCollision, BandedDoc}
+    val input = MemoryStream[BandedDoc](spark)
+    val q = StreamingIngest.streamingBandCollisions(input.toDS())
+      .writeStream.format("memory").queryName("collisions")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 1 and 2 share band-0 bucket "x" -> one candidate
+      input.addData(
+        BandedDoc(1, 0, "x"), BandedDoc(1, 1, "p"),
+        BandedDoc(2, 0, "x"), BandedDoc(2, 1, "q"))
+      q.processAllAvailable()
+      // batch 2: doc 3 hits band 0 "x" (claimed by 1) and band 1 "q"
+      // (claimed by 2); doc 4 collides nowhere
+      input.addData(
+        BandedDoc(3, 0, "x"), BandedDoc(3, 1, "q"),
+        BandedDoc(4, 0, "y"), BandedDoc(4, 1, "r"))
+      q.processAllAvailable()
+      val got = spark.table("collisions").as[BandCollision].collect()
+        .map(c => (c.doc_id, c.first_doc_id, c.band)).toSet
+      assert(got === Set((2L, 1L, 0), (3L, 1L, 0), (3L, 2L, 1)))
+    } finally q.stop()
+  }
+
   test("running per-type stats accumulate state across batches") {
     val input = MemoryStream[EventIn](spark)
     val q = StreamingIngest.runningTypeStats(input.toDS())
