@@ -101,6 +101,21 @@ object AnnQueries extends QueryPack {
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
     }),
 
+    // The COMPLETE embedding-dedup pipeline in one query — thresholded
+    // near-dup pairs (seeded LSH) -> connected components -> min-id
+    // survivors — hash-checked end-to-end against a single recursive SQL
+    // statement. This is the composition a training-data pipeline
+    // actually runs; every stage is the already-certified operator.
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = plantNearDupsExact(base)
+      val pairs = LshAnn.thresholdPairsSeeded(corpus, tau = 0.85)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.resolve(
+        corpus.select(col("id").as("doc_id")), pairs)
+    }),
+
     // IVF with a corpus-SEEDED (training-free) quantizer — the
     // oracle-checkable twin of knn_ivf: seed pick, cell assignment,
     // probing, and exact rerank are ALL deterministic double arithmetic,
@@ -281,12 +296,14 @@ object AnnQueries extends QueryPack {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
-  /** dedup_embedding_threshold_seeded oracle: exact-mod planted corpus,
-    * seeded planes, pinned 12×12 banding, threshold rerank. */
-  private val thresholdSeededOracle: String = {
+  /** Shared CTE chain of the seeded-threshold pipeline (exact-mod
+    * planted corpus, seeded planes, pinned 12×12 banding, cosine-scored
+    * candidates) — consumed by both the pair oracle and the end-to-end
+    * cluster oracle. */
+  private val thresholdSeededCtes: String = {
     val p = 144
     val b = 12
-    s"""WITH plantedlong AS (
+    s"""plantedlong AS (
        |  SELECT vec_id, j,
        |         CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 *
        |           CAST((vec_id + 37 * (j - 1)) % 19 - 9 AS DOUBLE)) AS FLOAT) AS xf
@@ -310,10 +327,34 @@ object AnnQueries extends QueryPack {
        |  FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
        |scored AS (
        |  SELECT id_a, id_b, ${cosSql("ca.vec", "cb.vec")} AS cos
-       |  FROM cand JOIN corpus ca ON ca.id = id_a JOIN corpus cb ON cb.id = id_b)
+       |  FROM cand JOIN corpus ca ON ca.id = id_a JOIN corpus cb ON cb.id = id_b)""".stripMargin
+  }
+
+  /** dedup_embedding_threshold_seeded oracle. */
+  private val thresholdSeededOracle: String =
+    s"""WITH $thresholdSeededCtes
        |SELECT id_a, id_b, round(cos, 6) AS cos
        |FROM scored WHERE cos >= 0.85""".stripMargin
-  }
+
+  /** dedup_embedding_clusters oracle: the full embedding-dedup pipeline —
+    * seeded threshold pairs, transitive-closure components, min-id
+    * survivors — in one recursive SQL statement. */
+  private val embClustersOracle: String =
+    s"""WITH RECURSIVE $thresholdSeededCtes,
+       |pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.85),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u)
+       |SELECT c.id AS doc_id,
+       |       COALESCE(l.cluster_id, c.id) AS cluster_id,
+       |       CAST(COALESCE(l.cluster_id, c.id) = c.id AS BIGINT) AS is_canonical
+       |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.id""".stripMargin
 
   /** DuckDB byte extraction for the media oracle: hex-encode the payload
     * and decode each byte as two nibble lookups (pure SQL, no blob
@@ -359,6 +400,7 @@ object AnnQueries extends QueryPack {
     "knn_ivf_seeded" -> ivfSeededOracle,
     "knn_lsh_seeded" -> lshSeededOracle,
     "dedup_embedding_threshold_seeded" -> thresholdSeededOracle,
+    "dedup_embedding_clusters" -> embClustersOracle,
     "s15_meanpool" ->
       """WITH f AS (
         |  SELECT vec_id // 5 AS video_id,
