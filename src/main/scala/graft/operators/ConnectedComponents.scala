@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   * key only on the *label* side, never as a reduce key with O(cluster²)
   * output.
   *
-  * Lineage: each round's edge set is `localCheckpoint`ed — 25 iterative
+  * Lineage: each round's edge set is checkpointed — 25 iterative
   * self-joins would otherwise stack a plan Catalyst re-optimizes (and
-  * re-executes) from scratch each round. On a real cluster a reliable
-  * checkpoint dir serves the same purpose.
+  * re-executes) from scratch each round. By default that is a (lazy)
+  * `localCheckpoint` (executor block manager — fast, fine on local mode
+  * and for fault-free batch jobs); set `spark.graft.cc.checkpointDir`
+  * to a durable path and the loop switches to RELIABLE `checkpoint()`
+  * so a lost executor mid-iteration recomputes from the last round's
+  * files instead of restarting the whole job — the posture a multi-hour
+  * 100 TB dedup run needs.
   */
 object ConnectedComponents {
 
@@ -76,20 +81,29 @@ object ConnectedComponents {
     * partial labels) if `maxRounds` is hit. */
   def componentsWithRounds(pairs: DataFrame,
                            maxRounds: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val reliableDir =
+      spark.conf.getOption("spark.graft.cc.checkpointDir").filter(_.nonEmpty)
+    reliableDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
     // LAZY checkpoints: the signature probe right after is the one
     // action that materializes each round's edge set — eager would run a
-    // second, redundant job per round just to populate the same blocks
-    var e = pairs
+    // second, redundant job per round just to populate the same blocks.
+    // Reliable mode (conf above) trades that job for durability.
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+    var e = checkpointed(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     var sig = signature(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = checkpointed(smallStar(largeStar(e)))
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next

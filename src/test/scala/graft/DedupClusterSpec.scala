@@ -96,6 +96,24 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("reliable-checkpoint mode produces identical labels") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt_").toString
+    val conf = "spark.graft.cc.checkpointDir"
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 11L))
+    val local = ConnectedComponents.components(pairsDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(conf, dir)
+    try {
+      val reliable = ConnectedComponents.components(pairsDf(edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // reliable mode actually wrote round state to the durable dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0, "no checkpoint files written in reliable mode")
+    } finally spark.conf.unset(conf)
+  }
+
   test("empty pair set: every doc is its own canonical singleton") {
     import spark.implicits._
     val docsDf = (0L to 4L).toDF("doc_id")
