@@ -129,21 +129,27 @@ object ScaleSmoke {
         .map { case (n, i) => n -> row.getDouble(i) }.toMap
     }
 
-    // min-of-2, like Bench: a single timing is hostage to one-off
-    // JIT/GC/load spikes, and a tripwire that flaps is not a tripwire
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val raw = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { Bench.force(fn(spark, workDir)); true }
-          catch { case t: Throwable =>
-            System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            false
-          }
-        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
-      }
-      val ok = raw.forall(_._2)
-      name -> (if (ok) raw.map(_._1).min else -1.0, ok)
+    // min-of-2 as ROUND-ROBIN passes, like Bench: a single timing is
+    // hostage to one-off JIT/GC/load spikes, and adjacent reps of one
+    // query share any SUSTAINED spike — separating the reps by a full
+    // pass over the query list is what lets the min decorrelate them
+    val names = SparkEntry.queries.keys.toIndexedSeq
+    val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    for (_ <- 1 to 2; name <- names) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { Bench.force(SparkEntry.queries(name)(spark, workDir)); true }
+        catch { case t: Throwable =>
+          System.err.println(s"QUERY FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
+      val rec = (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      raw(name) = raw.getOrElse(name, Vector.empty) :+ rec
+    }
+    val results = names.map { name =>
+      val rs = raw(name)
+      val ok = rs.forall(_._2)
+      name -> (if (ok) rs.map(_._1).min else -1.0, ok)
     }
 
     def limitOf(b: Double): Double = 10.0 * math.max(b, 0.3)
@@ -160,7 +166,7 @@ object ScaleSmoke {
     val ratios = results.collect { case (k, (sec, true)) if base.contains(k) =>
       "\"" + k + "\":" + fmt(sec / math.max(base(k), 0.3))
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case (sec, true) => sec }.sum
+    val total = results.collect { case (_, (sec, true)) => sec }.sum
     val json =
       s"""{"metric":"sf1_smoke","factor":$factor,"value":${fmt(total)},"unit":"sec","queries":$qs,"ratio_vs_floor":$ratios,"violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"exempt":${Exempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"base":"$basePath","src":"$srcDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
