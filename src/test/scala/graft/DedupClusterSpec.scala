@@ -96,6 +96,20 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("local contraction solves a single-partition graph in zero rounds") {
+    // With all edges in one partition, the union-find contraction pass
+    // must emit the final star forest directly — the star-shape probe
+    // sees a fixed point before any large/small-star round runs.
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    val (labels, rounds) =
+      ConnectedComponents.componentsWithRounds(pairsDf(edges).coalesce(1))
+    assert(rounds == 0, s"single-partition graph took $rounds star rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+  }
+
   test("reliable-checkpoint mode produces identical labels") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cc_ckpt_").toString
