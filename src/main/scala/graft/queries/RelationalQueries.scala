@@ -38,14 +38,23 @@ object RelationalQueries extends QueryPack {
         .agg(round(sum("o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
-    // W1: top-3 rows per group with deterministic tie-breaks.
+    // W1: top-3 rows per group with deterministic tie-breaks, on the
+    // bounded-heap scale path (map-side partial top-k; the shuffle moves
+    // O(groups*k) rows, not the table — a rank window would sort every
+    // group's rows on one task). The aggregator's (score desc, id asc)
+    // order realizes the 3-level tie-break by packing the id as
+    // l_orderkey*8 + l_linenumber: TPC-H linenumbers are 1..7, so the
+    // packing is injective and preserves (orderkey asc, linenumber asc).
     "w1_topk_per_group" -> ((s, dir) => {
-      TopK.perGroup(Tables.lineitem(s, dir),
-          Seq(col("l_returnflag")),
-          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
-            col("l_linenumber").asc), 3)
-        .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
-          col("l_linenumber"), col("l_extendedprice"))
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("packed"))
+      TopK.perGroupAgg(li, Seq(col("l_returnflag")),
+          col("l_extendedprice"), col("packed"), 3)
+        .select(col("l_returnflag"), col("rank"),
+          expr("id div 8").as("l_orderkey"),
+          (col("id") % 8).cast("int").as("l_linenumber"),
+          col("score").as("l_extendedprice"))
     }),
     // P9: dedup / distinct projection.
     "p9_dedup" -> ((s, dir) => {

@@ -36,9 +36,13 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
-  /** (doc_id, shingle) distinct token trigrams, built positionally via an
-    * index-range transform (identical construction in the oracle SQL). */
-  private def trigrams(s: SparkSession, dir: String): DataFrame =
+  /** Token trigrams WITH duplicates — right for the MinHash paths, whose
+    * `min(...)` aggregation is duplicate-insensitive: signatures are
+    * bit-identical to the distinct set's, and skipping the dedup turns a
+    * full shuffle of every shingle string into map-side partial mins
+    * that shuffle 8 sigs per doc. Set-semantics callers (Jaccard) use
+    * [[trigrams]], which layers the `distinct` back on. */
+  private def trigramsAll(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
       .select(col("doc_id"), explode(
         // sequence(a,b) is inclusive and runs DESCENDING when b < a, so
@@ -50,7 +54,9 @@ object TextQueries extends QueryPack {
               element_at(col("toks"), i + 2),
               element_at(col("toks"), i + 3))))
           .otherwise(typedLit(Seq.empty[String]))).as("shingle"))
-      .distinct()
+
+  private def trigrams(s: SparkSession, dir: String): DataFrame =
+    trigramsAll(s, dir).distinct()
 
   private val trigramsSql =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(
@@ -199,7 +205,7 @@ object TextQueries extends QueryPack {
     // one digest instead of eight per shingle row); min is lexicographic,
     // identical in both engines.
     "dedup_minhash_sig" -> ((s, dir) => {
-      val sh = trigrams(s, dir).filter(col("doc_id") < 50)
+      val sh = trigramsAll(s, dir).filter(col("doc_id") < 50)
         .withColumn("h", md5(col("shingle")))
       val sigs = (1 to NumHashes).map(r =>
         min(substring(col("h"), (r - 1) * 4 + 1, 4)).as(s"sig$r"))
@@ -213,7 +219,7 @@ object TextQueries extends QueryPack {
     // synthetic fixtures.
     "dedup_minhash_pairs" -> ((s, dir) =>
       graft.operators.MinHashLsh.bandedPairs(
-        trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+        trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
         NumHashes, RowsPerBand)),
 
     // Duplicate-CLUSTER resolution — the step every real pipeline runs
@@ -224,7 +230,7 @@ object TextQueries extends QueryPack {
     // the survivor. Oracle: DuckDB recursive CTE over the SAME pair set.
     "dedup_clusters" -> ((s, dir) => {
       val pairs = graft.operators.MinHashLsh.bandedPairs(
-          trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
           NumHashes, RowsPerBand)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       graft.operators.ConnectedComponents.resolve(docs(s, dir), pairs)
@@ -235,7 +241,7 @@ object TextQueries extends QueryPack {
     // canonical = argmax(quality, tie → min doc_id) per cluster.
     "dedup_clusters_quality" -> ((s, dir) => {
       val pairs = graft.operators.MinHashLsh.bandedPairs(
-          trigrams(s, dir).withColumn("h", md5(col("shingle"))),
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
           NumHashes, RowsPerBand)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val docsQ = docs(s, dir).select(col("doc_id"),
