@@ -247,6 +247,40 @@ object TextQueries extends QueryPack {
       val docsQ = docs(s, dir).select(col("doc_id"),
         length(col("text")).cast("double").as("quality"))
       graft.operators.ConnectedComponents.resolveByQuality(docsQ, pairs)
+    }),
+
+    // Benchmark DECONTAMINATION: flag training docs sharing >= 3 distinct
+    // token trigrams with the eval slice (doc_id % 17 == 0 stands in for
+    // the held-out benchmark). The eval shingle set is broadcast BY
+    // DESIGN — benchmark suites are small by definition, and a shuffle
+    // join here would move every training shingle across the cluster.
+    "decontaminate" -> ((s, dir) => {
+      val sh = trigrams(s, dir) // distinct sets: n_common = shared count
+      val evalSh = sh.filter(col("doc_id") % 17 === 0)
+        .select(col("shingle")).distinct()
+      val hits = sh.filter(col("doc_id") % 17 =!= 0)
+        .join(broadcast(evalSh), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      docs(s, dir).filter(col("doc_id") % 17 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (coalesce(col("n_common"), lit(0L)) >= 3).cast("long")
+            .as("is_contaminated"))
+    }),
+
+    // Deterministic STRATIFIED sampling — the data-mixing step (keep 25%
+    // of dominant en, 75% of underrepresented zh, 50% elsewhere). The
+    // keep decision is a lexicographic compare of md5(doc_id)'s first 8
+    // hex chars against the stratum's rate threshold: exact, seedless,
+    // reproducible on any engine, and embarrassingly parallel (pure
+    // filter — no shuffle, no sort, no RNG state).
+    "sample_stratified" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+          when(col("lang") === "en", "40000000")
+            .when(col("lang") === "zh", "c0000000")
+            .otherwise("80000000"))
     })
   )
 
@@ -425,7 +459,25 @@ object TextQueries extends QueryPack {
            |SELECT doc_id, cluster_id,
            |       CAST(row_number() OVER (PARTITION BY cluster_id
            |              ORDER BY quality DESC, doc_id ASC) = 1 AS BIGINT) AS is_canonical
-           |FROM docsq""".stripMargin
+           |FROM docsq""".stripMargin,
+      "decontaminate" ->
+        s"""WITH sh AS ($trigramsSql),
+           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+           |hits AS (
+           |  SELECT s.doc_id, count(*) AS n_common
+           |  FROM sh s JOIN ev USING (shingle)
+           |  WHERE s.doc_id % 17 != 0
+           |  GROUP BY s.doc_id)
+           |SELECT d.doc_id, COALESCE(h.n_common, 0) AS n_common,
+           |       CAST(COALESCE(h.n_common, 0) >= 3 AS BIGINT) AS is_contaminated
+           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |WHERE d.doc_id % 17 != 0""".stripMargin,
+      "sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          |  CASE lang WHEN 'en' THEN '40000000'
+          |            WHEN 'zh' THEN 'c0000000'
+          |            ELSE '80000000' END""".stripMargin
     )
   }
 }
