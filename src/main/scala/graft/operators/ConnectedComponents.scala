@@ -64,7 +64,12 @@ object ConnectedComponents {
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-        parent.keysIterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+        // snapshot the keys BEFORE emitting: the output iterator is
+        // consumed lazily and find() still path-compresses (mutates the
+        // map) per element — iterating the live keysIterator would read
+        // a structure under mutation
+        parent.keys.toArray.iterator
+          .map(n => (n, find(n))).filter(p => p._1 != p._2)
       }
       .toDF("u", "v")
   }

@@ -42,21 +42,29 @@ object TextQueries extends QueryPack {
     * full shuffle of every shingle string into map-side partial mins
     * that shuffle 8 sigs per doc. Set-semantics callers (Jaccard) use
     * [[trigrams]], which layers the `distinct` back on. */
+  // sequence(a,b) is inclusive and runs DESCENDING when b < a, so
+  // short docs (<3 tokens) must yield an explicit empty list
+  private def trigramArray: Column =
+    when(size(col("toks")) >= 3,
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ",
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3))))
+      .otherwise(typedLit(Seq.empty[String]))
+
   private def trigramsAll(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
-      .select(col("doc_id"), explode(
-        // sequence(a,b) is inclusive and runs DESCENDING when b < a, so
-        // short docs (<3 tokens) must yield an explicit empty list
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))
-          .otherwise(typedLit(Seq.empty[String]))).as("shingle"))
+      .select(col("doc_id"), explode(trigramArray).as("shingle"))
 
+  /** Distinct (doc_id, shingle) set — the dedup key includes doc_id, so
+    * it is exactly a per-doc `array_distinct` BEFORE the explode: a pure
+    * per-row expression, where a post-explode `distinct()` would be a
+    * full shuffle of every shingle string. */
   private def trigrams(s: SparkSession, dir: String): DataFrame =
-    trigramsAll(s, dir).distinct()
+    docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(trigramArray)).as("shingle"))
 
   private val trigramsSql =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(
