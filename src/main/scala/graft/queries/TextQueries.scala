@@ -277,6 +277,33 @@ object TextQueries extends QueryPack {
             .as("is_contaminated"))
     }),
 
+    // Token-budget SEQUENCE PACKING: assign docs (in doc_id order) to
+    // fixed-budget training sequences — seq_id = how many full 512-token
+    // budgets precede the doc. The naive form is one global cumulative
+    // window (a single task holding the corpus); this is the scale-
+    // correct two-level prefix sum: bounded per-bucket windows run in
+    // parallel, and only the tiny bucket-total table takes a global
+    // window (n/256 rows; recurse the same decomposition if even that
+    // outgrows one task). bucket = doc_id div 256 is monotone in doc_id,
+    // so the decomposed cumsum equals the global one exactly.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"),
+        size(tokensCol).cast("long").as("n_tokens"),
+        expr("doc_id div 256").as("bucket"))
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum("btot").over(wOff), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      withCum.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))
+    }),
+
     // Deterministic STRATIFIED sampling — the data-mixing step (keep 25%
     // of dominant en, 75% of underrepresented zh, 50% elsewhere). The
     // keep decision is a lexicographic compare of md5(doc_id)'s first 8
@@ -480,6 +507,13 @@ object TextQueries extends QueryPack {
            |       CAST(COALESCE(h.n_common, 0) >= 3 AS BIGINT) AS is_contaminated
            |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
            |WHERE d.doc_id % 17 != 0""".stripMargin,
+      "pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT doc_id, n_tokens,
+           |             sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+           |SELECT doc_id, n_tokens, (cum - n_tokens) // 512 AS seq_id
+           |FROM c""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, lang FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
