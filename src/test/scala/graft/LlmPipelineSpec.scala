@@ -266,6 +266,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
 
+  test("decontaminate plan broadcasts the eval shingles (no sort-merge join)") {
+    val df = TextQueries.queries("decontaminate")(spark, sfDir)
+    df.collect() // finalize AQE so the asserted shape is the executed one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"training shingles shuffled for a sort-merge join:\n$plan")
+  }
+
+  test("pack_sequences plan: corpus window bucket-partitioned, single-partition only for bucket totals") {
+    val df = TextQueries.queries("pack_sequences")(spark, sfDir)
+    df.collect()
+    // keep only the AQE final plan — the trailing "== Initial Plan =="
+    // section repeats every operator and would double the counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Exchange hashpartitioning(bucket"),
+      s"corpus window is not bucket-partitioned:\n$plan")
+    val singles = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (the tiny bucket-total window), got $singles:\n$plan")
+  }
+
   test("decodeStub is a pure function of payload bytes") {
     val p1 = "hello world".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p1, "text/plain")
