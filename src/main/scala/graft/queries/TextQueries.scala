@@ -304,6 +304,31 @@ object TextQueries extends QueryPack {
           expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))
     }),
 
+    // Deterministic GLOBAL SHUFFLE order — reproducible training-example
+    // ordering as rank over md5(doc_id) (doc_id tie-break guards the
+    // astronomically-unlikely digest collision identically in both
+    // engines). Same two-level decomposition as pack_sequences: the
+    // bucket is the key's first 2 hex chars, monotone in key order, so
+    // parallel within-bucket row_numbers plus a tiny 256-row offset
+    // table equal the global row_number exactly.
+    "shuffle_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("skey"))
+        .withColumn("bucket", substring(col("skey"), 1, 2))
+      val wIn = Window.partitionBy("bucket")
+        .orderBy(col("skey"), col("doc_id"))
+      val withRn = t.withColumn("in_rn", row_number().over(wIn))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      withRn.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"),
+          (col("boff") + col("in_rn")).cast("long").as("shuffle_rank"))
+    }),
+
     // Deterministic STRATIFIED sampling — the data-mixing step (keep 25%
     // of dominant en, 75% of underrepresented zh, 50% elsewhere). The
     // keep decision is a lexicographic compare of md5(doc_id)'s first 8
@@ -514,6 +539,12 @@ object TextQueries extends QueryPack {
            |             sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
            |SELECT doc_id, n_tokens, (cum - n_tokens) // 512 AS seq_id
            |FROM c""".stripMargin,
+      "shuffle_order" ->
+        """SELECT doc_id,
+          |CAST(row_number() OVER (
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+          |  AS shuffle_rank
+          |FROM documents""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, lang FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
