@@ -341,6 +341,56 @@ object TextQueries extends QueryPack {
           when(col("lang") === "en", "40000000")
             .when(col("lang") === "zh", "c0000000")
             .otherwise("80000000"))
+    }),
+
+    // Intra-document REPETITION signals (the Gopher/RefinedWeb repetition
+    // filters): duplicate-token fraction, duplicate-trigram fraction, and
+    // most-frequent-bigram mass. Every signal is a per-row array
+    // expression — no explode, no shuffle, embarrassingly parallel at any
+    // corpus size. The O(d·n) most-frequent-bigram scan is bounded by
+    // document length, not corpus size.
+    "text_repetition" -> ((s, dir) => {
+      val bigramArray =
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(typedLit(Seq.empty[String]))
+      def dupFrac(c: Column): Column =
+        when(size(c) > 0,
+          lit(1.0) - size(array_distinct(c)).cast("double") / size(c))
+          .otherwise(lit(0.0))
+      docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          bigramArray.as("bg"), trigramArray.as("tg"))
+        .select(col("doc_id"),
+          round(round(dupFrac(col("toks")), 9), 6).as("dup_token_frac"),
+          round(round(dupFrac(col("tg")), 9), 6).as("dup_trigram_frac"),
+          round(round(when(size(col("bg")) > 0,
+            array_max(transform(array_distinct(col("bg")),
+              b => size(filter(col("bg"), x => x === b)))).cast("double") /
+              size(col("bg"))).otherwise(lit(0.0)), 9), 6)
+            .as("top_bigram_frac"))
+    }),
+
+    // Per-SOURCE cap — the domain-balancing step (keep at most 10 docs
+    // per source/domain, chosen by md5(doc_id) rank: deterministic,
+    // seedless). Runs on the bounded-heap TopK aggregator, so each map
+    // task forwards ≤ cap rows per source and the shuffle carries
+    // O(sources × cap) rows — a rank-window here would sort every
+    // source's full partition. md5's first 8 hex chars fit a 32-bit int
+    // (exact in double); doc_id breaks the birthday ties identically in
+    // both engines.
+    "sample_source_cap" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("source"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") * -1).as("negkey"))
+      TopK.perGroupAgg(keyed, Seq(col("source")), col("negkey"),
+          col("doc_id"), k = 10,
+          rankCol = "keep_rank", idName = "doc_id", scoreName = "_score")
+        .select(col("source"), col("keep_rank").cast("long").as("keep_rank"),
+          col("doc_id"))
     })
   )
 
@@ -550,7 +600,35 @@ object TextQueries extends QueryPack {
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
           |  CASE lang WHEN 'en' THEN '40000000'
           |            WHEN 'zh' THEN 'c0000000'
-          |            ELSE '80000000' END""".stripMargin
+          |            ELSE '80000000' END""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |g AS (SELECT doc_id, toks,
+           |  list_transform(range(greatest(len(toks) - 1, 0)),
+           |    i -> toks[i + 1] || ' ' || toks[i + 2]) AS bg,
+           |  list_transform(range(greatest(len(toks) - 2, 0)),
+           |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS tg
+           |  FROM t)
+           |SELECT doc_id,
+           |  round(round(CASE WHEN len(toks) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           |    ELSE 0.0 END, 9), 6) AS dup_token_frac,
+           |  round(round(CASE WHEN len(tg) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+           |    ELSE 0.0 END, 9), 6) AS dup_trigram_frac,
+           |  round(round(CASE WHEN len(bg) > 0
+           |    THEN CAST(list_max(list_transform(list_distinct(bg),
+           |      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
+           |    ELSE 0.0 END, 9), 6) AS top_bigram_frac
+           |FROM g""".stripMargin,
+      "sample_source_cap" ->
+        """SELECT source, keep_rank, doc_id FROM (
+          |  SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+          |      AS BIGINT) AS keep_rank
+          |  FROM documents)
+          |WHERE keep_rank <= 10""".stripMargin
     )
   }
 }
