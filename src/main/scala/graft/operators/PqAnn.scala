@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ScoredId, TopKAggregator}
+
+/** Product-quantization ANN — the compression tier of similarity search
+  * at 100 TB: each vector is stored as `nSub` small codebook indices
+  * (nSub bytes) instead of `dim` floats (dim×4 bytes), and queries scan
+  * the CODES with an asymmetric-distance (ADC) lookup table, touching
+  * the full-precision vectors only for the bounded rerank tail. At
+  * dim=64 / nSub=8 that is a 32× smaller scan — the difference between
+  * reading 100 TB and reading 3 TB per query batch.
+  *
+  * Role vs the other ANN tiers (complements, not replaces): LSH and IVF
+  * prune WHICH vectors are scored (bucketing / partition pruning); PQ
+  * shrinks WHAT is read per scored vector. Production systems compose
+  * them (IVF-PQ); [[encode]] output joins [[IvfAnn.writeCellLayout]]'s
+  * cell column directly for that composition.
+  *
+  * Spark shape: codebooks are tiny (nSub × ncode × dim/nSub floats) —
+  * trained driver-side on a deterministic sample and broadcast; encoding
+  * is one linear `mapPartitions` pass (no shuffle); the ADC scan
+  * broadcasts the query LUTs and keeps one bounded top-nCand heap per
+  * query per task (the [[KnnKernel]] blocked-scan shape), so the shuffle
+  * carries O(tasks × queries × nCand) candidate rows and the corpus is
+  * never exchanged. Exact rerank joins the ≤ queries×nCand candidate set
+  * (broadcast) back against the full-precision scan.
+  *
+  * Numeric contract (the [[IvfAnn.knnSeeded]] oracle-parity recipe): all
+  * distance arithmetic in double; each subspace partial is summed in
+  * index order starting from 0, subspace partials are added in subspace
+  * order; 9-decimal HALF_UP quantization before every ranking decision;
+  * ties break on the smaller code / id. [[knnSeeded]] swaps the trained
+  * codebooks for corpus-seeded ones (md5-ranked rows, zero Lloyd
+  * iterations), making the ENTIRE encode → ADC → rerank pipeline
+  * expressible in DuckDB SQL and hash-checkable.
+  *
+  * Reference anchor: the reference engine searches full-precision
+  * vectors only (`/root/reference/src/multivector_reranker.cpp:183-230`
+  * sequential scan); PQ is the standard published compression layer
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011) a 100 TB deployment adds under it.
+  */
+object PqAnn {
+
+  /** codebooks(m)(j) = centroid j of subspace m (length dim/nSub). */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Subspace L2²: diff-then-square summed in index order from 0 —
+    * the exact accumulation the DuckDB oracle's nested lambda performs. */
+  private def subDist(v: Array[Float], off: Int,
+                      c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v(off + i).toDouble - c(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Deterministic per-subspace Lloyd's k-means over collected sample
+    * vectors (raw L2 on subvectors — PQ quantizes residual geometry, so
+    * no normalization here, unlike the cosine-space [[IvfAnn]] coarse
+    * quantizer). */
+  def trainCodebooks(sample: Array[Array[Float]], nSub: Int, ncode: Int,
+                     iters: Int = 10, seed: Long = 42L): Codebooks = {
+    require(sample.nonEmpty && nSub > 0 && ncode > 0)
+    val dim = sample(0).length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sd = dim / nSub
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    Array.tabulate(nSub) { m =>
+      val off = m * sd
+      val picks = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (picks.size < math.min(ncode, n)) picks += rnd.nextInt(n)
+      var cb = picks.toArray.map(i =>
+        java.util.Arrays.copyOfRange(sample(i), off, off + sd))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cb.length)(new Array[Double](sd))
+        val counts = new Array[Long](cb.length)
+        sample.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cb.length) {
+            val d = subDist(v, off, cb(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cb = cb.indices.map { j =>
+          if (counts(j) == 0) cb(j)
+          else sums(j).map(x => (x / counts(j)).toFloat)
+        }.toArray
+      }
+      cb
+    }
+  }
+
+  /** Corpus-seeded (training-free) codebooks: subspace m's codebook is
+    * the m-th slice of the `ncode` corpus rows with the smallest
+    * (md5(id), id) rank — the same seed rule as [[IvfAnn.knnSeeded]],
+    * reproducible as one `row_number` in the oracle. */
+  def seededCodebooks(data: DataFrame, nSub: Int,
+                      ncode: Int): Codebooks = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val seedRows = data
+      .select(col("d_id"), col("d_vec"),
+        md5(col("d_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("d_id")).limit(ncode)
+      .select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])].collect()
+    require(seedRows.nonEmpty, "empty corpus")
+    val dim = seedRows(0)._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sd = dim / nSub
+    Array.tabulate(nSub) { m =>
+      seedRows.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, m * sd, m * sd + sd)
+      }
+    }
+  }
+
+  private def encodeOne(v: Array[Float], cbs: Codebooks): Array[Int] = {
+    val nSub = cbs.length
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      val cb = cbs(m)
+      val off = m * cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val d = round9(subDist(v, off, cb(j)))
+        if (d < bestD) { bestD = d; best = j } // strict < : ties keep lower j
+        j += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    codes
+  }
+
+  /** PQ-encode `(d_id, d_vec)` → `(d_id, codes)`: one linear pass over
+    * the broadcast codebooks, no shuffle. The codes column is the 100 TB
+    * artifact — written `partitionBy(cell)` next to [[IvfAnn]]'s layout
+    * it is the IVF-PQ index. */
+  def encode(data: DataFrame, codebooks: Codebooks): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    data.select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cbs = cbB.value
+        it.map { case (id, v) => (id, encodeOne(v, cbs)) }
+      }.toDF("d_id", "codes")
+  }
+
+  /** ADC top-k over an [[encode]]d corpus, exact-cosine rerank of the
+    * per-query top-`nCand` ADC candidates against the full-precision
+    * `data`. Output: (q_id, rank, d_id, score) — the shared kNN shape. */
+  def searchEncoded(queries: DataFrame, encoded: DataFrame, data: DataFrame,
+                    codebooks: Codebooks, k: Int, nCand: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(nCand >= k, s"nCand $nCand < k $k")
+    val qRows = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])].collect()
+    val nSub = codebooks.length
+    // per-query ADC lookup table: lut(qi)(m*ncode + j) = L2²(q_sub_m, cb_m_j)
+    val ncode = codebooks(0).length
+    val luts = qRows.map { case (_, qv) =>
+      val lut = new Array[Double](nSub * ncode)
+      var m = 0
+      while (m < nSub) {
+        var j = 0
+        while (j < ncode) {
+          lut(m * ncode + j) = subDist(qv, m * codebooks(m)(0).length,
+            codebooks(m)(j))
+          j += 1
+        }
+        m += 1
+      }
+      lut
+    }
+    val qIds = qRows.map(_._1)
+    val qB = spark.sparkContext.broadcast((qIds, luts, ncode))
+
+    val partial = encoded.select(col("d_id"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val (ids, ls, nc) = qB.value
+        val nq = ids.length
+        val agg = new TopKAggregator(nCand)
+        val bufs = Array.fill(nq)(agg.zero)
+        it.foreach { case (dId, codes) =>
+          var qi = 0
+          while (qi < nq) {
+            if (!(excludeSelf && ids(qi) == dId)) {
+              val lut = ls(qi)
+              var adc = 0.0
+              var m = 0
+              while (m < codes.length) {
+                adc += lut(m * nc + codes(m)) // subspace partials in m order
+                m += 1
+              }
+              // smaller distance = better: negate for the (desc, id asc) heap
+              agg.reduce(bufs(qi), ScoredId(-round9(adc), dId))
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          bufs(qi).iterator.map(s => (ids(qi), s.id, s.score))
+        }
+      }.toDF("q_id", "d_id", "nadc")
+
+    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
+      col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
+      .select(col("q_id"), col("d_id"))
+
+    // exact rerank: bounded candidate set broadcast into the corpus scan,
+    // query vectors broadcast onto the result — the corpus is read, never
+    // shuffled. Same quantized cosine as every exact path.
+    val qv = queries.select(col("q_id"), col("q_vec"))
+      .withColumn("q_norm", vecNorm(col("q_vec")))
+    val scored = data.select(col("d_id"), col("d_vec"))
+      .join(broadcast(cands), Seq("d_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("d_id"),
+        round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * vecNorm(col("d_vec"))), 9).as("score"))
+    TopK.perGroupAgg(scored, Seq(col("q_id")),
+      col("score"), col("d_id"), k, idName = "d_id")
+      .select(col("q_id"), col("rank"), col("d_id"), col("score"))
+  }
+
+  /** Production path: Lloyd-trained codebooks (rows-only: quantization
+    * cell shapes are training-dependent; recall gated in tests).
+    *
+    * Honesty note on the defaults (the [[IvfAnn]] fixture caveat): the
+    * synthetic embeddings are uniform-random — PQ's worst case, since
+    * subspace geometry carries no cluster structure — so the fixture
+    * gate needs ncode=32 / nCand=120 to clear ≥0.85 recall@10. On real
+    * embedding corpora the standard ncode=256 with a few-× k rerank tail
+    * reaches the same recall at a fraction of the scan. */
+  def knn(queries: DataFrame, data: DataFrame, k: Int,
+          nSub: Int = 8, ncode: Int = 32, nCand: Int = 120,
+          sampleN: Int = 2000, seed: Long = 42L,
+          excludeSelf: Boolean = false): DataFrame = {
+    val sample = IvfAnn.sampleVectors(data, "d_id", "d_vec", sampleN, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(sampleN).map(_._2)
+    val cbs = trainCodebooks(sample, nSub, ncode, seed = seed)
+    searchEncoded(queries, encode(data, cbs), data, cbs, k, nCand,
+      excludeSelf)
+  }
+
+  /** Oracle twin: corpus-seeded codebooks — encode, ADC scan, and exact
+    * rerank are ALL deterministic double arithmetic, so the complete
+    * pipeline hash-checks against DuckDB (the [[IvfAnn.knnSeeded]]
+    * conversion, applied to the compression tier). */
+  def knnSeeded(queries: DataFrame, data: DataFrame, k: Int,
+                nSub: Int = 8, ncode: Int = 16, nCand: Int = 80,
+                excludeSelf: Boolean = false): DataFrame = {
+    val cbs = seededCodebooks(data, nSub, ncode)
+    searchEncoded(queries, encode(data, cbs), data, cbs, k, nCand,
+      excludeSelf)
+  }
+}

@@ -131,6 +131,36 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // Product-quantization ANN, production path — Lloyd-trained per-
+    // subspace codebooks, ADC scan over the 32×-compressed codes, exact
+    // rerank of the top-nCand tail (rows-only: quantization cells are
+    // training-dependent; LlmPipelineSpec gates recall ≥0.85 vs exact).
+    "knn_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.PqAnn.knn(q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // PQ with corpus-SEEDED codebooks — the oracle-checkable twin of
+    // knn_pq: md5-ranked seed rows supply every subspace codebook, so
+    // encode (argmin subspace L2²), the ADC candidate scan, and the
+    // exact rerank are ALL deterministic double arithmetic hash-checked
+    // in DuckDB end-to-end — the knn_ivf_seeded conversion applied to
+    // the compression tier.
+    "knn_pq_seeded" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.PqAnn.knnSeeded(q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // S15 (closing): CLIP4Clip mean-pool prep — frames grouped 5-per-video
     // (video_id = vec_id / 5), per-frame L2-normalize, per-dim mean,
     // renormalize (prepare_for_clip_webvid.py:70-105). Long form
@@ -240,6 +270,71 @@ object AnnQueries extends QueryPack {
        |  SELECT p.q_id, a.d_id, ${cosSql("p.q_vec", "a.d_vec")} AS score
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE p.q_id <> a.d_id),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  /** knn_pq_seeded oracle — the complete seeded-PQ pipeline in SQL:
+    * md5-ranked seed rows → per-subspace codebooks, argmin-L2² encode,
+    * ADC candidate scan over the reconstructed (quantized) vectors, and
+    * exact cosine rerank — on the same 9-decimal double quantization and
+    * subspace-partial accumulation order as the Spark kernel. The
+    * reconstructed-vector form (`recon` = concat of each subspace's
+    * chosen codeword) is arithmetic-identical to the kernel's LUT sum:
+    * both add per-subspace L2² partials, each summed from 0 in index
+    * order, in subspace order. */
+  private val pqSeededOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val nSub = 8
+    val sd = 8 // dim 64 / nSub
+    val ncode = 16
+    val nCand = 80
+    // L2² of subspace m between full vectors a and b (diff list, then
+    // squares, then an index-order list_sum — the kernel's loop).
+    def subL2(a: String, b: String, m: String): String =
+      s"""list_sum(list_transform(
+         |      list_transform(range($sd),
+         |        i -> CAST($a[$m*$sd+i+1] AS DOUBLE) - CAST($b[$m*$sd+i+1] AS DOUBLE)),
+         |      x -> x*x))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT code, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS code,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE code < $ncode),
+       |subs AS (SELECT unnest(range($nSub)) AS m),
+       |codes AS (
+       |  SELECT d_id, m, s_vec FROM (
+       |    SELECT d.d_id, subs.m, s.s_vec,
+       |           row_number() OVER (PARTITION BY d.d_id, subs.m
+       |             ORDER BY round(${subL2("d.d_vec", "s.s_vec", "subs.m")}, 9) ASC,
+       |                      s.code ASC) AS rn
+       |    FROM d CROSS JOIN subs CROSS JOIN seeds s) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT d_id,
+       |         flatten(list(s_vec[m*$sd+1 : m*$sd+$sd] ORDER BY m)) AS rvec
+       |  FROM codes GROUP BY d_id),
+       |adc AS (
+       |  SELECT q.q_id, r.d_id,
+       |         round(list_sum(list_transform(range($nSub),
+       |           m -> ${subL2("q.q_vec", "r.rvec", "m")})), 9) AS adist
+       |  FROM q CROSS JOIN recon r WHERE q.q_id <> r.d_id),
+       |cand AS (
+       |  SELECT q_id, d_id FROM (
+       |    SELECT q_id, d_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY adist ASC, d_id ASC) AS crn
+       |    FROM adc) t WHERE crn <= $nCand),
+       |scored AS (
+       |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
+       |  FROM cand c JOIN q USING (q_id) JOIN d USING (d_id)),
        |ranked AS (
        |  SELECT q_id, d_id, score,
        |         row_number() OVER (PARTITION BY q_id
@@ -398,6 +493,7 @@ object AnnQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
     "knn_ivf_seeded" -> ivfSeededOracle,
+    "knn_pq_seeded" -> pqSeededOracle,
     "knn_lsh_seeded" -> lshSeededOracle,
     "dedup_embedding_threshold_seeded" -> thresholdSeededOracle,
     "dedup_embedding_clusters" -> embClustersOracle,

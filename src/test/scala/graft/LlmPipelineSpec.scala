@@ -289,6 +289,54 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"expected exactly one SinglePartition exchange (the tiny bucket-total window), got $singles:\n$plan")
   }
 
+  test("knn_pq reaches >=0.85 recall@10 vs exact j1") {
+    val approx = AnnQueries.queries("knn_pq")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, gt) =>
+      approx.getOrElse(q, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.85, s"PQ recall@10 = $avg")
+  }
+
+  test("pq encode: one bounded code per subspace, row-preserving") {
+    import graft.operators.PqAnn
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val nSub = 8
+    val ncode = 16
+    val cbs = PqAnn.seededCodebooks(d, nSub, ncode)
+    assert(cbs.length == nSub && cbs.forall(_.length == ncode))
+    val enc = PqAnn.encode(d, cbs).collect()
+    assert(enc.length == d.count())
+    assert(enc.forall { r =>
+      val c = r.getSeq[Int](1)
+      c.length == nSub && c.forall(x => x >= 0 && x < ncode)
+    })
+  }
+
+  test("pq search emits exactly k rows per query with candidate-bounded rerank") {
+    import graft.operators.PqAnn
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val out = PqAnn.knnSeeded(q, d, k = 10, nCand = 40, excludeSelf = true)
+    val rows = out.collect()
+    assert(rows.length == 20 * 10)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall(_._2.map(_.getInt(1)).sorted.sameElements(1 to 10)))
+    // rerank exactness: rank-1 neighbors score at least their rank-10's
+    assert(perQ.forall { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank.zip(byRank.tail).forall { case (a, b) => a >= b }
+    })
+  }
+
   test("decodeStub is a pure function of payload bytes") {
     val p1 = "hello world".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p1, "text/plain")
