@@ -66,8 +66,9 @@ object IvfAnn {
     centroids
   }
 
-  private def nearestCells(v: Array[Float], centroids: Array[Array[Float]],
-                           nProbe: Int): Array[Int] = {
+  private[operators] def nearestCells(v: Array[Float],
+                                      centroids: Array[Array[Float]],
+                                      nProbe: Int): Array[Int] = {
     val metric = Metrics.Cosine
     val q = VectorStore.normalized(v)
     centroids.indices

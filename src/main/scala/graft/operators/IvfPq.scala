@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composed 100 TB ANN index: [[IvfAnn]]'s coarse quantizer
+  * prunes WHICH files a probe reads (one parquet partition directory per
+  * cell), [[PqAnn]]'s codes shrink WHAT each read row costs (nSub small
+  * ints instead of dim floats). A probe therefore scans
+  * ~(nProbe/nlist) × (nSub/dim×4) of the corpus bytes — at the defaults
+  * here that is 10/16 × 1/32 ≈ 2% — and full-precision vectors are
+  * touched only for the ≤ queries×nCand rerank tail against the base
+  * table.
+  *
+  * This is the layout production vector stores (FAISS `IVFPQ`, SCaNN,
+  * Milvus) deploy for billion-vector corpora; both halves are the
+  * already-certified operators, composed: cell assignment =
+  * [[IvfAnn.assign]], codes = [[PqAnn.encode]], probe pruning = literal
+  * partition filter (asserted down to `PartitionFilters` in tests), ADC
+  * scan = [[PqAnn.adcCandidates]] with per-query probe masks, rerank =
+  * [[PqAnn.rerankExact]].
+  */
+object IvfPq {
+
+  /** Write the IVF-PQ index at `path`: (d_id, codes) partitioned by
+    * `cell` — CODES ONLY, no vectors. The base table keeps the
+    * full-precision vectors for the rerank tail; the index directory a
+    * probe scans is ~dim×4/nSub times smaller than the corpus. */
+  def writeIndex(spark: SparkSession, data: DataFrame, path: String,
+                 centroids: Array[Array[Float]],
+                 codebooks: PqAnn.Codebooks): Unit = {
+    val assigned = IvfAnn.assign(spark, data, "d_id", "d_vec", centroids)
+    PqAnn.encode(assigned.select(col("d_id"), col("d_vec")), codebooks)
+      .join(assigned.select(col("d_id"), col("cell")), Seq("d_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Approximate top-k over a [[writeIndex]] directory: per-query probe
+    * cells resolved against the broadcast centroids, the union pushed
+    * into the scan as a LITERAL partition filter (unprobed cells' files
+    * are never read), ADC candidates restricted to each query's own
+    * probe set, exact rerank against the full-precision `data`. */
+  def knnOverIndex(spark: SparkSession, queries: DataFrame, path: String,
+                   data: DataFrame, centroids: Array[Array[Float]],
+                   codebooks: PqAnn.Codebooks, k: Int, nProbe: Int = 10,
+                   nCand: Int = 120,
+                   excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(nCand >= k, s"nCand $nCand < k $k")
+    val qRows = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])].collect()
+    val probes: Map[Long, Array[Int]] = qRows.map { case (id, v) =>
+      id -> IvfAnn.nearestCells(v, centroids, nProbe)
+    }.toMap
+    val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
+    val encoded = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val partial = PqAnn.adcCandidates(queries, encoded, codebooks, nCand,
+      excludeSelf, Some(probes))
+    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
+      col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
+      .select(col("q_id"), col("d_id"))
+    PqAnn.rerankExact(queries, data, cands, k)
+  }
+}

@@ -170,74 +170,94 @@ object PqAnn {
       }.toDF("d_id", "codes")
   }
 
-  /** ADC top-k over an [[encode]]d corpus, exact-cosine rerank of the
-    * per-query top-`nCand` ADC candidates against the full-precision
-    * `data`. Output: (q_id, rank, d_id, score) — the shared kNN shape. */
-  def searchEncoded(queries: DataFrame, encoded: DataFrame, data: DataFrame,
-                    codebooks: Codebooks, k: Int, nCand: Int,
-                    excludeSelf: Boolean = false): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val spark = queries.sparkSession
-    import spark.implicits._
-    require(nCand >= k, s"nCand $nCand < k $k")
-    val qRows = queries.select(col("q_id"), col("q_vec"))
-      .as[(Long, Array[Float])].collect()
-    val nSub = codebooks.length
-    // per-query ADC lookup table: lut(qi)(m*ncode + j) = L2²(q_sub_m, cb_m_j)
-    val ncode = codebooks(0).length
-    val luts = qRows.map { case (_, qv) =>
+  /** Per-query ADC lookup tables: lut(qi)(m*ncode + j) = L2²(q_sub_m,
+    * cb_m_j) — tiny (queries × nSub × ncode doubles), broadcast. */
+  private def buildLuts(qRows: Array[(Long, Array[Float])],
+                        cbs: Codebooks): Array[Array[Double]] = {
+    val nSub = cbs.length
+    val ncode = cbs(0).length
+    qRows.map { case (_, qv) =>
       val lut = new Array[Double](nSub * ncode)
       var m = 0
       while (m < nSub) {
         var j = 0
         while (j < ncode) {
-          lut(m * ncode + j) = subDist(qv, m * codebooks(m)(0).length,
-            codebooks(m)(j))
+          lut(m * ncode + j) = subDist(qv, m * cbs(m)(0).length, cbs(m)(j))
           j += 1
         }
         m += 1
       }
       lut
     }
+  }
+
+  /** ADC candidate scan: broadcast query LUTs, one bounded top-nCand
+    * heap per query per task; the codes never shuffle. `encoded` carries
+    * (d_id, codes[, cell]); when `probes` is set (the IVF-PQ composition)
+    * a row is scored only for queries probing its cell. */
+  private[operators] def adcCandidates(queries: DataFrame, encoded: DataFrame,
+      codebooks: Codebooks, nCand: Int, excludeSelf: Boolean,
+      probes: Option[Map[Long, Array[Int]]] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])].collect()
+    val luts = buildLuts(qRows, codebooks)
     val qIds = qRows.map(_._1)
-    val qB = spark.sparkContext.broadcast((qIds, luts, ncode))
+    val ncode = codebooks(0).length
+    // per-query probe bitmask over cells (null = score every row)
+    val masks: Array[java.util.BitSet] = probes.map { p =>
+      qIds.map { id =>
+        val bs = new java.util.BitSet()
+        p.getOrElse(id, Array.empty[Int]).foreach(bs.set)
+        bs
+      }
+    }.orNull
+    val qB = spark.sparkContext.broadcast((qIds, luts, ncode, masks))
 
-    val partial = encoded.select(col("d_id"), col("codes"))
-      .as[(Long, Array[Int])]
-      .mapPartitions { it =>
-        val (ids, ls, nc) = qB.value
-        val nq = ids.length
-        val agg = new TopKAggregator(nCand)
-        val bufs = Array.fill(nq)(agg.zero)
-        it.foreach { case (dId, codes) =>
-          var qi = 0
-          while (qi < nq) {
-            if (!(excludeSelf && ids(qi) == dId)) {
-              val lut = ls(qi)
-              var adc = 0.0
-              var m = 0
-              while (m < codes.length) {
-                adc += lut(m * nc + codes(m)) // subspace partials in m order
-                m += 1
-              }
-              // smaller distance = better: negate for the (desc, id asc) heap
-              agg.reduce(bufs(qi), ScoredId(-round9(adc), dId))
+    val withCell = encoded.columns.contains("cell")
+    val rows =
+      if (withCell) encoded.select(col("d_id"), col("codes"),
+        col("cell").cast("int")).as[(Long, Array[Int], Int)]
+      else encoded.select(col("d_id"), col("codes"), lit(-1).as("cell"))
+        .as[(Long, Array[Int], Int)]
+
+    rows.mapPartitions { it =>
+      val (ids, ls, nc, ms) = qB.value
+      val nq = ids.length
+      val agg = new TopKAggregator(nCand)
+      val bufs = Array.fill(nq)(agg.zero)
+      it.foreach { case (dId, codes, cell) =>
+        var qi = 0
+        while (qi < nq) {
+          if (!(excludeSelf && ids(qi) == dId) &&
+              (ms == null || ms(qi).get(cell))) {
+            val lut = ls(qi)
+            var adc = 0.0
+            var m = 0
+            while (m < codes.length) {
+              adc += lut(m * nc + codes(m)) // subspace partials in m order
+              m += 1
             }
-            qi += 1
+            // smaller distance = better: negate for the (desc, id asc) heap
+            agg.reduce(bufs(qi), ScoredId(-round9(adc), dId))
           }
+          qi += 1
         }
-        (0 until nq).iterator.flatMap { qi =>
-          bufs(qi).iterator.map(s => (ids(qi), s.id, s.score))
-        }
-      }.toDF("q_id", "d_id", "nadc")
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        bufs(qi).iterator.map(s => (ids(qi), s.id, s.score))
+      }
+    }.toDF("q_id", "d_id", "nadc")
+  }
 
-    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
-      col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
-      .select(col("q_id"), col("d_id"))
-
-    // exact rerank: bounded candidate set broadcast into the corpus scan,
-    // query vectors broadcast onto the result — the corpus is read, never
-    // shuffled. Same quantized cosine as every exact path.
+  /** Exact-cosine rerank of a bounded (q_id, d_id) candidate set:
+    * candidates broadcast into the full-precision corpus scan, query
+    * vectors broadcast onto the result — the corpus is read, never
+    * shuffled. Same quantized cosine as every exact path. */
+  private[operators] def rerankExact(queries: DataFrame, data: DataFrame,
+      cands: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     val qv = queries.select(col("q_id"), col("q_vec"))
       .withColumn("q_norm", vecNorm(col("q_vec")))
     val scored = data.select(col("d_id"), col("d_vec"))
@@ -249,6 +269,21 @@ object PqAnn {
     TopK.perGroupAgg(scored, Seq(col("q_id")),
       col("score"), col("d_id"), k, idName = "d_id")
       .select(col("q_id"), col("rank"), col("d_id"), col("score"))
+  }
+
+  /** ADC top-k over an [[encode]]d corpus, exact-cosine rerank of the
+    * per-query top-`nCand` ADC candidates against the full-precision
+    * `data`. Output: (q_id, rank, d_id, score) — the shared kNN shape. */
+  def searchEncoded(queries: DataFrame, encoded: DataFrame, data: DataFrame,
+                    codebooks: Codebooks, k: Int, nCand: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(nCand >= k, s"nCand $nCand < k $k")
+    val partial = adcCandidates(queries, encoded, codebooks, nCand,
+      excludeSelf)
+    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
+      col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
+      .select(col("q_id"), col("d_id"))
+    rerankExact(queries, data, cands, k)
   }
 
   /** Production path: Lloyd-trained codebooks (rows-only: quantization

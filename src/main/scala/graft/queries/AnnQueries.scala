@@ -145,6 +145,23 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // IVF-PQ — the composed 100 TB index (rows-only: both quantizers are
+    // training-dependent; LlmPipelineSpec gates recall ≥0.8 and asserts
+    // the codes-only scan is partition-pruned to the probed cells). The
+    // index directory is built once per fixture dir and reused — the
+    // offline/online split the layout exists for.
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val (path, centroids, cbs) = ivfPqIndex(s, dir)
+      graft.operators.IvfPq.knnOverIndex(s, q, path, d, centroids, cbs,
+          K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // PQ with corpus-SEEDED codebooks — the oracle-checkable twin of
     // knn_pq: md5-ranked seed rows supply every subspace codebook, so
     // encode (argmin subspace L2²), the ADC candidate scan, and the
@@ -228,6 +245,29 @@ object AnnQueries extends QueryPack {
           .cast("float")).as("vec"))
     base.unionAll(planted)
   }
+
+  /** One IVF-PQ index build per fixture dir (the offline half); every
+    * query call after the first only probes it. Same lifecycle pattern
+    * as IndexQueries' sharded handles. */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks)]()
+
+  private def ivfPqIndex(s: SparkSession, dir: String)
+      : (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks) =
+    ivfPqCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).take(2000).map(_._2)
+      val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+      val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_").toString
+      IvfPq.writeIndex(s, d, path, centroids, cbs)
+      (path, centroids, cbs)
+    })
 
   private def dotSqlAB(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"

@@ -337,6 +337,41 @@ class LlmPipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(2000).map(_._2)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val path = "/tmp/graft_ivfpq_index"
+    IvfPq.writeIndex(spark, d, path, centroids, cbs)
+    // the index is codes-only: no vector column in the scanned files
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet === Set("d_id", "codes", "cell"),
+      s"index not codes-only: ${idx.columns.mkString(",")}")
+    val out = IvfPq.knnOverIndex(spark, q, path, d, centroids, cbs,
+      k = 10, nProbe = 10, nCand = 120, excludeSelf = true)
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    assert(plan.contains("cell"), s"cell filter missing from scan:\n$plan")
+    val approx = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, gt) =>
+      approx.getOrElse(qid, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"IVF-PQ recall@10 = $avg")
+  }
+
   test("decodeStub is a pure function of payload bytes") {
     val p1 = "hello world".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p1, "text/plain")
