@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{BeamSearch, GraphBuild, Hnsw}
-import graft.operators.{Recall, Rerank}
+import graft.operators.{IvfAnn, PqAnn, Recall, Rerank}
 import graft.queries.{IndexQueries, VectorQueries}
 import graft.sources.Sinks
 
@@ -18,6 +18,10 @@ import graft.sources.Sinks
   *  - `hnsw`  — the hnswlib baseline (`tests/hnsw/search_rerank_hnsw.cpp`:
   *    M=35, ef_construction=500, per-subquery `ef = budget/c`, union of
   *    per-subvector candidates into the same chamfer rerank)
+  *  - `pq`    — the compression-tier baseline (beyond reference parity):
+  *    per-subquery PQ ADC top-ef over the encoded corpus, union into the
+  *    same chamfer rerank — what the curve looks like when the scan
+  *    reads codes instead of vectors
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
@@ -118,6 +122,16 @@ object Sweep {
         rerankSec / total)
     }
 
+    // PQ arm index: one sampled codebook train + one encode pass, shared
+    // by every budget row (the offline half of the tier)
+    val corpus = emb.select(col("vec_id").as("d_id"),
+      col("embedding").as("d_vec"))
+    val pqSample = IvfAnn.sampleVectors(corpus, "d_id", "d_vec", 2000, 42L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(2000).map(_._2)
+    val pqCbs = PqAnn.trainCodebooks(pqSample, nSub = 8, ncode = 32)
+    val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
+
     budgets.flatMap { budget =>
       val roarCands = BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
         idx.params.metric, minPq = math.min(10, budget / C),
@@ -126,8 +140,12 @@ object Sweep {
       val ef = math.max(budget / C, 1)
       val hnswCands = Hnsw.searchDf(spark, queryVecs, hnswB, vecsB, k = ef, ef = ef)
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      val pqCands = PqAnn.searchEncoded(queryVecs, pqEncoded, corpus, pqCbs,
+        k = ef, nCand = math.max(2 * ef, K))
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
-        evalArm("hnsw", budget, hnswCands))
+        evalArm("hnsw", budget, hnswCands),
+        evalArm("pq", budget, pqCands))
     }
   }
 }

@@ -374,6 +374,32 @@ object TextQueries extends QueryPack {
             .as("top_bigram_frac"))
     }),
 
+    // EXACT corpus-statistics quantiles (p50/p90/p99 token counts per
+    // language) — the distribution report a curation pipeline runs after
+    // every filter stage. Exact distributed quantiles normally need a
+    // global sort; token counts are a small DISCRETE domain, so this is
+    // the scale-correct decomposition: one map-side-combinable groupBy
+    // to value counts (the only corpus shuffle), then the quantile is a
+    // cumulative scan over the tiny (lang × distinct-count) table —
+    // quantile_disc semantics (smallest v with cum ≥ ⌈p·n⌉), exact at
+    // any corpus size, no sort of the corpus, no t-digest approximation.
+    "text_length_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(col("lang"), size(tokensCol).cast("long").as("n_tokens"))
+        .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+      val withCum = counts
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("lang")
+          .orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      def q(p: Double): Column =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("n_tokens")))
+      withCum.groupBy("lang").agg(
+        q(0.5).as("p50_tokens"), q(0.9).as("p90_tokens"),
+        q(0.99).as("p99_tokens"))
+    }),
+
     // Per-SOURCE cap — the domain-balancing step (keep at most 10 docs
     // per source/domain, chosen by md5(doc_id) rank: deterministic,
     // seedless). Runs on the bounded-heap TopK aggregator, so each map
@@ -621,6 +647,19 @@ object TextQueries extends QueryPack {
            |      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
            |    ELSE 0.0 END, 9), 6) AS top_bigram_frac
            |FROM g""".stripMargin,
+      "text_length_quantiles" ->
+        s"""WITH t AS (SELECT lang, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT lang, n_tokens, count(*) AS cnt FROM t GROUP BY 1, 2),
+           |w AS (SELECT lang, n_tokens,
+           |        sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+           |        sum(cnt) OVER (PARTITION BY lang) AS n
+           |      FROM c)
+           |SELECT lang,
+           |  min(CASE WHEN cum >= ceil(0.5 * n) THEN n_tokens END) AS p50_tokens,
+           |  min(CASE WHEN cum >= ceil(0.9 * n) THEN n_tokens END) AS p90_tokens,
+           |  min(CASE WHEN cum >= ceil(0.99 * n) THEN n_tokens END) AS p99_tokens
+           |FROM w GROUP BY lang""".stripMargin,
       "sample_source_cap" ->
         """SELECT source, keep_rank, doc_id FROM (
           |  SELECT source, doc_id,

@@ -331,10 +331,10 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"HNSW Recall@10 = $avg")
   }
 
-  test("budget sweep: both arms' recall does not degrade as budget grows (M5)") {
+  test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    assert(rows.length === 4) // 2 budgets x {roar, hnsw}
-    for (arm <- Seq("roar", "hnsw")) {
+    assert(rows.length === 6) // 2 budgets x {roar, hnsw, pq}
+    for (arm <- Seq("roar", "hnsw", "pq")) {
       val armRows = rows.filter(_._1 == arm).sortBy(_._2)
       assert(armRows.length === 2, s"missing $arm rows: $rows")
       val lo = armRows.head._3

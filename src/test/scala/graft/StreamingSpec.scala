@@ -113,4 +113,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(last.getDouble(2) - 7.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("streaming PQ encode matches the batch encode row-for-row") {
+    import graft.operators.PqAnn
+    // codebooks come from the batch (offline) side; the stream is the
+    // ingest side — encode is stateless, so it composes with streaming
+    // with no watermark/state plumbing
+    val d = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      .limit(32).cache()
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    val batch = PqAnn.encode(d, cbs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = PqAnn.encode(input.toDF().toDF("d_id", "d_vec"), cbs)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(rows.take(16).toSeq)
+      input.addData(rows.drop(16).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pq_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
