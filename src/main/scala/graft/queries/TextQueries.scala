@@ -374,6 +374,19 @@ object TextQueries extends QueryPack {
             .as("top_bigram_frac"))
     }),
 
+    // Deterministic train/val/test SPLIT assignment — hash-range split
+    // (93.75 / 3.125 / 3.125 via power-of-two hex thresholds): seedless,
+    // reproducible on any engine, stable under corpus growth (a doc
+    // never changes split when new docs arrive — the property random
+    // splits lack), pure per-row expression.
+    "split_assign" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+      docs(s, dir).select(col("doc_id"),
+        when(h < "f0000000", "train")
+          .when(h < "f8000000", "val")
+          .otherwise("test").as("split"))
+    }),
+
     // EXACT corpus-statistics quantiles (p50/p90/p99 token counts per
     // language) — the distribution report a curation pipeline runs after
     // every filter stage. Exact distributed quantiles normally need a
@@ -408,6 +421,66 @@ object TextQueries extends QueryPack {
     // source's full partition. md5's first 8 hex chars fit a 32-bit int
     // (exact in double); doc_id breaks the birthday ties identically in
     // both engines.
+    // The COMPLETE curation pipeline as ONE declarative DAG — the
+    // composition a training-data team actually ships: quality filter →
+    // eval/train split → MinHash near-dup clusters → canonical survivors
+    // → benchmark decontamination → stratified language mixing → token-
+    // budget sequence packing. Every stage is the already-certified
+    // operator (same knobs as its standalone query); the whole thing is
+    // hash-checked against a single recursive DuckDB statement. Catalyst
+    // sees one plan, so the quality filter pushes below every downstream
+    // stage and the corpus is scanned once per shingle consumer instead
+    // of once per stage boundary.
+    "pipeline_curate" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          tokensCol.as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val qual = base.filter(col("n_tokens") >= 20)
+      val train = qual.filter(col("doc_id") % 17 =!= 0)
+      // near-dup clusters over the train slice (dup-insensitive MinHash:
+      // raw shingles feed the min, same signatures as the distinct set)
+      val sh = train.select(col("doc_id"), explode(trigramArray).as("shingle"))
+      val pairs = graft.operators.MinHashLsh.bandedPairs(
+          sh.withColumn("h", md5(col("shingle"))), NumHashes, RowsPerBand)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val surv = graft.operators.ConnectedComponents
+        .resolve(train.select("doc_id"), pairs)
+        .filter(col("is_canonical") === 1).select("doc_id")
+      // decontaminate survivors against the eval slice's shingle set
+      val evalSh = base.filter(col("doc_id") % 17 === 0)
+        .select(explode(array_distinct(trigramArray)).as("shingle"))
+        .distinct()
+      val trainSh = train.join(surv, Seq("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(trigramArray)).as("shingle"))
+      val hits = trainSh.join(broadcast(evalSh), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      val clean = train.join(surv, Seq("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_common"), lit(0L)) < 3)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      // stratified language mixing (sample_stratified's thresholds)
+      val sampled = clean.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 8) <
+          when(col("lang") === "en", "40000000")
+            .when(col("lang") === "zh", "c0000000")
+            .otherwise("80000000"))
+      // token-budget packing via the two-level prefix sum (bucket is
+      // monotone in doc_id, so this equals the global cumsum exactly)
+      import org.apache.spark.sql.expressions.Window
+      val t = sampled.withColumn("bucket", expr("doc_id div 256"))
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum("btot").over(wOff), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      withCum.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))
+    }),
+
     "sample_source_cap" -> ((s, dir) => {
       val keyed = docs(s, dir).select(col("source"), col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -647,6 +720,70 @@ object TextQueries extends QueryPack {
            |      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
            |    ELSE 0.0 END, 9), 6) AS top_bigram_frac
            |FROM g""".stripMargin,
+      "split_assign" ->
+        """SELECT doc_id,
+          |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f0000000'
+          |       THEN 'train'
+          |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f8000000'
+          |       THEN 'val'
+          |     ELSE 'test' END AS split
+          |FROM documents""".stripMargin,
+      "pipeline_curate" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $tokensSql AS toks
+           |                     FROM documents),
+           |b AS (SELECT doc_id, lang,
+           |        CAST(len(toks) AS BIGINT) AS n_tokens,
+           |        list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+           |          i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS tg
+           |      FROM t),
+           |train AS (SELECT * FROM b WHERE n_tokens >= 20 AND doc_id % 17 != 0),
+           |sh AS (SELECT doc_id, unnest(tg) AS shingle FROM train),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |pairs AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           |  WHERE x.doc_id < y.doc_id
+           |  GROUP BY x.doc_id, y.doc_id),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+           |reach AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |labels AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+           |  FROM reach GROUP BY u),
+           |surv AS (
+           |  SELECT tr.doc_id FROM train tr
+           |  LEFT JOIN labels l ON l.doc_id = tr.doc_id
+           |  WHERE COALESCE(l.cluster_id, tr.doc_id) = tr.doc_id),
+           |evalsh AS (SELECT DISTINCT unnest(tg) AS shingle FROM b
+           |           WHERE doc_id % 17 = 0),
+           |hits AS (
+           |  SELECT s.doc_id, count(*) AS n_common
+           |  FROM (SELECT doc_id, unnest(tg) AS shingle FROM train
+           |        WHERE doc_id IN (SELECT doc_id FROM surv)) s
+           |  JOIN evalsh USING (shingle)
+           |  GROUP BY s.doc_id),
+           |clean AS (
+           |  SELECT tr.doc_id, tr.lang, tr.n_tokens
+           |  FROM train tr JOIN surv USING (doc_id)
+           |  LEFT JOIN hits h ON h.doc_id = tr.doc_id
+           |  WHERE COALESCE(h.n_common, 0) < 3),
+           |sampled AS (
+           |  SELECT * FROM clean
+           |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           |    CASE lang WHEN 'en' THEN '40000000'
+           |              WHEN 'zh' THEN 'c0000000'
+           |              ELSE '80000000' END)
+           |SELECT doc_id, lang, n_tokens,
+           |       (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512 AS seq_id
+           |FROM sampled""".stripMargin,
       "text_length_quantiles" ->
         s"""WITH t AS (SELECT lang, CAST(len($tokensSql) AS BIGINT) AS n_tokens
            |           FROM documents),

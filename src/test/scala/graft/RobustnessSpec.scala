@@ -75,4 +75,16 @@ class RobustnessSpec extends AnyFunSuite {
           .select(col("vec_id").as("d_id"), col("embedding").as("d_vec")),
         3, metric = "manhattan"))
   }
+
+  test("pq error paths: indivisible dim, nCand < k") {
+    import graft.operators.PqAnn
+    val d = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = d.limit(2).select(col("d_id").as("q_id"), col("d_vec").as("q_vec"))
+    // dim 64 is not divisible by 7 subspaces
+    assertThrows[IllegalArgumentException](PqAnn.seededCodebooks(d, 7, 16))
+    val cbs = PqAnn.seededCodebooks(d, 8, 16)
+    assertThrows[IllegalArgumentException](
+      PqAnn.searchEncoded(q, PqAnn.encode(d, cbs), d, cbs, k = 10, nCand = 5))
+  }
 }
