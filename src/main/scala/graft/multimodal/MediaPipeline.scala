@@ -49,6 +49,61 @@ object MediaPipeline {
     out
   }
 
+  /** Deterministic FRAME SAMPLER over an opaque payload: `nFrames`
+    * evenly-spaced `frameBytes`-wide windows (the `ffmpeg -vf fps=N`
+    * contract, byte-level). Pure relational — offsets are integer
+    * arithmetic on the byte length and the slice is a codegen'd
+    * `substring`, so sampling is embarrassingly parallel, never a
+    * kernel, and DuckDB-checkable. Payloads shorter than one frame
+    * yield the whole payload in every frame (both engines truncate
+    * slices identically). */
+  def frameSample(media: DataFrame, nFrames: Int = 4,
+                  frameBytes: Int = 64): DataFrame = {
+    require(nFrames > 0 && frameBytes > 0)
+    media.select(col("media_id"), col("mime"), col("payload"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .withColumn("off", expr(
+        s"(frame_idx * greatest(length(payload) - $frameBytes, 0))" +
+          s" div ${math.max(nFrames - 1, 1)}"))
+      .select(col("media_id"), col("mime"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, CAST(off AS INT) + 1, $frameBytes)")
+          .as("frame"))
+  }
+
+  /** STUB resize — deterministic stride resample of the byte stream to
+    * `targetBytes` (stands in for the image-resize codec step; the
+    * stable contract is (bytes, target) → bytes, batched per partition
+    * like [[decodeStub]]). */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    require(targetBytes > 0)
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Per-frame decode: [[frameSample]] output → (media_id, frame_idx,
+    * embedding), batched per partition through the stub codec (resize
+    * then decode — the real pipeline's shape). */
+  def decodeFrames(frames: DataFrame, dim: Int = 8,
+                   resizeTo: Int = 32): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.select(col("media_id"), col("frame_idx"), col("mime"),
+        col("frame"))
+      .as[(Long, Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, idx, mime, frame) =>
+        (id, idx, decodeStub(resizeStub(frame, resizeTo), mime, dim).toSeq)
+      }).toDF("media_id", "frame_idx", "embedding")
+  }
+
   /** Batched feature extraction over (media_id, mime, payload).
     *
     * Feature values are emitted at FULL precision; any output rounding is

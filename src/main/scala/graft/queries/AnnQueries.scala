@@ -204,6 +204,33 @@ object AnnQueries extends QueryPack {
     // array columns) and DuckDB-oracled: n_bytes + entropy + all 16
     // histogram bins as scalar columns. The decode stub's embedding is
     // covered by LlmPipelineSpec (not SQL-expressible).
+    // Frame sampling over opaque media payloads — pure relational slice
+    // arithmetic (no kernel), hash-checked: the fixture payloads are
+    // ASCII text bytes, so DuckDB reproduces the byte windows with
+    // varchar substring and the same md5.
+    "mm_frame_sample" -> ((s, dir) => {
+      val frames = MediaPipeline.frameSample(
+        MediaPipeline.fromDocuments(s, dir).filter(col("media_id") < 50))
+      frames.select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_hash"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+    }),
+
+    // The full video-style multimodal path: frame-sample → per-frame
+    // resize+decode (stub codec, real batching) → CLIP4Clip mean-pool.
+    // Rows-only: the codec stub is not SQL-expressible; LlmPipelineSpec
+    // gates determinism, unit norms, and video counts.
+    "mm_frame_pipeline" -> ((s, dir) => {
+      val frames = MediaPipeline.frameSample(
+        MediaPipeline.fromDocuments(s, dir).filter(col("media_id") < 50))
+      graft.operators.MeanPool.clip4clip(
+        MediaPipeline.decodeFrames(frames)
+          .select(col("media_id").as("video_id"),
+            col("embedding")))
+        .select(col("video_id"), col("pos"),
+          round(col("val"), 6).as("val"))
+    }),
+
     "mm_media_features" -> ((s, dir) => {
       val f = MediaPipeline.features(
         MediaPipeline.fromDocuments(s, dir).filter(col("media_id") < 50))
@@ -532,6 +559,18 @@ object AnnQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+        |           WHERE doc_id < 50),
+        |f AS (SELECT media_id, text, unnest(range(4)) AS frame_idx FROM m),
+        |s AS (SELECT media_id, frame_idx,
+        |        substring(text,
+        |          CAST((frame_idx * greatest(length(text) - 64, 0)) // 3
+        |            AS BIGINT) + 1, 64) AS frame
+        |      FROM f)
+        |SELECT media_id, frame_idx, md5(frame) AS frame_hash,
+        |       CAST(length(frame) AS BIGINT) AS frame_bytes
+        |FROM s""".stripMargin,
     "knn_ivf_seeded" -> ivfSeededOracle,
     "knn_pq_seeded" -> pqSeededOracle,
     "knn_lsh_seeded" -> lshSeededOracle,

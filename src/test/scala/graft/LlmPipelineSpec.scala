@@ -372,6 +372,28 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.8, s"IVF-PQ recall@10 = $avg")
   }
 
+  test("frame pipeline: deterministic unit-norm pooled vectors, one per media row") {
+    val run1 = AnnQueries.queries("mm_frame_pipeline")(spark, sfDir).collect()
+    val run2 = AnnQueries.queries("mm_frame_pipeline")(spark, sfDir).collect()
+    assert(run1.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      === run2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted)
+    val byVideo = run1.groupBy(_.getLong(0))
+    assert(byVideo.size === 50) // one pooled vector per sampled media row
+    byVideo.values.foreach { rows =>
+      assert(rows.length === 8) // stub dim
+      val norm = math.sqrt(rows.map(r => r.getDouble(2) * r.getDouble(2)).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"pooled norm $norm != 1")
+    }
+  }
+
+  test("resizeStub: bounded output, identity under target, deterministic") {
+    val p = (0 until 200).map(_.toByte).toArray
+    val r = MediaPipeline.resizeStub(p, 32)
+    assert(r.length === 32)
+    assert(MediaPipeline.resizeStub(p, 32).toSeq === r.toSeq)
+    assert(MediaPipeline.resizeStub(r, 64).toSeq === r.toSeq) // short input passes through
+  }
+
   test("decodeStub is a pure function of payload bytes") {
     val p1 = "hello world".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p1, "text/plain")
