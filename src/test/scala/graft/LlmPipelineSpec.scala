@@ -372,6 +372,18 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.8, s"IVF-PQ recall@10 = $avg")
   }
 
+  test("pipeline_curate plan: no all-pairs join, eval shingles broadcast") {
+    val df = TextQueries.queries("pipeline_curate")(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the curate DAG:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join (eval shingles should broadcast):\n$plan")
+  }
+
   test("frame pipeline: deterministic unit-norm pooled vectors, one per media row") {
     val run1 = AnnQueries.queries("mm_frame_pipeline")(spark, sfDir).collect()
     val run2 = AnnQueries.queries("mm_frame_pipeline")(spark, sfDir).collect()
