@@ -374,6 +374,36 @@ object TextQueries extends QueryPack {
             .as("top_bigram_frac"))
     }),
 
+    // Corpus-wide REPEATED-SPAN detection (the exact-substring dedup
+    // family, Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better"): per doc, how many of its token 8-gram
+    // spans also occur in at least one OTHER doc. Scale shape: one
+    // explode + two keyed aggregations (gram counts partial-aggregate
+    // map-side; the gram-join is an equi-shuffle on the gram hash, never
+    // all-pairs); md5 the grams so the shuffle carries 32-char keys, not
+    // raw spans.
+    "text_dup_spans" -> ((s, dir) => {
+      val n = 8
+      val grams = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+        .select(col("doc_id"), explode(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => md5(concat_ws(" ", (0 until n).map(j =>
+                element_at(col("toks"), i + j + 1)): _*))))
+            .otherwise(typedLit(Seq.empty[String]))).as("g"))
+      val docCounts = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("n_docs"))
+      val perDoc = grams.join(docCounts, "g")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum((col("n_docs") >= 2).cast("long")).as("n_dup_spans"))
+      docs(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+    }),
+
     // Deterministic train/val/test SPLIT assignment — hash-range split
     // (93.75 / 3.125 / 3.125 via power-of-two hex thresholds): seedless,
     // reproducible on any engine, stable under corpus growth (a doc
@@ -720,6 +750,21 @@ object TextQueries extends QueryPack {
            |      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
            |    ELSE 0.0 END, 9), 6) AS top_bigram_frac
            |FROM g""".stripMargin,
+      "text_dup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |gr AS (SELECT doc_id, unnest(list_transform(
+           |        range(greatest(len(toks) - 7, 0)),
+           |        i -> md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+           |          || ' ' || toks[i + 4] || ' ' || toks[i + 5] || ' ' || toks[i + 6]
+           |          || ' ' || toks[i + 7] || ' ' || toks[i + 8]))) AS g
+           |      FROM t),
+           |dc AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM gr GROUP BY g),
+           |pd AS (SELECT doc_id, count(*) AS n_spans,
+           |         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+           |       FROM gr JOIN dc USING (g) GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
+           |       COALESCE(pd.n_dup_spans, 0) AS n_dup_spans
+           |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
       "split_assign" ->
         """SELECT doc_id,
           |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f0000000'

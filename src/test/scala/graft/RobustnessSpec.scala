@@ -76,6 +76,15 @@ class RobustnessSpec extends AnyFunSuite {
         3, metric = "manhattan"))
   }
 
+  test("multimodal error paths: bad frame/resize args") {
+    import graft.multimodal.MediaPipeline
+    val m = MediaPipeline.fromDocuments(spark, sfDir).limit(1)
+    assertThrows[IllegalArgumentException](MediaPipeline.frameSample(m, 0, 64))
+    assertThrows[IllegalArgumentException](MediaPipeline.frameSample(m, 4, 0))
+    assertThrows[IllegalArgumentException](
+      MediaPipeline.resizeStub(Array[Byte](1, 2, 3), 0))
+  }
+
   test("pq error paths: indivisible dim, nCand < k") {
     import graft.operators.PqAnn
     val d = Tables.embeddings(spark, sfDir)
