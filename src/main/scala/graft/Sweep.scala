@@ -126,10 +126,8 @@ object Sweep {
     // by every budget row (the offline half of the tier)
     val corpus = emb.select(col("vec_id").as("d_id"),
       col("embedding").as("d_vec"))
-    val pqSample = IvfAnn.sampleVectors(corpus, "d_id", "d_vec", 2000, 42L)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).take(2000).map(_._2)
-    val pqCbs = PqAnn.trainCodebooks(pqSample, nSub = 8, ncode = 32)
+    val pqCbs = PqAnn.trainCodebooks(
+      IvfAnn.collectSample(corpus, 2000, 42L), nSub = 8, ncode = 32)
     val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
 
     budgets.flatMap { budget =>

@@ -60,10 +60,15 @@ object MediaPipeline {
   def frameSample(media: DataFrame, nFrames: Int = 4,
                   frameBytes: Int = 64): DataFrame = {
     require(nFrames > 0 && frameBytes > 0)
+    // offset arithmetic in BIGINT: the frame_idx × payload-length product
+    // overflows 32 bits on multi-hundred-MB payloads (real media sizes);
+    // the quotient is ≤ the (int-bounded) payload length, so the final
+    // narrowing cast is safe
     media.select(col("media_id"), col("mime"), col("payload"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
       .withColumn("off", expr(
-        s"(frame_idx * greatest(length(payload) - $frameBytes, 0))" +
+        s"(CAST(frame_idx AS BIGINT) *" +
+          s" greatest(CAST(length(payload) AS BIGINT) - $frameBytes, 0))" +
           s" div ${math.max(nFrames - 1, 1)}"))
       .select(col("media_id"), col("mime"),
         col("frame_idx").cast("long").as("frame_idx"),

@@ -110,6 +110,18 @@ object IvfAnn {
     }
   }
 
+  /** [[sampleVectors]] collected to a deterministic driver-side training
+    * array (sorted by id, trimmed to `sampleN`, ids stripped) — the one
+    * shared recipe every trained quantizer (IVF centroids, PQ codebooks,
+    * the sweep/bench/test call sites) must follow so they all train on
+    * the same sample. */
+  def collectSample(data: DataFrame, sampleN: Int,
+                    seed: Long): Array[Array[Float]] =
+    sampleVectors(data, "d_id", "d_vec", sampleN, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).take(sampleN).map(_._2)
+
   /** Materialize the cell-partitioned corpus layout promised in the
     * header note: one parquet partition directory per IVF cell, so a
     * probe query's cell filter prunes unprobed partitions AT THE SCAN
@@ -231,11 +243,8 @@ object IvfAnn {
           seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     import spark.implicits._
-    val sample = sampleVectors(data, "d_id", "d_vec", sampleN, seed)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).take(sampleN).map(_._2)
-    val centroids = trainCentroids(sample, nlist, seed = seed)
+    val centroids = trainCentroids(collectSample(data, sampleN, seed),
+      nlist, seed = seed)
     val cB = spark.sparkContext.broadcast(centroids)
 
     val assigned = assign(spark, data, "d_id", "d_vec", centroids)

@@ -29,9 +29,19 @@ object IvfPq {
   def writeIndex(spark: SparkSession, data: DataFrame, path: String,
                  centroids: Array[Array[Float]],
                  codebooks: PqAnn.Codebooks): Unit = {
-    val assigned = IvfAnn.assign(spark, data, "d_id", "d_vec", centroids)
-    PqAnn.encode(assigned.select(col("d_id"), col("d_vec")), codebooks)
-      .join(assigned.select(col("d_id"), col("cell")), Seq("d_id"))
+    import spark.implicits._
+    // assign + encode fused into ONE corpus pass: encoding off the
+    // assigned rows directly — a join to re-attach the cell column would
+    // scan and centroid-assign the corpus twice plus pay a corpus-wide
+    // shuffle, in the offline build that exists to run exactly once
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    IvfAnn.assign(spark, data, "d_id", "d_vec", centroids)
+      .select(col("d_id"), col("d_vec"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cbs = cbB.value
+        it.map { case (id, v, c) => (id, PqAnn.encodeOne(v, cbs), c) }
+      }.toDF("d_id", "codes", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -55,11 +65,7 @@ object IvfPq {
     val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
     val encoded = spark.read.parquet(path)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
-    val partial = PqAnn.adcCandidates(queries, encoded, codebooks, nCand,
+    PqAnn.searchEncoded(queries, encoded, data, codebooks, k, nCand,
       excludeSelf, Some(probes))
-    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
-      col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
-      .select(col("q_id"), col("d_id"))
-    PqAnn.rerankExact(queries, data, cands, k)
   }
 }

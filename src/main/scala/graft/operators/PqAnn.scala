@@ -133,7 +133,8 @@ object PqAnn {
     }
   }
 
-  private def encodeOne(v: Array[Float], cbs: Codebooks): Array[Int] = {
+  private[operators] def encodeOne(v: Array[Float],
+                                   cbs: Codebooks): Array[Int] = {
     val nSub = cbs.length
     val codes = new Array[Int](nSub)
     var m = 0
@@ -198,6 +199,9 @@ object PqAnn {
   private[operators] def adcCandidates(queries: DataFrame, encoded: DataFrame,
       codebooks: Codebooks, nCand: Int, excludeSelf: Boolean,
       probes: Option[Map[Long, Array[Int]]] = None): DataFrame = {
+    require(probes.isEmpty || encoded.columns.contains("cell"),
+      "probe masks need a `cell` column on the encoded corpus " +
+        "(IvfPq.writeIndex output); plain PqAnn.encode has none")
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries.select(col("q_id"), col("q_vec"))
@@ -273,13 +277,16 @@ object PqAnn {
 
   /** ADC top-k over an [[encode]]d corpus, exact-cosine rerank of the
     * per-query top-`nCand` ADC candidates against the full-precision
-    * `data`. Output: (q_id, rank, d_id, score) — the shared kNN shape. */
+    * `data`. `probes` (the IVF-PQ composition) restricts each query's
+    * scan to its probed cells. Output: (q_id, rank, d_id, score) — the
+    * shared kNN shape. */
   def searchEncoded(queries: DataFrame, encoded: DataFrame, data: DataFrame,
                     codebooks: Codebooks, k: Int, nCand: Int,
-                    excludeSelf: Boolean = false): DataFrame = {
+                    excludeSelf: Boolean = false,
+                    probes: Option[Map[Long, Array[Int]]] = None): DataFrame = {
     require(nCand >= k, s"nCand $nCand < k $k")
     val partial = adcCandidates(queries, encoded, codebooks, nCand,
-      excludeSelf)
+      excludeSelf, probes)
     val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
       col("nadc"), col("d_id"), nCand, idName = "d_id", scoreName = "nadc")
       .select(col("q_id"), col("d_id"))
@@ -299,11 +306,8 @@ object PqAnn {
           nSub: Int = 8, ncode: Int = 32, nCand: Int = 120,
           sampleN: Int = 2000, seed: Long = 42L,
           excludeSelf: Boolean = false): DataFrame = {
-    val sample = IvfAnn.sampleVectors(data, "d_id", "d_vec", sampleN, seed)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).take(sampleN).map(_._2)
-    val cbs = trainCodebooks(sample, nSub, ncode, seed = seed)
+    val cbs = trainCodebooks(IvfAnn.collectSample(data, sampleN, seed),
+      nSub, ncode, seed = seed)
     searchEncoded(queries, encode(data, cbs), data, cbs, k, nCand,
       excludeSelf)
   }

@@ -285,13 +285,19 @@ object AnnQueries extends QueryPack {
       import graft.operators.{IvfAnn, IvfPq, PqAnn}
       val d = Tables.embeddings(s, dir)
         .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
-      val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).take(2000).map(_._2)
+      val sample = IvfAnn.collectSample(d, 2000, 42L)
       val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
       val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      // this JVM is the only consumer (in-memory cache): reap on exit
+      // so repeated bench/verify runs don't accumulate orphaned indexes
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val path = tmp.toString
       IvfPq.writeIndex(s, d, path, centroids, cbs)
       (path, centroids, cbs)
     })

@@ -120,10 +120,8 @@ class LlmPipelineSpec extends AnyFunSuite {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // train the same centroids knn() derives internally (same sample, seed)
-    val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).take(2000).map(_._2)
-    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val centroids = IvfAnn.trainCentroids(
+      IvfAnn.collectSample(d, 2000, 42L), 16, seed = 42L)
     val path = "/tmp/graft_ivf_layout"
     IvfAnn.writeCellLayout(spark, d, path, centroids)
     val fromLayout = IvfAnn.knnOverLayout(spark, q, path, centroids, 10,
@@ -343,12 +341,11 @@ class LlmPipelineSpec extends AnyFunSuite {
     val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val sample = IvfAnn.sampleVectors(d, "d_id", "d_vec", 2000, 42L)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).take(2000).map(_._2)
+    val sample = IvfAnn.collectSample(d, 2000, 42L)
     val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
     val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
-    val path = "/tmp/graft_ivfpq_index"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_test_").toString
     IvfPq.writeIndex(spark, d, path, centroids, cbs)
     // the index is codes-only: no vector column in the scanned files
     val idx = spark.read.parquet(path)
