@@ -293,6 +293,37 @@ object PqAnn {
     rerankExact(queries, data, cands, k)
   }
 
+  /** [[searchEncoded]] in bounded QUERY blocks — the [[PairKernel]]
+    * multi-pass shape for query batches too large to collect at once:
+    * each pass collects and broadcasts one `blockSize` slice of the
+    * query set (pruned at the scan by an id-range pushdown), searches it
+    * against the encoded corpus, and the per-block results union. Driver
+    * memory is O(blockSize × dim), independent of the batch size; block
+    * results are disjoint query sets, so the union IS the unblocked
+    * answer (asserted block-vs-single parity in LlmPipelineSpec). */
+  def searchEncodedBlocked(queries: DataFrame, encoded: DataFrame,
+                           data: DataFrame, codebooks: Codebooks, k: Int,
+                           nCand: Int, excludeSelf: Boolean = false,
+                           blockSize: Int = 1 << 16): DataFrame = {
+    require(blockSize > 0)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bounds = queries.select(min(col("q_id")), max(col("q_id"))).first()
+    if (bounds.isNullAt(0))
+      return searchEncoded(queries, encoded, data, codebooks, k, nCand,
+        excludeSelf) // empty batch: keep the (empty) output schema
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // id-RANGE blocks (ids may be sparse: a range block never exceeds
+    // blockSize ids, so the collected slice is bounded even when dense)
+    val nBlocks = (hi - lo) / blockSize + 1
+    (0L until nBlocks).map { b =>
+      val blockLo = lo + b * blockSize
+      val slice = queries
+        .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize)
+      searchEncoded(slice, encoded, data, codebooks, k, nCand, excludeSelf)
+    }.reduce(_ unionAll _)
+  }
+
   /** Production path: Lloyd-trained codebooks (rows-only: quantization
     * cell shapes are training-dependent; recall gated in tests).
     *

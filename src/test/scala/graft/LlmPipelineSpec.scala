@@ -335,6 +335,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("pq blocked query passes equal the single-pass result") {
+    import graft.operators.PqAnn
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    val enc = PqAnn.encode(d, cbs)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = key(PqAnn.searchEncoded(q, enc, d, cbs, k = 10, nCand = 40,
+      excludeSelf = true))
+    val blocked = key(PqAnn.searchEncodedBlocked(q, enc, d, cbs, k = 10,
+      nCand = 40, excludeSelf = true, blockSize = 16))
+    assert(blocked === single)
+  }
+
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val e = Tables.embeddings(spark, sfDir)
