@@ -277,6 +277,38 @@ object TextQueries extends QueryPack {
             .as("is_contaminated"))
     }),
 
+    // Decontamination, BLOOM-PRUNED twin — the posture for when the eval
+    // shingle set outgrows a comfortable broadcast-hash build: a Bloom
+    // filter over the eval shingles (kilobytes at 1% FPP, vs the full
+    // string set) prunes the training-shingle STREAM partition-locally,
+    // and only the surviving ~hit-rate fraction enters the exact verify
+    // join that removes the false positives. Bloom has no false
+    // negatives and the verify join is exact, so the result is
+    // bit-identical to `decontaminate` — same oracle, hash-checked.
+    "decontaminate_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val sh = trigrams(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 17 === 0)
+        .select(col("shingle")).distinct()
+      val bloom = evalSh.stat.bloomFilter("shingle",
+        expectedNumItems = 100000L, fpp = 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val candidates = sh.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("shingle")).as[(Long, String)]
+        .mapPartitions { it =>
+          val bf = bloomB.value
+          it.filter { case (_, g) => bf.mightContain(g) }
+        }.toDF("doc_id", "shingle")
+      val hits = candidates.join(broadcast(evalSh), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      docs(s, dir).filter(col("doc_id") % 17 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (coalesce(col("n_common"), lit(0L)) >= 3).cast("long")
+            .as("is_contaminated"))
+    }),
+
     // Token-budget SEQUENCE PACKING: assign docs (in doc_id order) to
     // fixed-budget training sequences — seq_id = how many full 512-token
     // budgets precede the doc. The naive form is one global cumulative
@@ -523,6 +555,19 @@ object TextQueries extends QueryPack {
     })
   )
 
+  private lazy val decontaminateOracle: String =
+    s"""WITH sh AS ($trigramsSql),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_common
+       |  FROM sh s JOIN ev USING (shingle)
+       |  WHERE s.doc_id % 17 != 0
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_common, 0) AS n_common,
+       |       CAST(COALESCE(h.n_common, 0) >= 3 AS BIGINT) AS is_contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % 17 != 0""".stripMargin
+
   def oracles: Map[String, String] = {
     val voteSql = (0 until 16).map { b =>
       val d = b / 4 + 1
@@ -699,18 +744,10 @@ object TextQueries extends QueryPack {
            |       CAST(row_number() OVER (PARTITION BY cluster_id
            |              ORDER BY quality DESC, doc_id ASC) = 1 AS BIGINT) AS is_canonical
            |FROM docsq""".stripMargin,
-      "decontaminate" ->
-        s"""WITH sh AS ($trigramsSql),
-           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
-           |hits AS (
-           |  SELECT s.doc_id, count(*) AS n_common
-           |  FROM sh s JOIN ev USING (shingle)
-           |  WHERE s.doc_id % 17 != 0
-           |  GROUP BY s.doc_id)
-           |SELECT d.doc_id, COALESCE(h.n_common, 0) AS n_common,
-           |       CAST(COALESCE(h.n_common, 0) >= 3 AS BIGINT) AS is_contaminated
-           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-           |WHERE d.doc_id % 17 != 0""".stripMargin,
+      "decontaminate" -> decontaminateOracle,
+      // the Bloom twin is exact by construction (no false negatives +
+      // exact verify of candidates): same oracle
+      "decontaminate_bloom" -> decontaminateOracle,
       "pack_sequences" ->
         s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
            |           FROM documents),
