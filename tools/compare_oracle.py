@@ -52,6 +52,17 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
 
     results = {}
+    # A query that FAILED in graft.Verify has no parquet dir — iterating
+    # over dirs alone would silently skip it and report "N/N OK". Seed
+    # every verify_status entry as failed first; successful compares
+    # overwrite theirs.
+    status_path = os.path.join(out_dir, "verify_status.json")
+    if os.path.exists(status_path):
+        with open(status_path) as f:
+            for qname, ok in json.load(f).items():
+                if not ok:
+                    results[qname] = {"status": "verify_failed", "ok": False}
+
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
