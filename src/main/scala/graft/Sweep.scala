@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{BeamSearch, GraphBuild, Hnsw}
-import graft.operators.{IvfAnn, PqAnn, Recall, Rerank}
+import graft.operators.{IvfAnn, KnnKernel, PqAnn, RandomProjection, Recall, Rerank}
 import graft.queries.{IndexQueries, VectorQueries}
 import graft.sources.Sinks
 
@@ -22,6 +22,10 @@ import graft.sources.Sinks
   *    per-subquery PQ ADC top-ef over the encoded corpus, union into the
   *    same chamfer rerank — what the curve looks like when the scan
   *    reads codes instead of vectors
+  *  - `randproj` — the dimensionality-reduction baseline (beyond
+  *    reference parity): per-subquery exact cosine top-ef in the seeded
+  *    16-dim projected space (1/4 the scan arithmetic), union into the
+  *    same chamfer rerank — the Johnson-Lindenstrauss tier's curve
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
@@ -130,6 +134,15 @@ object Sweep {
       IvfAnn.collectSample(corpus, 2000, 42L), nSub = 8, ncode = 32)
     val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
 
+    // randproj arm offline half: one seeded 64→16 projection of corpus
+    // and queries, shared by every budget row
+    val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
+    val rpCorpus = RandomProjection.project(corpus, "d_id", "d_vec", rpSeeds)
+      .select(col("d_id"), col("pvec").as("d_vec")).localCheckpoint(true)
+    val rpQueries = RandomProjection
+      .project(queryVecs, "q_id", "q_vec", rpSeeds)
+      .select(col("q_id"), col("pvec").as("q_vec")).localCheckpoint(true)
+
     budgets.flatMap { budget =>
       val roarCands = BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
         idx.params.metric, minPq = math.min(10, budget / C),
@@ -141,9 +154,12 @@ object Sweep {
       val pqCands = PqAnn.searchEncoded(queryVecs, pqEncoded, corpus, pqCbs,
         k = ef, nCand = math.max(2 * ef, K))
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      val rpCands = KnnKernel.bruteForce(spark, rpQueries, rpCorpus, ef)
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
         evalArm("hnsw", budget, hnswCands),
-        evalArm("pq", budget, pqCands))
+        evalArm("pq", budget, pqCands),
+        evalArm("randproj", budget, rpCands))
     }
   }
 }

@@ -165,6 +165,49 @@ object IvfAnn {
       col("score"), col("d_id"), k, idName = "d_id")
   }
 
+  /** The shared training-free seed rule: the `nlist` corpus vectors with
+    * the smallest (md5(id), id) rank, in rank order — one `row_number`
+    * in the oracle. TakeOrdered (orderBy+limit), never a full sort. */
+  def seededCentroids(data: DataFrame, nlist: Int): Array[Array[Float]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    data.select(col("d_id"), col("d_vec"),
+        md5(col("d_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("d_id")).limit(nlist)
+      .select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])].collect().map(_._2)
+  }
+
+  /** Centers zipped with their cell index and double L2 norm — the
+    * broadcast payload of the seeded assignment kernel. */
+  private[operators] def seedNorms(centroids: Array[Array[Float]])
+      : Array[(Int, Array[Float], Double)] =
+    centroids.zipWithIndex.map { case (v, cell) =>
+      (cell, v,
+        math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)))
+    }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Best `take` cells for `v` against the seeded centers: cosine in
+    * DOUBLE, HALF_UP-quantized to 9 decimals before the argmax (the
+    * [[PairKernel]] parity recipe), ties (score desc, cell asc) — the
+    * exact comparison the DuckDB oracle's `row_number` performs. */
+  private[operators] def seededTopCells(v: Array[Float],
+      ss: Array[(Int, Array[Float], Double)], take: Int): Array[Int] = {
+    var nv = 0.0
+    var i = 0
+    while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
+    val norm = math.sqrt(nv)
+    ss.map { case (cell, sv, snorm) =>
+      var dot = 0.0
+      var j = 0
+      while (j < sv.length) { dot += sv(j).toDouble * v(j).toDouble; j += 1 }
+      (-round9(dot / (snorm * norm)), cell)
+    }.sorted.take(take).map(_._2)
+  }
+
   /** Oracle-checkable IVF twin — a corpus-SEEDED coarse quantizer instead
     * of a Lloyd-trained one: the `nlist` cell centers are the corpus
     * vectors with the smallest (md5(id), id) rank. Training-free, so the
@@ -184,45 +227,28 @@ object IvfAnn {
                 excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     import spark.implicits._
-    // seed pick: TakeOrdered (orderBy+limit — bounded, not a full sort)
-    val seedRows = data
-      .select(col("d_id"), col("d_vec"),
-        md5(col("d_id").cast("string").cast("binary")).as("h"))
-      .orderBy(col("h"), col("d_id")).limit(nlist)
-      .select(col("d_id"), col("d_vec"))
-      .as[(Long, Array[Float])].collect()
-    val seeds: Array[(Int, Array[Float], Double)] =
-      seedRows.zipWithIndex.map { case ((_, v), cell) =>
-        (cell, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)))
-      }
-    val seedsB = spark.sparkContext.broadcast(seeds)
+    val seedsB =
+      spark.sparkContext.broadcast(seedNorms(seededCentroids(data, nlist)))
 
-    def round9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // best `take` cells per vector: score desc, cell asc — double math
-    def topCells(v: Array[Float], take: Int): Array[Int] = {
-      val ss = seedsB.value
-      var nv = 0.0
-      var i = 0
-      while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
-      val norm = math.sqrt(nv)
-      ss.map { case (cell, sv, snorm) =>
-        var dot = 0.0
-        var j = 0
-        while (j < sv.length) { dot += sv(j).toDouble * v(j).toDouble; j += 1 }
-        (-round9(dot / (snorm * norm)), cell)
-      }.sorted.take(take).map(_._2)
-    }
-
+    // NOTE: the kernel lambdas call seededTopCells DIRECTLY (the
+    // [[assign]] shape). Wrapping it in a local `def` lifts the wrapper
+    // to an instance method of this object and makes the task closure
+    // capture the non-serializable module (caught by QuerySmokeSpec).
     val assigned = data.select(col("d_id"), col("d_vec"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, v, topCells(v, 1)(0)) })
+      .mapPartitions { it =>
+        val ss = seedsB.value
+        it.map { case (id, v) => (id, v, seededTopCells(v, ss, 1)(0)) }
+      }
       .toDF("d_id", "d_vec", "cell")
       .withColumn("d_norm", vecNorm(col("d_vec")))
     val probes = queries.select(col("q_id"), col("q_vec"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (id, v) =>
-        topCells(v, nProbe).map(c => (id, v, c)) })
+      .mapPartitions { it =>
+        val ss = seedsB.value
+        it.flatMap { case (id, v) =>
+          seededTopCells(v, ss, nProbe).map(c => (id, v, c)) }
+      }
       .toDF("q_id", "q_vec", "cell")
       .withColumn("q_norm", vecNorm(col("q_vec")))
 

@@ -28,12 +28,33 @@ object IvfPq {
     * probe scans is ~dim×4/nSub times smaller than the corpus. */
   def writeIndex(spark: SparkSession, data: DataFrame, path: String,
                  centroids: Array[Array[Float]],
-                 codebooks: PqAnn.Codebooks): Unit = {
+                 codebooks: PqAnn.Codebooks): Unit =
+    writeRows(spark, data, path, centroids, codebooks, "overwrite")
+
+  /** Incremental index maintenance — the daily-ingest half of the
+    * layout at 100 TB: assign + encode ONLY the delta batch against the
+    * FIXED build-time quantizers and append its files into the cell
+    * partition directories. Existing files are never touched, no
+    * rebuild, no read of the resident index; a search afterwards is
+    * indistinguishable from one over a single-shot build of the union
+    * (asserted row-for-row in LlmPipelineSpec). The quantizers MUST be
+    * the ones the index was built with — they define the layout
+    * contract (which cell directory a row lives in, what its codes
+    * mean); re-deriving them from the grown corpus would silently remap
+    * the resident rows. */
+  def appendIndex(spark: SparkSession, delta: DataFrame, path: String,
+                  centroids: Array[Array[Float]],
+                  codebooks: PqAnn.Codebooks): Unit =
+    writeRows(spark, delta, path, centroids, codebooks, "append")
+
+  /** assign + encode fused into ONE corpus pass: encoding off the
+    * assigned rows directly — a join to re-attach the cell column would
+    * scan and centroid-assign the corpus twice plus pay a corpus-wide
+    * shuffle, in an offline build/ingest job. */
+  private def writeRows(spark: SparkSession, data: DataFrame, path: String,
+                        centroids: Array[Array[Float]],
+                        codebooks: PqAnn.Codebooks, mode: String): Unit = {
     import spark.implicits._
-    // assign + encode fused into ONE corpus pass: encoding off the
-    // assigned rows directly — a join to re-attach the cell column would
-    // scan and centroid-assign the corpus twice plus pay a corpus-wide
-    // shuffle, in the offline build that exists to run exactly once
     val cbB = spark.sparkContext.broadcast(codebooks)
     IvfAnn.assign(spark, data, "d_id", "d_vec", centroids)
       .select(col("d_id"), col("d_vec"), col("cell"))
@@ -42,7 +63,7 @@ object IvfPq {
         val cbs = cbB.value
         it.map { case (id, v, c) => (id, PqAnn.encodeOne(v, cbs), c) }
       }.toDF("d_id", "codes", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Approximate top-k over a [[writeIndex]] directory: per-query probe
@@ -61,6 +82,71 @@ object IvfPq {
       .as[(Long, Array[Float])].collect()
     val probes: Map[Long, Array[Int]] = qRows.map { case (id, v) =>
       id -> IvfAnn.nearestCells(v, centroids, nProbe)
+    }.toMap
+    val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
+    val encoded = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    PqAnn.searchEncoded(queries, encoded, data, codebooks, k, nCand,
+      excludeSelf, Some(probes))
+  }
+
+  /** Oracle-parity index write — [[writeIndex]] with BOTH quantizers
+    * training-free: cell assignment by the round9 double cosine against
+    * md5-ranked seed centers ([[IvfAnn.knnSeeded]]'s rule, NOT the
+    * float-metric [[IvfAnn.assign]]), codes from
+    * [[PqAnn.seededCodebooks]]. Every cell and every code in the written
+    * index is reproducible in DuckDB SQL, so the COMPOSED layout —
+    * partition-pruned probe, ADC scan, exact rerank — hash-checks end to
+    * end. Same fused one-pass shape as [[writeIndex]]. */
+  def writeIndexSeeded(spark: SparkSession, data: DataFrame, path: String,
+                       centroids: Array[Array[Float]],
+                       codebooks: PqAnn.Codebooks): Unit =
+    writeRowsSeeded(spark, data, path, centroids, codebooks, "overwrite")
+
+  /** [[appendIndex]] for a [[writeIndexSeeded]] layout — same fixed-
+    * quantizer contract, seeded (round9 double) cell assignment. */
+  def appendIndexSeeded(spark: SparkSession, delta: DataFrame, path: String,
+                        centroids: Array[Array[Float]],
+                        codebooks: PqAnn.Codebooks): Unit =
+    writeRowsSeeded(spark, delta, path, centroids, codebooks, "append")
+
+  private def writeRowsSeeded(spark: SparkSession, data: DataFrame,
+                              path: String, centroids: Array[Array[Float]],
+                              codebooks: PqAnn.Codebooks,
+                              mode: String): Unit = {
+    import spark.implicits._
+    val sB = spark.sparkContext.broadcast(IvfAnn.seedNorms(centroids))
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    data.select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ss = sB.value
+        val cbs = cbB.value
+        it.map { case (id, v) =>
+          (id, PqAnn.encodeOne(v, cbs), IvfAnn.seededTopCells(v, ss, 1)(0))
+        }
+      }.toDF("d_id", "codes", "cell")
+      .write.mode(mode).partitionBy("cell").parquet(path)
+  }
+
+  /** [[knnOverIndex]] against a [[writeIndexSeeded]] directory: probes
+    * resolved with the same round9 double argmax the index cells were
+    * assigned with, pushed as a literal partition filter; ADC + rerank
+    * via the proven seeded-PQ tail. The entire call is deterministic
+    * double arithmetic — the DuckDB-hash-checkable IVF-PQ. */
+  def knnSeededOverIndex(spark: SparkSession, queries: DataFrame,
+                         path: String, data: DataFrame,
+                         centroids: Array[Array[Float]],
+                         codebooks: PqAnn.Codebooks, k: Int,
+                         nProbe: Int = 10, nCand: Int = 80,
+                         excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(nCand >= k, s"nCand $nCand < k $k")
+    val seeds = IvfAnn.seedNorms(centroids)
+    val qRows = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])].collect()
+    val probes: Map[Long, Array[Int]] = qRows.map { case (id, v) =>
+      id -> IvfAnn.seededTopCells(v, seeds, nProbe)
     }.toMap
     val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
     val encoded = spark.read.parquet(path)

@@ -162,6 +162,25 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // IVF-PQ with BOTH quantizers corpus-seeded — the oracle-checkable
+    // twin of knn_ivfpq: md5-ranked seed rows supply the coarse cells
+    // AND every subspace codebook, so the complete composed path —
+    // partition-pruned probe over the codes-only index, ADC scan, exact
+    // rerank — is deterministic double arithmetic hash-checked in DuckDB
+    // end-to-end. The one ANN layout a 100 TB deployment actually runs,
+    // now with the full-pipeline certificate.
+    "knn_ivfpq_seeded" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val (path, centroids, cbs) = ivfPqSeededIndex(s, dir)
+      graft.operators.IvfPq.knnSeededOverIndex(s, q, path, d, centroids,
+          cbs, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // PQ with corpus-SEEDED codebooks — the oracle-checkable twin of
     // knn_pq: md5-ranked seed rows supply every subspace codebook, so
     // encode (argmin subspace L2²), the ADC candidate scan, and the
@@ -174,6 +193,48 @@ object AnnQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
       graft.operators.PqAnn.knnSeeded(q, d, K, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // IVF cell-balance audit over the seeded index — the layout-health
+    // check a 100 TB operator runs before trusting partition pruning
+    // (one hot cell = one unprunable giant partition). Reads the
+    // codes-only index (cells precomputed at build), one tiny groupBy;
+    // the fraction is computed via a broadcast total join, not a global
+    // window. Hash-checked: the oracle re-derives every assignment.
+    "ivfpq_cell_stats" -> ((s, dir) => {
+      val (path, _, _) = ivfPqSeededIndex(s, dir)
+      val cells = s.read.parquet(path)
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("frac"))
+    }),
+
+    // Seeded random projection 64→16 (Johnson-Lindenstrauss coarse
+    // tier), long form so every projected component is DuckDB-hashable.
+    "randproj_vectors" -> ((s, dir) => {
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val seeds = graft.operators.IvfAnn.seededCentroids(d, 16)
+      graft.operators.RandomProjection.project(d, "d_id", "d_vec", seeds)
+        .select(col("d_id").as("vec_id"),
+          posexplode(col("pvec")).as(Seq("j", "val")))
+    }),
+
+    // Projection-accelerated kNN — coarse top-nCand cosine in the
+    // 16-dim projected space (4× less scan arithmetic than full-dim),
+    // exact full-dimension rerank. Deterministic end-to-end: seed pick,
+    // projection, both ranking stages all hash-checked in DuckDB.
+    "knn_randproj" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.RandomProjection.knn(s, q, d, K, excludeSelf = true)
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
     }),
@@ -302,6 +363,33 @@ object AnnQueries extends QueryPack {
       (path, centroids, cbs)
     })
 
+  /** One SEEDED IVF-PQ index per fixture dir — the [[ivfPqIndex]]
+    * lifecycle with both quantizers training-free (md5-ranked seeds):
+    * nlist=16 cells, nSub=8 × ncode=16 codebooks, all reproducible in
+    * the oracle's `row_number` CTE. */
+  private val ivfPqSeededCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks)]()
+
+  private def ivfPqSeededIndex(s: SparkSession, dir: String)
+      : (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks) =
+    ivfPqSeededCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val centroids = IvfAnn.seededCentroids(d, 16)
+      val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_seed_")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val path = tmp.toString
+      IvfPq.writeIndexSeeded(s, d, path, centroids, cbs)
+      (path, centroids, cbs)
+    })
+
   private def dotSqlAB(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def normSqlOf(t: String) =
@@ -361,19 +449,21 @@ object AnnQueries extends QueryPack {
     * chosen codeword) is arithmetic-identical to the kernel's LUT sum:
     * both add per-subspace L2² partials, each summed from 0 in index
     * order, in subspace order. */
+  /** L2² of subspace m between full vectors a and b (diff list, then
+    * squares, then an index-order list_sum — the PQ kernel's loop). */
+  private def subL2Sql(a: String, b: String, m: String, sd: Int): String =
+    s"""list_sum(list_transform(
+       |      list_transform(range($sd),
+       |        i -> CAST($a[$m*$sd+i+1] AS DOUBLE) - CAST($b[$m*$sd+i+1] AS DOUBLE)),
+       |      x -> x*x))""".stripMargin
+
   private val pqSeededOracle: String = {
     import VectorQueries.{C, NQ, K}
     val nSub = 8
     val sd = 8 // dim 64 / nSub
     val ncode = 16
     val nCand = 80
-    // L2² of subspace m between full vectors a and b (diff list, then
-    // squares, then an index-order list_sum — the kernel's loop).
-    def subL2(a: String, b: String, m: String): String =
-      s"""list_sum(list_transform(
-         |      list_transform(range($sd),
-         |        i -> CAST($a[$m*$sd+i+1] AS DOUBLE) - CAST($b[$m*$sd+i+1] AS DOUBLE)),
-         |      x -> x*x))""".stripMargin
+    def subL2(a: String, b: String, m: String): String = subL2Sql(a, b, m, sd)
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
        |           FROM embeddings WHERE vec_id < ${NQ * C}),
        |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
@@ -405,6 +495,169 @@ object AnnQueries extends QueryPack {
        |           row_number() OVER (PARTITION BY q_id
        |             ORDER BY adist ASC, d_id ASC) AS crn
        |    FROM adc) t WHERE crn <= $nCand),
+       |scored AS (
+       |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
+       |  FROM cand c JOIN q USING (q_id) JOIN d USING (d_id)),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  /** knn_ivfpq_seeded oracle — the COMPOSED seeded index in SQL: ONE
+    * md5-ranked seed CTE feeds both quantizers (coarse cells and every
+    * subspace codebook — nlist == ncode == 16, so the seed sets
+    * coincide); cell assignment + probes are the [[ivfSeededOracle]]
+    * CTEs, encode + ADC + rerank the [[pqSeededOracle]] CTEs, and the
+    * ADC scan is restricted to each query's probed cells — the SQL
+    * statement of the partition pruning the index layout performs. */
+  private val ivfPqSeededOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val nlist = 16
+    val nProbe = 10
+    val nSub = 8
+    val sd = 8 // dim 64 / nSub
+    val ncode = 16
+    val nCand = 80
+    def subL2(a: String, b: String, m: String): String = subL2Sql(a, b, m, sd)
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT rk, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS rk,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE rk < ${math.max(nlist, ncode)}),
+       |assigned AS (
+       |  SELECT d_id, cell FROM (
+       |    SELECT d.d_id, s.rk AS cell,
+       |           row_number() OVER (PARTITION BY d.d_id
+       |             ORDER BY ${cosSql("d.d_vec", "s.s_vec")} DESC, s.rk ASC) AS rn
+       |    FROM d CROSS JOIN (SELECT * FROM seeds WHERE rk < $nlist) s) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_vec, cell FROM (
+       |    SELECT q.q_id, q.q_vec, s.rk AS cell,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cosSql("q.q_vec", "s.s_vec")} DESC, s.rk ASC) AS rn
+       |    FROM q CROSS JOIN (SELECT * FROM seeds WHERE rk < $nlist) s) t
+       |  WHERE rn <= $nProbe),
+       |subs AS (SELECT unnest(range($nSub)) AS m),
+       |codes AS (
+       |  SELECT d_id, m, s_vec FROM (
+       |    SELECT d.d_id, subs.m, s.s_vec,
+       |           row_number() OVER (PARTITION BY d.d_id, subs.m
+       |             ORDER BY round(${subL2("d.d_vec", "s.s_vec", "subs.m")}, 9) ASC,
+       |                      s.rk ASC) AS rn
+       |    FROM d CROSS JOIN subs
+       |         CROSS JOIN (SELECT * FROM seeds WHERE rk < $ncode) s) t
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT d_id,
+       |         flatten(list(s_vec[m*$sd+1 : m*$sd+$sd] ORDER BY m)) AS rvec
+       |  FROM codes GROUP BY d_id),
+       |adc AS (
+       |  SELECT p.q_id, a.d_id,
+       |         round(list_sum(list_transform(range($nSub),
+       |           m -> ${subL2("p.q_vec", "r.rvec", "m")})), 9) AS adist
+       |  FROM probes p JOIN assigned a USING (cell)
+       |       JOIN recon r ON r.d_id = a.d_id
+       |  WHERE p.q_id <> a.d_id),
+       |cand AS (
+       |  SELECT q_id, d_id FROM (
+       |    SELECT q_id, d_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY adist ASC, d_id ASC) AS crn
+       |    FROM adc) t WHERE crn <= $nCand),
+       |scored AS (
+       |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
+       |  FROM cand c JOIN q USING (q_id) JOIN d USING (d_id)),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  /** ivfpq_cell_stats oracle — re-derives every seeded cell assignment
+    * (the [[ivfPqSeededOracle]] `assigned` CTE) and aggregates. */
+  private val cellStatsOracle: String = {
+    val nlist = 16
+    s"""WITH d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT rk, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS rk,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE rk < $nlist),
+       |assigned AS (
+       |  SELECT d_id, cell FROM (
+       |    SELECT d.d_id, s.rk AS cell,
+       |           row_number() OVER (PARTITION BY d.d_id
+       |             ORDER BY ${cosSql("d.d_vec", "s.s_vec")} DESC, s.rk ASC) AS rn
+       |    FROM d CROSS JOIN seeds s) t WHERE rn = 1),
+       |cells AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+       |SELECT cell, n,
+       |       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM cells), 6) AS frac
+       |FROM cells""".stripMargin
+  }
+
+  /** randproj_vectors oracle — projected component j of every corpus
+    * vector: round9 double dot over the md5-ranked seed directions,
+    * cast to FLOAT (the engine-neutral storage width). */
+  private val randProjOracle: String = {
+    val outDim = 16
+    s"""WITH d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT rk, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS rk,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE rk < $outDim)
+       |SELECT d.d_id AS vec_id, s.rk AS j,
+       |       CAST(round(${dotSqlAB("d.d_vec", "s.s_vec")} /
+       |            ${normSqlExpr("s.s_vec")}, 9) AS FLOAT) AS val
+       |FROM d CROSS JOIN seeds s""".stripMargin
+  }
+
+  /** knn_randproj oracle — the complete projection-accelerated pipeline
+    * in SQL: seed pick, per-vector 16-dim projection (round9 → FLOAT),
+    * reduced-space cosine top-nCand, exact full-dim rerank — the
+    * [[ivfSeededOracle]] recipe applied to the JL tier. */
+  private val knnRandProjOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val outDim = 16
+    val nCand = 80
+    def projList(src: String, vec: String) =
+      s"""SELECT x.$src, list(
+         |    CAST(round(${dotSqlAB(s"x.$vec", "s.s_vec")} /
+         |         ${normSqlExpr("s.s_vec")}, 9) AS FLOAT) ORDER BY s.rk) AS pvec
+         |  FROM ${if (src == "q_id") "q" else "d"} x CROSS JOIN seeds s
+         |  GROUP BY x.$src""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |seeds AS (
+       |  SELECT rk, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) - 1 AS rk,
+       |           d_vec AS s_vec
+       |    FROM d) t WHERE rk < $outDim),
+       |dp AS (
+       |  ${projList("d_id", "d_vec")}),
+       |qp AS (
+       |  ${projList("q_id", "q_vec")}),
+       |pcos AS (
+       |  SELECT qp.q_id, dp.d_id, ${cosSql("qp.pvec", "dp.pvec")} AS ps
+       |  FROM qp CROSS JOIN dp WHERE qp.q_id <> dp.d_id),
+       |cand AS (
+       |  SELECT q_id, d_id FROM (
+       |    SELECT q_id, d_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ps DESC, d_id ASC) AS crn
+       |    FROM pcos) t WHERE crn <= $nCand),
        |scored AS (
        |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
        |  FROM cand c JOIN q USING (q_id) JOIN d USING (d_id)),
@@ -579,6 +832,10 @@ object AnnQueries extends QueryPack {
         |FROM s""".stripMargin,
     "knn_ivf_seeded" -> ivfSeededOracle,
     "knn_pq_seeded" -> pqSeededOracle,
+    "knn_ivfpq_seeded" -> ivfPqSeededOracle,
+    "ivfpq_cell_stats" -> cellStatsOracle,
+    "randproj_vectors" -> randProjOracle,
+    "knn_randproj" -> knnRandProjOracle,
     "knn_lsh_seeded" -> lshSeededOracle,
     "dedup_embedding_threshold_seeded" -> thresholdSeededOracle,
     "dedup_embedding_clusters" -> embClustersOracle,
