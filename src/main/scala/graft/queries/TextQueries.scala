@@ -36,6 +36,55 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** PII patterns shared verbatim by the Spark query and the DuckDB
+    * oracle — a dialect-neutral regex subset (character classes +
+    * bounded quantifiers; no lookaround, no backrefs, no ambiguous
+    * alternation) that Java regex and RE2 match identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** The fixture text is synthetic word-salad with no natural PII, so
+    * the redaction fixture PLANTS it deterministically (the
+    * plantNearDups pattern): pure function of doc_id — partition-
+    * invariant, reproducible in SQL. */
+  private def plantPii: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" see https://example.org/p/"), col("doc_id").cast("string"),
+        lit("?ref=x8"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" today"))).otherwise(lit("")))
+
+  /** Redact PII in a `(…, text)` frame: emails/URLs/phone-like spans →
+    * typed placeholders, plus per-row counts. Pure stateless per-row
+    * expressions — composes unchanged with Structured Streaming
+    * (StreamingSpec asserts stream == batch row-for-row). */
+  def redactPii(df: DataFrame): DataFrame =
+    df.withColumn("n_email", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_url", regexp_count(col("text"), lit(UrlRe)))
+      .withColumn("n_phone", regexp_count(col("text"), lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>"),
+          PhoneRe, "<PHONE>"))
+      .drop("text")
+
+  private val plantPiiSql =
+    """SELECT doc_id,
+      |       text ||
+      |       CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+      |       CASE WHEN doc_id % 11 = 0 THEN ' see https://example.org/p/' || CAST(doc_id AS VARCHAR) || '?ref=x8' ELSE '' END ||
+      |       CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END AS text
+      |FROM documents""".stripMargin
+
   /** Token trigrams WITH duplicates — right for the MinHash paths, whose
     * `min(...)` aggregation is duplicate-insensitive: signatures are
     * bit-identical to the distinct set's, and skipping the dedup turns a
@@ -256,6 +305,44 @@ object TextQueries extends QueryPack {
         length(col("text")).cast("double").as("quality"))
       graft.operators.ConnectedComponents.resolveByQuality(docsQ, pairs)
     }),
+
+    // PII REDACTION — the scrubbing pass every training-data pipeline
+    // runs before text leaves the curation boundary: emails, URLs, and
+    // phone-like sequences replaced by typed placeholders, with per-doc
+    // counts of each. Pure per-row regexp expressions — zero shuffle at
+    // any corpus size. PII is deterministically planted (fixture text
+    // has none); patterns are the dialect-neutral subset above, so the
+    // DuckDB oracle redacts bit-identically.
+    "text_pii_redact" -> ((s, dir) =>
+      redactPii(docs(s, dir).select(col("doc_id"), plantPii.as("text")))),
+
+    // Per-language VOCABULARY top-k — tokenizer-training prep: the 10
+    // highest-frequency tokens per language (ties → token asc). The
+    // corpus shuffle is the keyed (lang, token) partial-count agg; the
+    // rank window then runs over the tiny post-aggregation vocab table
+    // (O(distinct tokens), corpus-size-independent), so the window's
+    // per-lang partitions are never a scale concern.
+    "text_vocab_topk" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("lang"), explode(tokensCol).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      import org.apache.spark.sql.expressions.Window
+      tf.withColumn("rank", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("tf").desc, col("token").asc)))
+        .filter(col("rank") <= 10)
+    }),
+
+    // Text NORMALIZATION — the canonical pre-tokenization cleanup
+    // (lowercase, collapse runs of whitespace, trim) plus the before/
+    // after char counts a pipeline audits shrinkage with. Pure per-row
+    // expressions — zero shuffle.
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))),
 
     // Benchmark DECONTAMINATION: flag training docs sharing >= 3 distinct
     // token trigrams with the eval slice (doc_id % 17 == 0 stands in for
@@ -587,6 +674,31 @@ object TextQueries extends QueryPack {
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
           |count(*) AS n_copies FROM documents GROUP BY md5(text)""".stripMargin,
+      "text_pii_redact" ->
+        s"""WITH planted AS ($plantPiiSql)
+           |SELECT doc_id,
+           |       len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+           |       len(regexp_extract_all(text, '$UrlRe')) AS n_url,
+           |       len(regexp_extract_all(text, '$PhoneRe')) AS n_phone,
+           |       regexp_replace(regexp_replace(regexp_replace(text,
+           |         '$EmailRe', '<EMAIL>', 'g'),
+           |         '$UrlRe', '<URL>', 'g'),
+           |         '$PhoneRe', '<PHONE>', 'g') AS redacted
+           |FROM planted""".stripMargin,
+      "text_vocab_topk" ->
+        s"""WITH tf AS (
+           |  SELECT lang, unnest($tokensSql) AS token FROM documents),
+           |counts AS (
+           |  SELECT lang, token, count(*) AS tf FROM tf GROUP BY lang, token)
+           |SELECT lang, token, tf,
+           |       row_number() OVER (PARTITION BY lang
+           |         ORDER BY tf DESC, token ASC) AS rank
+           |FROM counts QUALIFY rank <= 10""".stripMargin,
+      "text_normalize" ->
+        """SELECT doc_id, length(text) AS n_chars_raw,
+          |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+          |       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
+          |FROM documents""".stripMargin,
       "doc_fingerprint" ->
         """SELECT doc_id, md5(trim(regexp_replace(
           |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
