@@ -387,6 +387,156 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.8, s"IVF-PQ recall@10 = $avg")
   }
 
+  test("ivf-pq seeded: deterministic, partition-pruned, every hit inside its query's probe set") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = IvfAnn.seededCentroids(d, 16)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_seed_test_").toString
+    IvfPq.writeIndexSeeded(spark, d, path, centroids, cbs)
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet === Set("d_id", "codes", "cell"))
+    val out = IvfPq.knnSeededOverIndex(spark, q, path, d, centroids, cbs,
+      k = 10, nProbe = 10, nCand = 80, excludeSelf = true)
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    // two runs bit-identical (the oracle-parity precondition)
+    val rows2 = IvfPq.knnSeededOverIndex(spark, q, path, d, centroids, cbs,
+      k = 10, nProbe = 10, nCand = 80, excludeSelf = true).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(key(rows) === key(rows2))
+    // probe-mask honesty, against an INDEPENDENT reimplementation of the
+    // seed rule (round9 double cosine, ties score desc / cell asc): every
+    // returned neighbor's index cell must be in its query's probe set
+    def round9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      round9(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val qVecs = q.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val probeSets = qVecs.view.mapValues { v =>
+      centroids.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }
+        .sorted.take(10).map(_._2).toSet
+    }.toMap
+    val cellOf = idx.select("d_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qid, did) = (r.getLong(0), r.getLong(2))
+      assert(probeSets(qid).contains(cellOf(did)),
+        s"hit ($qid,$did) from unprobed cell ${cellOf(did)}")
+    }
+  }
+
+  test("ivf-pq incremental append: append-then-search equals the single-shot build") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // quantizers are FIXED at initial-build time (the layout contract) —
+    // derived from the full corpus here so both sides share them
+    val centroids = IvfAnn.seededCentroids(d, 16)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_ivfpq_$tag").toString
+    val full = tmp("full_")
+    IvfPq.writeIndexSeeded(spark, d, full, centroids, cbs)
+    val incr = tmp("incr_")
+    IvfPq.writeIndexSeeded(spark, d.filter(col("d_id") % 2 === 0),
+      incr, centroids, cbs)
+    IvfPq.appendIndexSeeded(spark, d.filter(col("d_id") % 2 =!= 0),
+      incr, centroids, cbs)
+    // the grown index is row-identical to the single-shot build...
+    def idxKey(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector,
+        r.getAs[Number](2).intValue)).toSet
+    assert(idxKey(incr) === idxKey(full))
+    // ...and searches over it are bit-identical
+    def searchKey(p: String) =
+      IvfPq.knnSeededOverIndex(spark, q, p, d, centroids, cbs,
+          k = 10, nProbe = 10, nCand = 80, excludeSelf = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+    assert(searchKey(incr) === searchKey(full))
+  }
+
+  test("random projection: partition-invariant, >=0.9 recall@10 vs exact on clustered data") {
+    import graft.operators.{IvfAnn, KnnKernel, RandomProjection}
+    val data = ClusteredFixture.df(spark) // 20 clusters x 50, dim 32
+    val d = data.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = data.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val seeds = IvfAnn.seededCentroids(d, 8)
+    // projection is a pure per-row function: partition layout must not
+    // change a single component
+    def projKey(parts: Int) =
+      RandomProjection.project(d.repartition(parts), "d_id", "d_vec", seeds)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toVector)).toMap
+    assert(projKey(3) === projKey(7))
+    val approx = RandomProjection.knn(spark, q, d, 10, outDim = 8,
+        nCand = 40, excludeSelf = true)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = KnnKernel.bruteForce(spark, q, d, 10, excludeSelf = true)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, gt) =>
+      approx.getOrElse(qid, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"randproj recall@10 = $avg")
+  }
+
+  test("pii redaction: planted counts exact, redacted text clean of all three patterns") {
+    val out = TextQueries.queries("text_pii_redact")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (if (id % 7 == 0) 1 else 0), s"n_email doc $id")
+      assert(r.getInt(2) === (if (id % 11 == 0) 1 else 0), s"n_url doc $id")
+      assert(r.getInt(3) === (if (id % 13 == 0) 1 else 0), s"n_phone doc $id")
+    }
+    // nothing PII-shaped survives redaction
+    val dirty = out.filter(
+      regexp_count(col("redacted"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) > 0 ||
+      regexp_count(col("redacted"), lit("https?://[^\\s]+")) > 0 ||
+      regexp_count(col("redacted"), lit("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}")) > 0).count()
+    assert(dirty === 0L)
+    // placeholders landed exactly where counts say
+    val placed = out.filter(col("n_email") === 1 &&
+      !col("redacted").contains("<EMAIL>")).count()
+    assert(placed === 0L)
+  }
+
+  test("text normalization: lowercase, single-spaced, trimmed, shrinkage consistent") {
+    val rows = TextQueries.queries("text_normalize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val norm = r.getString(2)
+      assert(norm === norm.toLowerCase)
+      assert(!norm.contains("  "), s"double space in doc ${r.getLong(0)}")
+      assert(norm === norm.trim)
+      assert(r.getInt(3) === norm.length)
+      assert(r.getInt(1) >= norm.length)
+    }
+  }
+
   test("pipeline_curate plan: no all-pairs join, eval shingles broadcast") {
     val df = TextQueries.queries("pipeline_curate")(spark, sfDir)
     df.collect() // finalize AQE

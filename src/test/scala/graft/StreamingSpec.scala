@@ -114,6 +114,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII redaction matches the batch redaction row-for-row") {
+    import graft.queries.TextQueries
+    // redaction is stateless per-row — the scrubbing stage composes with
+    // a streaming ingest with no watermark/state plumbing
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" ping a.b@example.com or https://x.io/q now"))
+          .as("text"))
+      .limit(48).cache()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    val batch = key(TextQueries.redactPii(d).collect())
+    assert(batch.values.forall(_._1 >= 1)) // planted email present everywhere
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextQueries.redactPii(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toSeq)
+      input.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+      assert(key(spark.table("pii_stream").collect()) === batch)
+    } finally q.stop()
+  }
+
+  test("streaming random projection matches the batch projection row-for-row") {
+    import graft.operators.{IvfAnn, RandomProjection}
+    // directions come from the batch (offline) side; projection itself
+    // is a stateless linear pass, so it runs unchanged on a stream
+    val d = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      .limit(32).cache()
+    val seeds = IvfAnn.seededCentroids(d, 8)
+    val batch = RandomProjection.project(d, "d_id", "d_vec", seeds)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toVector)).toMap
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = RandomProjection
+      .project(input.toDF().toDF("d_id", "d_vec"), "d_id", "d_vec", seeds)
+      .writeStream.format("memory").queryName("proj_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(rows.take(16).toSeq)
+      input.addData(rows.drop(16).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("proj_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toVector)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming PQ encode matches the batch encode row-for-row") {
     import graft.operators.PqAnn
     // codebooks come from the batch (offline) side; the stream is the
