@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   * uniform 64-bit hashes overflows a long and aborts the job mid-stream —
   * a timing of an aborted job is not a measurement. */
 object Bench {
+  /** Drop block-manager blocks leaked by per-call checkpoints between
+    * timed queries. Iterative operators (connected-components rounds,
+    * the sharded tier's per-shard candidate materialization) localCheckpoint
+    * inside a call and cannot unpersist what they return; across 89
+    * queries × 2 passes those orphaned blocks accumulate until heap/GC
+    * pressure poisons whichever big-shuffle query runs late in the pass
+    * (the r7 sf1 smoke measured 41.8 s in-run vs 9.0 s isolated for the
+    * same query). Every query here is self-contained and long-lived
+    * index handles hold broadcasts or parquet paths — never persistent
+    * RDDs — so clearing between queries is safe. Single-threaded
+    * harness loops only (Bench / ScaleSmoke): getPersistentRDDs is
+    * JVM-global, so this must never run concurrently with other jobs. */
+  def dropLeakedBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   /** Evaluate df completely; returns the XOR-fold of all row hashes. */
   def force(df: DataFrame): Long = {
     val h = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
@@ -47,6 +63,7 @@ object Bench {
         System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
+    dropLeakedBlocks(spark)
     // Per-query: each query runs `reps` times and the reported timing is
     // the MIN (all raw timings are kept in the JSON under "raw").
     // A single run is hostage to one-off JIT/GC/machine-load spikes — the
@@ -61,7 +78,12 @@ object Bench {
     // min-of-N needs to actually decorrelate. A failed query records
     // ok=false and seconds=-1 so it can never masquerade as a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c → time just those queries (targeted
+    // regression hunts); unset = the full list, as the driver runs it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toIndexedSeq
+      .filter(n => only.forall(_.contains(n)))
     val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
     for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
@@ -73,6 +95,7 @@ object Bench {
         }
       val rec = (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       raw(name) = raw.getOrElse(name, Vector.empty) :+ rec
+      dropLeakedBlocks(spark)
     }
     val results = names.map { name =>
       val rs = raw(name)
@@ -97,7 +120,12 @@ object Bench {
     // Full-precision copy goes to a file (survives any log-tail bound);
     // the printed line is 3-decimal so the whole line fits in a bounded
     // capture even at 56 queries.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // a filtered (BENCH_ONLY) run must never clobber the full committed
+    // baseline — its partial query map would silently shrink every
+    // ScaleSmoke floor lookup to "missing"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/graft_bench_partial.json"
+      else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (jsonLine(_.toString, withRaw = true) + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>

@@ -122,6 +122,7 @@ object ScaleSmoke {
         System.err.println(s"WARMUP FAIL $w: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
+    Bench.dropLeakedBlocks(spark)
 
     val base: Map[String, Double] = {
       val row = spark.read.json(basePath).select("queries.*").head()
@@ -145,6 +146,7 @@ object ScaleSmoke {
         }
       val rec = (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       raw(name) = raw.getOrElse(name, Vector.empty) :+ rec
+      Bench.dropLeakedBlocks(spark) // see Bench: leaked checkpoint blocks
     }
     val results = names.map { name =>
       val rs = raw(name)

@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution — the second half of near-dup dedup.
   * Every pair generator in this repo ([[MinHashLsh.bandedPairs]],
@@ -144,6 +146,19 @@ object ConnectedComponents {
     // Reliable mode (conf above) trades that job for durability.
     def checkpointed(df: DataFrame): DataFrame =
       if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+    // Persisted RDDs backing a checkpointed round (walked through the
+    // physical plan's public dependency chain — no CacheManager entry
+    // exists for localCheckpoint, so Dataset.unpersist can't reach it).
+    // Used to evict round N-1's blocks once round N is materialized:
+    // peak residency is 2 rounds' edge sets, not all of them — a
+    // multi-hour 100 TB dedup run must not hold every round in the
+    // block manager. (Reliable mode persists nothing → no-op there.)
+    def persistedLeaves(df: DataFrame): Seq[RDD[_]] = {
+      def walk(r: RDD[_]): Seq[RDD[_]] =
+        if (r.getStorageLevel != StorageLevel.NONE) Seq(r)
+        else r.dependencies.map(_.rdd).flatMap(walk)
+      walk(df.queryExecution.toRdd)
+    }
     // distinct AFTER contraction: the local pass shrinks the edge set
     // first (and two partitions can emit the same star edge), so the one
     // global dedup exchange runs on the contracted set, not the raw pairs
@@ -153,10 +168,14 @@ object ConnectedComponents {
         .where(col("u") =!= col("v")))
       .distinct())
     var rounds = 0
-    var star = isStarForest(e)
+    var star = isStarForest(e) // materializes this round's blocks
+    var eBlocks = persistedLeaves(e)
     while (!star && rounds < maxRounds) {
+      val prevBlocks = eBlocks
       e = checkpointed(smallStar(largeStar(e)))
-      star = isStarForest(e)
+      star = isStarForest(e) // new round materialized off the old blocks…
+      eBlocks = persistedLeaves(e)
+      prevBlocks.foreach(_.unpersist(blocking = false)) // …then evict them
       rounds += 1
     }
     require(star,

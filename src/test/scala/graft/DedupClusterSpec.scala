@@ -52,6 +52,24 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.size == 512 && got.values.forall(_ == 0L))
   }
 
+  test("multi-round run keeps at most one superseded round's blocks resident") {
+    // Round N-1's checkpoint blocks must be evicted once round N is
+    // materialized: a run over a diameter-n chain would otherwise hold
+    // EVERY round's edge set in the block manager until the JVM dies
+    // (the leak that poisoned the r7 sf1 smoke). Only the final round
+    // (which the returned labels read) plus at most the pre-loop
+    // contraction may remain.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0L until 511L).map(i => (i, i + 1))
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(pairsDf(chain))
+    labels.count()
+    assert(rounds >= 2, s"fixture too easy to exercise eviction: $rounds")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3,
+      s"$rounds rounds left ${leaked.size} persistent RDDs resident")
+  }
+
   test("giant-star skew fixture converges fast and keeps one canonical") {
     // One hub duplicated 1000x — the hot-cluster shape a crawl corpus
     // actually produces. Must not need many rounds or emit O(n^2) rows.
