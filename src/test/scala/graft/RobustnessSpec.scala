@@ -96,4 +96,41 @@ class RobustnessSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       PqAnn.searchEncoded(q, PqAnn.encode(d, cbs), d, cbs, k = 10, nCand = 5))
   }
+
+  test("new-tier edge cases: empty inputs keep schemas, guards fire") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn, RandomProjection}
+    import graft.queries.TextQueries
+    val d = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val seeds = IvfAnn.seededCentroids(d, 4)
+    // empty projection input: empty result, schema intact
+    val emptyD = d.filter(col("d_id") < 0)
+    val p = RandomProjection.project(emptyD, "d_id", "d_vec", seeds)
+    assert(p.columns.toSeq === Seq("d_id", "pvec"))
+    assert(p.count() === 0L)
+    assertThrows[IllegalArgumentException](
+      RandomProjection.project(d, "d_id", "d_vec", Array.empty))
+    assertThrows[IllegalArgumentException](
+      RandomProjection.knn(spark, d.limit(1)
+        .select(col("d_id").as("q_id"), col("d_vec").as("q_vec")),
+        d, k = 10, nCand = 5))
+    // empty redaction input: empty result, all columns present
+    val r = TextQueries.redactPii(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 0))
+    assert(r.columns.toSet ===
+      Set("doc_id", "n_email", "n_url", "n_phone", "redacted"))
+    assert(r.count() === 0L)
+    // empty query batch over a seeded IVF-PQ index: empty ranked output
+    val cbs = PqAnn.seededCodebooks(d, 8, 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_edge_").toString
+    IvfPq.writeIndexSeeded(spark, d, path, seeds, cbs)
+    val out = IvfPq.knnSeededOverIndex(spark,
+      d.filter(col("d_id") < 0)
+        .select(col("d_id").as("q_id"), col("d_vec").as("q_vec")),
+      path, d, seeds, cbs, k = 5)
+    assert(out.columns.toSeq === Seq("q_id", "rank", "d_id", "score"))
+    assert(out.count() === 0L)
+  }
 }
