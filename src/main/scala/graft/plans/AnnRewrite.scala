@@ -6,7 +6,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, SortOrder, Descending, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, Literal, SortOrder, Descending, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-import graft.functions.expressions.VecDotExpr
+import graft.functions.expressions.{VecDotExpr, VecL2SqExpr}
 import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
 
 /** SQL auto-routing of exhaustive top-k similarity queries to the ANN
@@ -46,7 +46,14 @@ object AnnIndexRegistry {
                    rawVecsB: Broadcast[VectorStore], metricName: String,
                    searchL: Int)
 
-  private val entries = new TrieMap[(String, String), (String, Entry)]
+  // keyed by (idCol, vecCol, route kind): an entry built on "l2" serves
+  // ORDER-BY-l2²-ASC queries, one built on cosine/ip serves dot-DESC —
+  // the two orderings only coincide on a normalized corpus, so a single
+  // entry must never answer both
+  private val entries = new TrieMap[(String, String, String), (String, Entry)]
+
+  private def kindOf(metricName: String): String =
+    if (metricName == "l2") "l2" else "ip"
 
   /** Canonical identity of a corpus scan: the single leaf relation under
     * (optional) attribute-only projections and subquery aliases. None if
@@ -86,17 +93,17 @@ object AnnIndexRegistry {
       sys.error("ANN registration requires a bare scan corpus (no " +
         "Filter/Join/expression-Project above the relation): " +
         corpus.queryExecution.optimizedPlan.nodeName))
-    entries.put((idCol, vecCol), (fp, entry))
+    entries.put((idCol, vecCol, kindOf(entry.metricName)), (fp, entry))
   }
 
-  def lookup(idCol: String, vecCol: String): Option[Entry] =
-    entries.get((idCol, vecCol)).map(_._2)
+  def lookup(idCol: String, vecCol: String, byL2: Boolean): Option[Entry] =
+    entries.get((idCol, vecCol, if (byL2) "l2" else "ip")).map(_._2)
 
   /** Lookup that also proves `child` IS the registered corpus relation. */
-  def lookupFor(idCol: String, vecCol: String,
+  def lookupFor(idCol: String, vecCol: String, byL2: Boolean,
                 child: LogicalPlan): Option[Entry] =
     for {
-      (fp, entry) <- entries.get((idCol, vecCol))
+      (fp, entry) <- entries.get((idCol, vecCol, if (byL2) "l2" else "ip"))
       childFp <- scanFingerprint(child)
       if childFp == fp
     } yield entry
@@ -104,10 +111,13 @@ object AnnIndexRegistry {
   def clear(): Unit = entries.clear()
 }
 
-/** Logical stand-in for an index-backed top-k search. */
+/** Logical stand-in for an index-backed top-k search. `byL2` = the
+  * query sorted ascending on graft_vec_l2sq (nearest by L2²); false =
+  * descending on graft_vec_dot. */
 case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          vecName: String, queryVec: Array[Float], k: Int,
-                         idFirst: Boolean) extends LeafNode {
+                         idFirst: Boolean,
+                         byL2: Boolean = false) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
@@ -133,20 +143,38 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def l2Of(e: Expression): Option[(AttributeReference, Array[Float])] =
+    e match {
+      case VecL2SqExpr(a: AttributeReference, l: Literal) =>
+        asFloatArray(l).map(v => (a, v))
+      case VecL2SqExpr(l: Literal, a: AttributeReference) =>
+        asFloatArray(l).map(v => (a, v))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString("spark.graft.ann.rewrite", "false").toBoolean) {
       return plan
     }
     plan.transformDown {
+      // dot DESC (similarity) and l2² ASC (nearest) both route; dot ASC /
+      // l2 DESC are farthest-point queries no ANN index answers — left
+      // exhaustive by the direction⇄expression pairing below.
       case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
-          Sort(Seq(SortOrder(sortKey: AttributeReference, Descending, _, _)), true,
+          Sort(Seq(SortOrder(sortKey: AttributeReference, dir, _, _)), true,
             Project(projList, projChild), _)))
           if projList.length == 2 =>
         val rewritten = for {
           scoreAlias <- projList.collectFirst {
             case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
           }
-          (vecAttr, qv) <- dotOf(scoreAlias._2)
+          (vecAttr, qv, byL2) <- dir match {
+            case Descending =>
+              dotOf(scoreAlias._2).map { case (a, v) => (a, v, false) }
+            case Ascending =>
+              l2Of(scoreAlias._2).map { case (a, v) => (a, v, true) }
+            case _ => None
+          }
           idAttr <- projList.collectFirst {
             case a: AttributeReference if a.exprId != sortKey.exprId => a
           }
@@ -156,13 +184,14 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           // different table that happens to share column names, bails out
           // to the exhaustive plan rather than silently searching the
           // whole registered corpus.
-          entry <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, projChild)
-          // dim mismatch: the exhaustive plan's VecDotExpr throws on it;
-          // the index path must not instead return truncated-dot scores.
+          entry <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, byL2,
+            projChild)
+          // dim mismatch: the exhaustive plan's expression throws on it;
+          // the index path must not instead return truncated scores.
           // Bail out so both routes fail identically on malformed input.
           if entry.rawVecsB.value.dim == qv.length
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
-          idFirst = projList.head.exprId == idAttr.exprId)
+          idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2)
         rewritten.getOrElse(limit)
     }
   }
@@ -181,11 +210,12 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override def output: Seq[Attribute] = node.output
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val entry = AnnIndexRegistry.lookup(node.idName, node.vecName)
+    val entry = AnnIndexRegistry.lookup(node.idName, node.vecName, node.byL2)
       .getOrElse(sys.error(s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
     val qv = node.queryVec
     val k = node.k
     val idFirst = node.idFirst
+    val byL2 = node.byL2
     val schema = node.output.map(_.dataType).toArray
     sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
       val graph = entry.graphB.value
@@ -197,18 +227,27 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       val l = math.max(entry.searchL, 4 * k)
       val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
         q, l, visited)
-      // exact rescoring over RAW vectors — scores == graft_vec_dot values
+      // exact rescoring over RAW vectors — scores == the original
+      // expression's values (graft_vec_dot or graft_vec_l2sq)
       require(raw.dim == qv.length,
         s"query dim ${qv.length} != corpus dim ${raw.dim}")
       val scored = (0 until queue.size).map { i =>
         val id = queue.id(i)
-        var dot = 0.0
         val off = raw.offset(id)
         val n = raw.dim
+        var s = 0.0
         var j = 0
-        while (j < n) { dot += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
-        (id.toLong, dot)
-      }.sortBy { case (id, s) => (-s, id) }.take(k)
+        if (byL2) {
+          while (j < n) {
+            val d = raw.data(off + j).toDouble - qv(j).toDouble
+            s += d * d
+            j += 1
+          }
+        } else {
+          while (j < n) { s += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
+        }
+        (id.toLong, s)
+      }.sortBy { case (id, s) => (if (byL2) s else -s, id) }.take(k)
       val proj = UnsafeProjection.create(schema)
       scored.iterator.map { case (id, s) =>
         val row = if (idFirst) InternalRow(id, s) else InternalRow(s, id)

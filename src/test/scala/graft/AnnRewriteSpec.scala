@@ -80,6 +80,54 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("l2 route: ORDER BY graft_vec_l2sq ASC routes via an l2-metric index") {
+    setup
+    // a SECOND index over the same corpus, built on the l2 metric: the
+    // registry keys routes by metric kind, so dot-DESC and l2-ASC
+    // coexist and each query reaches the index whose geometry matches
+    val emb = Tables.embeddings(spark, sfDir)
+    val l2Idx = GraphBuild.build(spark, emb, emb,
+      IndexQueries.FixtureParams.copy(metric = "l2"))
+    val raw = VectorStore.fromDf(emb, "vec_id", "embedding", Metrics.InnerProduct)
+    AnnIndexRegistry.register(emb, "vec_id", "embedding", AnnIndexRegistry.Entry(
+      spark.sparkContext.broadcast(l2Idx.graph),
+      spark.sparkContext.broadcast(l2Idx.vecs),
+      spark.sparkContext.broadcast(raw),
+      "l2", searchL = 80))
+    val q = queryLit
+    val l2Sql = s"""SELECT vec_id, graft_vec_l2sq(embedding, $q) AS score
+                   |FROM ann_corpus ORDER BY score ASC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(l2Sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(l2Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AnnSearch"), s"l2 query not routed:\n$plan")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"L2 ANN recall $recall")
+      assert(approx.map(_._2).toSeq === approx.map(_._2).sorted.toSeq)
+      // farthest-point shapes are NOT index-answerable: dot ASC and
+      // l2 DESC both stay exhaustive
+      val dotAsc = spark.sql(
+        s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+           |FROM ann_corpus ORDER BY score ASC LIMIT 10""".stripMargin)
+      assert(!dotAsc.queryExecution.executedPlan.toString.contains("AnnSearch"))
+      val l2Desc = spark.sql(
+        s"""SELECT vec_id, graft_vec_l2sq(embedding, $q) AS score
+           |FROM ann_corpus ORDER BY score DESC LIMIT 10""".stripMargin)
+      assert(!l2Desc.queryExecution.executedPlan.toString.contains("AnnSearch"))
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("a filtered query is NOT routed (and keeps its filter)") {
     setup
     val q = queryLit
