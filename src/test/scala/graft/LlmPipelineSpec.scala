@@ -475,6 +475,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(searchKey(incr) === searchKey(full))
   }
 
+  test("ivf-pq seeded blocked query passes equal the single-pass result") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = IvfAnn.seededCentroids(d, 16)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_blk_").toString
+    IvfPq.writeIndexSeeded(spark, d, path, centroids, cbs)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = key(IvfPq.knnSeededOverIndex(spark, q, path, d, centroids,
+      cbs, k = 10, excludeSelf = true))
+    val blocked = key(IvfPq.knnSeededOverIndexBlocked(spark, q, path, d,
+      centroids, cbs, k = 10, excludeSelf = true, blockSize = 16))
+    assert(blocked === single)
+  }
+
   test("random projection: partition-invariant, >=0.9 recall@10 vs exact on clustered data") {
     import graft.operators.{IvfAnn, KnnKernel, RandomProjection}
     val data = ClusteredFixture.df(spark) // 20 clusters x 50, dim 32
