@@ -114,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination flag stage matches the batch join") {
+    // eval shingle sets are small and static (benchmark suites); the
+    // TRAINING side is the stream — the flag stage is a stateless
+    // stream-static inner join, so contaminated shingles flag in-flight
+    // with no state plumbing, micro-batch boundaries invisible
+    val training = (1L to 20L).flatMap(d =>
+      Seq((d, s"sh${d % 5}"), (d, s"sh${(d + 1) % 5}")))
+    val evalSh = Seq("sh1", "sh3").toDF("shingle")
+    val batch = training.toDF("doc_id", "shingle").join(evalSh, "shingle")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(batch.nonEmpty)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "shingle").join(evalSh, "shingle")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(training.take(20))
+      input.addData(training.drop(20))
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming PII redaction matches the batch redaction row-for-row") {
     import graft.queries.TextQueries
     // redaction is stateless per-row — the scrubbing stage composes with
