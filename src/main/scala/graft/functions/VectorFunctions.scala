@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr}
+import graft.functions.expressions.{VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
 
 /** Column-level vector kernels over `array<float>` columns.
   *
@@ -48,6 +48,16 @@ object VectorFunctions {
   /** ‖a‖₂ (native codegen; the FastL2 norm-cache kernel). */
   def vecNorm(a: Column): Column =
     GraftColumnBridge.column(VecNormExpr(GraftColumnBridge.expression(a)))
+
+  /** Project onto the `seeds` directions: component j =
+    * round9(⟨v, s_j⟩ / ‖s_j‖) as float — the seeded JL reduction as a
+    * native expression (codegen-resident; row norms precomputed per
+    * plan). The operator surface is [[graft.operators.RandomProjection]]. */
+  def vecProject(v: Column, seeds: Array[Array[Float]]): Column = {
+    require(seeds.nonEmpty, "empty seed set")
+    GraftColumnBridge.column(VecProjectExpr(GraftColumnBridge.expression(v),
+      seeds.flatMap(_.map(_.toDouble)).toIndexedSeq, seeds(0).length))
+  }
 
   /** Packed sign-bit LSH band keys (native codegen) — one fused loop over
     * a plan-time hyperplane matrix; `array<long>` of

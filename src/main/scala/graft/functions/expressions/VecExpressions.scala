@@ -287,3 +287,85 @@ case class VecLshBandKeysExpr(vec: Expression, planesFlat: Seq[Double],
   override protected def withNewChildInternal(c: Expression): VecLshBandKeysExpr =
     copy(vec = c)
 }
+
+/** Seeded random-projection of one vector onto `nRows` fixed directions
+  * in one fused pass: component j = round9(⟨v, s_j⟩ / ‖s_j‖) as float —
+  * the [[graft.operators.RandomProjection]] arithmetic as a native
+  * column expression, so the projection stays inside whole-stage
+  * codegen (no Dataset encode/decode kernel boundary) and composes
+  * under any plan (filters push past it, streaming uses it unchanged).
+  *
+  * The direction matrix is baked in flat row-major at plan time (the
+  * [[VecLshBandKeysExpr]] convention: Seq field for by-value equality /
+  * canonicalization, flat array for the hot loop); row norms are
+  * derived once per plan. The 9-decimal HALF_UP quantization runs
+  * through the same BigDecimal helper as the kernels, so generated code
+  * calls [[projectOne]] on the referenced expression object rather than
+  * re-deriving the rounding in Java — one virtual call per row, loop
+  * JIT-compiled, still inside the codegen stage.
+  */
+case class VecProjectExpr(vec: Expression, seedsFlat: Seq[Double], dim: Int)
+    extends UnaryExpression with VecElemType {
+
+  require(dim > 0 && seedsFlat.nonEmpty && seedsFlat.length % dim == 0,
+    s"graft_vec_project: seed matrix (${seedsFlat.length}) not a " +
+      s"positive multiple of dim $dim")
+
+  override def child: Expression = vec
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private lazy val seedsArr: Array[Double] = seedsFlat.toArray
+  // ‖s_j‖ derived once per plan, not per row (the kernel's precompute)
+  private lazy val rowNorms: Array[Double] = {
+    val nRows = seedsFlat.length / dim
+    Array.tabulate(nRows) { j =>
+      var s = 0.0
+      var k = 0
+      while (k < dim) {
+        val x = seedsArr(j * dim + k)
+        s += x * x
+        k += 1
+      }
+      math.sqrt(s)
+    }
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Public for generated code (referenced via addReferenceObj). */
+  def projectOne(x: ArrayData): ArrayData = {
+    val et = elemType(vec.dataType)
+    require(x.numElements() == dim,
+      s"graft_vec_project: input dim ${x.numElements()} != seed dim $dim")
+    val nRows = seedsArr.length / dim
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = getElem(et, x, i); i += 1 }
+    val out = new Array[Float](nRows)
+    var j = 0
+    while (j < nRows) {
+      val off = j * dim
+      var dot = 0.0
+      var k = 0
+      while (k < dim) { dot += seedsArr(off + k) * v(k); k += 1 }
+      out(j) = round9(dot / rowNorms(j)).toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    projectOne(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecProject", this,
+      classOf[VecProjectExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.projectOne($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecProjectExpr =
+    copy(vec = c)
+}

@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * in double with the 9-decimal HALF_UP quantization every ranking
   * decision here uses.
   *
-  * Spark shape: seeds are tiny (outDim × dim floats) — broadcast;
-  * projection is one linear `mapPartitions` pass (no shuffle); the
-  * reduced-space scan reuses [[KnnKernel.bruteForce]] (broadcast query
-  * block, streamed corpus, bounded per-task heaps); the exact tail is
-  * [[PqAnn.rerankExact]] (bounded candidate set broadcast into one
-  * full-precision read).
+  * Spark shape: seeds are tiny (outDim × dim floats) — baked into a
+  * native column expression at plan time, so projection is a pure
+  * per-row codegen-resident computation (no shuffle, no kernel
+  * boundary); the reduced-space scan reuses [[KnnKernel.bruteForce]]
+  * (broadcast query block, streamed corpus, bounded per-task heaps);
+  * the exact tail is [[PqAnn.rerankExact]] (bounded candidate set
+  * broadcast into one full-precision read).
   *
   * Reference anchor: the reference searches full-dimension vectors only
   * (`/root/reference/src/multivector_reranker.cpp:183-230`); projection
@@ -36,38 +37,19 @@ import org.apache.spark.sql.functions._
   */
 object RandomProjection {
 
-  private def round9(x: Double): Double =
-    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   /** Project `(idCol, vecCol)` rows onto the seed directions:
     * output (idCol, pvec[outDim]), pvec(j) = round9(dot(v, s_j)/‖s_j‖)
-    * as float. One linear pass over the broadcast seeds. */
+    * as float. A native column expression
+    * ([[graft.functions.expressions.VecProjectExpr]]) — the projection
+    * stays inside whole-stage codegen with no Dataset encode/decode
+    * boundary, composes under any plan, and runs unchanged on
+    * Structured Streaming (StreamingSpec parity). */
   def project(data: DataFrame, idCol: String, vecCol: String,
               seeds: Array[Array[Float]]): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
     require(seeds.nonEmpty, "empty seed set")
-    val withNorm: Array[(Array[Float], Double)] = seeds.map { s =>
-      (s, math.sqrt(s.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-    }
-    val sB = spark.sparkContext.broadcast(withNorm)
-    data.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val ss = sB.value
-        it.map { case (id, v) =>
-          val out = new Array[Float](ss.length)
-          var j = 0
-          while (j < ss.length) {
-            val (s, n) = ss(j)
-            var dot = 0.0
-            var i = 0
-            while (i < s.length) { dot += s(i).toDouble * v(i).toDouble; i += 1 }
-            out(j) = round9(dot / n).toFloat
-            j += 1
-          }
-          (id, out)
-        }
-      }.toDF(idCol, "pvec")
+    data.select(col(idCol),
+      graft.functions.VectorFunctions.vecProject(col(vecCol), seeds)
+        .as("pvec"))
   }
 
   /** Projection-accelerated exact-rerank kNN: coarse cosine top-`nCand`
