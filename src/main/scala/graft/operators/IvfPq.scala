@@ -155,35 +155,50 @@ object IvfPq {
       excludeSelf, Some(probes))
   }
 
-  /** [[knnSeededOverIndex]] in bounded QUERY blocks — the
+  /** Run `search` over bounded id-range QUERY blocks and union — the
     * [[PqAnn.searchEncodedBlocked]] multi-pass shape for batches too
-    * large to collect at once: each id-range block collects ≤ blockSize
-    * queries (driver memory O(blockSize × dim), independent of batch
-    * size), resolves its own probes, and searches the index; blocks are
-    * disjoint query sets, so the union IS the unblocked answer
-    * (block-vs-single parity asserted in LlmPipelineSpec). Per-block
-    * probe sets also keep each pass's partition filter tight — a block
-    * of co-clustered queries reads only ITS cells. */
+    * large to collect at once: each block collects ≤ blockSize queries
+    * (driver memory O(blockSize × dim), independent of batch size) and
+    * resolves its own probes, so a block of co-clustered queries reads
+    * only ITS cells. Blocks are disjoint query sets, so the union IS
+    * the unblocked answer (block-vs-single parity asserted in
+    * LlmPipelineSpec). */
+  private def blockedUnion(queries: DataFrame, blockSize: Int)
+                          (search: DataFrame => DataFrame): DataFrame = {
+    require(blockSize > 0)
+    val bounds = queries.select(min(col("q_id")), max(col("q_id"))).first()
+    if (bounds.isNullAt(0))
+      return search(queries) // empty batch: keep the (empty) output schema
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nBlocks = (hi - lo) / blockSize + 1
+    (0L until nBlocks).map { b =>
+      val blockLo = lo + b * blockSize
+      search(queries
+        .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[knnOverIndex]] in bounded query blocks (trained quantizers). */
+  def knnOverIndexBlocked(spark: SparkSession, queries: DataFrame,
+                          path: String, data: DataFrame,
+                          centroids: Array[Array[Float]],
+                          codebooks: PqAnn.Codebooks, k: Int,
+                          nProbe: Int = 10, nCand: Int = 120,
+                          excludeSelf: Boolean = false,
+                          blockSize: Int = 1 << 16): DataFrame =
+    blockedUnion(queries, blockSize)(slice =>
+      knnOverIndex(spark, slice, path, data, centroids, codebooks,
+        k, nProbe, nCand, excludeSelf))
+
+  /** [[knnSeededOverIndex]] in bounded query blocks. */
   def knnSeededOverIndexBlocked(spark: SparkSession, queries: DataFrame,
                                 path: String, data: DataFrame,
                                 centroids: Array[Array[Float]],
                                 codebooks: PqAnn.Codebooks, k: Int,
                                 nProbe: Int = 10, nCand: Int = 80,
                                 excludeSelf: Boolean = false,
-                                blockSize: Int = 1 << 16): DataFrame = {
-    require(blockSize > 0)
-    val bounds = queries.select(min(col("q_id")), max(col("q_id"))).first()
-    if (bounds.isNullAt(0))
-      return knnSeededOverIndex(spark, queries, path, data, centroids,
-        codebooks, k, nProbe, nCand, excludeSelf) // empty: keep the schema
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val nBlocks = (hi - lo) / blockSize + 1
-    (0L until nBlocks).map { b =>
-      val blockLo = lo + b * blockSize
-      val slice = queries
-        .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize)
+                                blockSize: Int = 1 << 16): DataFrame =
+    blockedUnion(queries, blockSize)(slice =>
       knnSeededOverIndex(spark, slice, path, data, centroids, codebooks,
-        k, nProbe, nCand, excludeSelf)
-    }.reduce(_ unionAll _)
-  }
+        k, nProbe, nCand, excludeSelf))
 }

@@ -494,6 +494,19 @@ class LlmPipelineSpec extends AnyFunSuite {
     val blocked = key(IvfPq.knnSeededOverIndexBlocked(spark, q, path, d,
       centroids, cbs, k = 10, excludeSelf = true, blockSize = 16))
     assert(blocked === single)
+    // trained-quantizer twin of the same contract
+    val tCentroids = IvfAnn.trainCentroids(
+      IvfAnn.collectSample(d, 2000, 42L), 16, seed = 42L)
+    val tCbs = PqAnn.trainCodebooks(
+      IvfAnn.collectSample(d, 2000, 42L), nSub = 8, ncode = 32, seed = 42L)
+    val tPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_blk_t_").toString
+    IvfPq.writeIndex(spark, d, tPath, tCentroids, tCbs)
+    val tSingle = key(IvfPq.knnOverIndex(spark, q, tPath, d, tCentroids,
+      tCbs, k = 10, excludeSelf = true))
+    val tBlocked = key(IvfPq.knnOverIndexBlocked(spark, q, tPath, d,
+      tCentroids, tCbs, k = 10, excludeSelf = true, blockSize = 16))
+    assert(tBlocked === tSingle)
   }
 
   test("random projection: partition-invariant, >=0.9 recall@10 vs exact on clustered data") {
