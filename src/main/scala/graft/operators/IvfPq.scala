@@ -155,6 +155,29 @@ object IvfPq {
       excludeSelf, Some(probes))
   }
 
+  /** Candidate `d_id`s for ONE query vector by probe + ADC over a
+    * [[writeIndex]] directory — the SQL auto-routing tier's candidate
+    * generator ([[graft.plans.AnnTopKRule]]): partition-pruned read of
+    * the probed cells, global ADC top-`nCand`, NO rerank. Exact scoring
+    * is the caller's job — a routed query must reproduce its OWN
+    * expression's values (graft_vec_dot / graft_vec_l2sq), not the kNN
+    * tail's rounded cosine. */
+  def candidateIds(spark: SparkSession, qv: Array[Float], path: String,
+                   centroids: Array[Array[Float]],
+                   codebooks: PqAnn.Codebooks, nProbe: Int,
+                   nCand: Int): DataFrame = {
+    import spark.implicits._
+    val probes = IvfAnn.nearestCells(qv, centroids, nProbe)
+    val encoded = spark.read.parquet(path)
+      .filter(col("cell").isin(probes.map(Int.box): _*))
+    val q = Seq((0L, qv)).toDF("q_id", "q_vec")
+    val partial = PqAnn.adcCandidates(q, encoded, codebooks, nCand,
+      excludeSelf = false, probes = Some(Map(0L -> probes)))
+    TopK.perGroupAgg(partial, Seq(col("q_id")), col("nadc"), col("d_id"),
+      nCand, idName = "d_id", scoreName = "nadc")
+      .select(col("d_id"))
+  }
+
   /** Run `search` over bounded id-range QUERY blocks and union — the
     * [[PqAnn.searchEncodedBlocked]] multi-pass shape for batches too
     * large to collect at once: each block collects ≤ blockSize queries
@@ -166,13 +189,19 @@ object IvfPq {
   private def blockedUnion(queries: DataFrame, blockSize: Int)
                           (search: DataFrame => DataFrame): DataFrame = {
     require(blockSize > 0)
-    val bounds = queries.select(min(col("q_id")), max(col("q_id"))).first()
-    if (bounds.isNullAt(0))
+    import queries.sparkSession.implicits._
+    // One pass for the set of NON-EMPTY block indices: fanning out over
+    // the raw (max-min)/blockSize id range would launch an eager collect
+    // + parquet read per block even for blocks with no queries — a
+    // sparse id space (ids {0, 10^9}) would mean thousands of empty
+    // jobs. Driver memory here is O(batch/blockSize), not O(id range).
+    val blockIds = queries.select(col("q_id")).as[Long]
+      .map(id => Math.floorDiv(id, blockSize.toLong))
+      .distinct().collect().sorted
+    if (blockIds.isEmpty)
       return search(queries) // empty batch: keep the (empty) output schema
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val nBlocks = (hi - lo) / blockSize + 1
-    (0L until nBlocks).map { b =>
-      val blockLo = lo + b * blockSize
+    blockIds.map { b =>
+      val blockLo = b * blockSize
       search(queries
         .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize))
     }.reduce(_ unionAll _)

@@ -308,16 +308,18 @@ object PqAnn {
     require(blockSize > 0)
     val spark = queries.sparkSession
     import spark.implicits._
-    val bounds = queries.select(min(col("q_id")), max(col("q_id"))).first()
-    if (bounds.isNullAt(0))
+    // One pass for the NON-EMPTY id-range block indices: a range block
+    // never exceeds blockSize ids (collected slice bounded even when
+    // dense), and skipping empty blocks keeps a sparse id space from
+    // launching per-block jobs with nothing to do.
+    val blockIds = queries.select(col("q_id")).as[Long]
+      .map(id => Math.floorDiv(id, blockSize.toLong))
+      .distinct().collect().sorted
+    if (blockIds.isEmpty)
       return searchEncoded(queries, encoded, data, codebooks, k, nCand,
         excludeSelf) // empty batch: keep the (empty) output schema
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // id-RANGE blocks (ids may be sparse: a range block never exceeds
-    // blockSize ids, so the collected slice is bounded even when dense)
-    val nBlocks = (hi - lo) / blockSize + 1
-    (0L until nBlocks).map { b =>
-      val blockLo = lo + b * blockSize
+    blockIds.map { b =>
+      val blockLo = b * blockSize
       val slice = queries
         .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize)
       searchEncoded(slice, encoded, data, codebooks, k, nCand, excludeSelf)
@@ -336,11 +338,14 @@ object PqAnn {
   def knn(queries: DataFrame, data: DataFrame, k: Int,
           nSub: Int = 8, ncode: Int = 32, nCand: Int = 120,
           sampleN: Int = 2000, seed: Long = 42L,
-          excludeSelf: Boolean = false): DataFrame = {
+          excludeSelf: Boolean = false,
+          blockSize: Int = 1 << 16): DataFrame = {
     val cbs = trainCodebooks(IvfAnn.collectSample(data, sampleN, seed),
       nSub, ncode, seed = seed)
-    searchEncoded(queries, encode(data, cbs), data, cbs, k, nCand,
-      excludeSelf)
+    // blocked driver by default: the certified entry point must be the
+    // one whose driver memory is O(blockSize), not O(batch)
+    searchEncodedBlocked(queries, encode(data, cbs), data, cbs, k, nCand,
+      excludeSelf, blockSize)
   }
 
   /** Oracle twin: corpus-seeded codebooks — encode, ADC scan, and exact
@@ -349,9 +354,10 @@ object PqAnn {
     * conversion, applied to the compression tier). */
   def knnSeeded(queries: DataFrame, data: DataFrame, k: Int,
                 nSub: Int = 8, ncode: Int = 16, nCand: Int = 80,
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeSelf: Boolean = false,
+                blockSize: Int = 1 << 16): DataFrame = {
     val cbs = seededCodebooks(data, nSub, ncode)
-    searchEncoded(queries, encode(data, cbs), data, cbs, k, nCand,
-      excludeSelf)
+    searchEncodedBlocked(queries, encode(data, cbs), data, cbs, k, nCand,
+      excludeSelf, blockSize)
   }
 }

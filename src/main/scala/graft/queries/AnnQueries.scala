@@ -156,8 +156,8 @@ object AnnQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
       val (path, centroids, cbs) = ivfPqIndex(s, dir)
-      graft.operators.IvfPq.knnOverIndex(s, q, path, d, centroids, cbs,
-          K, excludeSelf = true)
+      graft.operators.IvfPq.knnOverIndexBlocked(s, q, path, d, centroids,
+          cbs, K, excludeSelf = true)
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
     }),
@@ -175,8 +175,8 @@ object AnnQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
       val (path, centroids, cbs) = ivfPqSeededIndex(s, dir)
-      graft.operators.IvfPq.knnSeededOverIndex(s, q, path, d, centroids,
-          cbs, K, excludeSelf = true)
+      graft.operators.IvfPq.knnSeededOverIndexBlocked(s, q, path, d,
+          centroids, cbs, K, excludeSelf = true)
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
     }),

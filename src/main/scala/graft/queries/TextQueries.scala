@@ -865,7 +865,8 @@ object TextQueries extends QueryPack {
            |           FROM documents),
            |c AS (SELECT doc_id, n_tokens,
            |             sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
-           |SELECT doc_id, n_tokens, (cum - n_tokens) // 512 AS seq_id
+           |SELECT doc_id, n_tokens,
+           |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
            |FROM c""".stripMargin,
       "shuffle_order" ->
         """SELECT doc_id,
@@ -912,7 +913,7 @@ object TextQueries extends QueryPack {
            |         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
            |       FROM gr JOIN dc USING (g) GROUP BY doc_id)
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
-           |       COALESCE(pd.n_dup_spans, 0) AS n_dup_spans
+           |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
       "split_assign" ->
         """SELECT doc_id,
@@ -976,7 +977,8 @@ object TextQueries extends QueryPack {
            |              WHEN 'zh' THEN 'c0000000'
            |              ELSE '80000000' END)
            |SELECT doc_id, lang, n_tokens,
-           |       (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512 AS seq_id
+           |       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512
+           |            AS BIGINT) AS seq_id
            |FROM sampled""".stripMargin,
       "text_length_quantiles" ->
         s"""WITH t AS (SELECT lang, CAST(len($tokensSql) AS BIGINT) AS n_tokens

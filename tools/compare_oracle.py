@@ -42,6 +42,30 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+# Oracle output columns must have hash-stable renderings across every
+# DuckDB fetch path. An uncast sum() yields HUGEINT, which some drivers
+# render float-ish ("123.0") while Spark longs render bare ("123") — the
+# exact class of red row that shipped in r7. Keep this list to types whose
+# textual form is identical everywhere. FLOAT and TIMESTAMP are included
+# on empirical evidence: both widen/render identically on the pyarrow and
+# DuckDB sides and their queries (randproj_vectors, e1_window_agg) were
+# hash-green through the driver's own gate in r7.
+HASH_STABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                     "VARCHAR", "DOUBLE", "FLOAT", "BOOLEAN", "TIMESTAMP"}
+
+
+def check_oracle_types(con, name, sql):
+    """Return list of (col, type) pairs whose type is NOT hash-stable."""
+    rel = con.sql(sql)
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ)
+        base = t[:-2] if t.endswith("[]") else t  # lists of stable scalars ok
+        if base not in HASH_STABLE_TYPES:
+            bad.append((col, t))
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -52,6 +76,20 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
 
     results = {}
+    # Upfront type-discipline pass over EVERY oracle (even one whose dump
+    # failed or is missing): an uncast sum() must fail the run, loudly.
+    type_bad = set()
+    for qname, sql in sorted(oracles.items()):
+        try:
+            bad_types = check_oracle_types(con, qname, sql)
+        except Exception:
+            continue  # execution errors surface in the compare loop
+        if bad_types:
+            type_bad.add(qname)
+            results[qname] = {
+                "status": "oracle_type_unstable",
+                "bad_columns": [f"{c}: {t}" for c, t in bad_types],
+                "ok": False}
     # A query that FAILED in graft.Verify has no parquet dir — iterating
     # over dirs alone would silently skip it and report "N/N OK". Seed
     # every verify_status entry as failed first; successful compares
@@ -67,6 +105,10 @@ def main(sf_dir, out_dir):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
+        # A verify-failed query stays failed: a stale parquet dir left in a
+        # reused out_dir must not flip the entry back to OK.
+        if results.get(name, {}).get("status") == "verify_failed":
+            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         tbl = pq.read_table(files[0]) if len(files) == 1 else \
             pq.read_table(qdir)
@@ -77,6 +119,8 @@ def main(sf_dir, out_dir):
             results[name] = {"status": "rows_only",
                              "rows": len(spark_rows),
                              "ok": len(spark_rows) > 0}
+            continue
+        if name in type_bad:
             continue
         try:
             cur = con.execute(oracles[name])
