@@ -23,9 +23,17 @@ object Bench {
     * (the r7 sf1 smoke measured 41.8 s in-run vs 9.0 s isolated for the
     * same query). Every query here is self-contained and long-lived
     * index handles hold broadcasts or parquet paths — never persistent
-    * RDDs — so clearing between queries is safe. Single-threaded
-    * harness loops only (Bench / ScaleSmoke): getPersistentRDDs is
-    * JVM-global, so this must never run concurrently with other jobs. */
+    * RDDs — so clearing between queries is safe. INVARIANT on the handle
+    * caches (IndexQueries/AnnQueries, documented there): a cached handle
+    * must NEVER retain a localCheckpoint-backed DataFrame — its lineage
+    * is truncated, so this eviction would make it permanently
+    * unrecomputable (missing-checkpoint-block failures showing up only
+    * in Bench/ScaleSmoke runs). Skipping locally-checkpointed RDDs here
+    * is NOT an option: the leaked blocks this exists to clear are
+    * exactly those checkpoint copies, already consumed and orphaned by
+    * the time the query returns. Single-threaded harness loops only
+    * (Bench / ScaleSmoke): getPersistentRDDs is JVM-global, so this
+    * must never run concurrently with other jobs. */
   def dropLeakedBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

@@ -1,9 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Engine-side half of the TYPE-DISCIPLINE gate (the oracle-side half
+    * is tools/compare_oracle.py's HASH_STABLE_TYPES check): every query
+    * output column must be a type whose textual rendering is identical
+    * across the compare paths. The r7 red rows were an uncast DuckDB
+    * sum() (HUGEINT) — the Spark-side analog would be a DecimalType or
+    * binary column sneaking into a new query's output and hashing
+    * unstably. Fail the dump loudly instead. */
+  private[graft] def unstableColumns(schema: StructType): Seq[String] = {
+    def stable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DoubleType | FloatType | BooleanType | TimestampType |
+           DateType => true
+      case ArrayType(e, _) => stable(e)
+      case _ => false
+    }
+    schema.fields.collect {
+      case f if !stable(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -21,8 +43,15 @@ object Verify {
     // never as a silently-missing parquet.
     val status = SparkEntry.queries.map { case (name, fn) =>
       val ok =
-        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name"); true }
+        try {
+          val df = fn(spark, sfDir)
+          val bad = unstableColumns(df.schema)
+          if (bad.nonEmpty) sys.error(
+            s"hash-unstable output column type(s): ${bad.mkString(", ")} " +
+              "(cast to long/double/string at the output boundary)")
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name"); true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false

@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
   * sample, which keeps the per-shard graphs statistically alike (same
   * reason the reference samples training queries uniformly).
   */
-final case class ShardedIndexRef(path: String, nShards: Int, metric: String)
+final case class ShardedIndexRef(path: String, nShards: Int, metric: String,
+                                 nDeltas: Int = 0)
 
 object ShardedIndex {
 
@@ -74,7 +75,9 @@ object ShardedIndex {
       g: org.apache.spark.broadcast.Broadcast[CsrGraph],
       v: org.apache.spark.broadcast.Broadcast[VectorStore])
 
-  // Resident-shard LRU, keyed (index path, shard). Bounded by
+  // Resident-shard LRU, keyed by shard DIRECTORY (base `shard<s>` and
+  // delta `delta<j>` dirs flow through the same cache and the same
+  // residency bound). Bounded by
   // `spark.graft.index.residentShards` (default 1 — the proven
   // one-shard-peak invariant). The cache is what amortizes per-call shard
   // load cost: a search RE-USES a still-resident shard's broadcasts
@@ -86,7 +89,7 @@ object ShardedIndex {
   // residency. Insertion order doubles as recency order because every
   // hit re-inserts.
   private val resident =
-    scala.collection.mutable.LinkedHashMap.empty[(String, Int), Resident]
+    scala.collection.mutable.LinkedHashMap.empty[String, Resident]
 
   private def residentCap(spark: SparkSession): Int =
     spark.conf.get("spark.graft.index.residentShards", "1").toInt.max(1)
@@ -99,21 +102,20 @@ object ShardedIndex {
   }
 
   private def evictPath(path: String): Unit = resident.synchronized {
-    val keys = resident.keys.filter(_._1 == path).toSeq
+    val keys = resident.keys.filter(_.startsWith(path + "/")).toSeq
     keys.foreach { k =>
       val r = resident.remove(k).get
       r.g.destroy(); r.v.destroy(); exitShard()
     }
   }
 
-  /** Load a shard through the resident cache: hit = touch + reuse, miss =
-    * evict-to-capacity (oldest first) then load. */
-  private def acquireShard(spark: SparkSession, ref: ShardedIndexRef,
-                           s: Int): Resident = resident.synchronized {
-    val key = (ref.path, s)
-    resident.remove(key) match {
+  /** Load a shard dir through the resident cache: hit = touch + reuse,
+    * miss = evict-to-capacity (oldest first) then load. */
+  private def acquireShard(spark: SparkSession, metric: String,
+                           dir: String): Resident = resident.synchronized {
+    resident.remove(dir) match {
       case Some(r) =>
-        resident.put(key, r) // LRU touch
+        resident.put(dir, r) // LRU touch
         r
       case None =>
         val cap = residentCap(spark)
@@ -124,19 +126,22 @@ object ShardedIndex {
         }
         enterShard()
         shardLoads.incrementAndGet()
-        val g = CsrGraph.load(spark, s"${shardDir(ref, s)}/graph")
+        val g = CsrGraph.load(spark, s"$dir/graph")
         val vecs = VectorStore.fromDf(
-          spark.read.parquet(s"${shardDir(ref, s)}/vectors"),
-          "vec_id", "embedding", Metrics(ref.metric))
+          spark.read.parquet(s"$dir/vectors"),
+          "vec_id", "embedding", Metrics(metric))
         val r = Resident(spark.sparkContext.broadcast(g),
           spark.sparkContext.broadcast(vecs))
-        resident.put(key, r)
+        resident.put(dir, r)
         r
     }
   }
 
   private def shardDir(ref: ShardedIndexRef, s: Int): String =
     s"${ref.path}/shard$s"
+
+  private def deltaDir(ref: ShardedIndexRef, j: Int): String =
+    s"${ref.path}/delta$j"
 
   /** Build one RoarGraph per strided shard of `emb` (vec_id, embedding),
     * persisting each shard to `path/shard<s>/{graph,vectors}` and
@@ -176,10 +181,10 @@ object ShardedIndex {
     * cache's job (eviction order), not the caller's. At cluster scale the
     * materialized candidates would land in a durable sink instead of the
     * block manager; the lifecycle is the same. */
-  private def withShard(spark: SparkSession, ref: ShardedIndexRef, s: Int)(
+  private def withShard(spark: SparkSession, metric: String, dir: String)(
       body: (org.apache.spark.broadcast.Broadcast[CsrGraph],
              org.apache.spark.broadcast.Broadcast[VectorStore]) => DataFrame): DataFrame = {
-    val r = acquireShard(spark, ref, s)
+    val r = acquireShard(spark, metric, dir)
     body(r.g, r.v).localCheckpoint(true)
   }
 
@@ -189,27 +194,155 @@ object ShardedIndex {
     * the caller's rerank/top-k merge. Output: (qset_id, d_id). */
   def searchMultiDf(spark: SparkSession, querySets: DataFrame,
                     ref: ShardedIndexRef, minPq: Int, maxPq: Int,
-                    budget: Int, adaptive: Boolean): DataFrame =
-    (0 until ref.nShards).map { s =>
-      withShard(spark, ref, s) { (gB, vB) =>
+                    budget: Int, adaptive: Boolean): DataFrame = {
+    val base = (0 until ref.nShards).map { s =>
+      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB) =>
         BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
           minPq, maxPq, budget, adaptive)
           .select(col("qset_id"),
             (col("d_id") * ref.nShards + s).as("d_id"))
       }
-    }.reduce(_ unionAll _)
+    }
+    val deltas = (0 until ref.nDeltas).map { j =>
+      val dir = deltaDir(ref, j)
+      withShard(spark, ref.metric, dir) { (gB, vB) =>
+        BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
+          minPq, maxPq, budget, adaptive)
+          .join(broadcast(deltaIds(spark, dir)), Seq("d_id"))
+          .select(col("qset_id"), col("gid").as("d_id"))
+      }
+    }
+    (base ++ deltas).reduce(_ unionAll _)
+  }
 
   /** G8 single-vector twin: per-shard beam search, global ids, union;
     * caller applies the bounded per-query top-k merge. Output:
     * (q_id, d_id, score). */
   def searchSingleDf(spark: SparkSession, queries: DataFrame,
-                     ref: ShardedIndexRef, l: Int, k: Int): DataFrame =
-    (0 until ref.nShards).map { s =>
-      withShard(spark, ref, s) { (gB, vB) =>
+                     ref: ShardedIndexRef, l: Int, k: Int): DataFrame = {
+    val base = (0 until ref.nShards).map { s =>
+      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB) =>
         BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k)
           .select(col("q_id"),
             (col("d_id") * ref.nShards + s).as("d_id"),
-            col("score"))
+            col("sim").as("score"))
       }
-    }.reduce(_ unionAll _)
+    }
+    val deltas = (0 until ref.nDeltas).map { j =>
+      val dir = deltaDir(ref, j)
+      withShard(spark, ref.metric, dir) { (gB, vB) =>
+        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k)
+          .join(broadcast(deltaIds(spark, dir)), Seq("d_id"))
+          .select(col("q_id"), col("gid").as("d_id"), col("sim").as("score"))
+      }
+    }
+    (base ++ deltas).reduce(_ unionAll _)
+  }
+
+  /** A delta shard's (local d_id → global gid) mapping — delta-sized, so
+    * always broadcastable into the candidate join. */
+  private def deltaIds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/ids")
+      .select(col("vec_id").as("d_id"), col("gid"))
+
+  /** Delta-ingest — the daily-append half of the tier's lifecycle,
+    * mirroring [[graft.operators.IvfPq.appendIndex]]'s posture: build a
+    * self-contained RoarGraph over ONLY the new vectors and add it as an
+    * extra shard at `path/delta<j>`; resident base shards are never read
+    * or written (asserted byte-for-byte in IndexSpec). Search unions the
+    * delta shards exactly like base shards — same budget, same resident
+    * LRU, same bounded candidate merge — so a grown index answers through
+    * the ordinary rerank/top-k tail with no new shuffle shape.
+    *
+    * The strided base mapping can't absorb new ids without a rebuild
+    * (g % nShards decides a row's home at build time), so a delta shard
+    * keeps its own dense local ids plus a delta-sized (local → global)
+    * mapping joined back broadcast-style after search. The local-id
+    * window sorts the DELTA ONLY — bounded by the ingest batch, never
+    * the corpus. Deltas accumulate cheap (build cost = batch size);
+    * [[compact]] folds them back into the strided layout when
+    * [[deltaFraction]] says they've grown past the caller's threshold.
+    * Reference analog: the reference is rebuild-only (G4 is dead code,
+    * `src/index_bipartite.cpp:145-235` builds offline) — this is
+    * pipeline-completeness for a daily-ingest corpus, not parity. */
+  def appendDelta(spark: SparkSession, delta: DataFrame,
+                  ref: ShardedIndexRef, params: BuildParams): ShardedIndexRef = {
+    require(params.metric == ref.metric,
+      s"delta metric ${params.metric} != index metric ${ref.metric}")
+    val j = ref.nDeltas
+    val dir = deltaDir(ref, j)
+    import org.apache.spark.sql.expressions.Window
+    val local = delta.select(col("vec_id").as("gid"), col("embedding"))
+      .withColumn("vec_id",
+        (row_number().over(Window.orderBy(col("gid"))) - 1).cast("long"))
+    enterShard()
+    try {
+      val shardDf = local.select(col("vec_id"), col("embedding"))
+      val idx = GraphBuild.build(spark, shardDf, shardDf, params)
+      CsrGraph.save(spark, idx.graph, s"$dir/graph",
+        Map("metric" -> params.metric, "delta" -> j.toString))
+      shardDf.write.mode("overwrite").parquet(s"$dir/vectors")
+      local.select(col("vec_id"), col("gid"))
+        .write.mode("overwrite").parquet(s"$dir/ids")
+    } finally exitShard()
+    ref.copy(nDeltas = j + 1)
+  }
+
+  /** Total delta rows as a fraction of base rows — the [[compact]]
+    * trigger (parquet metadata counts, no data read). */
+  def deltaFraction(spark: SparkSession, ref: ShardedIndexRef): Double = {
+    if (ref.nDeltas == 0) return 0.0
+    val d = (0 until ref.nDeltas)
+      .map(j => spark.read.parquet(s"${deltaDir(ref, j)}/vectors").count()).sum
+    val b = (0 until ref.nShards)
+      .map(s => spark.read.parquet(s"${shardDir(ref, s)}/vectors").count()).sum
+    if (b == 0) Double.PositiveInfinity else d.toDouble / b
+  }
+
+  /** Fold every delta back into the strided base layout: stage the union
+    * of base + delta vectors (with their ORIGINAL global ids) to disk,
+    * rebuild via [[buildPersisted]] at the same path, drop the delta and
+    * staging dirs. Disk-to-disk — the union is never resident; per-shard
+    * build residency is [[buildPersisted]]'s proven one-shard peak. The
+    * merge-when-small policy: appends are cheap, so a caller compacts
+    * only when [[deltaFraction]] crosses its threshold ([[maybeCompact]])
+    * — one rebuild amortized over many appends. */
+  def compact(spark: SparkSession, ref: ShardedIndexRef,
+              params: BuildParams): ShardedIndexRef = {
+    require(params.metric == ref.metric,
+      s"compact metric ${params.metric} != index metric ${ref.metric}")
+    if (ref.nDeltas == 0) return ref
+    val base = (0 until ref.nShards).map { s =>
+      spark.read.parquet(s"${shardDir(ref, s)}/vectors")
+        .select((col("vec_id") * ref.nShards + s).as("vec_id"),
+          col("embedding"))
+    }
+    val deltas = (0 until ref.nDeltas).map { j =>
+      val dir = deltaDir(ref, j)
+      spark.read.parquet(s"$dir/vectors")
+        .join(spark.read.parquet(s"$dir/ids"), Seq("vec_id"))
+        .select(col("gid").as("vec_id"), col("embedding"))
+    }
+    val staging = s"${ref.path}/compact_staging"
+    (base ++ deltas).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(staging)
+    val rebuilt = buildPersisted(spark, spark.read.parquet(staging), params,
+      ref.nShards, ref.path)
+    deleteDir(spark, staging)
+    (0 until ref.nDeltas).foreach(j => deleteDir(spark, deltaDir(ref, j)))
+    rebuilt
+  }
+
+  /** [[compact]] iff the deltas have outgrown `maxDeltaFrac` of the base. */
+  def maybeCompact(spark: SparkSession, ref: ShardedIndexRef,
+                   params: BuildParams,
+                   maxDeltaFrac: Double = 0.2): ShardedIndexRef =
+    if (ref.nDeltas > 0 && deltaFraction(spark, ref) > maxDeltaFrac)
+      compact(spark, ref, params)
+    else ref
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * slotted in without touching the plan.
   *
   * The byte-level features (length, entropy, 16-bin histogram) are REAL
-  * computations on the opaque payload. The codec step —
-  * [[MediaPipeline.decodeStub]] — is a clearly-marked deterministic STUB:
-  * this environment ships no image/audio libraries, so "decoding" derives
-  * a pseudo-embedding from a rolling hash of the bytes. The Spark-side
-  * contract (schema, partition-parallel batching, per-row feature vector)
-  * is exactly what a libjpeg/ffmpeg-backed implementation would keep.
+  * computations on the opaque payload. The codec step dispatches by
+  * mime ([[MediaPipeline.decode]]): image payloads decode for real
+  * through the JDK's `javax.imageio` ([[MediaPipeline.decodeImage]] —
+  * PNG/JPEG/GIF/BMP, no external dependency); audio/video and anything
+  * ImageIO can't parse fall back to [[MediaPipeline.decodeStub]], a
+  * clearly-marked deterministic pseudo-embedding from a rolling hash of
+  * the bytes (this environment ships no audio/video codecs). The
+  * Spark-side contract (schema, partition-parallel batching, per-row
+  * feature vector) is identical on both paths — an ffmpeg-backed
+  * implementation slots into the same dispatch.
   */
 object MediaPipeline {
 
@@ -76,6 +80,55 @@ object MediaPipeline {
           .as("frame"))
   }
 
+  /** REAL image decode — `javax.imageio` (JDK built-in; no new
+    * dependency): parse the payload, then average luminance over `dim`
+    * vertical strips of a bounded (≤64×64) sample grid. Deterministic,
+    * resolution-independent, O(1) per image regardless of size. Returns
+    * None when ImageIO cannot parse the bytes (caller falls back to the
+    * stub), so a corrupt blob degrades instead of failing the task. */
+  def decodeImage(payload: Array[Byte], dim: Int = 8): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new Array[Float](dim)
+        val counts = new Array[Long](dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        val sx = math.max(1, w / 64)
+        val sy = math.max(1, h / 64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299L +
+              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 255000.0
+            out(x * dim / w) += lum.toFloat
+            counts(x * dim / w) += 1
+            x += sx
+          }
+          y += sy
+        }
+        var j = 0
+        while (j < dim) {
+          if (counts(j) > 0) out(j) /= counts(j)
+          j += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Codec dispatch — the slot the stub documented: image payloads go
+    * through the real [[decodeImage]] when parseable, everything else
+    * (and unparseable images) through [[decodeStub]]. The fixture's
+    * text/plain payloads keep the stub's deterministic gates intact. */
+  def decode(payload: Array[Byte], mime: String, dim: Int = 8): Array[Float] =
+    if (mime.startsWith("image/"))
+      decodeImage(payload, dim).getOrElse(decodeStub(payload, mime, dim))
+    else decodeStub(payload, mime, dim)
+
   /** STUB resize — deterministic stride resample of the byte stream to
     * `targetBytes` (stands in for the image-resize codec step; the
     * stable contract is (bytes, target) → bytes, batched per partition
@@ -105,7 +158,7 @@ object MediaPipeline {
         col("frame"))
       .as[(Long, Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, idx, mime, frame) =>
-        (id, idx, decodeStub(resizeStub(frame, resizeTo), mime, dim).toSeq)
+        (id, idx, decode(resizeStub(frame, resizeTo), mime, dim).toSeq)
       }).toDF("media_id", "frame_idx", "embedding")
   }
 
@@ -140,7 +193,7 @@ object MediaPipeline {
           while (i < 256) { binCounts(i / 16) += counts(i); i += 1 }
           MediaFeatureRow(id, mime, payload.length.toLong, entropy,
             binCounts.map(_.toDouble / n).toSeq,
-            decodeStub(payload, mime).toSeq)
+            decode(payload, mime).toSeq)
         }
       }.toDF()
   }

@@ -46,14 +46,20 @@ object AnnIndexRegistry {
                    rawVecsB: Broadcast[VectorStore], metricName: String,
                    searchL: Int)
 
-  // keyed by (idCol, vecCol, route kind): an entry built on "l2" serves
-  // ORDER-BY-l2²-ASC queries, one built on cosine/ip serves dot-DESC —
-  // the two orderings only coincide on a normalized corpus, so a single
-  // entry must never answer both
+  // keyed by (idCol, vecCol, EXACT metric name): an entry built on "l2"
+  // serves ORDER-BY-l2²-ASC queries; dot-DESC prefers an "ip" entry and
+  // falls back to "cosine". The exact-name key means registering a
+  // cosine-metric AND an ip-metric index on the same columns keeps both
+  // (they used to silently overwrite under a collapsed 'ip' kind); the
+  // cosine fallback is sound for SCORES always (exact rescoring) but its
+  // candidate geometry matches dot ordering only on a normalized corpus
+  // — registering a cosine graph for dot routing is the registrant's
+  // assertion that the corpus is normalized enough, and the recall gates
+  // are the check.
   private val entries = new TrieMap[(String, String, String), (String, Entry)]
 
-  private def kindOf(metricName: String): String =
-    if (metricName == "l2") "l2" else "ip"
+  private def routeMetrics(byL2: Boolean): Seq[String] =
+    if (byL2) Seq("l2") else Seq("ip", "cosine")
 
   /** Canonical identity of a corpus scan: the single leaf relation under
     * (optional) attribute-only projections and subquery aliases. None if
@@ -93,31 +99,88 @@ object AnnIndexRegistry {
       sys.error("ANN registration requires a bare scan corpus (no " +
         "Filter/Join/expression-Project above the relation): " +
         corpus.queryExecution.optimizedPlan.nodeName))
-    entries.put((idCol, vecCol, kindOf(entry.metricName)), (fp, entry))
+    entries.put((idCol, vecCol, entry.metricName), (fp, entry))
   }
 
   def lookup(idCol: String, vecCol: String, byL2: Boolean): Option[Entry] =
-    entries.get((idCol, vecCol, if (byL2) "l2" else "ip")).map(_._2)
+    routeMetrics(byL2).iterator
+      .flatMap(m => entries.get((idCol, vecCol, m))).map(_._2)
+      .nextOption()
 
   /** Lookup that also proves `child` IS the registered corpus relation. */
   def lookupFor(idCol: String, vecCol: String, byL2: Boolean,
                 child: LogicalPlan): Option[Entry] =
-    for {
-      (fp, entry) <- entries.get((idCol, vecCol, if (byL2) "l2" else "ip"))
-      childFp <- scanFingerprint(child)
-      if childFp == fp
-    } yield entry
+    routeMetrics(byL2).iterator.flatMap { m =>
+      for {
+        (fp, entry) <- entries.get((idCol, vecCol, m))
+        childFp <- scanFingerprint(child)
+        if childFp == fp
+      } yield entry
+    }.nextOption()
 
-  def clear(): Unit = entries.clear()
+  /** The compressed tier behind the SQL route: a codes-only
+    * [[graft.operators.IvfPq.writeIndex]] directory plus everything a
+    * probe needs — broadcastless by construction (the corpus never sits
+    * in driver or executor memory; `data` is the full-precision base
+    * TABLE the exact rescoring scans). Routed only when no graph entry
+    * matches: the graph answers in one task off a broadcast, the IVF-PQ
+    * path answers with a partition-pruned distributed scan — right when
+    * the corpus outgrew the broadcast ceiling. `metricName` gates routes
+    * like the graph entries: "l2" serves l2²-ASC; "ip" serves dot-DESC
+    * (the coarse probe is cosine geometry, so an "ip" registration
+    * asserts a normalized-enough corpus — same contract as a cosine
+    * graph). */
+  case class IvfPqEntry(path: String, data: org.apache.spark.sql.DataFrame,
+                        dataIdCol: String, dataVecCol: String,
+                        centroids: Array[Array[Float]],
+                        codebooks: graft.operators.PqAnn.Codebooks,
+                        metricName: String, nProbe: Int, nCand: Int)
+
+  private val ivfpqEntries =
+    new TrieMap[(String, String, String), (String, IvfPqEntry)]
+
+  /** Register an IVF-PQ index over `corpus` (a bare scan) — same
+    * fingerprint proof as [[register]], so only queries over THIS
+    * relation route to it. */
+  def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, entry: IvfPqEntry): Unit = {
+    val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
+      sys.error("ANN registration requires a bare scan corpus (no " +
+        "Filter/Join/expression-Project above the relation): " +
+        corpus.queryExecution.optimizedPlan.nodeName))
+    ivfpqEntries.put((idCol, vecCol, entry.metricName), (fp, entry))
+  }
+
+  def lookupIvfPq(idCol: String, vecCol: String,
+                  byL2: Boolean): Option[IvfPqEntry] =
+    routeMetrics(byL2).iterator
+      .flatMap(m => ivfpqEntries.get((idCol, vecCol, m))).map(_._2)
+      .nextOption()
+
+  def lookupIvfPqFor(idCol: String, vecCol: String, byL2: Boolean,
+                     child: LogicalPlan): Option[IvfPqEntry] =
+    routeMetrics(byL2).iterator.flatMap { m =>
+      for {
+        (fp, entry) <- ivfpqEntries.get((idCol, vecCol, m))
+        childFp <- scanFingerprint(child)
+        if childFp == fp
+      } yield entry
+    }.nextOption()
+
+  def clear(): Unit = { entries.clear(); ivfpqEntries.clear() }
 }
 
 /** Logical stand-in for an index-backed top-k search. `byL2` = the
   * query sorted ascending on graft_vec_l2sq (nearest by L2²); false =
-  * descending on graft_vec_dot. */
+  * descending on graft_vec_dot. `tier` picks the physical answer:
+  * "graph" = broadcast RoarGraph beam search (one task);
+  * "ivfpq" = partition-pruned distributed probe over the codes-only
+  * index (the corpus-outgrew-the-broadcast-ceiling path). */
 case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          vecName: String, queryVec: Array[Float], k: Int,
                          idFirst: Boolean,
-                         byL2: Boolean = false) extends LeafNode {
+                         byL2: Boolean = false,
+                         tier: String = "graph") extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
@@ -183,15 +246,22 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           // REGISTERED relation — a Filter/Sample/Join in between, or a
           // different table that happens to share column names, bails out
           // to the exhaustive plan rather than silently searching the
-          // whole registered corpus.
-          entry <- AnnIndexRegistry.lookupFor(idAttr.name, vecAttr.name, byL2,
-            projChild)
-          // dim mismatch: the exhaustive plan's expression throws on it;
-          // the index path must not instead return truncated scores.
-          // Bail out so both routes fail identically on malformed input.
-          if entry.rawVecsB.value.dim == qv.length
+          // whole registered corpus. Graph tier first (broadcast, one
+          // task); the IVF-PQ tier only when no graph index matches.
+          // dim-mismatch gates on both: the exhaustive plan's expression
+          // throws on it; the index path must not instead return
+          // truncated scores — bail out so both routes fail identically.
+          tier <- AnnIndexRegistry
+            .lookupFor(idAttr.name, vecAttr.name, byL2, projChild)
+            .filter(_.rawVecsB.value.dim == qv.length)
+            .map(_ => "graph")
+            .orElse(AnnIndexRegistry
+              .lookupIvfPqFor(idAttr.name, vecAttr.name, byL2, projChild)
+              .filter(_.centroids.headOption.exists(_.length == qv.length))
+              .map(_ => "ivfpq"))
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
-          idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2)
+          idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2,
+          tier = tier)
         rewritten.getOrElse(limit)
     }
   }
@@ -205,11 +275,55 @@ object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
-/** G8 search + exact rescoring, emitted as a one-partition scan. */
+/** G8 search + exact rescoring, emitted as a one-partition scan. The
+  * "ivfpq" tier instead answers via a sub-query at execute time —
+  * partition-pruned ADC candidate scan over the codes index, then exact
+  * rescoring with the routed query's OWN expression against the base
+  * table (a broadcast-candidates join: the corpus is read, never
+  * shuffled, never resident) — and emits the collected k rows. Running
+  * the candidate job from the driver inside doExecute is the same
+  * pattern as a broadcast exchange materializing its child. */
 case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override def output: Seq[Attribute] = node.output
 
+  private def ivfpqRows(entry: AnnIndexRegistry.IvfPqEntry): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{broadcast, col, typedlit}
+    import graft.functions.VectorFunctions.{vecDot, vecL2Sq}
+    val spark = entry.data.sparkSession
+    import spark.implicits._
+    val cands = graft.operators.IvfPq.candidateIds(spark, node.queryVec,
+      entry.path, entry.centroids, entry.codebooks, entry.nProbe,
+      math.max(entry.nCand, 4 * node.k))
+    val qLit = typedlit(node.queryVec)
+    val score = if (node.byL2) vecL2Sq(col(entry.dataVecCol), qLit)
+                else vecDot(col(entry.dataVecCol), qLit)
+    val scored = entry.data
+      .join(broadcast(cands),
+        col(entry.dataIdCol) === col("d_id"))
+      .select(col(entry.dataIdCol).cast("long").as("id"),
+        score.cast("double").as("score"))
+    val ordered =
+      if (node.byL2) scored.orderBy(col("score").asc, col("id").asc)
+      else scored.orderBy(col("score").desc, col("id").asc)
+    ordered.limit(node.k).as[(Long, Double)].collect()
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    if (node.tier == "ivfpq") {
+      val entry = AnnIndexRegistry
+        .lookupIvfPq(node.idName, node.vecName, node.byL2)
+        .getOrElse(sys.error(
+          s"IVF-PQ index for (${node.idName}, ${node.vecName}) vanished"))
+      val rows = ivfpqRows(entry)
+      val idFirst = node.idFirst
+      val schema = node.output.map(_.dataType).toArray
+      return sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        it.map { case (id, s) =>
+          proj(if (idFirst) InternalRow(id, s) else InternalRow(s, id))
+        }
+      }
+    }
     val entry = AnnIndexRegistry.lookup(node.idName, node.vecName, node.byL2)
       .getOrElse(sys.error(s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
     val qv = node.queryVec

@@ -336,7 +336,9 @@ object AnnQueries extends QueryPack {
 
   /** One IVF-PQ index build per fixture dir (the offline half); every
     * query call after the first only probes it. Same lifecycle pattern
-    * as IndexQueries' sharded handles. */
+    * as IndexQueries' sharded handles — and the same INVARIANT: cache
+    * only paths/arrays/broadcasts, never a localCheckpoint-backed
+    * DataFrame (Bench.dropLeakedBlocks would strand it). */
   private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks)]()
 

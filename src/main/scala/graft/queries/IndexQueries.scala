@@ -29,7 +29,15 @@ object IndexQueries extends QueryPack {
     BuildParams(mSq = 20, mPjbp = 8, lPjpq = 40, metric = "cosine")
 
   /** One built index (+ its broadcasts) per fixture dir per JVM — Verify
-    * and Bench run many queries over the same session. */
+    * and Bench run many queries over the same session.
+    *
+    * INVARIANT (Bench.dropLeakedBlocks depends on it): cached handles
+    * hold broadcasts, disk paths, or plain plans — NEVER a
+    * localCheckpoint-backed DataFrame. The bench harness unpersists
+    * every persistent RDD between timed queries; a lineage-truncated
+    * RDD evicted that way is unrecomputable, so a checkpointed handle
+    * cached here would fail with missing-checkpoint-block errors only
+    * in Bench/ScaleSmoke runs. */
   private case class Handles(idx: RoarIndex, graphB: Broadcast[CsrGraph],
                              vecsB: Broadcast[VectorStore])
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Handles]()

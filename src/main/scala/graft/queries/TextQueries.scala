@@ -400,11 +400,14 @@ object TextQueries extends QueryPack {
     // fixed-budget training sequences — seq_id = how many full 512-token
     // budgets precede the doc. The naive form is one global cumulative
     // window (a single task holding the corpus); this is the scale-
-    // correct two-level prefix sum: bounded per-bucket windows run in
-    // parallel, and only the tiny bucket-total table takes a global
-    // window (n/256 rows; recurse the same decomposition if even that
-    // outgrows one task). bucket = doc_id div 256 is monotone in doc_id,
-    // so the decomposed cumsum equals the global one exactly.
+    // correct multi-level prefix sum: bounded per-bucket windows run in
+    // parallel, and the bucket-total offsets recurse the same
+    // decomposition two more levels (graft.operators.PrefixSum), so NO
+    // window anywhere spans more than 64Ki rows until the top table has
+    // shrunk by 256·65536² — at a 10¹² doc corpus that top window is a
+    // handful of rows, where the old two-level form left ~10⁹ rows in
+    // one task. bucket = doc_id div 256 is monotone in doc_id, so the
+    // decomposed cumsum equals the global one exactly.
     "pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val t = docs(s, dir).select(col("doc_id"),
@@ -413,11 +416,9 @@ object TextQueries extends QueryPack {
       val wIn = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))
-      val wOff = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
-        .withColumn("boff", coalesce(sum("btot").over(wOff), lit(0L)))
-        .select(col("bucket"), col("boff"))
+      val offsets = graft.operators.PrefixSum.exclusiveOffsets(
+        t.groupBy("bucket").agg(sum("n_tokens").as("btot")),
+        "bucket", "btot", levels = 2)
       withCum.join(broadcast(offsets), "bucket")
         .select(col("doc_id"), col("n_tokens"),
           expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))
@@ -613,18 +614,17 @@ object TextQueries extends QueryPack {
           when(col("lang") === "en", "40000000")
             .when(col("lang") === "zh", "c0000000")
             .otherwise("80000000"))
-      // token-budget packing via the two-level prefix sum (bucket is
-      // monotone in doc_id, so this equals the global cumsum exactly)
+      // token-budget packing via the recursive prefix sum (bucket is
+      // monotone in doc_id, so this equals the global cumsum exactly;
+      // same bounded-window guarantee as pack_sequences)
       import org.apache.spark.sql.expressions.Window
       val t = sampled.withColumn("bucket", expr("doc_id div 256"))
       val wIn = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))
-      val wOff = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
-        .withColumn("boff", coalesce(sum("btot").over(wOff), lit(0L)))
-        .select(col("bucket"), col("boff"))
+      val offsets = graft.operators.PrefixSum.exclusiveOffsets(
+        t.groupBy("bucket").agg(sum("n_tokens").as("btot")),
+        "bucket", "btot", levels = 2)
       withCum.join(broadcast(offsets), "bucket")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))

@@ -164,6 +164,115 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  // --- IVF-PQ tier routing: a corpus with NO graph index registered ---
+  // Distinct column names (vid, vec) keep these registrations disjoint
+  // from the graph entries over (vec_id, embedding): the registry keys by
+  // column names and the rule proves the scan fingerprint, so neither
+  // tier can leak across the two corpora.
+  private lazy val ivfpqSetup: String = {
+    setup
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val dir = "target/tmp/ann_ivfpq_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("ivfpq_corpus")
+    val d = corpus.select(col("vid").as("d_id"), col("vec").as("d_vec"))
+    val sample = IvfAnn.collectSample(d, 2000, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val idxPath = "target/tmp/ann_ivfpq_index"
+    IvfPq.writeIndex(spark, d, idxPath, centroids, cbs)
+    // knobs sized for EXACT top-10 on the 500-row fixture (the spec
+    // asserts hash-equality with the exhaustive plan); at corpus scale
+    // the recall-vs-knobs trade is governed by knn_ivfpq's own gates
+    AnnIndexRegistry.registerIvfPq(corpus, "vid", "vec",
+      AnnIndexRegistry.IvfPqEntry(idxPath, corpus, "vid", "vec",
+        centroids, cbs, "l2", nProbe = 12, nCand = 250))
+    AnnIndexRegistry.registerIvfPq(corpus, "vid", "vec",
+      AnnIndexRegistry.IvfPqEntry(idxPath, corpus, "vid", "vec",
+        centroids, cbs, "ip", nProbe = 12, nCand = 250))
+    corpus.filter(col("vid") === 7).select("vec").first().getSeq[Float](0)
+      .map(x => s"${x}F").mkString("array(", ", ", ")")
+  }
+
+  private def routedTier(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case n: graft.plans.AnnSearchNode => n.tier
+    }
+
+  test("IVF-PQ tier: l2 query routes when no graph matches, hash-equals exhaustive") {
+    val q = ivfpqSetup
+    val l2Sql = s"""SELECT vid, graft_vec_l2sq(vec, $q) AS score
+                   |FROM ivfpq_corpus ORDER BY score ASC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(l2Sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._2, x._1))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(l2Sql)
+      assert(routedTier(df) === Seq("ivfpq"), "not routed to the ivfpq tier")
+      val approx = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._2, x._1))
+      // hash-equality with the exhaustive plan: same ids, same EXACT
+      // scores (the rescoring runs the query's own expression)
+      assert(approx.toSeq === exact.toSeq,
+        s"ivfpq route diverged:\n  approx=${approx.mkString(",")}\n  exact=${exact.mkString(",")}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("IVF-PQ tier: dot query routes via the ip entry with exact scores") {
+    val q = ivfpqSetup
+    val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
+                    |FROM ivfpq_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(dotSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("ivfpq"), "dot query not routed to ivfpq")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      // scores EXACT for every returned id; candidate recall gated like
+      // the graph tier (the coarse probe is cosine geometry, so dot
+      // ordering on this unnormalized fixture may drop a tail id)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"ivfpq dot recall $recall")
+      val scores = approx.map(_._2)
+      assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("graph tier takes precedence over an IVF-PQ entry on the same corpus") {
+    ivfpqSetup
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    // register an ivfpq entry on the GRAPH corpus (vec_id, embedding):
+    // with both tiers matching, the broadcast graph must answer — it is
+    // the one-task path; ivfpq is the fallback past the broadcast ceiling
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val sample = IvfAnn.collectSample(d, 2000, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val idxPath = "target/tmp/ann_ivfpq_index_emb"
+    IvfPq.writeIndex(spark, d, idxPath, centroids, cbs)
+    AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+      AnnIndexRegistry.IvfPqEntry(idxPath, emb, "vec_id", "embedding",
+        centroids, cbs, "ip", nProbe = 12, nCand = 250))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(sql(queryLit))
+      assert(routedTier(df) === Seq("graph"))
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("same-named columns on a DIFFERENT relation are NOT routed") {
     setup
     val q = queryLit

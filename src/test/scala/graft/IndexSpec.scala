@@ -286,6 +286,79 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded delta-ingest: base untouched, grown search finds deltas, compact folds back") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sharded_delta_").toString
+    ShardedIndex.resetResidencyTracking()
+    val ref0 = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+
+    // byte-level snapshot of the resident base shards: append must not
+    // read-modify-write ANY base file
+    def baseSnapshot(): Seq[(String, Long, Long)] = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      (0 until 2).flatMap { s =>
+        val root = Paths.get(s"$path/shard$s")
+        Files.walk(root).iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => (s"shard$s/" + root.relativize(p).toString, Files.size(p),
+            Files.getLastModifiedTime(p).toMillis)).toSeq
+      }.sortBy(_._1)
+    }
+    val before = baseSnapshot()
+    val ref = ShardedIndex.appendDelta(spark, delta, ref0,
+      IndexQueries.FixtureParams)
+    assert(ref.nDeltas === 1)
+    assert(baseSnapshot() === before, "append touched resident base shards")
+
+    val q = emb.filter(col("vec_id") % 25 === 0) // 20 queries across base+delta
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // exhaustive ground truth over the GROWN corpus
+    val vecsB = spark.sparkContext.broadcast(
+      VectorStore.fromDf(emb, "vec_id", "embedding", Metrics("cosine")))
+    val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
+      excludeSelf = false).as[(Long, Seq[Long])].collect().toMap
+
+    def recallOf(r: ShardedIndexRef): Double = {
+      val approx = ShardedIndex.searchSingleDf(spark, q, r, l = 60, k = 10)
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(-_._3).take(10).map(_._2).toSet).toMap
+      exact.map { case (qid, gt) =>
+        approx.getOrElse(qid, Set.empty[Long]).intersect(gt.toSet).size / 10.0
+      }.sum / exact.size
+    }
+    val grown = recallOf(ref)
+    assert(grown >= 0.9, s"grown-index Recall@10 = $grown")
+
+    // every delta vector finds ITSELF (by global id) in the grown index
+    val deltaQ = delta.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+    val selfHits = ShardedIndex.searchSingleDf(spark, deltaQ, ref, l = 60, k = 10)
+      .filter(col("q_id") === col("d_id")).select("q_id").as[Long].collect().toSet
+    val deltaIds = delta.select("vec_id").as[Long].collect().toSet
+    assert(selfHits === deltaIds, s"missing self-hits: ${deltaIds -- selfHits}")
+
+    // compact folds deltas back into the strided layout at the same path
+    assert(ShardedIndex.deltaFraction(spark, ref) === 0.25)
+    val ref2 = ShardedIndex.compact(spark, ref, IndexQueries.FixtureParams)
+    assert(ref2.nDeltas === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/delta0")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_staging")))
+    val compacted = recallOf(ref2)
+    assert(compacted >= 0.9, s"compacted-index Recall@10 = $compacted")
+    // below-threshold deltas stay: maybeCompact is a no-op at frac 0
+    assert(ShardedIndex.maybeCompact(spark, ref2,
+      IndexQueries.FixtureParams) === ref2)
+  }
+
   test("flagship g9 routes through the sharded tier under the conf switch") {
     val conf = "spark.graft.index.shards"
     spark.conf.set(conf, "2")

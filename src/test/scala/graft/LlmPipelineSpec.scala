@@ -613,4 +613,45 @@ class LlmPipelineSpec extends AnyFunSuite {
     val c = MediaPipeline.decodeStub("hello worle".getBytes("UTF-8"), "text/plain")
     assert(a.toSeq !== c.toSeq)
   }
+
+  /** In-memory PNG fixture: a w×h gradient whose left half is dark and
+    * right half bright — real pixels through a real encoder. */
+  private def pngBytes(w: Int, h: Int, bright: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) 16 else bright
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real javax.imageio decode, luminance strips, stub fallback") {
+    val dim = 8
+    val png = pngBytes(64, 32, bright = 240)
+    val emb = MediaPipeline.decodeImage(png, dim)
+      .getOrElse(fail("ImageIO could not parse its own PNG"))
+    assert(emb.length === dim)
+    // deterministic, and it read REAL pixels: left strips dark, right bright
+    assert(MediaPipeline.decodeImage(png, dim).get.toSeq === emb.toSeq)
+    assert(emb.take(dim / 2).forall(_ < 0.2),
+      s"left (dark) strips not dark: ${emb.toSeq}")
+    assert(emb.drop(dim / 2).forall(_ > 0.7),
+      s"right (bright) strips not bright: ${emb.toSeq}")
+    // dispatch: image/* goes through the real decoder...
+    assert(MediaPipeline.decode(png, "image/png", dim).toSeq === emb.toSeq)
+    // ...non-image mime and unparseable bytes fall back to the stub
+    val junk = "not an image".getBytes("UTF-8")
+    assert(MediaPipeline.decodeImage(junk, dim).isEmpty)
+    assert(MediaPipeline.decode(junk, "image/png", dim).toSeq ===
+      MediaPipeline.decodeStub(junk, "image/png", dim).toSeq)
+    assert(MediaPipeline.decode(junk, "text/plain", dim).toSeq ===
+      MediaPipeline.decodeStub(junk, "text/plain", dim).toSeq)
+    // a brighter right half moves the right strips, not the left
+    val emb2 = MediaPipeline.decodeImage(pngBytes(64, 32, bright = 64), dim).get
+    assert(emb2.take(dim / 2).toSeq === emb.take(dim / 2).toSeq)
+    assert(emb2.drop(dim / 2).forall(v => v < 0.5))
+  }
 }

@@ -32,4 +32,18 @@ class QuerySmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("verify type guard trips on decimal/binary, passes the stable set") {
+    import org.apache.spark.sql.types._
+    val bad = StructType(Seq(
+      StructField("a", DecimalType(10, 2)),
+      StructField("b", BinaryType),
+      StructField("c", LongType)))
+    assert(Verify.unstableColumns(bad).map(_.takeWhile(_ != ':'))
+      === Seq("a", "b"))
+    val good = StructType(Seq(
+      StructField("x", LongType), StructField("y", ArrayType(FloatType)),
+      StructField("z", TimestampType), StructField("w", StringType)))
+    assert(Verify.unstableColumns(good).isEmpty)
+  }
 }
