@@ -66,6 +66,28 @@ object IndexQueries extends QueryPack {
         FixtureParams, nShards, path)
     })
 
+  /** One delta-GROWN sharded index per dir — base built on the first 80%
+    * of the corpus, the rest appended via [[ShardedIndex.appendDelta]]:
+    * the daily-ingest lifecycle as a first-class query path. Same
+    * data-free-descriptor lifecycle (and the same no-localCheckpoint
+    * cache invariant) as [[shardedHandles]]; IndexSpec holds the
+    * recall-after-append, base-untouched, and compaction gates. */
+  private val deltaShardedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardedIndexRef]()
+
+  private def deltaShardedHandles(s: SparkSession,
+                                  dir: String): ShardedIndexRef =
+    deltaShardedCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_delta_").toString
+      val e = Tables.embeddings(s, dir)
+      val cut = e.count() * 4 / 5
+      val base = ShardedIndex.buildPersisted(s,
+        e.filter(col("vec_id") < cut), FixtureParams, 2, path)
+      ShardedIndex.appendDelta(s, e.filter(col("vec_id") >= cut), base,
+        FixtureParams)
+    })
+
   /** Flagship-tier shard knob: 1 (default) = broadcast tier, >1 = sharded
     * tier (per-shard graphs + bounded merge — the 100 TB layout). */
   def confShards(s: SparkSession): Int =
@@ -279,6 +301,22 @@ object IndexQueries extends QueryPack {
         minPq = 10, maxPq = 200, budget = 120, adaptive = true)
       Rerank.chamferTopK(emb(s, dir), querySets,
         cands.select(col("qset_id"), col("d_id")), C, K)
+    }),
+
+    // G8 over the DELTA-GROWN sharded tier: base shards + appended delta
+    // shard searched with one budget, candidates merged through the
+    // bounded per-query top-k (rows-only — graph search is approximate;
+    // IndexSpec gates recall ≥0.9 vs the grown-corpus oracle, delta
+    // self-hits, and byte-untouched base shards).
+    "g8_sharded_delta" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val hits = ShardedIndex.searchSingleDf(s, q,
+        deltaShardedHandles(s, dir), l = 40, k = K)
+      TopK.perGroupAgg(hits, Seq(col("q_id")), col("score"), col("d_id"),
+          K, idName = "d_id")
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
     })
   )
 

@@ -61,6 +61,42 @@ object TextQueries extends QueryPack {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" today"))).otherwise(lit("")))
 
+  /** Per-row text signals over a `(…, text)` frame — char/token counts,
+    * stopword fraction, BPE-ish subword count, language-ID vote — as ONE
+    * stateless column block shared by the text_quality / text_langid /
+    * text_tokens_bpe batch queries AND the streaming ingest path
+    * (StreamingSpec certifies stream == batch row-for-row; no state, no
+    * watermark, no shuffle). Input columns pass through untouched. */
+  def textSignals(df: DataFrame): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(col("__toks"), t => t.isin(markers: _*)))
+    df.withColumn("__toks", tokensCol)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("stop_frac",
+        round(round(size(filter(col("__toks"), t => t.isin(Stop: _*)))
+          .cast("double") / size(col("__toks")), 9), 6))
+      .withColumn("n_bpe_tokens",
+        size(filter(regexp_extract_all(lower(col("text")),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"), lit(0)),
+          x => length(trim(x)) > 0)).cast("long"))
+      .withColumn("__c_en", hits(Seq("the", "and", "of", "is")))
+      .withColumn("__c_fr", hits(Seq("le", "la", "et", "les")))
+      .withColumn("__c_de", hits(Seq("der", "die", "und", "das")))
+      .withColumn("__c_es", hits(Seq("el", "los", "y", "que")))
+      .withColumn("pred_lang",
+        when(col("__c_en") + col("__c_fr") + col("__c_de") +
+          col("__c_es") === 0, "unk")
+          .when(col("__c_en") >= col("__c_fr") &&
+            col("__c_en") >= col("__c_de") &&
+            col("__c_en") >= col("__c_es"), "en")
+          .when(col("__c_fr") >= col("__c_de") &&
+            col("__c_fr") >= col("__c_es"), "fr")
+          .when(col("__c_de") >= col("__c_es"), "de")
+          .otherwise("es"))
+      .drop("__toks", "__c_en", "__c_fr", "__c_de", "__c_es")
+  }
+
   /** Redact PII in a `(…, text)` frame: emails/URLs/phone-like spans →
     * typed placeholders, plus per-row counts. Pure stateless per-row
     * expressions — composes unchanged with Structured Streaming
@@ -157,45 +193,20 @@ object TextQueries extends QueryPack {
     // BPE-ish token counting: GPT-style pre-tokenizer regex (letter runs,
     // digit runs, punctuation runs, each with optional leading space),
     // whitespace-only matches dropped — the subword-budget estimator a
-    // training pipeline runs before real BPE.
-    "text_tokens_bpe" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        regexp_extract_all(lower(col("text")),
-          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"), lit(0)).as("m"))
-        .select(col("doc_id"),
-          size(filter(col("m"), x => length(trim(x)) > 0)).cast("long")
-            .as("n_bpe_tokens"))
-    }),
+    // training pipeline runs before real BPE. Column block shared with
+    // the streaming-certified textSignals.
+    "text_tokens_bpe" -> ((s, dir) =>
+      textSignals(docs(s, dir)).select("doc_id", "n_bpe_tokens")),
 
     // Quality signals: char/token counts + stopword fraction.
-    "text_quality" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-          tokensCol.as("toks"))
-        .select(col("doc_id"), col("n_chars"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          round(round(size(filter(col("toks"), t => t.isin(Stop: _*)))
-            .cast("double") / size(col("toks")), 9), 6).as("stop_frac"))
-    }),
+    "text_quality" -> ((s, dir) =>
+      textSignals(docs(s, dir))
+        .select("doc_id", "n_chars", "n_tokens", "stop_frac")),
 
     // Language ID: stopword-marker voting with a deterministic argmax
     // chain (en ≥ fr ≥ de ≥ es precedence, 'unk' when no marker hits).
-    "text_langid" -> ((s, dir) => {
-      def hits(markers: Seq[String]): Column =
-        size(filter(col("toks"), t => t.isin(markers: _*)))
-      docs(s, dir).select(col("doc_id"), col("lang"), tokensCol.as("toks"))
-        .select(col("doc_id"), col("lang"),
-          hits(Seq("the", "and", "of", "is")).as("c_en"),
-          hits(Seq("le", "la", "et", "les")).as("c_fr"),
-          hits(Seq("der", "die", "und", "das")).as("c_de"),
-          hits(Seq("el", "los", "y", "que")).as("c_es"))
-        .select(col("doc_id"), col("lang"),
-          when(col("c_en") + col("c_fr") + col("c_de") + col("c_es") === 0, "unk")
-            .when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_de") &&
-              col("c_en") >= col("c_es"), "en")
-            .when(col("c_fr") >= col("c_de") && col("c_fr") >= col("c_es"), "fr")
-            .when(col("c_de") >= col("c_es"), "de")
-            .otherwise("es").as("pred_lang"))
-    }),
+    "text_langid" -> ((s, dir) =>
+      textSignals(docs(s, dir)).select("doc_id", "lang", "pred_lang")),
 
     // TF-IDF: top-3 terms per document (doc_id < 20) with idf = ln(N/df)
     // over the full corpus.

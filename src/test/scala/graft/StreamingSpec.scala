@@ -166,6 +166,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming text signals (quality/langid/BPE) match batch row-for-row") {
+    import graft.queries.TextQueries
+    // the whole quality/language-ID/subword-count block is one stateless
+    // column stage — certified here so the ingest pipeline can score and
+    // tag documents as they arrive, with batch-identical results
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(48).cache()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5)))).toMap
+    val proj = Seq("doc_id", "n_chars", "n_tokens", "stop_frac",
+      "n_bpe_tokens", "pred_lang")
+    val batch = key(TextQueries.textSignals(d)
+      .select(proj.head, proj.tail: _*).collect())
+    assert(batch.nonEmpty && batch.values.exists(_._5 != "unk"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextQueries.textSignals(input.toDF().toDF("doc_id", "text"))
+      .select(proj.head, proj.tail: _*)
+      .writeStream.format("memory").queryName("signals_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toSeq)
+      input.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+      assert(key(spark.table("signals_stream").collect()) === batch)
+    } finally q.stop()
+  }
+
   test("streaming random projection matches the batch projection row-for-row") {
     import graft.operators.{IvfAnn, RandomProjection}
     // directions come from the batch (offline) side; projection itself
