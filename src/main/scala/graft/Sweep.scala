@@ -26,6 +26,11 @@ import graft.sources.Sinks
   *    reference parity): per-subquery exact cosine top-ef in the seeded
   *    16-dim projected space (1/4 the scan arithmetic), union into the
   *    same chamfer rerank — the Johnson-Lindenstrauss tier's curve
+  *  - `ivfpq` — the composed 100 TB layout (beyond reference parity):
+  *    per-subquery probe of the codes-only cell-partitioned index
+  *    (partition-pruned scan + ADC), union into the same chamfer
+  *    rerank — what the curve looks like when a probe reads ~2% of the
+  *    corpus bytes
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
@@ -134,6 +139,15 @@ object Sweep {
       IvfAnn.collectSample(corpus, 2000, 42L), nSub = 8, ncode = 32)
     val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
 
+    // ivfpq arm offline half: coarse centroids + the codes-only
+    // cell-partitioned index on disk, shared by every budget row
+    val ivfCentroids = IvfAnn.trainCentroids(
+      IvfAnn.collectSample(corpus, 2000, 42L), 16, seed = 42L)
+    val ivfPqPath = java.nio.file.Files
+      .createTempDirectory("graft_sweep_ivfpq_").toString
+    graft.operators.IvfPq.writeIndex(spark, corpus, ivfPqPath,
+      ivfCentroids, pqCbs)
+
     // randproj arm offline half: one seeded 64→16 projection of corpus
     // and queries, shared by every budget row
     val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
@@ -156,10 +170,15 @@ object Sweep {
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       val rpCands = KnnKernel.bruteForce(spark, rpQueries, rpCorpus, ef)
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      val ivfPqCands = graft.operators.IvfPq.knnOverIndexBlocked(spark,
+        queryVecs, ivfPqPath, corpus, ivfCentroids, pqCbs,
+        k = ef, nCand = math.max(2 * ef, K))
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
         evalArm("hnsw", budget, hnswCands),
         evalArm("pq", budget, pqCands),
-        evalArm("randproj", budget, rpCands))
+        evalArm("randproj", budget, rpCands),
+        evalArm("ivfpq", budget, ivfPqCands))
     }
   }
 }

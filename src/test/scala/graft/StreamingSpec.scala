@@ -221,6 +221,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: graph search over a query stream matches batch") {
+    import graft.index.{BeamSearch, GraphBuild}
+    import graft.queries.IndexQueries
+    // ONLINE ANN SERVING on Structured Streaming: the index is offline
+    // state (broadcast graph + vectors); the G8 search itself is a
+    // stateless per-row kernel, so a stream of query vectors is answered
+    // with batch-identical hits — no specialized serving engine, the
+    // same searchSingleDf the batch queries run
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
+    val gB = spark.sparkContext.broadcast(idx.graph)
+    val vB = spark.sparkContext.broadcast(idx.vecs)
+    val q = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val batch = key(BeamSearch.searchSingleDf(spark, q, gB, vB, "cosine",
+      l = 40, k = 10).select("q_id", "rank", "d_id", "sim").collect())
+    assert(batch.nonEmpty)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val out = BeamSearch.searchSingleDf(spark,
+        input.toDF().toDF("q_id", "q_vec"), gB, vB, "cosine", l = 40, k = 10)
+      .select("q_id", "rank", "d_id", "sim")
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      val rows = q.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(rows.take(16).toSeq)
+      input.addData(rows.drop(16).toSeq)
+      out.processAllAvailable()
+      assert(key(spark.table("ann_stream").collect()) === batch)
+    } finally out.stop()
+  }
+
   test("streaming PQ encode matches the batch encode row-for-row") {
     import graft.operators.PqAnn
     // codebooks come from the batch (offline) side; the stream is the
