@@ -133,4 +133,39 @@ class RobustnessSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("q_id", "rank", "d_id", "score"))
     assert(out.count() === 0L)
   }
+
+  test("round-8 edge cases: prefix sum, delta ingest, image decode guards") {
+    import graft.index.{ShardedIndex, ShardedIndexRef}
+    import graft.operators.PrefixSum
+    import graft.multimodal.MediaPipeline
+    // empty totals: empty offsets at every recursion depth, schema intact
+    val empty = spark.range(0).select(col("id").as("bucket"),
+      col("id").as("total"))
+    for (lv <- Seq(0, 2)) {
+      val o = PrefixSum.exclusiveOffsets(empty, "bucket", "total", levels = lv)
+      assert(o.columns.toSeq === Seq("bucket", "boff"))
+      assert(o.count() === 0L)
+    }
+    // single bucket: offset 0 regardless of depth
+    val one = spark.range(1).select(lit(7L).as("bucket"), lit(42L).as("total"))
+    assert(PrefixSum.exclusiveOffsets(one, "bucket", "total", fanout = 2,
+      levels = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((7L, 0L)))
+    assertThrows[IllegalArgumentException](
+      PrefixSum.exclusiveOffsets(one, "bucket", "total", fanout = 1))
+    // delta append refuses a metric mismatch; compact is a no-op with no
+    // deltas (no filesystem touch, same ref back)
+    val ref = ShardedIndexRef("/nonexistent", 2, "cosine")
+    assertThrows[IllegalArgumentException](
+      ShardedIndex.appendDelta(spark,
+        Tables.embeddings(spark, sfDir).limit(1), ref,
+        graft.index.BuildParams(mSq = 4, mPjbp = 4, lPjpq = 8, metric = "l2")))
+    assert(ShardedIndex.compact(spark, ref,
+      IndexQueries.FixtureParams) === ref)
+    assert(ShardedIndex.deltaFraction(spark, ref) === 0.0)
+    // image decode: empty/garbage bytes → None (stub fallback), never throws
+    assert(MediaPipeline.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(MediaPipeline.decodeImage("garbage".getBytes).isEmpty)
+    assert(MediaPipeline.decode(Array.empty[Byte], "image/png").length === 8)
+  }
 }
