@@ -118,56 +118,82 @@ object AnnIndexRegistry {
       } yield entry
     }.nextOption()
 
-  /** The compressed tier behind the SQL route: a codes-only
-    * [[graft.operators.IvfPq.writeIndex]] directory plus everything a
-    * probe needs — broadcastless by construction (the corpus never sits
-    * in driver or executor memory; `data` is the full-precision base
-    * TABLE the exact rescoring scans). Routed only when no graph entry
-    * matches: the graph answers in one task off a broadcast, the IVF-PQ
-    * path answers with a partition-pruned distributed scan — right when
-    * the corpus outgrew the broadcast ceiling. `metricName` gates routes
-    * like the graph entries: "l2" serves l2²-ASC; "ip" serves dot-DESC
-    * (the coarse probe is cosine geometry, so an "ip" registration
-    * asserts a normalized-enough corpus — same contract as a cosine
-    * graph). */
+  /** The PLUGGABLE candidate tier behind the SQL route — any ANN
+    * candidate generator (IVF-PQ, LSH, random-projection, user-defined)
+    * can serve `ORDER BY graft_vec_* LIMIT k` by registering one of
+    * these. Routed only when no graph entry matches: the graph answers
+    * in one task off a broadcast; a candidate tier answers with a
+    * distributed generator job + exact rescoring of the bounded
+    * candidate set against the full-precision base TABLE (`data`) using
+    * the routed query's OWN expression — so the registered generator
+    * controls RECALL only, never score correctness, and the corpus is
+    * never resident. `metricName` gates routes like the graph entries:
+    * "l2" serves l2²-ASC; "ip" serves dot-DESC (an "ip" registration
+    * whose generator has cosine geometry asserts a normalized-enough
+    * corpus — same contract as a cosine graph). `name` shows up as the
+    * node's tier in the plan. */
+  case class CandidateTierEntry(
+      name: String, data: org.apache.spark.sql.DataFrame,
+      dataIdCol: String, dataVecCol: String, metricName: String, dim: Int,
+      /** (spark, queryVec, k) → DataFrame with a `d_id` column of AT
+        * LEAST the k best candidate ids (more is fine — rescoring
+        * bounds the final answer). Runs on the driver at execute time;
+        * must launch distributed work, not collect the corpus. */
+      candidates: (SparkSession, Array[Float], Int) => org.apache.spark.sql.DataFrame)
+
+  private val tierEntries =
+    new TrieMap[(String, String, String), (String, CandidateTierEntry)]
+
+  /** Register a candidate tier over `corpus` (a bare scan) — same
+    * fingerprint proof as [[register]], so only queries over THIS
+    * relation route to it. Last registration per (idCol, vecCol,
+    * metric) wins. */
+  def registerTier(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                   vecCol: String, entry: CandidateTierEntry): Unit = {
+    val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
+      sys.error("ANN registration requires a bare scan corpus (no " +
+        "Filter/Join/expression-Project above the relation): " +
+        corpus.queryExecution.optimizedPlan.nodeName))
+    tierEntries.put((idCol, vecCol, entry.metricName), (fp, entry))
+  }
+
+  /** [[registerTier]] with the built-in IVF-PQ generator: candidates by
+    * partition-pruned probe + ADC over a
+    * [[graft.operators.IvfPq.writeIndex]] directory. */
+  def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, entry: IvfPqEntry): Unit =
+    registerTier(corpus, idCol, vecCol, CandidateTierEntry(
+      "ivfpq", entry.data, entry.dataIdCol, entry.dataVecCol,
+      entry.metricName,
+      if (entry.centroids.isEmpty) -1 else entry.centroids(0).length,
+      (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,
+        entry.centroids, entry.codebooks, entry.nProbe,
+        math.max(entry.nCand, 4 * k))))
+
+  /** Constructor payload for [[registerIvfPq]]. */
   case class IvfPqEntry(path: String, data: org.apache.spark.sql.DataFrame,
                         dataIdCol: String, dataVecCol: String,
                         centroids: Array[Array[Float]],
                         codebooks: graft.operators.PqAnn.Codebooks,
                         metricName: String, nProbe: Int, nCand: Int)
 
-  private val ivfpqEntries =
-    new TrieMap[(String, String, String), (String, IvfPqEntry)]
-
-  /** Register an IVF-PQ index over `corpus` (a bare scan) — same
-    * fingerprint proof as [[register]], so only queries over THIS
-    * relation route to it. */
-  def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
-                    vecCol: String, entry: IvfPqEntry): Unit = {
-    val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
-      sys.error("ANN registration requires a bare scan corpus (no " +
-        "Filter/Join/expression-Project above the relation): " +
-        corpus.queryExecution.optimizedPlan.nodeName))
-    ivfpqEntries.put((idCol, vecCol, entry.metricName), (fp, entry))
-  }
-
-  def lookupIvfPq(idCol: String, vecCol: String,
-                  byL2: Boolean): Option[IvfPqEntry] =
+  def lookupTier(idCol: String, vecCol: String,
+                 byL2: Boolean): Option[CandidateTierEntry] =
     routeMetrics(byL2).iterator
-      .flatMap(m => ivfpqEntries.get((idCol, vecCol, m))).map(_._2)
+      .flatMap(m => tierEntries.get((idCol, vecCol, m))).map(_._2)
       .nextOption()
 
-  def lookupIvfPqFor(idCol: String, vecCol: String, byL2: Boolean,
-                     child: LogicalPlan): Option[IvfPqEntry] =
+  def lookupTierFor(idCol: String, vecCol: String, byL2: Boolean,
+                    child: LogicalPlan): Option[CandidateTierEntry] =
     routeMetrics(byL2).iterator.flatMap { m =>
       for {
-        (fp, entry) <- ivfpqEntries.get((idCol, vecCol, m))
+        (fp, entry) <- tierEntries.get((idCol, vecCol, m))
         childFp <- scanFingerprint(child)
         if childFp == fp
       } yield entry
     }.nextOption()
 
-  def clear(): Unit = { entries.clear(); ivfpqEntries.clear() }
+  def clear(): Unit = { entries.clear(); tierEntries.clear() }
 }
 
 /** Logical stand-in for an index-backed top-k search. `byL2` = the
@@ -256,9 +282,9 @@ object AnnTopKRule extends Rule[LogicalPlan] {
             .filter(_.rawVecsB.value.dim == qv.length)
             .map(_ => "graph")
             .orElse(AnnIndexRegistry
-              .lookupIvfPqFor(idAttr.name, vecAttr.name, byL2, projChild)
-              .filter(_.centroids.headOption.exists(_.length == qv.length))
-              .map(_ => "ivfpq"))
+              .lookupTierFor(idAttr.name, vecAttr.name, byL2, projChild)
+              .filter(_.dim == qv.length)
+              .map(_.name))
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2,
           tier = tier)
@@ -275,30 +301,30 @@ object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
-/** G8 search + exact rescoring, emitted as a one-partition scan. The
-  * "ivfpq" tier instead answers via a sub-query at execute time —
-  * partition-pruned ADC candidate scan over the codes index, then exact
-  * rescoring with the routed query's OWN expression against the base
-  * table (a broadcast-candidates join: the corpus is read, never
-  * shuffled, never resident) — and emits the collected k rows. Running
-  * the candidate job from the driver inside doExecute is the same
-  * pattern as a broadcast exchange materializing its child. */
+/** G8 search + exact rescoring, emitted as a one-partition scan. A
+  * candidate tier ("ivfpq" or any [[AnnIndexRegistry.registerTier]]
+  * plug-in) instead answers via a sub-query at execute time — the
+  * registered generator produces a bounded candidate-id set (for the
+  * built-in IVF-PQ: a partition-pruned ADC scan of the codes index),
+  * then exact rescoring with the routed query's OWN expression against
+  * the base table (a broadcast-candidates join: the corpus is read,
+  * never shuffled, never resident) — and emits the collected k rows.
+  * Running the candidate job from the driver inside doExecute is the
+  * same pattern as a broadcast exchange materializing its child. */
 case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override def output: Seq[Attribute] = node.output
 
-  private def ivfpqRows(entry: AnnIndexRegistry.IvfPqEntry): Array[(Long, Double)] = {
+  private def tierRows(entry: AnnIndexRegistry.CandidateTierEntry): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{broadcast, col, typedlit}
     import graft.functions.VectorFunctions.{vecDot, vecL2Sq}
     val spark = entry.data.sparkSession
     import spark.implicits._
-    val cands = graft.operators.IvfPq.candidateIds(spark, node.queryVec,
-      entry.path, entry.centroids, entry.codebooks, entry.nProbe,
-      math.max(entry.nCand, 4 * node.k))
+    val cands = entry.candidates(spark, node.queryVec, node.k)
     val qLit = typedlit(node.queryVec)
     val score = if (node.byL2) vecL2Sq(col(entry.dataVecCol), qLit)
                 else vecDot(col(entry.dataVecCol), qLit)
     val scored = entry.data
-      .join(broadcast(cands),
+      .join(broadcast(cands.select(col("d_id"))),
         col(entry.dataIdCol) === col("d_id"))
       .select(col(entry.dataIdCol).cast("long").as("id"),
         score.cast("double").as("score"))
@@ -309,12 +335,12 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    if (node.tier == "ivfpq") {
+    if (node.tier != "graph") {
       val entry = AnnIndexRegistry
-        .lookupIvfPq(node.idName, node.vecName, node.byL2)
+        .lookupTier(node.idName, node.vecName, node.byL2)
         .getOrElse(sys.error(
-          s"IVF-PQ index for (${node.idName}, ${node.vecName}) vanished"))
-      val rows = ivfpqRows(entry)
+          s"candidate tier for (${node.idName}, ${node.vecName}) vanished"))
+      val rows = tierRows(entry)
       val idFirst = node.idFirst
       val schema = node.output.map(_.dataType).toArray
       return sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>

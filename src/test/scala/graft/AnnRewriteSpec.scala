@@ -273,6 +273,69 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("custom candidate tier: a user-registered generator serves SQL top-k") {
+    setup
+    import graft.operators.{IvfAnn, KnnKernel, RandomProjection}
+    // register the RANDOM-PROJECTION tier through the public plug-in API
+    // (registerTier takes any (spark, queryVec, k) => candidate-ids
+    // generator): coarse top-4k cosine in the seeded 16-dim projected
+    // space, exact rescoring by the framework — proving the SQL route is
+    // open to every tier, not just the built-ins
+    val dir = "target/tmp/ann_custom_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid2"), col("embedding").as("vec2"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("custom_corpus")
+    val d = corpus.select(col("vid2").as("d_id"), col("vec2").as("d_vec"))
+    // 64→32 projection: uniform-random fixture vectors are JL's worst
+    // case (all pairwise distances near-tied), so the test tier keeps
+    // half the dims; a clustered production corpus would go lower
+    val rpSeeds = IvfAnn.seededCentroids(d, 32)
+    val rpCorpus = RandomProjection.project(d, "d_id", "d_vec", rpSeeds)
+      .select(col("d_id"), col("pvec").as("d_vec")).cache()
+    rpCorpus.count()
+    AnnIndexRegistry.registerTier(corpus, "vid2", "vec2",
+      AnnIndexRegistry.CandidateTierEntry("randproj", corpus, "vid2", "vec2",
+        "ip", dim = 64,
+        candidates = (s, qv, k) => {
+          import s.implicits._
+          import graft.functions.VectorFunctions.vecDot
+          // coarse ranking by projected DOT (not cosine): JL projections
+          // approximately preserve inner products, and the dot objective
+          // needs the norm information cosine discards; the framework's
+          // exact rescoring keeps scores correct regardless
+          val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+          val pqv = RandomProjection.project(q, "q_id", "q_vec", rpSeeds)
+            .first().getSeq[Float](1).toArray
+          rpCorpus.select(col("d_id"),
+              vecDot(col("d_vec"), typedlit(pqv)).as("s"))
+            .orderBy(col("s").desc, col("d_id").asc)
+            .limit(math.max(20 * k, 200)).select(col("d_id"))
+        }))
+    val q = corpus.filter(col("vid2") === 7).select("vec2").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val dotSql = s"""SELECT vid2, graft_vec_dot(vec2, $q) AS score
+                    |FROM custom_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(dotSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("randproj"), "custom tier not routed")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"custom-tier recall $recall")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("same-named columns on a DIFFERENT relation are NOT routed") {
     setup
     val q = queryLit
