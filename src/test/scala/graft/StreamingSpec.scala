@@ -221,6 +221,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index ingest: foreachBatch delta-appends land in the searchable index") {
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // the index-lifecycle half of streaming: micro-batches of new
+    // vectors append self-contained delta shards (base untouched), and
+    // a search after the stream drains finds every streamed vector —
+    // Structured Streaming driving ShardedIndex.appendDelta end-to-end
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 440)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_delta_").toString
+    var ref = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ref = ShardedIndex.appendDelta(spark, batch, ref,
+            IndexQueries.FixtureParams)
+        }
+      }.start()
+    try {
+      val newRows = emb.filter(col("vec_id") >= 440).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(newRows.take(30).toSeq)
+      q.processAllAvailable()
+      input.addData(newRows.drop(30).toSeq)
+      q.processAllAvailable()
+      assert(ref.nDeltas === 2)
+      // every streamed vector is a self-hit in the grown index
+      val deltaQ = emb.filter(col("vec_id") >= 440)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val selfHits = ShardedIndex.searchSingleDf(spark, deltaQ, ref,
+          l = 60, k = 10)
+        .filter(col("q_id") === col("d_id"))
+        .select("q_id").distinct().count()
+      assert(selfHits === newRows.length.toLong,
+        s"only $selfHits of ${newRows.length} streamed vectors findable")
+    } finally q.stop()
+  }
+
   test("streaming ANN serving: graph search over a query stream matches batch") {
     import graft.index.{BeamSearch, GraphBuild}
     import graft.queries.IndexQueries
