@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * computations on the opaque payload. The codec step dispatches by
   * mime ([[MediaPipeline.decode]]): image payloads decode for real
   * through the JDK's `javax.imageio` ([[MediaPipeline.decodeImage]] —
-  * PNG/JPEG/GIF/BMP, no external dependency); audio/video and anything
-  * ImageIO can't parse fall back to [[MediaPipeline.decodeStub]], a
-  * clearly-marked deterministic pseudo-embedding from a rolling hash of
-  * the bytes (this environment ships no audio/video codecs). The
-  * Spark-side contract (schema, partition-parallel batching, per-row
-  * feature vector) is identical on both paths — an ffmpeg-backed
-  * implementation slots into the same dispatch.
+  * PNG/JPEG/GIF/BMP) and audio through `javax.sound.sampled`
+  * ([[MediaPipeline.decodeAudio]] — WAV/AIFF/AU 16-bit PCM), both with
+  * no external dependency; video and anything the JDK codecs can't
+  * parse fall back to [[MediaPipeline.decodeStub]], a clearly-marked
+  * deterministic pseudo-embedding from a rolling hash of the bytes
+  * (this environment ships no video codecs). The Spark-side contract
+  * (schema, partition-parallel batching, per-row feature vector) is
+  * identical on every path — an ffmpeg-backed implementation slots
+  * into the same dispatch.
   */
 object MediaPipeline {
 
@@ -120,13 +122,67 @@ object MediaPipeline {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode — `javax.sound.sampled` (JDK built-in; WAV/AIFF/
+    * AU PCM): parse the payload, average per-sample amplitude (|s| of
+    * the 16-bit-widened mono mix) over `dim` time strips. Deterministic,
+    * sample-rate independent, one linear pass over the PCM stream (same
+    * cost class as the byte-feature pass). None when the bytes aren't a
+    * parseable 16-bit audio container (caller falls back to the
+    * stub). */
+  def decodeAudio(payload: Array[Byte], dim: Int = 8): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytesPerFrame = math.max(fmt.getFrameSize, 1)
+        val nFrames = in.getFrameLength
+        if (nFrames <= 0 || fmt.getSampleSizeInBits != 16) None
+        else {
+          val big = fmt.isBigEndian
+          val channels = math.max(fmt.getChannels, 1)
+          val out = new Array[Float](dim)
+          val counts = new Array[Long](dim)
+          // one pass over the stream; strip index from the frame index
+          val buf = new Array[Byte](bytesPerFrame * 1024)
+          var frame = 0L
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + bytesPerFrame <= read) {
+              // mono mix of channel 0 (deterministic, cheap)
+              val lo = buf(off + (if (big) 1 else 0)) & 0xff
+              val hi = buf(off + (if (big) 0 else 1))
+              val s = ((hi << 8) | lo).toShort
+              val strip = ((frame * dim) / nFrames).toInt.min(dim - 1)
+              out(strip) += math.abs(s / 32768.0f)
+              counts(strip) += 1
+              frame += 1
+              off += bytesPerFrame
+            }
+            read = in.read(buf)
+          }
+          var j = 0
+          while (j < dim) {
+            if (counts(j) > 0) out(j) /= counts(j)
+            j += 1
+          }
+          if (frame == 0) None else Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Codec dispatch — the slot the stub documented: image payloads go
-    * through the real [[decodeImage]] when parseable, everything else
-    * (and unparseable images) through [[decodeStub]]. The fixture's
-    * text/plain payloads keep the stub's deterministic gates intact. */
+    * through the real [[decodeImage]], audio through the real
+    * [[decodeAudio]] when parseable; everything else (video — no JDK
+    * codec — and unparseable payloads) through [[decodeStub]]. The
+    * fixture's text/plain payloads keep the stub's deterministic gates
+    * intact. */
   def decode(payload: Array[Byte], mime: String, dim: Int = 8): Array[Float] =
     if (mime.startsWith("image/"))
       decodeImage(payload, dim).getOrElse(decodeStub(payload, mime, dim))
+    else if (mime.startsWith("audio/"))
+      decodeAudio(payload, dim).getOrElse(decodeStub(payload, mime, dim))
     else decodeStub(payload, mime, dim)
 
   /** STUB resize — deterministic stride resample of the byte stream to

@@ -654,4 +654,48 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(emb2.take(dim / 2).toSeq === emb.take(dim / 2).toSeq)
     assert(emb2.drop(dim / 2).forall(v => v < 0.5))
   }
+
+  /** In-memory WAV fixture: 16-bit mono PCM, quiet first half, loud
+    * square-wave second half — real samples through the real encoder. */
+  private def wavBytes(nSamples: Int, loud: Short): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s: Short =
+        if (i < nSamples / 2) 256
+        else if (i % 2 == 0) loud else (-loud).toShort
+      pcm(2 * i) = (s & 0xff).toByte       // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: real javax.sound WAV decode, amplitude strips, stub fallback") {
+    val dim = 8
+    val wav = wavBytes(4096, loud = 24576)
+    val emb = MediaPipeline.decodeAudio(wav, dim)
+      .getOrElse(fail("AudioSystem could not parse its own WAV"))
+    assert(emb.length === dim)
+    assert(MediaPipeline.decodeAudio(wav, dim).get.toSeq === emb.toSeq)
+    // real samples read: quiet first-half strips, loud second-half strips
+    assert(emb.take(dim / 2).forall(_ < 0.05),
+      s"quiet strips not quiet: ${emb.toSeq}")
+    assert(emb.drop(dim / 2).forall(_ > 0.5),
+      s"loud strips not loud: ${emb.toSeq}")
+    // dispatch: audio/* through the real decoder, fallback on garbage
+    assert(MediaPipeline.decode(wav, "audio/wav", dim).toSeq === emb.toSeq)
+    val junk = "not audio".getBytes("UTF-8")
+    assert(MediaPipeline.decodeAudio(junk, dim).isEmpty)
+    assert(MediaPipeline.decode(junk, "audio/wav", dim).toSeq ===
+      MediaPipeline.decodeStub(junk, "audio/wav", dim).toSeq)
+    // quieter loud half scales the loud strips only
+    val emb2 = MediaPipeline.decodeAudio(wavBytes(4096, loud = 8192), dim).get
+    assert(emb2.take(dim / 2).toSeq === emb.take(dim / 2).toSeq)
+    assert(emb2.drop(dim / 2).forall(v => v < 0.3))
+  }
 }
