@@ -177,6 +177,26 @@ object AnnIndexRegistry {
                         codebooks: graft.operators.PqAnn.Codebooks,
                         metricName: String, nProbe: Int, nCand: Int)
 
+  /** [[registerTier]] with the persisted SHARDED graph tier as the
+    * generator — the route for a corpus past the broadcast ceiling that
+    * still wants graph-quality candidates: per-shard beam search
+    * through the resident-LRU lifecycle (delta shards included), ids
+    * already global. `dim` can't be read off the data-free ref, so the
+    * caller states it (the rule's dim gate still applies). */
+  def registerSharded(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                      vecCol: String, ref: graft.index.ShardedIndexRef,
+                      dim: Int, metricName: String, searchL: Int = 60): Unit =
+    registerTier(corpus, idCol, vecCol, CandidateTierEntry(
+      "sharded", corpus, idCol, vecCol, metricName, dim,
+      (s, qv, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+        graft.index.ShardedIndex
+          .searchSingleDf(s, q, ref, l = math.max(searchL, 4 * k), k = 4 * k)
+          .select(col("d_id"))
+      }))
+
   def lookupTier(idCol: String, vecCol: String,
                  byL2: Boolean): Option[CandidateTierEntry] =
     routeMetrics(byL2).iterator

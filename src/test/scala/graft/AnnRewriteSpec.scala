@@ -336,6 +336,51 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("sharded tier route: persisted shards (incl. a delta) serve SQL top-k") {
+    setup
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // past-broadcast-ceiling SQL route: the corpus lives in persisted
+    // shards (base + one delta-appended), searched per-shard through the
+    // resident LRU; registered via the same public tier API
+    val dir = "target/tmp/ann_sharded_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid3"), col("embedding").as("vec3"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("sharded_corpus")
+    val emb = corpus.select(col("vid3").as("vec_id"), col("vec3").as("embedding"))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_sharded_").toString
+    val base = ShardedIndex.buildPersisted(spark,
+      emb.filter(col("vec_id") < 400), IndexQueries.FixtureParams, 2, idxPath)
+    val ref = ShardedIndex.appendDelta(spark,
+      emb.filter(col("vec_id") >= 400), base, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerSharded(corpus, "vid3", "vec3", ref,
+      dim = 64, metricName = "ip", searchL = 80)
+    val q = corpus.filter(col("vid3") === 7).select("vec3").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val dotSql = s"""SELECT vid3, graft_vec_dot(vec3, $q) AS score
+                    |FROM sharded_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(dotSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("sharded"), "sharded tier not routed")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"sharded-route recall $recall")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("same-named columns on a DIFFERENT relation are NOT routed") {
     setup
     val q = queryLit
