@@ -344,6 +344,31 @@ object TextQueries extends QueryPack {
         .filter(col("rank") <= 10)
     }),
 
+    // OOV RATE vs the corpus top-500 vocabulary — the tokenizer-health
+    // metric a pipeline computes before committing a vocab size. Global
+    // token counts decompose map-side (keyed partial agg, no corpus
+    // sort); the vocab itself comes from orderBy+limit (TakeOrdered —
+    // distributed top-V, never a single-task rank window); the kept
+    // vocab is vocab-sized, so it broadcasts into the per-(doc, token)
+    // membership join. Ties at the V boundary break (tf desc, token
+    // asc) identically in both engines.
+    "text_oov_rate" -> ((s, dir) => {
+      val V = 500
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokensCol).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc).limit(V)
+        .select(col("token"))
+      val inv = toks.join(broadcast(vocab), Seq("token"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+      docs(s, dir)
+        .select(col("doc_id"), size(tokensCol).cast("long").as("n_tokens"))
+        .join(inv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(round((col("n_tokens") - coalesce(col("n_in"), lit(0L)))
+            .cast("double") / col("n_tokens"), 9), 6).as("oov_rate"))
+    }),
+
     // Text NORMALIZATION — the canonical pre-tokenization cleanup
     // (lowercase, collapse runs of whitespace, trim) plus the before/
     // after char counts a pipeline audits shrinkage with. Pure per-row
@@ -705,6 +730,20 @@ object TextQueries extends QueryPack {
            |       row_number() OVER (PARTITION BY lang
            |         ORDER BY tf DESC, token ASC) AS rank
            |FROM counts QUALIFY rank <= 10""".stripMargin,
+      "text_oov_rate" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+           |counts AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+           |vocab AS (SELECT token FROM counts
+           |          ORDER BY tf DESC, token ASC LIMIT 500),
+           |inv AS (SELECT doc_id, count(*) AS n_in
+           |        FROM tok JOIN vocab USING (token) GROUP BY doc_id),
+           |d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+           |      FROM documents)
+           |SELECT d.doc_id, d.n_tokens,
+           |       round(round(CAST(d.n_tokens - COALESCE(inv.n_in, 0) AS DOUBLE)
+           |             / d.n_tokens, 9), 6) AS oov_rate
+           |FROM d LEFT JOIN inv ON inv.doc_id = d.doc_id""".stripMargin,
       "text_normalize" ->
         """SELECT doc_id, length(text) AS n_chars_raw,
           |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
