@@ -31,6 +31,12 @@ import graft.sources.Sinks
   *    (partition-pruned scan + ADC), union into the same chamfer
   *    rerank — what the curve looks like when a probe reads ~2% of the
   *    corpus bytes
+  *  - `sharded` — the persisted graph tier (beyond reference parity):
+  *    the SAME G9 adaptive search run per persisted shard through the
+  *    resident-LRU lifecycle instead of one broadcast graph — the
+  *    past-the-broadcast-ceiling posture's curve (recall should track
+  *    `roar`: each shard's beam explores its sub-corpus with the full
+  *    budget)
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
@@ -148,6 +154,12 @@ object Sweep {
     graft.operators.IvfPq.writeIndex(spark, corpus, ivfPqPath,
       ivfCentroids, pqCbs)
 
+    // sharded arm offline half: a 2-shard persisted build at a temp
+    // path, shared by every budget row (resident LRU sized by conf)
+    val shardedRef = graft.index.ShardedIndex.buildPersisted(spark, emb,
+      idx.params, nShards = 2, java.nio.file.Files
+        .createTempDirectory("graft_sweep_sharded_").toString)
+
     // randproj arm offline half: one seeded 64→16 projection of corpus
     // and queries, shared by every budget row
     val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
@@ -174,11 +186,16 @@ object Sweep {
         queryVecs, ivfPqPath, corpus, ivfCentroids, pqCbs,
         k = ef, nCand = math.max(2 * ef, K))
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      val shardedCands = graft.index.ShardedIndex.searchMultiDf(spark,
+        querySets, shardedRef, minPq = math.min(10, budget / C),
+        maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
+        .select(col("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
         evalArm("hnsw", budget, hnswCands),
         evalArm("pq", budget, pqCands),
         evalArm("randproj", budget, rpCands),
-        evalArm("ivfpq", budget, ivfPqCands))
+        evalArm("ivfpq", budget, ivfPqCands),
+        evalArm("sharded", budget, shardedCands))
     }
   }
 }

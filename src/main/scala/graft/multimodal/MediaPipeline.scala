@@ -185,6 +185,28 @@ object MediaPipeline {
       decodeAudio(payload, dim).getOrElse(decodeStub(payload, mime, dim))
     else decodeStub(payload, mime, dim)
 
+  /** Deterministic synthetic PNG (REAL `javax.imageio` encoder) — a
+    * tiny grayscale pattern that is a pure function of `seed`. Lets the
+    * query surface exercise the genuine encode→container→decode round
+    * trip without fixture image files. */
+  def syntheticPng(seed: Long, w: Int = 16, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((seed * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB resize — deterministic stride resample of the byte stream to
     * `targetBytes` (stands in for the image-resize codec step; the
     * stable contract is (bytes, target) → bytes, batched per partition

@@ -299,6 +299,24 @@ object AnnQueries extends QueryPack {
         round(round(element_at(col("byte_hist"), k + 1), 9), 6).as(s"hist_$k"))
       f.select(col("media_id") +: col("mime") +: col("n_bytes") +:
         round(round(col("entropy"), 9), 6).as("entropy") +: histCols: _*)
+    }),
+
+    // REAL-codec round trip on the query surface: per-doc synthetic PNG
+    // (deterministic pattern, genuine javax.imageio encoder) decoded
+    // back through the real image decoder into luminance strips.
+    // Rows-only: PNG containers aren't SQL-reproducible; LlmPipelineSpec
+    // gates determinism and pixel-content sensitivity. Per-row cost is
+    // O(tiny image) — embarrassingly parallel, no shuffle.
+    "mm_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val png = MediaPipeline.syntheticPng(id)
+          val emb = MediaPipeline.decode(png, "image/png")
+          (id, png.length.toLong, emb.map(v => math.round(v * 1e6) / 1e6).toSeq)
+        }).toDF("doc_id", "png_bytes", "embedding")
     })
   )
 

@@ -406,8 +406,9 @@ class IndexSpec extends AnyFunSuite {
 
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    assert(rows.length === 10) // 2 budgets x {roar, hnsw, pq, randproj, ivfpq}
-    for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq")) {
+    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded}
+    assert(rows.length === 12)
+    for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded")) {
       val armRows = rows.filter(_._1 == arm).sortBy(_._2)
       assert(armRows.length === 2, s"missing $arm rows: $rows")
       val lo = armRows.head._3

@@ -675,6 +675,19 @@ class LlmPipelineSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("mm_image_decode: real encoder→decoder round trip, deterministic, content-sensitive") {
+    def run() = AnnQueries.queries("mm_image_decode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a === run(), "real-codec query not deterministic")
+    // genuine PNG containers (magic bytes cost ~60B+ even for tiny images)
+    assert(a.values.forall(_._1 > 50))
+    // content sensitivity: the per-doc patterns differ, so embeddings do
+    val distinct = a.values.map(_._2).toSet.size
+    assert(distinct > a.size / 2, s"only $distinct distinct embeddings of ${a.size}")
+  }
+
   test("decodeAudio: real javax.sound WAV decode, amplitude strips, stub fallback") {
     val dim = 8
     val wav = wavBytes(4096, loud = 24576)
