@@ -12,13 +12,15 @@ object Verify {
     * across the compare paths. The r7 red rows were an uncast DuckDB
     * sum() (HUGEINT) — the Spark-side analog would be a DecimalType or
     * binary column sneaking into a new query's output and hashing
-    * unstably. Fail the dump loudly instead. */
+    * unstably. Arrays are rejected outright (not just unstable elements):
+    * the driver's row-count path sorts the dump with pandas, which cannot
+    * order array cells — the r8 `mm_image_decode` red row. Explode to
+    * scalar rows at the output boundary instead. Fail the dump loudly. */
   private[graft] def unstableColumns(schema: StructType): Seq[String] = {
     def stable(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | ShortType | ByteType | StringType |
            DoubleType | FloatType | BooleanType | TimestampType |
            DateType => true
-      case ArrayType(e, _) => stable(e)
       case _ => false
     }
     schema.fields.collect {

@@ -269,6 +269,31 @@ object ShardedIndex {
                   ref: ShardedIndexRef, params: BuildParams): ShardedIndexRef = {
     require(params.metric == ref.metric,
       s"delta metric ${params.metric} != index metric ${ref.metric}")
+    // Dense-gid contract validated at INGEST, not discovered at
+    // compaction: compact() re-stripes through buildPersisted, whose
+    // strided layout needs global ids 0..N-1 contiguous, so a sparse
+    // delta would append fine and only blow up on the eventual compact.
+    // Fail here instead: the delta's gids must continue the corpus
+    // exactly, i.e. cover [existing, existing+batch) with no duplicates.
+    // Cost: parquet-footer counts over resident shards + one agg over
+    // the (batch-sized) delta.
+    val existing =
+      (0 until ref.nShards)
+        .map(s => spark.read.parquet(s"${shardDir(ref, s)}/vectors").count())
+        .sum +
+      (0 until ref.nDeltas)
+        .map(d => spark.read.parquet(s"${deltaDir(ref, d)}/vectors").count())
+        .sum
+    val stats = delta.agg(
+      count(col("vec_id")), count_distinct(col("vec_id")),
+      min(col("vec_id")), max(col("vec_id"))).head()
+    val n = stats.getLong(0)
+    require(n > 0, "appendDelta: empty delta batch")
+    val (nd, lo, hi) = (stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    require(nd == n && lo == existing && hi == existing + n - 1,
+      s"appendDelta: delta gids must be dense and continue the corpus — " +
+        s"expected [$existing, ${existing + n}), got [$lo, ${hi + 1}) " +
+        s"with $nd distinct of $n rows")
     val j = ref.nDeltas
     val dir = deltaDir(ref, j)
     import org.apache.spark.sql.expressions.Window

@@ -135,7 +135,13 @@ object MediaPipeline {
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        val bytesPerFrame = math.max(fmt.getFrameSize, 1)
+        // getFrameSize may be AudioSystem.NOT_SPECIFIED (-1): derive from
+        // sample width × channels instead of falling back to 1, which
+        // would stride the 16-bit sample read past the filled region
+        val bytesPerFrame =
+          if (fmt.getFrameSize > 0) fmt.getFrameSize
+          else math.max(1, fmt.getSampleSizeInBits / 8) *
+            math.max(fmt.getChannels, 1)
         val nFrames = in.getFrameLength
         if (nFrames <= 0 || fmt.getSampleSizeInBits != 16) None
         else {
@@ -147,9 +153,12 @@ object MediaPipeline {
           val buf = new Array[Byte](bytesPerFrame * 1024)
           var frame = 0L
           var read = in.read(buf)
+          // step covers the full 2-byte sample read even if a container
+          // reports a (bogus) 1-byte frame size
+          val step = math.max(bytesPerFrame, 2)
           while (read > 0) {
             var off = 0
-            while (off + bytesPerFrame <= read) {
+            while (off + step <= read) {
               // mono mix of channel 0 (deterministic, cheap)
               val lo = buf(off + (if (big) 1 else 0)) & 0xff
               val hi = buf(off + (if (big) 0 else 1))
@@ -158,7 +167,7 @@ object MediaPipeline {
               out(strip) += math.abs(s / 32768.0f)
               counts(strip) += 1
               frame += 1
-              off += bytesPerFrame
+              off += step
             }
             read = in.read(buf)
           }
@@ -226,8 +235,13 @@ object MediaPipeline {
   }
 
   /** Per-frame decode: [[frameSample]] output → (media_id, frame_idx,
-    * embedding), batched per partition through the stub codec (resize
-    * then decode — the real pipeline's shape). */
+    * embedding), batched per partition. Real codecs parse the UNRESIZED
+    * frame: the byte-stride resample destroys container structure, so
+    * resizing before decode made the real-codec path unreachable for any
+    * payload above `resizeTo` (it silently fell through to the stub).
+    * The real decoders already bound their per-frame work via sampling
+    * grids, so no pre-resize is needed there; only the stub path keeps
+    * the byte-stride resize as its stand-in codec step. */
   def decodeFrames(frames: DataFrame, dim: Int = 8,
                    resizeTo: Int = 32): DataFrame = {
     val s = frames.sparkSession
@@ -236,7 +250,12 @@ object MediaPipeline {
         col("frame"))
       .as[(Long, Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, idx, mime, frame) =>
-        (id, idx, decode(resizeStub(frame, resizeTo), mime, dim).toSeq)
+        val emb =
+          (if (mime.startsWith("image/")) decodeImage(frame, dim)
+           else if (mime.startsWith("audio/")) decodeAudio(frame, dim)
+           else None)
+            .getOrElse(decodeStub(resizeStub(frame, resizeTo), mime, dim))
+        (id, idx, emb.toSeq)
       }).toDF("media_id", "frame_idx", "embedding")
   }
 

@@ -199,8 +199,21 @@ object AnnIndexRegistry {
 
   def lookupTier(idCol: String, vecCol: String,
                  byL2: Boolean): Option[CandidateTierEntry] =
+    lookupTierWithFp(idCol, vecCol, byL2).map(_._2)
+
+  /** [[lookupTier]] plus the registered corpus fingerprint — execute-time
+    * callers re-verify it against the fingerprint proven at plan time. */
+  def lookupTierWithFp(idCol: String, vecCol: String,
+                       byL2: Boolean): Option[(String, CandidateTierEntry)] =
     routeMetrics(byL2).iterator
-      .flatMap(m => tierEntries.get((idCol, vecCol, m))).map(_._2)
+      .flatMap(m => tierEntries.get((idCol, vecCol, m)))
+      .nextOption()
+
+  /** [[lookup]] plus the registered corpus fingerprint. */
+  def lookupWithFp(idCol: String, vecCol: String,
+                   byL2: Boolean): Option[(String, Entry)] =
+    routeMetrics(byL2).iterator
+      .flatMap(m => entries.get((idCol, vecCol, m)))
       .nextOption()
 
   def lookupTierFor(idCol: String, vecCol: String, byL2: Boolean,
@@ -221,12 +234,18 @@ object AnnIndexRegistry {
   * descending on graft_vec_dot. `tier` picks the physical answer:
   * "graph" = broadcast RoarGraph beam search (one task);
   * "ivfpq" = partition-pruned distributed probe over the codes-only
-  * index (the corpus-outgrew-the-broadcast-ceiling path). */
+  * index (the corpus-outgrew-the-broadcast-ceiling path).
+  * `fingerprint` pins the corpus relation the rule proved at plan time;
+  * doExecute re-verifies it so a registry re-registration for the same
+  * (idCol, vecCol, metric) over a DIFFERENT relation between planning
+  * and execution fails loudly instead of answering from the wrong
+  * corpus. */
 case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          vecName: String, queryVec: Array[Float], k: Int,
                          idFirst: Boolean,
                          byL2: Boolean = false,
-                         tier: String = "graph") extends LeafNode {
+                         tier: String = "graph",
+                         fingerprint: String = "") extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
@@ -305,9 +324,10 @@ object AnnTopKRule extends Rule[LogicalPlan] {
               .lookupTierFor(idAttr.name, vecAttr.name, byL2, projChild)
               .filter(_.dim == qv.length)
               .map(_.name))
+          fp <- AnnIndexRegistry.scanFingerprint(projChild)
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2,
-          tier = tier)
+          tier = tier, fingerprint = fp)
         rewritten.getOrElse(limit)
     }
   }
@@ -343,9 +363,11 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     val qLit = typedlit(node.queryVec)
     val score = if (node.byL2) vecL2Sq(col(entry.dataVecCol), qLit)
                 else vecDot(col(entry.dataVecCol), qLit)
+    // candidate ids under a reserved alias: a corpus whose id column is
+    // itself named d_id would otherwise make the join condition ambiguous
     val scored = entry.data
-      .join(broadcast(cands.select(col("d_id"))),
-        col(entry.dataIdCol) === col("d_id"))
+      .join(broadcast(cands.select(col("d_id").as("__graft_cand_id"))),
+        col(entry.dataIdCol) === col("__graft_cand_id"))
       .select(col(entry.dataIdCol).cast("long").as("id"),
         score.cast("double").as("score"))
     val ordered =
@@ -354,12 +376,23 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     ordered.limit(node.k).as[(Long, Double)].collect()
   }
 
+  /** The rule proved at plan time that the query's relation IS the
+    * registered corpus; a re-registration for the same (idCol, vecCol,
+    * metric) over a different relation between planning and execution
+    * would silently answer from the wrong corpus — fail loudly instead. */
+  private def checkFingerprint(storedFp: String, what: String): Unit =
+    if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
+      sys.error(s"$what for (${node.idName}, ${node.vecName}) was " +
+        "re-registered over a different relation after planning " +
+        s"(planned ${node.fingerprint}, registry has $storedFp)")
+
   override protected def doExecute(): RDD[InternalRow] = {
     if (node.tier != "graph") {
-      val entry = AnnIndexRegistry
-        .lookupTier(node.idName, node.vecName, node.byL2)
+      val (storedFp, entry) = AnnIndexRegistry
+        .lookupTierWithFp(node.idName, node.vecName, node.byL2)
         .getOrElse(sys.error(
           s"candidate tier for (${node.idName}, ${node.vecName}) vanished"))
+      checkFingerprint(storedFp, "candidate tier")
       val rows = tierRows(entry)
       val idFirst = node.idFirst
       val schema = node.output.map(_.dataType).toArray
@@ -370,8 +403,11 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
         }
       }
     }
-    val entry = AnnIndexRegistry.lookup(node.idName, node.vecName, node.byL2)
-      .getOrElse(sys.error(s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
+    val (graphFp, entry) =
+      AnnIndexRegistry.lookupWithFp(node.idName, node.vecName, node.byL2)
+        .getOrElse(sys.error(
+          s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
+    checkFingerprint(graphFp, "ANN index")
     val qv = node.queryVec
     val k = node.k
     val idFirst = node.idFirst

@@ -306,17 +306,22 @@ object AnnQueries extends QueryPack {
     // back through the real image decoder into luminance strips.
     // Rows-only: PNG containers aren't SQL-reproducible; LlmPipelineSpec
     // gates determinism and pixel-content sensitivity. Per-row cost is
-    // O(tiny image) — embarrassingly parallel, no shuffle.
+    // O(tiny image) — embarrassingly parallel, no shuffle. Output is
+    // EXPLODED to scalar (doc_id, png_bytes, pos, val) rows: the driver's
+    // compare path sorts the dump with pandas, which cannot order array
+    // cells — the r8 red row.
     "mm_image_decode" -> ((s, dir) => {
       import s.implicits._
       graft.Tables.documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") < 200)
         .as[Long]
-        .mapPartitions(_.map { id =>
+        .mapPartitions(_.flatMap { id =>
           val png = MediaPipeline.syntheticPng(id)
           val emb = MediaPipeline.decode(png, "image/png")
-          (id, png.length.toLong, emb.map(v => math.round(v * 1e6) / 1e6).toSeq)
-        }).toDF("doc_id", "png_bytes", "embedding")
+          emb.iterator.zipWithIndex.map { case (v, j) =>
+            (id, png.length.toLong, j.toLong, math.round(v * 1e6) / 1e6)
+          }
+        }).toDF("doc_id", "png_bytes", "pos", "val")
     })
   )
 

@@ -677,7 +677,11 @@ class LlmPipelineSpec extends AnyFunSuite {
 
   test("mm_image_decode: real encoder→decoder round trip, deterministic, content-sensitive") {
     def run() = AnnQueries.queries("mm_image_decode")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        (id, (rows.head._2._1, rows.map(_._2).sortBy(_._2).map(_._3).toSeq))
+      }
     val a = run()
     assert(a.nonEmpty)
     assert(a === run(), "real-codec query not deterministic")

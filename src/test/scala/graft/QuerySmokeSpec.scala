@@ -38,11 +38,14 @@ class QuerySmokeSpec extends AnyFunSuite {
     val bad = StructType(Seq(
       StructField("a", DecimalType(10, 2)),
       StructField("b", BinaryType),
+      // arrays are rejected outright: pandas cannot sort array cells in
+      // the driver's compare path (the r8 mm_image_decode red row)
+      StructField("y", ArrayType(FloatType)),
       StructField("c", LongType)))
     assert(Verify.unstableColumns(bad).map(_.takeWhile(_ != ':'))
-      === Seq("a", "b"))
+      === Seq("a", "b", "y"))
     val good = StructType(Seq(
-      StructField("x", LongType), StructField("y", ArrayType(FloatType)),
+      StructField("x", LongType),
       StructField("z", TimestampType), StructField("w", StringType)))
     assert(Verify.unstableColumns(good).isEmpty)
   }
