@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Candidate pairs from shingle hashes `sh` (doc_id, h = md5 hex of the
-    * shingle). Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b. */
-  def bandedPairs(sh: DataFrame, numHashes: Int = 8,
-                  rowsPerBand: Int = 2): DataFrame = {
+  /** LSH band keys from shingle hashes `sh` (doc_id, h = md5 hex of the
+    * shingle): per-doc split-hash MinHash signature, banded into
+    * `numHashes / rowsPerBand` md5 band keys. Output: (doc_id, band,
+    * key) — `numBands` rows per doc. The min is duplicate-insensitive,
+    * so a raw (non-distinct) shingle feed yields identical keys with no
+    * distinct shuffle. */
+  def bandKeys(sh: DataFrame, numHashes: Int = 8,
+               rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
     val sigs = (1 to numHashes).map(r =>
@@ -36,14 +40,65 @@ object MinHashLsh {
       val parts = (1 to rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("key")).as(s"b$b")
     }
-    val banded = signed.select(col("doc_id") +: bandCols: _*)
+    signed.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         explode(array((0 until numBands).map(b => col(s"b$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from shingle hashes `sh` (doc_id, h = md5 hex of the
+    * shingle). Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b. */
+  def bandedPairs(sh: DataFrame, numHashes: Int = 8,
+                  rowsPerBand: Int = 2): DataFrame = {
+    val banded = bandKeys(sh, numHashes, rowsPerBand)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Persist a corpus's band keys as the resident DEDUP INDEX — the
+    * artifact an incremental (daily-ingest) pipeline keeps so new
+    * batches dedup against 100 TB of resident docs without ever
+    * recomputing or reshuffling resident text. Band-key rows are
+    * (doc_id, band, key): ~`numBands` × 48 bytes per doc, ~0.1% of a
+    * multi-KB document corpus. */
+  def writeBandIndex(keys: DataFrame, path: String): Unit =
+    keys.select(col("doc_id"), col("band"), col("key"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's band keys to the resident index (delta-only write;
+    * resident files untouched — same lifecycle posture as
+    * [[graft.index.ShardedIndex.appendDelta]]). */
+  def appendBandIndex(keys: DataFrame, path: String): Unit =
+    keys.select(col("doc_id"), col("band"), col("key"))
+      .write.mode("append").parquet(path)
+
+  /** Incremental near-dup candidates: all banded pairs of resident ∪
+    * batch that TOUCH the batch — exactly the new rows [[bandedPairs]]
+    * over the union would add. Caller contract: `residentKeys` and
+    * `newKeys` carry disjoint doc_id sets (enforced cheaply on the
+    * batch side by the ingest gate).
+    *
+    * Scale shape: the batch's keys BROADCAST (a daily batch is bounded);
+    * the resident index is scanned once, joined hash-local with zero
+    * shuffle of resident rows, and only matching pairs reach the final
+    * pair-count shuffle. Resident text is never touched — the index is
+    * the only resident artifact read. batch×batch pairs come from the
+    * ordinary self-join on the (tiny) batch keys. */
+  def incrementalPairs(residentKeys: DataFrame,
+                       newKeys: DataFrame): DataFrame = {
+    val cond = col("x.band") === col("y.band") && col("x.key") === col("y.key")
+    val crossPairs = residentKeys.as("x")
+      .join(broadcast(newKeys.as("y")), cond)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val withinPairs = newKeys.as("x").join(newKeys.as("y"), cond)
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    crossPairs.unionAll(withinPairs)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 }

@@ -142,6 +142,15 @@ object TextQueries extends QueryPack {
     docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
       .select(col("doc_id"), explode(trigramArray).as("shingle"))
 
+  /** (doc_id, h) shingle hashes for an arbitrary (doc_id, text) frame —
+    * the feed [[graft.operators.MinHashLsh]] expects; public so
+    * incremental-ingest callers (and tests) band ad-hoc batches with
+    * exactly the query surface's shingle arithmetic. */
+  def shingleHashes(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), explode(trigramArray).as("shingle"))
+      .withColumn("h", md5(col("shingle")))
+
   /** Distinct (doc_id, shingle) set — the dedup key includes doc_id, so
     * it is exactly a per-doc `array_distinct` BEFORE the explode: a pure
     * per-row expression, where a post-explode `distinct()` would be a
@@ -289,6 +298,28 @@ object TextQueries extends QueryPack {
       graft.operators.MinHashLsh.bandedPairs(
         trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
         NumHashes, RowsPerBand)),
+
+    // INCREMENTAL near-dup dedup — the daily-ingest posture: the
+    // resident corpus (doc_id % 4 != 0 here) persists its band-key
+    // index ONCE; a new batch (doc_id % 4 == 0) computes keys for
+    // itself only and probes the index with its keys BROADCAST, so
+    // resident text is never recomputed and resident rows never
+    // shuffle. Output = exactly the banded pairs of the union corpus
+    // that touch the batch; the oracle asserts that equivalence in one
+    // SQL statement over the full corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.operators.MinHashLsh
+      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bandidx_").toString
+      MinHashLsh.writeBandIndex(
+        MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 =!= 0),
+          NumHashes, RowsPerBand), idx)
+      MinHashLsh.incrementalPairs(
+        s.read.parquet(idx),
+        MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 === 0),
+          NumHashes, RowsPerBand))
+    }),
 
     // Duplicate-CLUSTER resolution — the step every real pipeline runs
     // right after the pair queries above: connected components over the
@@ -845,6 +876,21 @@ object TextQueries extends QueryPack {
            |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
            |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
            |WHERE x.doc_id < y.doc_id
+           |GROUP BY x.doc_id, y.doc_id""".stripMargin,
+      // The incremental path must add EXACTLY the union-corpus pairs
+      // that touch the batch — so the oracle is the full-corpus banded
+      // self-join restricted to pairs with a batch endpoint.
+      "dedup_incremental" ->
+        s"""WITH sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects)
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+           |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           |WHERE x.doc_id < y.doc_id AND (x.doc_id % 4 = 0 OR y.doc_id % 4 = 0)
            |GROUP BY x.doc_id, y.doc_id""".stripMargin,
       // Same pair set as dedup_minhash_pairs, then components via a
       // recursive transitive-closure CTE (UNION dedupes, so cycles

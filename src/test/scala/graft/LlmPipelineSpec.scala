@@ -180,6 +180,50 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals the union pairs touching the batch") {
+    val inc = TextQueries.queries("dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = TextQueries.queries("dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 % 4 == 0 || t._2 % 4 == 0).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture produced no batch-touching pairs")
+  }
+
+  test("incremental dedup plan: batch keys broadcast, no sort-merge join on the index") {
+    val df = TextQueries.queries("dedup_incremental")(spark, sfDir)
+    df.collect() // finalize AQE so the asserted shape is the executed one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"resident-index probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"resident band-key index shuffled for a sort-merge join:\n$plan")
+  }
+
+  test("incremental dedup lifecycle: appended batches stay consistent across ingests") {
+    import graft.operators.MinHashLsh
+    // three waves over one corpus slice: resident, then two daily batches
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    def shingles(pred: org.apache.spark.sql.Column) =
+      TextQueries.shingleHashes(docs.filter(pred))
+    val idx = java.nio.file.Files.createTempDirectory("graft_bandidx_t_").toString
+    MinHashLsh.writeBandIndex(
+      MinHashLsh.bandKeys(shingles(col("doc_id") % 3 === 0), 8, 2), idx)
+    val b1 = MinHashLsh.bandKeys(shingles(col("doc_id") % 3 === 1), 8, 2)
+    MinHashLsh.incrementalPairs(spark.read.parquet(idx), b1).collect()
+    MinHashLsh.appendBandIndex(b1, idx)
+    val b2 = MinHashLsh.bandKeys(shingles(col("doc_id") % 3 === 2), 8, 2)
+    val got = MinHashLsh.incrementalPairs(spark.read.parquet(idx), b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = MinHashLsh.bandedPairs(
+        TextQueries.shingleHashes(docs), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 % 3 == 2 || t._2 % 3 == 2).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "lifecycle fixture produced no batch-2 pairs")
+  }
+
   test("media features are deterministic and well-formed") {
     val run1 = AnnQueries.queries("mm_media_features")(spark, sfDir)
       .orderBy("media_id").collect()
