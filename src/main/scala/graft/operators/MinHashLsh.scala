@@ -58,6 +58,46 @@ object MinHashLsh {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Per-bucket population of the banded key space: (band, key,
+    * n_docs). Map-side-combinable groupBy on the same (band, key) the
+    * pair join hashes on, so Catalyst reuses one exchange for the size
+    * pass and the join. */
+  def bucketSizes(keys: DataFrame): DataFrame =
+    keys.groupBy("band", "key").agg(count(lit(1)).cast("long").as("n_docs"))
+
+  /** The degenerate-template report: buckets whose population exceeds
+    * `maxBucket`. At corpus scale a hot band key is almost always
+    * boilerplate (license headers, scraped navigation chrome, empty
+    * docs) — thousands of near-identical documents collapsing onto one
+    * band signature, which the self-join would turn into O(bucket²)
+    * pairs on a single reducer. This report is the audit artifact a
+    * pipeline keeps when it caps: which templates were suppressed and
+    * how many documents each absorbed. */
+  def hotBuckets(keys: DataFrame, maxBucket: Long): DataFrame =
+    bucketSizes(keys).filter(col("n_docs") > maxBucket)
+
+  /** [[bandedPairs]] with the production skew escape hatch: buckets
+    * over `maxBucket` docs emit NO pairs (route them to [[hotBuckets]]
+    * for template-level handling instead — an exact-dedup pass over the
+    * hot bucket's members is O(bucket), not O(bucket²)). AQE's
+    * skew-join split keeps a moderately hot bucket from stalling a
+    * reducer, but it cannot shrink the quadratic OUTPUT; the cap is the
+    * only lever that does. Recall loss is confined to the reported
+    * buckets, so it is auditable rather than silent. */
+  def cappedPairs(sh: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+                  maxBucket: Long = 1000): DataFrame = {
+    val keys = bandKeys(sh, numHashes, rowsPerBand)
+    val surviving = keys.join(
+      bucketSizes(keys).filter(col("n_docs") <= maxBucket)
+        .select("band", "key"),
+      Seq("band", "key"))
+    surviving.as("x").join(surviving.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Persist a corpus's band keys as the resident DEDUP INDEX — the
     * artifact an incremental (daily-ingest) pipeline keeps so new
     * batches dedup against 100 TB of resident docs without ever

@@ -171,6 +171,11 @@ object TextQueries extends QueryPack {
   private val RowsPerBand = 2
   private val NumBands = NumHashes / RowsPerBand
 
+  /** Hot-bucket cap for the skew-capped LSH queries — 2 so the sf
+    * fixtures (largest bucket: 3 docs) exercise the trim; production
+    * corpora would run ~10³. */
+  private val MaxBucket = 2L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (md5), keeper = min doc_id.
     "dedup_exact" -> ((s, dir) => {
@@ -298,6 +303,31 @@ object TextQueries extends QueryPack {
       graft.operators.MinHashLsh.bandedPairs(
         trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
         NumHashes, RowsPerBand)),
+
+    // Skew-capped LSH pairs — the 100 TB escape hatch for hot band
+    // keys (boilerplate templates collapse thousands of docs onto one
+    // bucket, and the self-join would emit O(bucket²) pairs on a single
+    // reducer). Buckets over MaxBucket docs emit no pairs; they are
+    // routed to the hot-bucket report below instead, so the recall loss
+    // is auditable, never silent. Cap=2 here so the fixture actually
+    // trims (its largest buckets hold 3 docs).
+    "dedup_minhash_capped" -> ((s, dir) =>
+      graft.operators.MinHashLsh.cappedPairs(
+        trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
+        NumHashes, RowsPerBand, maxBucket = MaxBucket)),
+
+    // The degenerate-template report paired with the cap: which band
+    // buckets were suppressed and how many docs each absorbed. A real
+    // pipeline follows with an O(bucket) exact-dedup pass per listed
+    // bucket instead of the O(bucket²) pair join.
+    "dedup_lsh_hot_buckets" -> ((s, dir) =>
+      graft.operators.MinHashLsh.hotBuckets(
+        graft.operators.MinHashLsh.bandKeys(
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand),
+        maxBucket = MaxBucket)
+        .select(col("band").cast("long").as("band"), col("key"),
+          col("n_docs"))),
 
     // INCREMENTAL near-dup dedup — the daily-ingest posture: the
     // resident corpus (doc_id % 4 != 0 here) persists its band-key
@@ -877,6 +907,36 @@ object TextQueries extends QueryPack {
            |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
            |WHERE x.doc_id < y.doc_id
            |GROUP BY x.doc_id, y.doc_id""".stripMargin,
+      // Skew cap: pairs only from buckets of <= MaxBucket docs; the
+      // over-cap buckets go to the hot-bucket report instead.
+      "dedup_minhash_capped" ->
+        s"""WITH sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |ok AS (
+           |  SELECT band, key FROM banded GROUP BY band, key
+           |  HAVING count(*) <= $MaxBucket)
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+           |FROM banded x JOIN ok USING (band, key)
+           |     JOIN banded y ON x.band = y.band AND x.key = y.key
+           |WHERE x.doc_id < y.doc_id
+           |GROUP BY x.doc_id, y.doc_id""".stripMargin,
+      "dedup_lsh_hot_buckets" ->
+        s"""WITH sh AS ($trigramsSql),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigExprs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects)
+           |SELECT CAST(band AS BIGINT) AS band, key,
+           |       count(*) AS n_docs
+           |FROM banded GROUP BY band, key
+           |HAVING count(*) > $MaxBucket""".stripMargin,
       // The incremental path must add EXACTLY the union-corpus pairs
       // that touch the batch — so the oracle is the full-corpus banded
       // self-join restricted to pairs with a batch endpoint.

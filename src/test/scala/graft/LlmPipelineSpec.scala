@@ -171,6 +171,41 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("capped pairs: hot bucket suppressed and reported, survivors exact, huge cap = uncapped") {
+    import spark.implicits._
+    // one 600-doc hot bucket, 200 singletons, one 5-doc survivor group
+    val hotShingles = Seq("aa bb cc", "bb cc dd", "cc dd ee")
+    val grpShingles = Seq("pp qq rr", "qq rr ss", "rr ss tt")
+    val sh = ((0 until 600).flatMap(i => hotShingles.map(s => (i.toLong, s))) ++
+      (600 until 800).flatMap(i =>
+        Seq((i.toLong, s"u$i v$i w$i"), (i.toLong, s"v$i w$i x$i"))) ++
+      (800 until 805).flatMap(i => grpShingles.map(s => (i.toLong, s))))
+      .toDF("doc_id", "shingle")
+      .withColumn("h", md5(col("shingle")))
+    val capped = graft.operators.MinHashLsh.cappedPairs(sh, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the O(bucket²) hot output (600*599/2 pairs) is gone...
+    assert(capped.forall(t => t._1 >= 800 && t._2 >= 800),
+      s"capped pairs leak outside the survivor group: ${capped.take(5).toSeq}")
+    // ...while the under-cap group keeps its exact pair set
+    assert(capped.length === 5 * 4 / 2, s"survivor pairs ${capped.length}")
+    assert(capped.forall(_._3 === 4))
+    // the suppression is reported, not silent: 4 bands x one hot bucket
+    val hot = graft.operators.MinHashLsh.hotBuckets(
+        graft.operators.MinHashLsh.bandKeys(sh), maxBucket = 100)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(hot.length === 4, s"hot buckets: ${hot.toSeq}")
+    assert(hot.forall(_._2 === 600))
+    // cap above every bucket population reproduces bandedPairs exactly
+    val sfSh = TextQueries.shingleHashes(Tables.documents(spark, sfDir))
+    val uncapped = graft.operators.MinHashLsh.bandedPairs(sfSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hugeCap = graft.operators.MinHashLsh.cappedPairs(sfSh,
+        maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hugeCap === uncapped)
+  }
+
   test("minhash pairs are consistent with signatures") {
     val pairs = TextQueries.queries("dedup_minhash_pairs")(spark, sfDir).collect()
     pairs.foreach { r =>
