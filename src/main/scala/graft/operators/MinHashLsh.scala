@@ -115,6 +115,35 @@ object MinHashLsh {
     keys.select(col("doc_id"), col("band"), col("key"))
       .write.mode("append").parquet(path)
 
+  /** Fold an append-accumulated band index into a fresh compacted
+    * layout. Daily [[appendBandIndex]] calls each leave their own small
+    * file set; after months of ingest the index is thousands of tiny
+    * files, and the probe scan pays per-file open cost instead of
+    * streaming large row groups. Compaction range-partitions the union
+    * by `key` and sorts within partitions, so (a) scan parallelism is
+    * `numFiles` even-sized splits, (b) parquet dictionary/RLE pages
+    * compress the sorted key runs, (c) row-group min/max stats on `key`
+    * become selective. Staging-dir rewrite then swap, same posture as
+    * [[graft.index.ShardedIndex.compact]]: readers of the old layout
+    * are never mid-overwrite, and the swap is two renames. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+            else spark.sparkContext.defaultParallelism
+    val staging = s"${path}__compact_staging"
+    spark.read.parquet(path)
+      .repartitionByRange(n, col("key"), col("band"))
+      .sortWithinPartitions("key", "band")
+      .write.mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__compact_old")
+    require(fs.rename(hp, old), s"compact: cannot move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
+      s"compact: cannot promote staging for $path")
+    fs.delete(old, true)
+  }
+
   /** Incremental near-dup candidates: all banded pairs of resident ∪
     * batch that TOUCH the batch — exactly the new rows [[bandedPairs]]
     * over the union would add. Caller contract: `residentKeys` and

@@ -100,6 +100,42 @@ object StreamingIngest {
       }
   }
 
+  /** `foreachBatch` face of the persisted band-key index
+    * ([[graft.operators.MinHashLsh.writeBandIndex]]) — the production
+    * posture once band-key state outgrows the state store: resident
+    * keys live as parquet (~0.1% of corpus bytes), not per-key
+    * streaming state. Each micro-batch of shingle hashes (doc_id, h)
+    * is banded, probes the resident index with its keys BROADCAST
+    * (zero shuffle of resident rows), appends the discovered pairs to
+    * `pairsOut` stamped with `batch_id`, then appends its own keys to
+    * the index — so batch N+1 dedups against everything before it.
+    * The first batch bootstraps: within-batch pairs only, then its
+    * keys become the index. foreachBatch is at-least-once; the
+    * `batch_id` stamp is the idempotence key a resumed stream uses to
+    * drop replayed output (`WHERE batch_id = max` per replay window).
+    *
+    * Returns the (sink-shaped) function to hand to
+    * `writeStream.foreachBatch`. */
+  def incrementalDedupBatch(indexPath: String, pairsOut: String,
+                            numHashes: Int = 8, rowsPerBand: Int = 2)
+      : (DataFrame, Long) => Unit = { (shingles, batchId) =>
+    import graft.operators.MinHashLsh
+    val spark = shingles.sparkSession
+    val keys = MinHashLsh.bandKeys(shingles, numHashes, rowsPerBand)
+      .persist() // consumed twice: the probe and the index append
+    try {
+      val hp = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val resident =
+        if (fs.exists(hp)) spark.read.parquet(indexPath)
+        else keys.limit(0) // bootstrap: empty resident, within-batch only
+      MinHashLsh.incrementalPairs(resident, keys)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsOut)
+      MinHashLsh.appendBandIndex(keys, indexPath)
+    } finally keys.unpersist()
+  }
+
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
   def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {

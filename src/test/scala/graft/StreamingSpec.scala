@@ -298,6 +298,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally out.stop()
   }
 
+  test("streaming incremental dedup: foreachBatch probes + grows the band index; compaction preserves probes") {
+    import graft.operators.MinHashLsh
+    // the parquet-index face of streaming near-dup (vs the state-store
+    // face streamingBandCollisions): each micro-batch dedups against
+    // everything before it, then joins the resident side
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_").toString
+    val idx = s"$dir/index"
+    val pairsOut = s"$dir/pairs"
+    val g1 = Seq("aa bb cc", "bb cc dd", "cc dd ee")
+    val g2 = Seq("pp qq rr", "qq rr ss", "rr ss tt")
+    val batch1 = Seq(1L, 2L).flatMap(d => g1.map(s => (d, s)))
+    val batch2 = Seq(3L).flatMap(d => g1.map(s => (d, s))) ++
+      Seq(4L, 5L).flatMap(d => g2.map(s => (d, s)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "shingle")
+      .withColumn("h", md5(col("shingle")))
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingIngest.incrementalDedupBatch(idx, pairsOut))
+      .start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable() // bootstrap: within-batch pairs only
+      input.addData(batch2)
+      q.processAllAvailable() // probe: doc 3 must pair with resident 1,2
+    } finally q.stop()
+    val got = spark.read.parquet(pairsOut)
+      .select("doc_a", "doc_b", "n_shared_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = MinHashLsh.bandedPairs(
+        (batch1 ++ batch2).toDF("doc_id", "shingle")
+          .withColumn("h", md5(col("shingle"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.contains((1L, 3L, 4L)), s"cross-batch pair missing: $got")
+    // compaction: fewer files, probe results unchanged
+    def partFiles() = new java.io.File(idx).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    val before = partFiles()
+    MinHashLsh.compactBandIndex(spark, idx, numFiles = 1)
+    assert(partFiles() === 1, s"compaction left ${partFiles()} files")
+    assert(before > 1, s"fixture too small to exercise compaction ($before)")
+    val b3 = MinHashLsh.bandKeys(
+      Seq(6L).flatMap(d => g2.map(s => (d, s))).toDF("doc_id", "shingle")
+        .withColumn("h", md5(col("shingle"))))
+    val inc = MinHashLsh.incrementalPairs(spark.read.parquet(idx), b3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === Set((4L, 6L, 4L), (5L, 6L, 4L)),
+      s"post-compaction probe wrong: $inc")
+  }
+
   test("streaming PQ encode matches the batch encode row-for-row") {
     import graft.operators.PqAnn
     // codebooks come from the batch (offline) side; the stream is the
