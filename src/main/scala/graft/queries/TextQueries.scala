@@ -727,6 +727,42 @@ object TextQueries extends QueryPack {
           expr("(boff + in_cum - n_tokens) div 512").as("seq_id"))
     }),
 
+    // TOKEN-BUDGET DATA MIXING — the mixture-weights step of a training
+    // run: each source contributes documents, in deterministic shuffle
+    // order (md5 key — seedless, engine-independent), until its TOKEN
+    // budget fills (kept iff the tokens before it leave budget; the
+    // crossing doc is included, so every non-empty budget is met).
+    // Scale shape: same bounded-window discipline as pack_sequences —
+    // the per-source cumsum is decomposed over 256 skey-prefix buckets
+    // (windows bounded per (source, bucket)), and the offsets table is
+    // ≤256 rows per source, broadcast. A naive partitionBy(source)
+    // window would put a billion-doc source in one task.
+    "mix_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("source"), col("doc_id"),
+          size(tokensCol).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("skey"))
+        .withColumn("bucket", substring(col("skey"), 1, 2))
+      val wIn = Window.partitionBy("source", "bucket")
+        .orderBy(col("skey"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))
+      val wOff = Window.partitionBy("source").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("source", "bucket")
+        .agg(sum("n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum("btot").over(wOff), lit(0L)))
+        .select(col("source"), col("bucket"), col("boff"))
+      // budgets vary by source (500..800) so the fixture trims unevenly
+      val budget = lit(500L) +
+        lit(100L) * (substring(col("source"), 4, 10).cast("long") % 4)
+      withCum.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("cum_before", col("boff") + col("in_cum") - col("n_tokens"))
+        .filter(col("cum_before") < budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"))
+    }),
+
     "sample_source_cap" -> ((s, dir) => {
       val keyed = docs(s, dir).select(col("source"), col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1024,6 +1060,18 @@ object TextQueries extends QueryPack {
            |SELECT doc_id, n_tokens,
            |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
            |FROM c""".stripMargin,
+      "mix_token_budget" ->
+        s"""WITH t AS (SELECT source, doc_id,
+           |             CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+           |             md5(CAST(doc_id AS VARCHAR)) AS skey
+           |           FROM documents),
+           |c AS (SELECT source, doc_id, n_tokens,
+           |        CAST(sum(n_tokens) OVER (PARTITION BY source
+           |          ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS cum_before
+           |      FROM t)
+           |SELECT source, doc_id, n_tokens, cum_before FROM c
+           |WHERE cum_before <
+           |  500 + 100 * (CAST(substr(source, 4, 10) AS BIGINT) % 4)""".stripMargin,
       "shuffle_order" ->
         """SELECT doc_id,
           |CAST(row_number() OVER (

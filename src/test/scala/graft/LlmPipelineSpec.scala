@@ -206,6 +206,52 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(hugeCap === uncapped)
   }
 
+  test("capped pairs plan computes the band keys once (exchange reuse)") {
+    // keys feed three consumers (size pass, join left, join right), all
+    // hashed on (band, key) — at corpus scale recomputing the banding
+    // agg per consumer would triple the dominant shuffle; Catalyst must
+    // dedup the identical exchanges instead
+    val sh = TextQueries.shingleHashes(Tables.documents(spark, sfDir))
+    val df = graft.operators.MinHashLsh.cappedPairs(sh, maxBucket = 2)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      s"band-key exchange not reused across capped-pair consumers:\n$plan")
+  }
+
+  test("mix_token_budget keeps exactly the budgeted md5-order prefix per source") {
+    // driver-side greedy replay: sort each source by (md5(doc_id), doc_id),
+    // keep while tokens-before < budget — the bucketed two-level window
+    // in the query must reproduce this exactly
+    val rows = TextQueries.queries("mix_token_budget")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val all = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val budget = 500L + 100L * (src.drop(3).toLong % 4)
+      var cum = 0L
+      ds.sortBy(d => (d._4, d._2)).takeWhile { d =>
+        val keep = cum < budget; cum += d._3; keep
+      }.map(d => (src, d._2)).toSeq
+    }.toSet
+    assert(rows === expected)
+    assert(rows.nonEmpty)
+    // every non-empty source's budget is actually met (or it ran dry)
+    val keptTok = all.filter(d => rows.contains((d._1, d._2)))
+      .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totTok = all.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    keptTok.foreach { case (src, tok) =>
+      val budget = 500L + 100L * (src.drop(3).toLong % 4)
+      assert(tok >= budget || tok == totTok(src),
+        s"$src: kept $tok < budget $budget with tokens left")
+    }
+  }
+
   test("minhash pairs are consistent with signatures") {
     val pairs = TextQueries.queries("dedup_minhash_pairs")(spark, sfDir).collect()
     pairs.foreach { r =>
