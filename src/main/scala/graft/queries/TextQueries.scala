@@ -430,6 +430,44 @@ object TextQueries extends QueryPack {
             .cast("double") / col("n_tokens"), 9), 6).as("oov_rate"))
     }),
 
+    // BIGRAM-LM PERPLEXITY — the CCNet/Gopher-style quality filter: an
+    // add-1-smoothed bigram LM trained on the corpus itself scores each
+    // document's cross-entropy (nats/bigram) and perplexity (e^H).
+    // Scale shape: the LM is two map-side-combined groupBy counts
+    // (context c(w1) = bigram starts, pair c(w1,w2)); scoring joins the
+    // per-doc bigram tf against the LM on the n-gram KEY — a shuffle
+    // hash join, because a 100 TB corpus's bigram table does not
+    // broadcast; every count row co-locates with all its uses. The
+    // vocab-size scalar is a single-row broadcast crossJoin. Per-bigram
+    // log-probs round at 9 before the (order-insensitive up to round-6)
+    // per-doc average, per the repo's float discipline.
+    "text_perplexity" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vdf = docs(s, dir).select(explode(tokensCol).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val scored = tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vdf))
+        .select(col("doc_id"), col("tf"),
+          round(log((col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("v"))), 9).as("lp"))
+      val h = -col("s") / col("n_bigrams")
+      scored.groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("lp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(round(h, 9), 6).as("xent"),
+          round(round(exp(round(h, 9)), 9), 6).as("ppl"))
+    }),
+
     // Text NORMALIZATION — the canonical pre-tokenization cleanup
     // (lowercase, collapse runs of whitespace, trim) plus the before/
     // after char counts a pipeline audits shrinkage with. Pure per-row
@@ -841,6 +879,31 @@ object TextQueries extends QueryPack {
            |       round(round(CAST(d.n_tokens - COALESCE(inv.n_in, 0) AS DOUBLE)
            |             / d.n_tokens, 9), 6) AS oov_rate
            |FROM d LEFT JOIN inv ON inv.doc_id = d.doc_id""".stripMargin,
+      "text_perplexity" ->
+        s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |bi AS (SELECT doc_id, unnest(list_transform(
+           |         range(greatest(len(toks) - 1, 0)),
+           |         i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS bg
+           |       FROM t),
+           |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+           |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+           |       FROM b GROUP BY doc_id, w1, w2),
+           |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+           |v AS (SELECT count(DISTINCT token) AS v
+           |      FROM (SELECT unnest($tokensSql) AS token FROM documents)),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.tf,
+           |         round(ln(CAST(c2.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 9) AS lp
+           |  FROM tf JOIN c2 ON tf.w1 = c2.w1 AND tf.w2 = c2.w2
+           |          JOIN c1 ON tf.w1 = c1.w1 CROSS JOIN v),
+           |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |               sum(tf * lp) AS s
+           |        FROM scored GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |       round(round(-s / n_bigrams, 9), 6) AS xent,
+           |       round(round(exp(round(-s / n_bigrams, 9)), 9), 6) AS ppl
+           |FROM agg""".stripMargin,
       "text_normalize" ->
         """SELECT doc_id, length(text) AS n_chars_raw,
           |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
