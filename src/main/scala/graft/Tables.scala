@@ -26,16 +26,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
 
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses outright — read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp (integer division, truncating like DuckDB's
-    * internal µs timestamps). */
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations — TIMESTAMP(NANOS) (which Spark 4 refuses outright
+    * without the nanos-as-long legacy conf) and TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Normalize both
+    * to a session-tz TIMESTAMP (sessions run UTC, so the NTZ cast is
+    * value-preserving and `unix_micros` matches DuckDB's `epoch_us`):
+    * nanos-long → µs via integer division (truncating like DuckDB's
+    * internal µs timestamps); NTZ → plain cast. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ScoredId, TopKAggregator}
+
+/** Scalar (int8) quantization ANN — the third compression geometry of
+  * the 100 TB tier family: each dimension is affinely mapped onto one
+  * byte via per-dimension corpus [min, max] bounds, so a dim-float
+  * vector stores as dim BYTES (4× smaller than float32, with none of
+  * PQ's subspace structure). The coarse scan scores queries against the
+  * DEQUANTIZED codes (error ≤ half a quantization step per dimension —
+  * far tighter than PQ at the same bit budget on spread-out data), and
+  * the bounded top-`nCand` tail is reranked against full precision.
+  *
+  * Role vs the other tiers: LSH/IVF prune WHICH vectors are scored; PQ
+  * and SQ8 shrink WHAT is read per scored vector. PQ wins at extreme
+  * compression (sub-byte per dim); SQ8 wins when 8 bits/dim is
+  * affordable and recall must stay near-exact (faiss's
+  * `ScalarQuantizer` occupies the same slot under its IVF layouts).
+  *
+  * Spark shape: bounds training is one `mapPartitions` pass emitting a
+  * per-partition (min[], max[]) pair — O(partitions × dim) to the
+  * driver, no shuffle; encoding is a second linear pass (no shuffle);
+  * the coarse scan broadcasts the query block and keeps one bounded
+  * top-`nCand` heap per query per task (the [[KnnKernel]] blocked-scan
+  * shape), so the shuffle carries O(tasks × queries × nCand) rows and
+  * the encoded corpus never exchanges. Exact rerank is the shared
+  * [[PqAnn.rerankExact]] broadcast-join path.
+  *
+  * Numeric contract (the [[IvfAnn.knnSeeded]] oracle-parity recipe):
+  * all arithmetic in double; bounds are exact per-dimension min/max
+  * (selection, not accumulation — reproducible in any engine);
+  * quantization is HALF_UP round of `(v-mn)/(mx-mn)*255` (non-negative,
+  * so identical to DuckDB's half-away-from-zero `round`); dequantize is
+  * `mn + (code/255.0)*(mx-mn)`; 9-decimal HALF_UP quantization before
+  * every ranking decision; ties break on the smaller id. The WHOLE
+  * pipeline — train, encode, coarse scan, rerank — is deterministic,
+  * so `knn_sq8` hash-checks against DuckDB with no seeded twin needed.
+  *
+  * Reference anchor: the reference scans full-precision vectors only
+  * (`/root/reference/src/multivector_reranker.cpp:183-230`); SQ is the
+  * standard published byte-quantization layer a 100 TB deployment adds
+  * under it (faiss ScalarQuantizer / DiskANN's in-memory PQ+SQ hybrid).
+  */
+object Sq8Ann {
+
+  /** Per-dimension affine quantization bounds (exact corpus min/max). */
+  case class Bounds(mins: Array[Double], maxs: Array[Double]) {
+    require(mins.length == maxs.length)
+    def dim: Int = mins.length
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** HALF_UP integer round — on non-negative inputs identical to
+    * DuckDB's `round(x, 0)` (half away from zero). */
+  private def roundCode(x: Double): Int =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+
+  /** One linear pass: per-partition (min[], max[]) partials, combined on
+    * the driver — O(partitions × dim) driver bytes, zero shuffle, the
+    * corpus is read once and never exchanged. */
+  def trainBounds(data: DataFrame): Bounds = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val partials = data.select(col("d_vec")).as[Array[Float]]
+      .mapPartitions { it =>
+        var mins: Array[Double] = null
+        var maxs: Array[Double] = null
+        it.foreach { v =>
+          if (mins == null) {
+            mins = Array.fill(v.length)(Double.PositiveInfinity)
+            maxs = Array.fill(v.length)(Double.NegativeInfinity)
+          }
+          var j = 0
+          while (j < v.length) {
+            val x = v(j).toDouble
+            if (x < mins(j)) mins(j) = x
+            if (x > maxs(j)) maxs(j) = x
+            j += 1
+          }
+        }
+        if (mins == null) Iterator.empty else Iterator.single((mins, maxs))
+      }.collect()
+    require(partials.nonEmpty, "Sq8Ann.trainBounds: empty corpus")
+    val dim = partials.head._1.length
+    val mins = Array.fill(dim)(Double.PositiveInfinity)
+    val maxs = Array.fill(dim)(Double.NegativeInfinity)
+    partials.foreach { case (mn, mx) =>
+      var j = 0
+      while (j < dim) {
+        if (mn(j) < mins(j)) mins(j) = mn(j)
+        if (mx(j) > maxs(j)) maxs(j) = mx(j)
+        j += 1
+      }
+    }
+    Bounds(mins, maxs)
+  }
+
+  private[graft] def encodeOne(v: Array[Float], b: Bounds): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var j = 0
+    while (j < v.length) {
+      val mn = b.mins(j)
+      val mx = b.maxs(j)
+      val code =
+        if (mx == mn) 0
+        else {
+          val c = roundCode((v(j).toDouble - mn) / (mx - mn) * 255.0)
+          if (c < 0) 0 else if (c > 255) 255 else c
+        }
+      out(j) = (code & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+
+  private[graft] def dequantize(codes: Array[Byte], b: Bounds,
+                                    out: Array[Double]): Unit = {
+    var j = 0
+    while (j < codes.length) {
+      val mn = b.mins(j)
+      val mx = b.maxs(j)
+      out(j) = if (mx == mn) mn
+               else mn + (((codes(j) & 0xff) / 255.0) * (mx - mn))
+      j += 1
+    }
+  }
+
+  /** Linear encode pass → (d_id, codes binary). The codes column is the
+    * persistable index artifact: dim bytes per row, 4× under float32. */
+  def encode(data: DataFrame, bounds: Bounds): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bB = spark.sparkContext.broadcast(bounds)
+    data.select(col("d_id"), col("d_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bB.value
+        it.map { case (id, v) => (id, encodeOne(v, b)) }
+      }.toDF("d_id", "codes")
+  }
+
+  /** Coarse scan: dequantized-cosine per (query, row) with one bounded
+    * top-`nCand` heap per query per task. Each row is decoded ONCE into
+    * a reusable buffer and its norm computed once, so per-row cost is
+    * O(dim + nq·dim) with no allocation in the hot loop. */
+  private[operators] def coarseCandidates(queries: DataFrame,
+      encoded: DataFrame, bounds: Bounds, nCand: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])].collect()
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map(_._2.map(_.toDouble))
+    val qNorms = qVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val qB = spark.sparkContext.broadcast((qIds, qVecs, qNorms, bounds))
+
+    encoded.select(col("d_id"), col("codes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (ids, qvs, qns, b) = qB.value
+        val nq = ids.length
+        val agg = new TopKAggregator(nCand)
+        val bufs = Array.fill(nq)(agg.zero)
+        val dec = new Array[Double](b.dim)
+        it.foreach { case (dId, codes) =>
+          dequantize(codes, b, dec)
+          var s = 0.0
+          var j = 0
+          while (j < dec.length) { s += dec(j) * dec(j); j += 1 }
+          val dNorm = math.sqrt(s)
+          var qi = 0
+          while (qi < nq) {
+            if (!(excludeSelf && ids(qi) == dId)) {
+              val qv = qvs(qi)
+              var dot = 0.0
+              var i = 0
+              while (i < qv.length) { dot += qv(i) * dec(i); i += 1 }
+              agg.reduce(bufs(qi), ScoredId(round9(dot / (qns(qi) * dNorm)), dId))
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          bufs(qi).iterator.map(s => (ids(qi), s.id, s.score))
+        }
+      }.toDF("q_id", "d_id", "ascore")
+  }
+
+  /** Coarse top-`nCand` over the encoded corpus, exact-cosine rerank
+    * against full-precision `data`. Output: (q_id, rank, d_id, score) —
+    * the shared kNN shape. */
+  def searchEncoded(queries: DataFrame, encoded: DataFrame, data: DataFrame,
+                    bounds: Bounds, k: Int, nCand: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(nCand >= k, s"nCand $nCand < k $k")
+    val partial = coarseCandidates(queries, encoded, bounds, nCand, excludeSelf)
+    val cands = TopK.perGroupAgg(partial, Seq(col("q_id")),
+      col("ascore"), col("d_id"), nCand, idName = "d_id", scoreName = "ascore")
+      .select(col("q_id"), col("d_id"))
+    PqAnn.rerankExact(queries, data, cands, k)
+  }
+
+  /** [[searchEncoded]] in bounded QUERY blocks (the [[PairKernel]]
+    * multi-pass shape): driver memory O(blockSize × dim) regardless of
+    * batch size; block outputs are disjoint query sets so the union IS
+    * the unblocked answer. */
+  def searchEncodedBlocked(queries: DataFrame, encoded: DataFrame,
+                           data: DataFrame, bounds: Bounds, k: Int,
+                           nCand: Int, excludeSelf: Boolean = false,
+                           blockSize: Int = 1 << 16): DataFrame = {
+    require(blockSize > 0)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val blockIds = queries.select(col("q_id")).as[Long]
+      .map(id => Math.floorDiv(id, blockSize.toLong))
+      .distinct().collect().sorted
+    if (blockIds.isEmpty)
+      return searchEncoded(queries, encoded, data, bounds, k, nCand,
+        excludeSelf)
+    blockIds.map { b =>
+      val blockLo = b * blockSize
+      val slice = queries
+        .filter(col("q_id") >= blockLo && col("q_id") < blockLo + blockSize)
+      searchEncoded(slice, encoded, data, bounds, k, nCand, excludeSelf)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Train + encode + search in one call (the registered-query path;
+    * offline deployments persist [[encode]]'s output and call
+    * [[searchEncoded]] directly). Deterministic end-to-end. */
+  def knn(queries: DataFrame, data: DataFrame, k: Int,
+          nCand: Int = 60, excludeSelf: Boolean = false): DataFrame = {
+    val bounds = trainBounds(data)
+    val encoded = encode(data, bounds)
+    searchEncodedBlocked(queries, encoded, data, bounds, k, nCand,
+      excludeSelf)
+  }
+}

@@ -239,6 +239,23 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // Scalar (int8) quantization ANN — hash-checked END-TO-END with no
+    // seeded twin: bounds training is exact per-dim min/max (selection,
+    // not accumulation), encode/dequantize is fixed affine arithmetic,
+    // so the full train → encode → coarse dequantized-cosine scan →
+    // exact rerank pipeline is deterministic double arithmetic DuckDB
+    // reproduces verbatim. The byte-per-dim tier of the compression
+    // family (PQ = sub-byte, SQ8 = near-exact at 4× compression).
+    "knn_sq8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.Sq8Ann.knn(q, d, K, nCand = 60, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // S15 (closing): CLIP4Clip mean-pool prep — frames grouped 5-per-video
     // (video_id = vec_id / 5), per-frame L2-normalize, per-dim mean,
     // renormalize (prepare_for_clip_webvid.py:70-105). Long form
@@ -841,8 +858,58 @@ object AnnQueries extends QueryPack {
        |LEFT JOIN hist ON hist.media_id = d.media_id""".stripMargin
   }
 
+  /** knn_sq8 oracle — the COMPLETE scalar-quantization pipeline in SQL:
+    * exact per-dim min/max bounds, HALF_UP byte quantization (non-
+    * negative, so DuckDB's half-away `round` coincides), affine
+    * dequantize, coarse dequantized-cosine top-nCand, exact rerank —
+    * all on the same 9-decimal double quantization as the Spark kernel.
+    * No seeding anywhere: SQ8's training is a selection (min/max), so
+    * the production path itself is the hash-checked path. */
+  private val knnSq8Oracle: String = {
+    import VectorQueries.{C, NQ, K}
+    val dim = 64
+    val nCand = 60
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding AS d_vec FROM embeddings),
+       |dims AS (SELECT unnest(range($dim)) AS j),
+       |bounds AS (
+       |  SELECT j, min(CAST(d_vec[j+1] AS DOUBLE)) AS mn,
+       |            max(CAST(d_vec[j+1] AS DOUBLE)) AS mx
+       |  FROM d CROSS JOIN dims GROUP BY j),
+       |recon AS (
+       |  SELECT d_id,
+       |         list(CASE WHEN mx = mn THEN mn
+       |              ELSE mn + (CAST(round(
+       |                     (CAST(d_vec[j+1] AS DOUBLE) - mn)
+       |                       / (mx - mn) * 255, 0) AS BIGINT)
+       |                   / 255.0) * (mx - mn) END
+       |              ORDER BY j) AS rvec
+       |  FROM d CROSS JOIN bounds GROUP BY d_id),
+       |coarse AS (
+       |  SELECT q.q_id, r.d_id, ${cosSql("q.q_vec", "r.rvec")} AS ascore
+       |  FROM q CROSS JOIN recon r WHERE q.q_id <> r.d_id),
+       |cand AS (
+       |  SELECT q_id, d_id FROM (
+       |    SELECT q_id, d_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ascore DESC, d_id ASC) AS crn
+       |    FROM coarse) t WHERE crn <= $nCand),
+       |scored AS (
+       |  SELECT c.q_id, c.d_id, ${cosSql("q.q_vec", "d.d_vec")} AS score
+       |  FROM cand c JOIN q USING (q_id) JOIN d USING (d_id)),
+       |ranked AS (
+       |  SELECT q_id, d_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, d_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, d_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
+    "knn_sq8" -> knnSq8Oracle,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents
         |           WHERE doc_id < 50),

@@ -478,6 +478,56 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(blocked === single)
   }
 
+  test("sq8: dequantization error bounded by half a quantization step per dim") {
+    import graft.operators.Sq8Ann
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val b = Sq8Ann.trainBounds(d)
+    val rows = d.collect()
+    val dec = new Array[Double](b.dim)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      Sq8Ann.dequantize(Sq8Ann.encodeOne(v, b), b, dec)
+      (0 until b.dim).foreach { j =>
+        val step = (b.maxs(j) - b.mins(j)) / 255.0
+        assert(math.abs(v(j).toDouble - dec(j)) <= step / 2 + 1e-12,
+          s"dim $j: |${v(j)} - ${dec(j)}| > half-step $step")
+      }
+    }
+  }
+
+  test("sq8: >=0.95 recall@10 vs exact j1 (byte codes are near-exact)") {
+    val approx = AnnQueries.queries("knn_sq8")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorQueries.queries("j1_knn_cosine")(spark, sfDir)
+      .select("q_id", "d_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, gt) =>
+      approx.getOrElse(q, Set.empty).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"SQ8 recall@10 = $avg")
+  }
+
+  test("sq8 blocked query passes equal the single-pass result") {
+    import graft.operators.Sq8Ann
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val b = Sq8Ann.trainBounds(d)
+    val enc = Sq8Ann.encode(d, b)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = key(Sq8Ann.searchEncoded(q, enc, d, b, k = 10, nCand = 40,
+      excludeSelf = true))
+    val blocked = key(Sq8Ann.searchEncodedBlocked(q, enc, d, b, k = 10,
+      nCand = 40, excludeSelf = true, blockSize = 16))
+    assert(blocked === single)
+  }
+
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val e = Tables.embeddings(spark, sfDir)
