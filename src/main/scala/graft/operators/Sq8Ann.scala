@@ -144,13 +144,15 @@ object Sq8Ann {
       }.toDF("d_id", "codes")
   }
 
-  /** Coarse scan: dequantized-cosine per (query, row) with one bounded
-    * top-`nCand` heap per query per task. Each row is decoded ONCE into
-    * a reusable buffer and its norm computed once, so per-row cost is
-    * O(dim + nq·dim) with no allocation in the hot loop. */
-  private[operators] def coarseCandidates(queries: DataFrame,
+  /** Coarse scan: dequantized score per (query, row) with one bounded
+    * top-`nCand` heap per query per task — cosine by default, negated
+    * L2² when `byL2` (so "better" is always heap-descending). Each row
+    * is decoded ONCE into a reusable buffer and its norm computed once,
+    * so per-row cost is O(dim + nq·dim) with no allocation in the hot
+    * loop. */
+  private[graft] def coarseCandidates(queries: DataFrame,
       encoded: DataFrame, bounds: Bounds, nCand: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, byL2: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries.select(col("q_id"), col("q_vec"))
@@ -177,10 +179,21 @@ object Sq8Ann {
           while (qi < nq) {
             if (!(excludeSelf && ids(qi) == dId)) {
               val qv = qvs(qi)
-              var dot = 0.0
-              var i = 0
-              while (i < qv.length) { dot += qv(i) * dec(i); i += 1 }
-              agg.reduce(bufs(qi), ScoredId(round9(dot / (qns(qi) * dNorm)), dId))
+              val score =
+                if (byL2) {
+                  var l2 = 0.0
+                  var i = 0
+                  while (i < qv.length) {
+                    val d = qv(i) - dec(i); l2 += d * d; i += 1
+                  }
+                  -round9(l2)
+                } else {
+                  var dot = 0.0
+                  var i = 0
+                  while (i < qv.length) { dot += qv(i) * dec(i); i += 1 }
+                  round9(dot / (qns(qi) * dNorm))
+                }
+              agg.reduce(bufs(qi), ScoredId(score, dId))
             }
             qi += 1
           }

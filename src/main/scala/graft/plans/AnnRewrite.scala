@@ -197,6 +197,29 @@ object AnnIndexRegistry {
           .select(col("d_id"))
       }))
 
+  /** [[registerTier]] with the SQ8 byte-code tier as the generator —
+    * coarse dequantized scan over the 4×-compressed codes (see
+    * [[graft.operators.Sq8Ann]]); candidate ids only, exact rescoring
+    * is the route's own. `encoded` is [[graft.operators.Sq8Ann.encode]]
+    * output (persist it for a serving deployment); coarse geometry
+    * follows `metricName` ("l2" ranks by dequantized L2², otherwise
+    * dequantized cosine). */
+  def registerSq8(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String, encoded: org.apache.spark.sql.DataFrame,
+                  bounds: graft.operators.Sq8Ann.Bounds,
+                  metricName: String, nCand: Int = 60): Unit =
+    registerTier(corpus, idCol, vecCol, CandidateTierEntry(
+      "sq8", corpus, idCol, vecCol, metricName, bounds.dim,
+      (s, qv, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+        graft.operators.Sq8Ann.coarseCandidates(q, encoded, bounds,
+          math.max(nCand, 4 * k), excludeSelf = false,
+          byL2 = metricName == "l2")
+          .select(col("d_id"))
+      }))
+
   def lookupTier(idCol: String, vecCol: String,
                  byL2: Boolean): Option[CandidateTierEntry] =
     lookupTierWithFp(idCol, vecCol, byL2).map(_._2)

@@ -116,6 +116,18 @@ object AnnQueries extends QueryPack {
         corpus.select(col("id").as("doc_id")), pairs)
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023) over the planted
+    // near-dup corpus: seeded-centroid cell assignment, cell-LOCAL
+    // cosine≥τ dup marking, greedy-by-id survivors. Hash-checked
+    // END-TO-END — the production path IS the oracle path (the seeded
+    // centroid pick is the only "training", and it's deterministic).
+    "semdedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.SemDedup.markSeeded(plantNearDupsExact(base),
+        nlist = 16, tau = 0.9)
+    }),
+
     // IVF with a corpus-SEEDED (training-free) quantizer — the
     // oracle-checkable twin of knn_ivf: seed pick, cell assignment,
     // probing, and exact rerank are ALL deterministic double arithmetic,
@@ -763,9 +775,9 @@ object AnnQueries extends QueryPack {
     * planted corpus, seeded planes, pinned 12×12 banding, cosine-scored
     * candidates) — consumed by both the pair oracle and the end-to-end
     * cluster oracle. */
-  private val thresholdSeededCtes: String = {
-    val p = 144
-    val b = 12
+  /** The planted-near-dup corpus (base ∪ id+10⁶ perturbed copies) as
+    * reusable SQL CTEs — the [[plantNearDupsExact]] twin. */
+  private val plantedCorpusCtes: String =
     s"""plantedlong AS (
        |  SELECT vec_id, j,
        |         CAST(CAST(x AS DOUBLE) * (1.0 + 0.05 *
@@ -777,7 +789,12 @@ object AnnQueries extends QueryPack {
        |  SELECT vec_id AS id, embedding AS vec FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS id, list(xf ORDER BY j) AS vec
-       |  FROM plantedlong GROUP BY vec_id),
+       |  FROM plantedlong GROUP BY vec_id)""".stripMargin
+
+  private val thresholdSeededCtes: String = {
+    val p = 144
+    val b = 12
+    s"""$plantedCorpusCtes,
        |pl AS (
        |  SELECT rn - 1 AS r, p_vec FROM (
        |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
@@ -818,6 +835,35 @@ object AnnQueries extends QueryPack {
        |       COALESCE(l.cluster_id, c.id) AS cluster_id,
        |       CAST(COALESCE(l.cluster_id, c.id) = c.id AS BIGINT) AS is_canonical
        |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.id""".stripMargin
+
+  /** semdedup oracle — the complete SemDeDup pipeline in SQL: planted
+    * corpus, md5-ranked seeded centroids, argmax-cosine cell assignment
+    * (the [[ivfSeededOracle]] CTE shape), cell-local pair scan, greedy
+    * lower-id dup marking — all on the same 9-decimal double
+    * quantization as the Spark kernel. */
+  private val semDedupOracle: String = {
+    val nlist = 16
+    val tau = 0.9
+    s"""WITH $plantedCorpusCtes,
+       |seeds AS (
+       |  SELECT rn - 1 AS cell, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
+       |           vec AS s_vec
+       |    FROM corpus) t WHERE rn <= $nlist),
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT c.id, c.vec, s.cell,
+       |           row_number() OVER (PARTITION BY c.id
+       |             ORDER BY ${cosSql("c.vec", "s.s_vec")} DESC, s.cell ASC) AS rn
+       |    FROM corpus c CROSS JOIN seeds s) t WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.id
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${cosSql("a.vec", "b.vec")} >= $tau)
+       |SELECT c.id, CAST(c.cell AS BIGINT) AS cell,
+       |       CAST(CASE WHEN d.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM assigned c LEFT JOIN dups d ON d.id = c.id""".stripMargin
+  }
 
   /** DuckDB byte extraction for the media oracle: hex-encode the payload
     * and decode each byte as two nibble lookups (pure SQL, no blob
@@ -910,6 +956,7 @@ object AnnQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
+    "semdedup" -> semDedupOracle,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents
         |           WHERE doc_id < 50),

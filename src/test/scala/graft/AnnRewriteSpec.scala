@@ -336,6 +336,44 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
+    setup
+    import graft.operators.Sq8Ann
+    val dir = "target/tmp/ann_sq8_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid3"), col("embedding").as("vec3"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("sq8_corpus")
+    val d = corpus.select(col("vid3").as("d_id"), col("vec3").as("d_vec"))
+    val bounds = Sq8Ann.trainBounds(d)
+    val encoded = Sq8Ann.encode(d, bounds).cache()
+    encoded.count()
+    AnnIndexRegistry.registerSq8(corpus, "vid3", "vec3", encoded, bounds,
+      metricName = "ip", nCand = 60)
+    val q = corpus.filter(col("vid3") === 7).select("vec3").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val dotSql = s"""SELECT vid3, graft_vec_dot(vec3, $q) AS score
+                    |FROM sq8_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(dotSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("sq8"), "not routed to the sq8 tier")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"sq8-tier recall $recall")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("sharded tier route: persisted shards (incl. a delta) serve SQL top-k") {
     setup
     import graft.index.ShardedIndex

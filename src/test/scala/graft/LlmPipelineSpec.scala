@@ -528,6 +528,47 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(blocked === single)
   }
 
+  test("semdedup: marking equals the brute-force cell-local rule, min-id chains survive") {
+    import graft.operators.SemDedup
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = AnnQueries.plantNearDupsExact(base)
+    val tau = 0.9
+    val out = SemDedup.markSeeded(corpus, nlist = 8, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    assert(out.length == vecs.size, "one output row per corpus row")
+    def cos9(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // recompute the dup rule from the operator's own cell assignment:
+    // flagged iff SOME lower-id same-cell row has cos9 >= tau
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (id, cell, isDup) =>
+      val expected = byCell(cell).exists { case (other, _, _) =>
+        other < id && cos9(vecs(other), vecs(id)) >= tau
+      }
+      assert(isDup == (if (expected) 1L else 0L),
+        s"id $id in cell $cell: marked $isDup, brute-force says $expected")
+    }
+    // the fixture plants one near-dup per base vector; cell-local
+    // capture must flag a nontrivial share of them
+    val dups = out.count(_._3 == 1L)
+    assert(dups > 0, "no duplicates flagged on the planted corpus")
+    // every cell's minimum id survives
+    byCell.foreach { case (cell, rows) =>
+      val minId = rows.map(_._1).min
+      assert(rows.find(_._1 == minId).get._3 == 0L,
+        s"cell $cell: min id $minId was marked duplicate")
+    }
+  }
+
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val e = Tables.embeddings(spark, sfDir)
