@@ -140,9 +140,37 @@ object Hnsw {
     buildBatched(vecs, metricName, m, efConstruction, seed, maxBuildN,
       maxBatch, threads)
 
+  /** Delta-ingest: continue the id-order insert loop of an existing
+    * index over the GROWN store (`combined` = the base corpus the index
+    * was built over, followed by the delta rows as ids
+    * `idx.levels.length..combined.n-1`). Because node levels are a pure
+    * function of (seed, id) and the insert loop only ever REPLACES
+    * adjacency arrays (never mutates one in place), the prior index's
+    * layers are reused by reference and stay valid — the returned index
+    * shares unmodified adjacency with the base (both remain searchable).
+    * Deterministic for a given ingest history; recall parity with a
+    * fresh build is gated in IndexSpec (exact equality is not promised —
+    * batch-ramp boundaries differ, the same trade hnswlib's insert-order
+    * sensitivity accepts). Closes the lifecycle gap of the broadcast
+    * graph tiers: RoarGraph delta-ingests via [[ShardedIndex
+    * .appendDelta]]; HNSW now via append (reference analog: hnswlib
+    * `addPoint` on a live index, `tests/hnsw/search_rerank_hnsw.cpp`). */
+  def append(idx: HnswIndex, combined: VectorStore,
+             efConstruction: Int = 500, seed: Long = 42L,
+             maxBuildN: Int = 1 << 20, maxBatch: Int = 256,
+             threads: Int = Runtime.getRuntime.availableProcessors)
+      : HnswIndex = {
+    require(combined.n >= idx.levels.length,
+      s"combined store (${combined.n}) smaller than the base index " +
+        s"(${idx.levels.length}) — append needs base rows + delta rows")
+    buildBatched(combined, idx.metricName, idx.m, efConstruction, seed,
+      maxBuildN, maxBatch, threads, prior = Some(idx))
+  }
+
   private def buildBatched(vecs: VectorStore, metricName: String, m: Int,
                            efConstruction: Int, seed: Long, maxBuildN: Int,
-                           maxBatch: Int, threads: Int): HnswIndex = {
+                           maxBatch: Int, threads: Int,
+                           prior: Option[HnswIndex] = None): HnswIndex = {
     require(vecs.n <= maxBuildN,
       s"Hnsw build is a driver-local kernel (baseline arm): n=${vecs.n} " +
         s"exceeds maxBuildN=$maxBuildN. Use GraphBuild/ShardedIndex for " +
@@ -156,6 +184,22 @@ object Hnsw {
     if (n == 0) return new HnswIndex(m, layers, levels, -1, -1, metricName)
     var entry = 0
     var entryLevel = levels(0)
+    prior.foreach { p =>
+      // same (seed, m) ⇒ identical level prefix; anything else means the
+      // caller is appending onto an index built with different knobs
+      require(java.util.Arrays.equals(p.levels,
+          java.util.Arrays.copyOfRange(levels, 0, p.levels.length)),
+        "append: level prefix mismatch — base index built with a " +
+          "different (seed, m) than this append call")
+      for (layer <- p.layers.indices)
+        System.arraycopy(p.layers(layer), 0, layers(layer), 0,
+          p.layers(layer).length)
+      entry = p.entryPoint
+      entryLevel = p.maxLevel
+    }
+    val startFrom = prior.map(_.levels.length).getOrElse(1)
+    if (startFrom >= n)
+      return new HnswIndex(m, layers, levels, entry, entryLevel, metricName)
 
     /** Read-only phase for node v against the frozen graph: greedy
       * descent from the batch-start entry, then per-layer ef-search;
@@ -200,7 +244,7 @@ object Hnsw {
     val pool =
       if (threads > 1) new java.util.concurrent.ForkJoinPool(threads) else null
     try {
-      var start = 1
+      var start = startFrom
       var batch = 1
       while (start < n) {
         val end = math.min(n, start + batch)

@@ -113,6 +113,55 @@ object TextQueries extends QueryPack {
           PhoneRe, "<PHONE>"))
       .drop("text")
 
+  /** ExactSubstr-style duplicate-SPAN accounting (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022 —
+    * the span-removal step after duplicate n-grams are found): every
+    * token position opening an n-gram that appears in ≥2 documents is a
+    * duplicate interval [i, i+n); overlapping intervals merge into
+    * islands (gaps-and-islands: running max-end window per doc, island
+    * id = cumulative new-island flag), and the output reports per doc
+    * how many merged regions a span-stripper would cut and how many
+    * tokens survive. Shuffles: two md5-gram-keyed linear passes (the
+    * [[queries]]' `text_dup_spans` shape) + per-doc windows (bounded by
+    * document length, never a global sort). */
+  def dupSpanStrip(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+    val withPos = t.select(col("doc_id"), explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => struct(i.cast("long").as("s"),
+              md5(concat_ws(" ", (0 until n).map(j =>
+                element_at(col("toks"), i + j + 1)): _*)).as("g"))))
+          .otherwise(array().cast("array<struct<s:bigint,g:string>>")))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.s").as("s"), col("pg.g").as("g"))
+    val dc = withPos.groupBy("g").agg(countDistinct("doc_id").as("n_docs"))
+    val iv = withPos.join(dc, "g").filter(col("n_docs") >= 2)
+      .select(col("doc_id"), col("s"), (col("s") + n).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val islands = iv
+      .withColumn("prev_max",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perIsland = islands.groupBy("doc_id", "island")
+      .agg((max("e") - min("s")).as("covered"))
+    val perDoc = perIsland.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_regions"),
+        sum("covered").cast("long").as("dup_tokens"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .as("kept_tokens"))
+  }
+
   private val plantPiiSql =
     """SELECT doc_id,
       |       text ||
@@ -659,6 +708,12 @@ object TextQueries extends QueryPack {
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
     }),
 
+    // ExactSubstr-style span STRIPPING accounting on top of the dup-gram
+    // detection: merged duplicate regions per doc (gaps-and-islands) +
+    // surviving token count — what a span-removal pass would actually
+    // cut, not just how many grams repeat.
+    "text_dup_span_strip" -> ((s, dir) => dupSpanStrip(docs(s, dir))),
+
     // Deterministic train/val/test SPLIT assignment — hash-range split
     // (93.75 / 3.125 / 3.125 via power-of-two hex thresholds): seedless,
     // reproducible on any engine, stable under corpus growth (a doc
@@ -1182,6 +1237,41 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "text_dup_span_strip" ->
+        s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |gr AS (SELECT doc_id, unnest(range(greatest(len(toks) - 7, 0))) AS s,
+           |              toks FROM t),
+           |gh AS (SELECT doc_id, s,
+           |         md5(toks[s + 1] || ' ' || toks[s + 2] || ' ' || toks[s + 3]
+           |           || ' ' || toks[s + 4] || ' ' || toks[s + 5] || ' ' || toks[s + 6]
+           |           || ' ' || toks[s + 7] || ' ' || toks[s + 8]) AS g
+           |       FROM gr),
+           |dc AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM gh GROUP BY g),
+           |iv AS (SELECT doc_id, s, s + 8 AS e
+           |       FROM gh JOIN dc USING (g) WHERE n_docs >= 2),
+           |m AS (SELECT doc_id, s, e,
+           |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |      FROM iv),
+           |fl AS (SELECT doc_id, s, e,
+           |         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           |           AS new_island
+           |       FROM m),
+           |isl AS (SELECT doc_id, s, e,
+           |          sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |        FROM fl),
+           |pi AS (SELECT doc_id, island, max(e) - min(s) AS covered
+           |       FROM isl GROUP BY doc_id, island),
+           |pd AS (SELECT doc_id, count(*) AS n_dup_regions,
+           |         CAST(sum(covered) AS BIGINT) AS dup_tokens
+           |       FROM pi GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |       COALESCE(pd.n_dup_regions, 0) AS n_dup_regions,
+           |       COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+           |       CAST(len(t.toks) AS BIGINT) - COALESCE(pd.dup_tokens, 0)
+           |         AS kept_tokens
+           |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id""".stripMargin,
       "split_assign" ->
         """SELECT doc_id,
           |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f0000000'

@@ -404,6 +404,54 @@ class IndexSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"HNSW Recall@10 = $avg")
   }
 
+  test("HNSW delta-ingest: grown index >=0.9 recall, deterministic, base untouched") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nTotal = emb.count().toInt
+    val nBase = nTotal / 2
+    val baseStore = VectorStore.fromDf(emb.filter(col("vec_id") < nBase),
+      "vec_id", "embedding", Metrics("cosine"))
+    val allStore = VectorStore.fromDf(emb, "vec_id", "embedding",
+      Metrics("cosine"))
+    val base = Hnsw.buildParallel(baseStore, "cosine")
+    val grown = Hnsw.append(base, allStore)
+    val grown2 = Hnsw.append(base, allStore)
+    // determinism: two appends from the same base are bit-identical
+    assert(grown.entryPoint === grown2.entryPoint &&
+      grown.maxLevel === grown2.maxLevel)
+    for (layer <- grown.layers.indices; v <- grown.layers(layer).indices)
+      assert(java.util.Arrays.equals(grown.layers(layer)(v),
+        grown2.layers(layer)(v)), s"append diverged at layer $layer node $v")
+    // base untouched: its adjacency still equals a fresh base build
+    val fresh = Hnsw.buildParallel(baseStore, "cosine")
+    for (layer <- fresh.layers.indices; v <- fresh.layers(layer).indices)
+      assert(java.util.Arrays.equals(base.layers(layer)(v),
+        fresh.layers(layer)(v)), s"append mutated base layer $layer node $v")
+    // grown index serves the whole corpus (delta ids reachable)
+    val vecsB = spark.sparkContext.broadcast(allStore)
+    val grownB = spark.sparkContext.broadcast(grown)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Hnsw.searchDf(spark, q, grownB, vecsB, k = 10, ef = 60)
+      .groupBy("q_id").agg(collect_set(col("d_id")).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exact = GraphBuild.exactKnn(spark, q, 10, vecsB, "cosine",
+        excludeSelf = false)
+      .as[(Long, Seq[Long])].collect().toMap
+    val recalls = exact.map { case (qid, gt) =>
+      hits.get(qid).map(_.toSet.intersect(gt.toSet).size / 10.0).getOrElse(0.0)
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"grown-HNSW Recall@10 = $avg")
+    assert(hits.values.exists(_.exists(_ >= nBase)),
+      "no delta id ever surfaced — delta rows unreachable in the grown graph")
+    // a too-small combined store is rejected loudly
+    intercept[IllegalArgumentException] {
+      Hnsw.append(grown, baseStore)
+    }
+  }
+
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
     // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded}

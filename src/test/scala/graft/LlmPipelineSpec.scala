@@ -528,6 +528,32 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(blocked === single)
   }
 
+  test("dup span strip: hand-checked interval merge on planted duplicate spans") {
+    import spark.implicits._
+    val common = (1 to 12).map(i => s"w$i").mkString(" ")
+    val cA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val cB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docsDf = Seq(
+      // doc1/doc2 share the 12-token run `common`: 5 overlapping dup
+      // 8-grams each, merging to ONE region of 12 tokens
+      (1L, common + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      (2L, "x1 x2 x3 " + common),
+      // doc3: fully unique — zero regions
+      (3L, (1 to 30).map(i => s"z$i").mkString(" ")),
+      // doc4/doc5 share TWO separated 8-token runs — two merged regions
+      (4L, cA + " " + (1 to 8).map(i => s"m$i").mkString(" ") + " " + cB),
+      (5L, cA + " " + (1 to 8).map(i => s"q$i").mkString(" ") + " " + cB)
+    ).toDF("doc_id", "text")
+    val out = TextQueries.dupSpanStrip(docsDf, n = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((22L, 1L, 12L, 10L)), s"doc1: ${out(1L)}")
+    assert(out(2L) === ((15L, 1L, 12L, 3L)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((30L, 0L, 0L, 30L)), s"doc3: ${out(3L)}")
+    assert(out(4L) === ((24L, 2L, 16L, 8L)), s"doc4: ${out(4L)}")
+    assert(out(5L) === ((24L, 2L, 16L, 8L)), s"doc5: ${out(5L)}")
+  }
+
   test("semdedup: marking equals the brute-force cell-local rule, min-id chains survive") {
     import graft.operators.SemDedup
     val base = Tables.embeddings(spark, sfDir)
