@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * fixed-overhead-dominated sub-second queries from tripping on noise.
   * Exemptions (documented super-linear SEMANTICS, not plan defects):
   * dedup_embedding_cosine is an exact all-pairs top-N — compute is O(N²)
-  * by definition (its scale path is the thresholded LSH twin).
+  * by definition (its scale path is the thresholded LSH twin);
+  * semdedup's FIXTURE parameterization pins nlist=16 so the DuckDB
+  * oracle is a fixed SQL text — per-cell pair scans are then O((N/16)²).
+  * Production callers scale nlist with the corpus ([[graft.operators
+  * .SemDedup.markSeeded]] takes it as a parameter; nlist ∝ √N balances
+  * assignment vs pair-scan at the classic IVF N^1.5).
   *
   * Usage: `runMain graft.ScaleSmoke [srcDir] [factor] [workDir]`;
   * reads BENCH_LOCAL.json (env SPARK_GRAFT_BASE_BENCH overrides), writes
@@ -34,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val Exempt = Set("dedup_embedding_cosine")
+  private val Exempt = Set("dedup_embedding_cosine", "semdedup")
 
   /** Letters shifted by `r` within each case; digits/punct unchanged. */
   private def caesar(c: Column, r: Int): Column = {

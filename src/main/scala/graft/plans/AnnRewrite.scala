@@ -139,23 +139,54 @@ object AnnIndexRegistry {
         * LEAST the k best candidate ids (more is fine — rescoring
         * bounds the final answer). Runs on the driver at execute time;
         * must launch distributed work, not collect the corpus. */
-      candidates: (SparkSession, Array[Float], Int) => org.apache.spark.sql.DataFrame)
+      candidates: (SparkSession, Array[Float], Int) => org.apache.spark.sql.DataFrame,
+      /** COST HINT for the tier chooser: estimated fraction of the
+        * full-precision corpus bytes the COARSE stage reads per query
+        * (the dominant term of a compressed-tier probe at scale — the
+        * bounded rescoring join is shared by every tier). Lower wins
+        * when several tiers are registered for the same (idCol, vecCol,
+        * metric); ties break on the tier name. Built-in registrations
+        * compute an honest value; user tiers default to 1.0 (a full
+        * coarse scan) and should override. */
+      costHint: Double = 1.0)
 
+  /** All candidate tiers per (idCol, vecCol, metric), keyed by tier
+    * name — MULTIPLE tiers may now serve one corpus (e.g. an IVF-PQ
+    * codes index AND an SQ8 byte index); the chooser picks by cost. */
   private val tierEntries =
-    new TrieMap[(String, String, String), (String, CandidateTierEntry)]
+    new TrieMap[(String, String, String), Map[String, (String, CandidateTierEntry)]]
 
   /** Register a candidate tier over `corpus` (a bare scan) — same
     * fingerprint proof as [[register]], so only queries over THIS
-    * relation route to it. Last registration per (idCol, vecCol,
-    * metric) wins. */
+    * relation route to it. Tiers accumulate per (idCol, vecCol,
+    * metric); re-registering the same tier NAME replaces it. Selection:
+    * `spark.graft.ann.tier` forces a name ("graph" forces the broadcast
+    * graph; a name with no registration = no routing, exhaustive plan);
+    * otherwise the lowest [[CandidateTierEntry.costHint]] wins. */
   def registerTier(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                    vecCol: String, entry: CandidateTierEntry): Unit = {
     val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
       sys.error("ANN registration requires a bare scan corpus (no " +
         "Filter/Join/expression-Project above the relation): " +
         corpus.queryExecution.optimizedPlan.nodeName))
-    tierEntries.put((idCol, vecCol, entry.metricName), (fp, entry))
+    val key = (idCol, vecCol, entry.metricName)
+    tierEntries.updateWith(key) {
+      case Some(m) => Some(m + (entry.name -> ((fp, entry))))
+      case None => Some(Map(entry.name -> ((fp, entry))))
+    }
   }
+
+  /** Pick among a key's registered tiers: the `preferred` name when
+    * given, else min (costHint, name). */
+  private def chooseTier(m: Map[String, (String, CandidateTierEntry)],
+                         preferred: Option[String])
+      : Option[(String, CandidateTierEntry)] =
+    preferred match {
+      case Some(name) => m.get(name)
+      case None =>
+        if (m.isEmpty) None
+        else Some(m.minBy { case (name, (_, e)) => (e.costHint, name) }._2)
+    }
 
   /** [[registerTier]] with the built-in IVF-PQ generator: candidates by
     * partition-pruned probe + ADC over a
@@ -168,7 +199,16 @@ object AnnIndexRegistry {
       if (entry.centroids.isEmpty) -1 else entry.centroids(0).length,
       (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,
         entry.centroids, entry.codebooks, entry.nProbe,
-        math.max(entry.nCand, 4 * k))))
+        math.max(entry.nCand, 4 * k)),
+      // probed-cell fraction × PQ codes-vs-float compression: the
+      // coarse stage reads ~nProbe/nlist of a nSub/(4·dim)-sized layout
+      costHint = {
+        val dim = if (entry.centroids.isEmpty) 1
+                  else entry.centroids(0).length
+        val nlist = math.max(entry.centroids.length, 1)
+        (entry.nProbe.toDouble / nlist) *
+          (entry.codebooks.length.toDouble / (4.0 * dim))
+      }))
 
   /** Constructor payload for [[registerIvfPq]]. */
   case class IvfPqEntry(path: String, data: org.apache.spark.sql.DataFrame,
@@ -195,7 +235,11 @@ object AnnIndexRegistry {
         graft.index.ShardedIndex
           .searchSingleDf(s, q, ref, l = math.max(searchL, 4 * k), k = 4 * k)
           .select(col("d_id"))
-      }))
+      },
+      // beam search touches O(searchL · degree) vectors per shard — a
+      // tiny read fraction once shards are resident; the honest cost is
+      // shard residency churn, approximated by a small constant
+      costHint = 0.02))
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —
     * coarse dequantized scan over the 4×-compressed codes (see
@@ -218,18 +262,24 @@ object AnnIndexRegistry {
           math.max(nCand, 4 * k), excludeSelf = false,
           byL2 = metricName == "l2")
           .select(col("d_id"))
-      }))
+      },
+      // full coarse scan over byte codes = 1/4 of the float bytes
+      costHint = 0.25))
 
-  def lookupTier(idCol: String, vecCol: String,
-                 byL2: Boolean): Option[CandidateTierEntry] =
-    lookupTierWithFp(idCol, vecCol, byL2).map(_._2)
+  def lookupTier(idCol: String, vecCol: String, byL2: Boolean,
+                 preferred: Option[String] = None): Option[CandidateTierEntry] =
+    lookupTierWithFp(idCol, vecCol, byL2, preferred).map(_._2)
 
   /** [[lookupTier]] plus the registered corpus fingerprint — execute-time
-    * callers re-verify it against the fingerprint proven at plan time. */
-  def lookupTierWithFp(idCol: String, vecCol: String,
-                       byL2: Boolean): Option[(String, CandidateTierEntry)] =
+    * callers re-verify it against the fingerprint proven at plan time,
+    * and pass the planned tier NAME as `preferred` so execution resolves
+    * the same tier the chooser picked. */
+  def lookupTierWithFp(idCol: String, vecCol: String, byL2: Boolean,
+                       preferred: Option[String] = None)
+      : Option[(String, CandidateTierEntry)] =
     routeMetrics(byL2).iterator
-      .flatMap(m => tierEntries.get((idCol, vecCol, m)))
+      .flatMap(m => tierEntries.get((idCol, vecCol, m))
+        .flatMap(chooseTier(_, preferred)))
       .nextOption()
 
   /** [[lookup]] plus the registered corpus fingerprint. */
@@ -240,12 +290,16 @@ object AnnIndexRegistry {
       .nextOption()
 
   def lookupTierFor(idCol: String, vecCol: String, byL2: Boolean,
-                    child: LogicalPlan): Option[CandidateTierEntry] =
+                    child: LogicalPlan,
+                    preferred: Option[String] = None)
+      : Option[CandidateTierEntry] =
     routeMetrics(byL2).iterator.flatMap { m =>
       for {
-        (fp, entry) <- tierEntries.get((idCol, vecCol, m))
+        byName <- tierEntries.get((idCol, vecCol, m))
         childFp <- scanFingerprint(child)
-        if childFp == fp
+        // only tiers registered over THIS relation compete for the query
+        (_, entry) <- chooseTier(
+          byName.filter { case (_, (fp, _)) => fp == childFp }, preferred)
       } yield entry
     }.nextOption()
 
@@ -335,18 +389,28 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           // different table that happens to share column names, bails out
           // to the exhaustive plan rather than silently searching the
           // whole registered corpus. Graph tier first (broadcast, one
-          // task); the IVF-PQ tier only when no graph index matches.
+          // task); otherwise the cheapest registered candidate tier by
+          // costHint. `spark.graft.ann.tier` forces a tier by name
+          // ("graph" = the broadcast graph; a name with no registration
+          // routes nowhere — exhaustive plan, failing safe).
           // dim-mismatch gates on both: the exhaustive plan's expression
           // throws on it; the index path must not instead return
           // truncated scores — bail out so both routes fail identically.
-          tier <- AnnIndexRegistry
-            .lookupFor(idAttr.name, vecAttr.name, byL2, projChild)
-            .filter(_.rawVecsB.value.dim == qv.length)
-            .map(_ => "graph")
-            .orElse(AnnIndexRegistry
-              .lookupTierFor(idAttr.name, vecAttr.name, byL2, projChild)
+          tier <- {
+            val pref = SQLConf.get
+              .getConfString("spark.graft.ann.tier", "").trim
+            val graph = AnnIndexRegistry
+              .lookupFor(idAttr.name, vecAttr.name, byL2, projChild)
+              .filter(_.rawVecsB.value.dim == qv.length)
+              .map(_ => "graph")
+            def tiers(p: Option[String]) = AnnIndexRegistry
+              .lookupTierFor(idAttr.name, vecAttr.name, byL2, projChild, p)
               .filter(_.dim == qv.length)
-              .map(_.name))
+              .map(_.name)
+            if (pref == "graph") graph
+            else if (pref.nonEmpty) tiers(Some(pref))
+            else graph.orElse(tiers(None))
+          }
           fp <- AnnIndexRegistry.scanFingerprint(projChild)
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2,
@@ -412,9 +476,11 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = {
     if (node.tier != "graph") {
       val (storedFp, entry) = AnnIndexRegistry
-        .lookupTierWithFp(node.idName, node.vecName, node.byL2)
+        .lookupTierWithFp(node.idName, node.vecName, node.byL2,
+          preferred = Some(node.tier))
         .getOrElse(sys.error(
-          s"candidate tier for (${node.idName}, ${node.vecName}) vanished"))
+          s"candidate tier '${node.tier}' for (${node.idName}, " +
+            s"${node.vecName}) vanished"))
       checkFingerprint(storedFp, "candidate tier")
       val rows = tierRows(entry)
       val idFirst = node.idFirst

@@ -336,6 +336,38 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("tier chooser: cheapest costHint wins, conf forces a named tier") {
+    val q = ivfpqSetup // registers the ivfpq tier (ip + l2) on ivfpq_corpus
+    import graft.operators.Sq8Ann
+    val corpus = spark.read.parquet("target/tmp/ann_ivfpq_corpus")
+    val d = corpus.select(col("vid").as("d_id"), col("vec").as("d_vec"))
+    val bounds = Sq8Ann.trainBounds(d)
+    val encoded = Sq8Ann.encode(d, bounds).cache()
+    encoded.count()
+    // second tier on the SAME corpus/columns/metric
+    AnnIndexRegistry.registerSq8(corpus, "vid", "vec", encoded, bounds,
+      metricName = "ip", nCand = 60)
+    val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
+                    |FROM ivfpq_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      // ivfpq's hint ((nProbe/nlist) · nSub/(4·dim)) ≪ sq8's 0.25
+      assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
+        "chooser did not pick the cheaper ivfpq tier")
+      spark.conf.set("spark.graft.ann.tier", "sq8")
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("sq8"), "conf did not force the sq8 tier")
+      assert(df.collect().length === 10)
+      // forcing an unregistered name routes nowhere (exhaustive plan)
+      spark.conf.set("spark.graft.ann.tier", "no_such_tier")
+      assert(routedTier(spark.sql(dotSql)).isEmpty,
+        "unknown forced tier must fail safe to the exhaustive plan")
+    } finally {
+      spark.conf.unset("spark.graft.ann.tier")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
     setup
     import graft.operators.Sq8Ann
