@@ -708,6 +708,47 @@ object TextQueries extends QueryPack {
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+    // published heuristic filter battery MassiveText/RefinedWeb-style
+    // pipelines run before dedup): word-count bounds, mean-word-length
+    // bounds, symbol-to-word ratio, alphabetic-word fraction, stopword
+    // floor — pure per-row expressions (zero shuffle), each signal
+    // reported plus the composed keep flag. Thresholds are the paper's.
+    "text_gopher_rules" -> ((s, dir) => {
+      val stopLit = typedLit(Stop)
+      val t = docs(s, dir).select(col("doc_id"), col("text"),
+        tokensCol.as("toks"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+      val sumLen = aggregate(col("toks"), lit(0L),
+        (acc, tok) => acc + length(tok).cast("long"))
+      val meanWl = when(col("n_words") === 0, lit(0.0))
+        .otherwise(round(sumLen.cast("double") / col("n_words"), 9))
+      val alphaFrac = when(col("n_words") === 0, lit(0.0))
+        .otherwise(round(
+          size(filter(col("toks"), tok => tok.rlike("[a-z]")))
+            .cast("double") / col("n_words"), 9))
+      val symbolRatio = when(col("n_words") === 0, lit(0.0))
+        .otherwise(round(
+          (regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+            col("n_words"), 9))
+      val stopHits = size(filter(col("toks"),
+        tok => array_contains(stopLit, tok))).cast("long")
+      t.withColumn("mean_word_len", meanWl)
+        .withColumn("alpha_frac", alphaFrac)
+        .withColumn("symbol_ratio", symbolRatio)
+        .withColumn("stop_hits", stopHits)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          col("stop_hits"),
+          (col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8 &&
+            col("stop_hits") >= 2).cast("long").as("keep"))
+    }),
+
     // ExactSubstr-style span STRIPPING accounting on top of the dup-gram
     // detection: merged duplicate regions per doc (gaps-and-islands) +
     // surviving token count — what a span-removal pass would actually
@@ -1237,6 +1278,36 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "text_gopher_rules" ->
+        s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+           |sig AS (
+           |  SELECT doc_id,
+           |         CAST(len(toks) AS BIGINT) AS n_words,
+           |         CASE WHEN len(toks) = 0 THEN 0.0
+           |              ELSE round(CAST(list_sum(list_transform(toks,
+           |                t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+           |                / len(toks), 9) END AS mean_word_len,
+           |         CASE WHEN len(toks) = 0 THEN 0.0
+           |              ELSE round(CAST(len(list_filter(toks,
+           |                t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |                / len(toks), 9) END AS alpha_frac,
+           |         CASE WHEN len(toks) = 0 THEN 0.0
+           |              ELSE round(CAST(len(regexp_extract_all(text, '#'))
+           |                + len(regexp_extract_all(text, '\\.\\.\\.'))
+           |                AS DOUBLE) / len(toks), 9) END AS symbol_ratio,
+           |         CAST(len(list_filter(toks, t -> t IN $StopSqlList))
+           |           AS BIGINT) AS stop_hits
+           |  FROM t)
+           |SELECT doc_id, n_words,
+           |       round(mean_word_len, 6) AS mean_word_len,
+           |       round(alpha_frac, 6) AS alpha_frac,
+           |       round(symbol_ratio, 6) AS symbol_ratio,
+           |       stop_hits,
+           |       CAST(n_words >= 50 AND n_words <= 100000
+           |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |         AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+           |         AND stop_hits >= 2 AS BIGINT) AS keep
+           |FROM sig""".stripMargin,
       "text_dup_span_strip" ->
         s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
            |gr AS (SELECT doc_id, unnest(range(greatest(len(toks) - 7, 0))) AS s,

@@ -349,6 +349,32 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction probe wrong: $inc")
   }
 
+  test("streaming SQ8 encode matches the batch encode row-for-row") {
+    import graft.operators.Sq8Ann
+    // bounds come from the batch (offline) side; encode is stateless so
+    // the byte-code ingest face composes with streaming unchanged
+    val d = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      .limit(32).cache()
+    val bounds = Sq8Ann.trainBounds(d)
+    val batch = Sq8Ann.encode(d, bounds).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toVector)).toMap
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Sq8Ann.encode(input.toDF().toDF("d_id", "d_vec"), bounds)
+      .writeStream.format("memory").queryName("sq8_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      input.addData(rows.take(16).toSeq)
+      input.addData(rows.drop(16).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sq8_stream").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toVector)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming PQ encode matches the batch encode row-for-row") {
     import graft.operators.PqAnn
     // codebooks come from the batch (offline) side; the stream is the
