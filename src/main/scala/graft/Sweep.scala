@@ -160,6 +160,12 @@ object Sweep {
       idx.params, nShards = 2, java.nio.file.Files
         .createTempDirectory("graft_sweep_sharded_").toString)
 
+    // sq8 arm offline half: per-dim bounds + one byte-encode pass,
+    // shared by every budget row (4× smaller coarse scan than float32)
+    val sq8Bounds = graft.operators.Sq8Ann.trainBounds(corpus)
+    val sq8Encoded = graft.operators.Sq8Ann.encode(corpus, sq8Bounds)
+      .localCheckpoint(true)
+
     // randproj arm offline half: one seeded 64→16 projection of corpus
     // and queries, shared by every budget row
     val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
@@ -190,12 +196,16 @@ object Sweep {
         querySets, shardedRef, minPq = math.min(10, budget / C),
         maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
         .select(col("qset_id"), col("d_id"))
+      val sq8Cands = graft.operators.Sq8Ann.searchEncoded(queryVecs,
+        sq8Encoded, corpus, sq8Bounds, k = ef, nCand = math.max(2 * ef, K))
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       Seq(evalArm("roar", budget, roarCands),
         evalArm("hnsw", budget, hnswCands),
         evalArm("pq", budget, pqCands),
         evalArm("randproj", budget, rpCands),
         evalArm("ivfpq", budget, ivfPqCands),
-        evalArm("sharded", budget, shardedCands))
+        evalArm("sharded", budget, shardedCands),
+        evalArm("sq8", budget, sq8Cands))
     }
   }
 }

@@ -454,9 +454,10 @@ class IndexSpec extends AnyFunSuite {
 
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded}
-    assert(rows.length === 12)
-    for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded")) {
+    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded, sq8}
+    assert(rows.length === 14)
+    for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded",
+        "sq8")) {
       val armRows = rows.filter(_._1 == arm).sortBy(_._2)
       assert(armRows.length === 2, s"missing $arm rows: $rows")
       val lo = armRows.head._3
