@@ -708,6 +708,33 @@ object TextQueries extends QueryPack {
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
     }),
 
+    // Feature-hashing document embeddings (Weinberger et al. 2009, the
+    // "hashing trick"): each token hashes to one of 32 signed buckets
+    // (md5 nibbles — engine-portable), per-doc bucket sums L2-normalize
+    // into a cheap deterministic text embedding. The bridge from the
+    // documents table to every embedding-side operator (semdedup / LSH /
+    // kNN run on its output unchanged) with zero model weights. Long
+    // form (doc_id, pos, val), nonzero buckets only — hash-checked.
+    // Scale shape: explode + one map-side-combinable groupBy on
+    // (doc_id, bucket); norm is a per-doc window over ≤32 rows.
+    "doc_embed_hash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("doc_id"), explode(tokensCol).as("tok"))
+      val h = md5(col("tok"))
+      val nib1 = conv(substring(h, 1, 1), 16, 10).cast("int")
+      val nib2 = conv(substring(h, 2, 1), 16, 10).cast("int")
+      val contrib = toks.select(col("doc_id"),
+        (nib1 * 2 + pmod(nib2, lit(2))).cast("long").as("pos"),
+        when(pmod(shiftright(nib2, 1), lit(2)) === 1, 1.0)
+          .otherwise(-1.0).as("c"))
+      val sums = contrib.groupBy("doc_id", "pos").agg(sum("c").as("v"))
+      val nz = sums.filter(col("v") =!= 0.0)
+      val w = Window.partitionBy("doc_id")
+      nz.withColumn("norm", sqrt(sum(col("v") * col("v")).over(w)))
+        .select(col("doc_id"), col("pos"),
+          round(round(col("v") / col("norm"), 9), 6).as("val"))
+    }),
+
     // Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
     // published heuristic filter battery MassiveText/RefinedWeb-style
     // pipelines run before dedup): word-count bounds, mean-word-length
@@ -1278,6 +1305,23 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "doc_embed_hash" ->
+        s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM t),
+           |c AS (SELECT doc_id,
+           |        CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 2
+           |          + ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) & 1)
+           |          AS BIGINT) AS pos,
+           |        CASE WHEN ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+           |               >> 1) & 1 = 1
+           |             THEN 1.0 ELSE -1.0 END AS c
+           |      FROM h),
+           |sums AS (SELECT doc_id, pos, sum(c) AS v FROM c GROUP BY doc_id, pos),
+           |nz AS (SELECT * FROM sums WHERE v <> 0),
+           |n AS (SELECT doc_id, sqrt(sum(v * v)) AS norm FROM nz GROUP BY doc_id)
+           |SELECT nz.doc_id, nz.pos,
+           |       round(round(nz.v / n.norm, 9), 6) AS val
+           |FROM nz JOIN n USING (doc_id)""".stripMargin,
       "text_gopher_rules" ->
         s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
            |sig AS (
