@@ -243,6 +243,48 @@ object Sq8Ann {
     }.reduce(_ unionAll _)
   }
 
+  /** Persist the SQ8 index layout: `path/codes` = the byte-code parquet
+    * (dim bytes per row), `path/bounds` = the tiny per-dim (j, mn, mx)
+    * sidecar. Returns the trained bounds. The restart-safe serving
+    * layout behind [[graft.plans.AnnIndexRegistry.registerSq8]] — a
+    * session re-registers by [[loadIndex]] without touching the
+    * full-precision corpus. */
+  def writeIndex(data: DataFrame, path: String): Bounds = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bounds = trainBounds(data)
+    encode(data, bounds).write.mode("overwrite").parquet(s"$path/codes")
+    bounds.mins.indices
+      .map(j => (j, bounds.mins(j), bounds.maxs(j)))
+      .toDF("j", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    bounds
+  }
+
+  /** Load a [[writeIndex]] layout → (encoded codes DF, bounds). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Bounds) = {
+    val rows = spark.read.parquet(s"$path/bounds").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"empty SQ8 bounds sidecar at $path/bounds")
+    (spark.read.parquet(s"$path/codes"),
+      Bounds(rows.map(_._2), rows.map(_._3)))
+  }
+
+  /** Incremental append: encode ONLY the delta rows with the frozen
+    * bounds and add them to the codes layout — resident files untouched
+    * (the [[IvfPq.appendIndex]] posture). Bounds are part of the frozen
+    * quantizer, so append-then-search is bit-identical to re-encoding
+    * the union with the same bounds; rows whose values fall outside the
+    * trained [mn, mx] clamp (documented SQ behavior — retrain when the
+    * value distribution drifts). */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  delta: DataFrame): Unit = {
+    val (_, bounds) = loadIndex(spark, path)
+    encode(delta, bounds).write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Train + encode + search in one call (the registered-query path;
     * offline deployments persist [[encode]]'s output and call
     * [[searchEncoded]] directly). Deterministic end-to-end. */

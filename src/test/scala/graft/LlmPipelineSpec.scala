@@ -510,6 +510,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"SQ8 recall@10 = $avg")
   }
 
+  test("sq8 persisted index: save/load roundtrip, append == union re-encode") {
+    import graft.operators.Sq8Ann
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val nBase = (d.count() / 2).toInt
+    val base = d.filter(col("d_id") < nBase)
+    val delta = d.filter(col("d_id") >= nBase)
+    val path = "target/tmp/sq8_index"
+    val bounds = Sq8Ann.writeIndex(base, path)
+    val (codes0, loaded) = Sq8Ann.loadIndex(spark, path)
+    assert(loaded.mins.toSeq === bounds.mins.toSeq &&
+      loaded.maxs.toSeq === bounds.maxs.toSeq, "bounds roundtrip drift")
+    assert(codes0.count() === nBase.toLong)
+    Sq8Ann.appendIndex(spark, path, delta)
+    val (codes1, _) = Sq8Ann.loadIndex(spark, path)
+    // append-then-load is row-identical to re-encoding the union with
+    // the SAME frozen bounds (the quantizer never moves on append)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toVector)).toMap
+    assert(key(codes1) === key(Sq8Ann.encode(d, bounds)))
+    // and the grown index serves search over the whole corpus
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Sq8Ann.searchEncoded(q, codes1, d, bounds, k = 10, nCand = 40,
+      excludeSelf = true)
+    assert(out.count() === 200)
+    assert(out.filter(col("d_id") >= nBase).count() > 0,
+      "no delta id in results — appended rows unsearchable")
+  }
+
   test("sq8 blocked query passes equal the single-pass result") {
     import graft.operators.Sq8Ann
     val e = Tables.embeddings(spark, sfDir)
