@@ -34,16 +34,21 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Mark duplicates over `corpus` (columns `id`, `vec`) against the
-    * given centroids. Output: (id, cell, is_dup 0/1) — one row per
-    * corpus row. */
-  def mark(corpus: DataFrame, centroids: Array[Array[Float]],
-           tau: Double): DataFrame = {
+  /** Quantized cosine between two vector columns — the shared ≥ τ
+    * comparison (9-decimal HALF_UP, the oracle-parity recipe). */
+  private def cos9(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions._
+    round(vecDot(a, b) / (vecNorm(a) * vecNorm(b)), 9)
+  }
+
+  /** Broadcast-centroid assignment pass: (id, vec, cell), no shuffle. */
+  private def assigned(corpus: DataFrame,
+                       centroids: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    import graft.functions.VectorFunctions._
     val ssB = spark.sparkContext.broadcast(IvfAnn.seedNorms(centroids))
-    val assigned = corpus.select(col("id"), col("vec"))
+    corpus.select(col("id"), col("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val ss = ssB.value
@@ -51,16 +56,85 @@ object SemDedup {
           (id, v, IvfAnn.seededTopCells(v, ss, 1)(0))
         }
       }.toDF("id", "vec", "cell")
-    val a = assigned.select(col("cell"), col("id").as("a_id"),
+  }
+
+  /** Mark duplicates over `corpus` (columns `id`, `vec`) against the
+    * given centroids. Output: (id, cell, is_dup 0/1) — one row per
+    * corpus row. */
+  def mark(corpus: DataFrame, centroids: Array[Array[Float]],
+           tau: Double): DataFrame = {
+    val asg = assigned(corpus, centroids)
+    val a = asg.select(col("cell"), col("id").as("a_id"),
       col("vec").as("a_vec"))
-    val b = assigned.select(col("cell"), col("id").as("b_id"),
+    val b = asg.select(col("cell"), col("id").as("b_id"),
       col("vec").as("b_vec"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
-      .filter(round(vecDot(col("a_vec"), col("b_vec")) /
-        (vecNorm(col("a_vec")) * vecNorm(col("b_vec"))), 9) >= tau)
+      .filter(cos9(col("a_vec"), col("b_vec")) >= tau)
       .select(col("b_id").as("id")).distinct()
-    assigned.select(col("id"), col("cell"))
+    asg.select(col("id"), col("cell"))
+      .join(dropped.withColumn("_dup", lit(1L)), Seq("id"), "left_outer")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        coalesce(col("_dup"), lit(0L)).as("is_dup"))
+  }
+
+  /** Persist the cell-partitioned resident layout (`path/cell=<c>/…`) —
+    * the incremental face's offline half. A batch probe later reads
+    * ONLY the partitions its rows assign to (Spark partition pruning),
+    * the [[MinHashLsh.writeBandIndex]] posture on the embedding side. */
+  def writeCellIndex(corpus: DataFrame, centroids: Array[Array[Float]],
+                     path: String): Unit =
+    assigned(corpus, centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Append a batch to the resident layout (delta files only; resident
+    * files untouched — the frozen-quantizer append posture). */
+  def appendCellIndex(batch: DataFrame, centroids: Array[Array[Float]],
+                      path: String): Unit =
+    assigned(batch, centroids)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** INCREMENTAL marking: mark only the batch's rows against the
+    * resident index + the batch itself, reading just the cell
+    * partitions the batch assigns to. Contract (validated): ids are
+    * MONOTONE across ingests (every resident id < every batch id — the
+    * append-only corpus contract [[graft.index.ShardedIndex
+    * .appendDelta]] also enforces); under it "resident same-cell
+    * neighbor ∨ lower-id batch neighbor" is EXACTLY the batch slice of
+    * [[mark]] over the union, so wave-by-wave ingest reproduces the
+    * batch operator row-for-row (spec-gated). Call [[appendCellIndex]]
+    * with the same batch afterwards to grow the index. */
+  def incrementalMark(spark: org.apache.spark.sql.SparkSession,
+                      path: String, centroids: Array[Array[Float]],
+                      batch: DataFrame, tau: Double): DataFrame = {
+    val asg = assigned(batch, centroids)
+    val cells = asg.select("cell").distinct().collect().map(_.getInt(0))
+    if (cells.isEmpty)
+      return asg.select(col("id"), col("cell").cast("long").as("cell"),
+        lit(0L).as("is_dup")).limit(0)
+    // ingest-time contract check: id-column-only scan (column-pruned),
+    // validated over the WHOLE index, not just the probed cells
+    val maxResident = spark.read.parquet(path).agg(max(col("id"))).first()
+    val minBatch = asg.agg(min(col("id"))).first().getLong(0)
+    if (!maxResident.isNullAt(0))
+      require(maxResident.getLong(0) < minBatch,
+        s"incrementalMark needs monotone ids across ingests: resident max " +
+          s"${maxResident.getLong(0)} >= batch min $minBatch")
+    val resident = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+      .select(col("cell").cast("int").as("cell"), col("id").as("a_id"),
+        col("vec").as("a_vec"))
+    val vsResident = asg.join(resident, Seq("cell"))
+      .filter(cos9(col("a_vec"), col("vec")) >= tau)
+      .select(col("id"))
+    val aB = asg.select(col("cell"), col("id").as("a_id"),
+      col("vec").as("a_vec"))
+    val inBatch = asg.join(aB, Seq("cell"))
+      .filter(col("a_id") < col("id"))
+      .filter(cos9(col("a_vec"), col("vec")) >= tau)
+      .select(col("id"))
+    val dropped = vsResident.unionAll(inBatch).distinct()
+    asg.select(col("id"), col("cell"))
       .join(dropped.withColumn("_dup", lit(1L)), Seq("id"), "left_outer")
       .select(col("id"), col("cell").cast("long").as("cell"),
         coalesce(col("_dup"), lit(0L)).as("is_dup"))

@@ -625,6 +625,40 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental semdedup: wave ingest equals batch marking, probes pruned") {
+    import graft.operators.{IvfAnn, SemDedup}
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = AnnQueries.plantNearDupsExact(base)
+    val d = corpus.select(col("id").as("d_id"), col("vec").as("d_vec"))
+    val cents = IvfAnn.seededCentroids(d, 8)
+    val tau = 0.9
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = asMap(SemDedup.mark(corpus, cents, tau).collect())
+    // monotone waves: base ids, then the planted ids (+10^6)
+    val w1 = corpus.filter(col("id") < 1000000L)
+    val w2 = corpus.filter(col("id") >= 1000000L)
+    val path = "target/tmp/semdedup_cells"
+    val m1 = asMap(SemDedup.mark(w1, cents, tau).collect())
+    SemDedup.writeCellIndex(w1, cents, path)
+    val m2df = SemDedup.incrementalMark(spark, path, cents, w2, tau)
+    val plan = m2df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"resident probe not partition-pruned:\n$plan")
+    val m2 = asMap(m2df.collect())
+    assert(m2.values.exists(_._2 == 1L),
+      "no cross-wave duplicate found on the planted corpus")
+    assert(m1 ++ m2 === full,
+      "wave-by-wave marking diverged from the batch operator")
+    // growing the index then re-ingesting the same (now lower) ids is a
+    // monotonicity violation and must fail loudly at ingest
+    SemDedup.appendCellIndex(w2, cents, path)
+    intercept[IllegalArgumentException] {
+      SemDedup.incrementalMark(spark, path, cents, w2, tau)
+    }
+  }
+
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val e = Tables.embeddings(spark, sfDir)
