@@ -136,6 +136,34 @@ object StreamingIngest {
     } finally keys.unpersist()
   }
 
+  /** foreachBatch driver for INCREMENTAL SEMANTIC dedup — the
+    * [[incrementalDedupBatch]] posture on the embedding side: per
+    * micro-batch, assign rows to seeded-centroid cells, mark the batch
+    * against the resident cell index + itself (partition-pruned probe,
+    * [[graft.operators.SemDedup.incrementalMark]]), append the marks
+    * `batch_id`-stamped, append the batch to the cell index. Batch N+1
+    * dedups against everything prior; the monotone-id ingest contract
+    * is validated inside incrementalMark. First batch bootstraps from
+    * an empty index (within-batch marking only). */
+  def incrementalSemDedupBatch(indexPath: String, marksOut: String,
+                               centroids: Array[Array[Float]], tau: Double)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.SemDedup
+    val spark = batch.sparkSession
+    val rows = batch.persist() // consumed twice: the probe and the append
+    try {
+      val hp = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marks =
+        if (fs.exists(hp))
+          SemDedup.incrementalMark(spark, indexPath, centroids, rows, tau)
+        else SemDedup.mark(rows, centroids, tau) // bootstrap: batch-only
+      marks.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(marksOut)
+      SemDedup.appendCellIndex(rows, centroids, indexPath)
+    } finally rows.unpersist()
+  }
+
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
   def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {

@@ -349,6 +349,46 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction probe wrong: $inc")
   }
 
+  test("streaming incremental semdedup: micro-batch marks equal the batch operator") {
+    import graft.operators.{IvfAnn, SemDedup}
+    import graft.queries.AnnQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_stream_").toString
+    val idx = s"$dir/cells"
+    val marksOut = s"$dir/marks"
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = AnnQueries.plantNearDupsExact(base).cache()
+    val cents = IvfAnn.seededCentroids(
+      corpus.select(col("id").as("d_id"), col("vec").as("d_vec")), 8)
+    val tau = 0.9
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val (w1, w2) = rows.partition(_._1 < 1000000L) // monotone waves
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("id", "vec")
+      .writeStream.outputMode("append")
+      .foreachBatch(
+        StreamingIngest.incrementalSemDedupBatch(idx, marksOut, cents, tau))
+      .start()
+    try {
+      input.addData(w1.toSeq)
+      q.processAllAvailable() // bootstrap: within-batch marking only
+      input.addData(w2.toSeq)
+      q.processAllAvailable() // probe: planted copies hit resident bases
+    } finally q.stop()
+    val got = spark.read.parquet(marksOut)
+      .select("id", "cell", "is_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = SemDedup.mark(corpus, cents, tau).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want, "streamed marks diverged from the batch operator")
+    assert(spark.read.parquet(marksOut)
+        .filter(col("batch_id") === 1 && col("is_dup") === 1).count() > 0,
+      "no cross-batch duplicate recovered")
+  }
+
   test("streaming SQ8 encode matches the batch encode row-for-row") {
     import graft.operators.Sq8Ann
     // bounds come from the batch (offline) side; encode is stateless so
