@@ -264,12 +264,17 @@ object PqAnn {
     import graft.functions.VectorFunctions._
     val qv = queries.select(col("q_id"), col("q_vec"))
       .withColumn("q_norm", vecNorm(col("q_vec")))
+    // a zero candidate (or query) vector has no cosine direction: rank
+    // it last (-1) instead of tripping ANSI divide-by-zero — fixtures
+    // carry no zero vectors, so the oracle arithmetic is untouched
+    val denom = col("q_norm") * vecNorm(col("d_vec"))
     val scored = data.select(col("d_id"), col("d_vec"))
       .join(broadcast(cands), Seq("d_id"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("d_id"),
-        round(vecDot(col("q_vec"), col("d_vec")) /
-          (col("q_norm") * vecNorm(col("d_vec"))), 9).as("score"))
+        when(denom === 0, lit(-1.0))
+          .otherwise(round(vecDot(col("q_vec"), col("d_vec")) / denom, 9))
+          .as("score"))
     TopK.perGroupAgg(scored, Seq(col("q_id")),
       col("score"), col("d_id"), k, idName = "d_id")
       .select(col("q_id"), col("rank"), col("d_id"), col("score"))

@@ -187,6 +187,10 @@ object Sq8Ann {
                     val d = qv(i) - dec(i); l2 += d * d; i += 1
                   }
                   -round9(l2)
+                } else if (dNorm == 0.0) {
+                  // a zero (or zero-dequantized) row has no direction:
+                  // rank it last instead of feeding NaN to the heap
+                  -1.0
                 } else {
                   var dot = 0.0
                   var i = 0

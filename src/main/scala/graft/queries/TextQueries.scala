@@ -924,6 +924,34 @@ object TextQueries extends QueryPack {
           col("cum_before"))
     }),
 
+    // Temperature-weighted mixture (the multilingual-LLM sampling rule,
+    // e.g. mC4/XLM-R: p_i ∝ n_i^α with α<1 upweighting small sources):
+    // per-source token counts → α=0.5 weights → expected token draw
+    // from a fixed budget. One tiny aggregate + a window over the
+    // #sources-row table — the planning report a mixing stage runs
+    // before [[queries]]' mix_token_budget executes the draw.
+    "mix_temperature" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000000L
+      val per = docs(s, dir)
+        .select(col("source"), size(tokensCol).cast("long").as("n_tokens"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"))
+      // micro-quantized integer weights: the total is a LONG sum, exact
+      // in any accumulation order — a float window total would be
+      // engine-order-dependent and hash-flaky
+      val w = Window.partitionBy()
+      per.withColumn("wq",
+          round(pow(col("n_tokens").cast("double"), 0.5) * 1e6, 0)
+            .cast("long"))
+        .withColumn("w_tot", sum("wq").over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(round(col("wq").cast("double") / col("w_tot"), 9), 6)
+            .as("weight"),
+          floor(round(col("wq").cast("double") / col("w_tot"), 9) * budget)
+            .cast("long").as("expected_tokens"))
+    }),
+
     "sample_source_cap" -> ((s, dir) => {
       val keyed = docs(s, dir).select(col("source"), col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1305,6 +1333,23 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "mix_temperature" ->
+        s"""WITH per AS (
+           |  SELECT source, count(*) AS n_docs,
+           |         CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |wts AS (
+           |  SELECT source, n_docs, n_tokens,
+           |         CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1e6, 0)
+           |           AS BIGINT) AS wq
+           |  FROM per),
+           |tot AS (SELECT source, n_docs, n_tokens, wq,
+           |          sum(wq) OVER () AS w_tot FROM wts)
+           |SELECT source, n_docs, n_tokens,
+           |       round(round(CAST(wq AS DOUBLE) / w_tot, 9), 6) AS weight,
+           |       CAST(floor(round(CAST(wq AS DOUBLE) / w_tot, 9) * 1000000)
+           |         AS BIGINT) AS expected_tokens
+           |FROM tot""".stripMargin,
       "doc_embed_hash" ->
         s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
            |h AS (SELECT doc_id, md5(tok) AS h FROM t),

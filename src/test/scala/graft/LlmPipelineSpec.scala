@@ -382,6 +382,19 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(blocked === one)
   }
 
+  test("semdedup plan joins on the cell key, never all-pairs") {
+    val plan = AnnQueries.queries("semdedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("text_gopher_rules plan is exchange-free (pure per-row battery)") {
+    val plan = TextQueries.queries("text_gopher_rules")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-row battery shuffled:\n$plan")
+  }
+
   test("dedup_embedding_cosine plan has no all-pairs join") {
     val plan = AnnQueries.queries("dedup_embedding_cosine")(spark, sfDir)
       .queryExecution.executedPlan.toString

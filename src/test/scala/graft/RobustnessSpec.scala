@@ -134,6 +134,44 @@ class RobustnessSpec extends AnyFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("round-9 edge cases: sq8 degenerate rows, semdedup taus, guards") {
+    import spark.implicits._
+    import graft.operators.{IvfAnn, SemDedup, Sq8Ann}
+    // zero vector and constant dimension: no NaN, zero row ranks last
+    val rows = Seq(
+      (0L, Array(1.0f, 2.0f, 5.0f)),
+      (1L, Array(1.1f, 1.9f, 5.0f)), // dim 2 constant across 0,1,3 rows
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(-3.0f, 4.0f, 5.0f)))
+    val d = rows.toDF("d_id", "d_vec")
+    val b = Sq8Ann.trainBounds(d)
+    val q = Seq((0L, rows(0)._2)).toDF("q_id", "q_vec")
+    val out = Sq8Ann.searchEncoded(q, Sq8Ann.encode(d, b), d, b,
+      k = 3, nCand = 4, excludeSelf = true).collect()
+    assert(out.length === 3 && out.forall(r => !r.getDouble(3).isNaN))
+    assert(out.sortBy(_.getInt(1)).last.getLong(2) === 2L,
+      "zero vector must rank last, not crash or win")
+    assertThrows[IllegalArgumentException](
+      Sq8Ann.trainBounds(d.filter(col("d_id") < 0)))
+    assertThrows[IllegalArgumentException](
+      Sq8Ann.searchEncoded(q, Sq8Ann.encode(d, b), d, b, k = 5, nCand = 3))
+    // semdedup: tau > 1 marks nothing (quantized cosine can reach 1.0
+    // but never exceed it); tau <= -1 marks every non-minimum row
+    val corpus = d.select(col("d_id").as("id"), col("d_vec").as("vec"))
+      .filter(col("id") =!= 2L) // zero vector has no cosine direction
+    val cents = IvfAnn.seededCentroids(
+      corpus.select(col("id").as("d_id"), col("vec").as("d_vec")), 2)
+    val none = SemDedup.mark(corpus, cents, tau = 1.000001).collect()
+    assert(none.forall(_.getLong(2) == 0L), "tau>1 must mark nothing")
+    val all = SemDedup.mark(corpus, cents, tau = -1.5).collect()
+    val byCell = all.groupBy(_.getLong(1))
+    byCell.foreach { case (_, rs) =>
+      val minId = rs.map(_.getLong(0)).min
+      rs.foreach(r => assert((r.getLong(2) == 0L) == (r.getLong(0) == minId),
+        s"tau<=-1 must keep exactly the cell minimum: ${rs.toSeq}"))
+    }
+  }
+
   test("round-8 edge cases: prefix sum, delta ingest, image decode guards") {
     import graft.index.{ShardedIndex, ShardedIndexRef}
     import graft.operators.PrefixSum
