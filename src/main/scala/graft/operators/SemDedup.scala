@@ -94,6 +94,28 @@ object SemDedup {
     assigned(batch, centroids)
       .write.partitionBy("cell").mode("append").parquet(path)
 
+  /** Fold append-accumulated small files back into one file per cell
+    * (each cell's rows hash to one task, so `partitionBy` writes a
+    * single file per cell directory), keeping the cell-partitioned
+    * layout — probes stay partition-pruned. Same staging-swap posture
+    * as [[MinHashLsh.compactBandIndex]]: readers never see a
+    * half-written index. */
+  def compactCellIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val staging = s"${path}__compact_staging"
+    spark.read.parquet(path)
+      .repartition(col("cell"))
+      .sortWithinPartitions("id")
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__compact_old")
+    require(fs.rename(hp, old), s"compact: cannot move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
+      s"compact: cannot promote staging for $path")
+    fs.delete(old, true)
+  }
+
   /** INCREMENTAL marking: mark only the batch's rows against the
     * resident index + the batch itself, reading just the cell
     * partitions the batch assigns to. Contract (validated): ids are

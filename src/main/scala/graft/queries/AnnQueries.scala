@@ -268,6 +268,32 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // The FLAGSHIP multivector query shape (G9: per-sub-vector candidate
+    // generation → smooth-Chamfer rerank → top-k sets) served by the
+    // COMPRESSED tier instead of a graph: SQ8 coarse scan proposes each
+    // sub-vector's neighbors, the shared chamfer rerank scores candidate
+    // sets exactly. Rows-only (candidate recall is parameter-dependent);
+    // LlmPipelineSpec gates ≥0.95 set recall vs the fullscan oracle —
+    // proof the tier family composes with the reference's core query,
+    // not just single-vector top-k.
+    "g9_sq8" -> ((s, dir) => {
+      import graft.operators.Sq8Ann
+      val e = Tables.embeddings(s, dir)
+      val querySets = e.filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      val queryVecs = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val bounds = Sq8Ann.trainBounds(d)
+      val enc = Sq8Ann.encode(d, bounds)
+      val cands = Sq8Ann.searchEncoded(queryVecs, enc, d, bounds,
+          k = 40, nCand = 80)
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      graft.operators.Rerank.chamferTopK(e, querySets, cands, C, K)
+    }),
+
     // S15 (closing): CLIP4Clip mean-pool prep — frames grouped 5-per-video
     // (video_id = vec_id / 5), per-frame L2-normalize, per-dim mean,
     // renormalize (prepare_for_clip_webvid.py:70-105). Long form

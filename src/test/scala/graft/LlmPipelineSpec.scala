@@ -523,6 +523,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"SQ8 recall@10 = $avg")
   }
 
+  test("g9_sq8: compressed-tier multivector search >=0.95 set recall vs fullscan") {
+    val approx = AnnQueries.queries("g9_sq8")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"g9_sq8 set Recall@10 = $avg")
+  }
+
   test("sq8 persisted index: save/load roundtrip, append == union re-encode") {
     import graft.operators.Sq8Ann
     val e = Tables.embeddings(spark, sfDir)
@@ -670,6 +685,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SemDedup.incrementalMark(spark, path, cents, w2, tau)
     }
+    // compaction folds the appended small files to one per cell and
+    // leaves probe results bit-identical
+    val w3 = w2.select((col("id") + 2000000L).as("id"), col("vec"))
+    val before = asMap(
+      SemDedup.incrementalMark(spark, path, cents, w3, tau).collect())
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .count(f => f.getName.startsWith("part-") && f.length > 0)
+    }
+    val filesBefore = dataFiles()
+    SemDedup.compactCellIndex(spark, path)
+    val filesAfter = dataFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink files: $filesBefore -> $filesAfter")
+    val after = asMap(
+      SemDedup.incrementalMark(spark, path, cents, w3, tau).collect())
+    assert(after === before, "post-compaction probe diverged")
   }
 
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {
