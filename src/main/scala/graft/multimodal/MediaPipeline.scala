@@ -88,38 +88,72 @@ object MediaPipeline {
     * resolution-independent, O(1) per image regardless of size. Returns
     * None when ImageIO cannot parse the bytes (caller falls back to the
     * stub), so a corrupt blob degrades instead of failing the task. */
+  /** Shared strip geometry: average luminance over `dim` vertical
+    * strips of a bounded (≤64×64) sample grid. */
+  private def lumStrips(img: java.awt.image.BufferedImage,
+                        dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Long](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 255000.0
+        out(x * dim / w) += lum.toFloat
+        counts(x * dim / w) += 1
+        x += sx
+      }
+      y += sy
+    }
+    var j = 0
+    while (j < dim) {
+      if (counts(j) > 0) out(j) /= counts(j)
+      j += 1
+    }
+    out
+  }
+
   def decodeImage(payload: Array[Byte], dim: Int = 8): Option[Array[Float]] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None
-      else {
-        val out = new Array[Float](dim)
-        val counts = new Array[Long](dim)
-        val w = img.getWidth
-        val h = img.getHeight
-        val sx = math.max(1, w / 64)
-        val sy = math.max(1, h / 64)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299L +
-              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 255000.0
-            out(x * dim / w) += lum.toFloat
-            counts(x * dim / w) += 1
-            x += sx
-          }
-          y += sy
+      else Some(lumStrips(img, dim))
+    } catch { case _: Exception => None }
+
+  /** REAL multi-frame (video-style) decode — the JDK's own animated-GIF
+    * reader (`ImageReader.getNumImages`/`read(i)`; no new dependency):
+    * per-frame luminance strips with the [[decodeImage]] geometry, up
+    * to `maxFrames` frames. GIF is the one multi-frame container
+    * `javax.imageio` ships a codec for, so the video PATH — container →
+    * frame iteration → per-frame features → temporal pooling — runs
+    * against a real codec end-to-end; mp4/webm (no JDK codec) still
+    * fall back to the documented stub. None when the bytes aren't a
+    * parseable multi-frame container. */
+  def decodeVideoFrames(payload: Array[Byte], dim: Int = 8,
+                        maxFrames: Int = 16): Option[Seq[Array[Float]]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = math.min(r.getNumImages(true), maxFrames)
+            if (n <= 0) None
+            else Some((0 until n).map(i => lumStrips(r.read(i), dim)))
+          } finally r.dispose()
         }
-        var j = 0
-        while (j < dim) {
-          if (counts(j) > 0) out(j) /= counts(j)
-          j += 1
-        }
-        Some(out)
-      }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** REAL audio decode — `javax.sound.sampled` (JDK built-in; WAV/AIFF/
@@ -183,16 +217,50 @@ object MediaPipeline {
 
   /** Codec dispatch — the slot the stub documented: image payloads go
     * through the real [[decodeImage]], audio through the real
-    * [[decodeAudio]] when parseable; everything else (video — no JDK
-    * codec — and unparseable payloads) through [[decodeStub]]. The
-    * fixture's text/plain payloads keep the stub's deterministic gates
-    * intact. */
+    * [[decodeAudio]], video through [[decodeVideoFrames]] (temporal
+    * mean of per-frame strips — real for animated GIF, the one
+    * multi-frame container the JDK decodes) when parseable; everything
+    * else (mp4/webm — no JDK codec — and unparseable payloads) through
+    * [[decodeStub]]. The fixture's text/plain payloads keep the stub's
+    * deterministic gates intact. */
   def decode(payload: Array[Byte], mime: String, dim: Int = 8): Array[Float] =
     if (mime.startsWith("image/"))
       decodeImage(payload, dim).getOrElse(decodeStub(payload, mime, dim))
     else if (mime.startsWith("audio/"))
       decodeAudio(payload, dim).getOrElse(decodeStub(payload, mime, dim))
+    else if (mime.startsWith("video/"))
+      decodeVideoFrames(payload, dim).map { fs =>
+        val out = new Array[Float](dim)
+        fs.foreach { f =>
+          var j = 0
+          while (j < dim) { out(j) += f(j) / fs.length; j += 1 }
+        }
+        out
+      }.getOrElse(decodeStub(payload, mime, dim))
     else decodeStub(payload, mime, dim)
+
+  /** Real frame extraction as a DataFrame stage: one (media_id,
+    * frame_idx, embedding) row per decoded frame of a multi-frame
+    * payload — the batch face of the video path (pooling composes via
+    * [[graft.operators.MeanPool.clip4clip]]). Payloads the codec cannot
+    * parse emit frame_idx = -1 with the stub embedding, so corrupt
+    * blobs degrade visibly instead of vanishing. */
+  def videoFrameEmbeddings(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, mime, payload) =>
+        decodeVideoFrames(payload, dim) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              (id, i, f.toSeq)
+            }
+          case None =>
+            Iterator.single((id, -1, decodeStub(payload, mime, dim).toSeq))
+        }
+      }.toDF("media_id", "frame_idx", "embedding")
+  }
 
   /** Deterministic synthetic PNG (REAL `javax.imageio` encoder) — a
     * tiny grayscale pattern that is a pure function of `seed`. Lets the
@@ -214,6 +282,44 @@ object MediaPipeline {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic synthetic animated GIF (REAL JDK gif encoder via
+    * `writeToSequence`): `frames` uniform-gray frames whose brightness
+    * rises 40, 100, 160, … (plus a small seed offset) — the genuine
+    * multi-frame encode→container→decode round trip without fixture
+    * video files (the [[syntheticPng]] recipe, one dimension up). */
+  def syntheticGif(seed: Long, frames: Int = 3, w: Int = 16,
+                   h: Int = 8): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { fi =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = (40 + fi * 60 + (((seed % 20) + 20) % 20)).toInt.min(255)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
   }
 
   /** STUB resize — deterministic stride resample of the byte stream to

@@ -377,6 +377,27 @@ object AnnQueries extends QueryPack {
             (id, png.length.toLong, j.toLong, math.round(v * 1e6) / 1e6)
           }
         }).toDF("doc_id", "png_bytes", "pos", "val")
+    }),
+
+    // Real VIDEO-path round trip on the query surface: deterministic
+    // synthetic animated GIFs (JDK gif encoder) → multi-frame decode
+    // (ImageReader frame iteration) → per-frame luminance strips,
+    // scalarized. Rows-only: no SQL engine decodes GIF; LlmPipelineSpec
+    // gates frame counts, brightness order, pooling, and determinism.
+    "mm_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val gif = MediaPipeline.syntheticGif(id)
+          MediaPipeline.decodeVideoFrames(gif).get.iterator.zipWithIndex
+            .flatMap { case (f, fi) =>
+              f.iterator.zipWithIndex.map { case (v, j) =>
+                (id, fi.toLong, j.toLong, math.round(v * 1e6) / 1e6)
+              }
+            }
+        }).toDF("doc_id", "frame_idx", "pos", "val")
     })
   )
 

@@ -981,6 +981,39 @@ class LlmPipelineSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("decodeVideoFrames: real multi-frame GIF decode, pooling, stub fallback") {
+    import spark.implicits._
+    val gif = MediaPipeline.syntheticGif(7L, frames = 3)
+    val fs = MediaPipeline.decodeVideoFrames(gif).get
+    assert(fs.length === 3, "three encoded frames must decode")
+    // per-frame uniform gray: strips flat, brightness rises frame to
+    // frame in encode order (GIF palettes hold exact grays; allow 2/255)
+    val gray = Seq(47, 107, 167).map(_ / 255.0) // 40/100/160 + seed 7
+    fs.zip(gray).foreach { case (f, g) =>
+      f.foreach(v => assert(math.abs(v - g) < 2.0 / 255, s"strip $v vs $g"))
+    }
+    // deterministic re-decode
+    assert(MediaPipeline.decodeVideoFrames(gif).get.map(_.toSeq) ===
+      fs.map(_.toSeq))
+    // dispatch: video/* mime pools the frames (temporal mean)
+    val pooled = MediaPipeline.decode(gif, "video/gif")
+    val mean = (0 until 8).map(j => fs.map(_(j)).sum / 3)
+    pooled.zip(mean).foreach { case (p, m) =>
+      assert(math.abs(p - m) < 1e-5, s"pooled $p vs mean $m")
+    }
+    // unparseable payloads: None from the codec, stub from the dispatch
+    assert(MediaPipeline.decodeVideoFrames("not a video".getBytes).isEmpty)
+    // batch face: one row per frame; corrupt payloads flagged frame_idx=-1
+    val df = Seq((1L, "video/gif", gif),
+        (2L, "video/mp4", "garbage".getBytes))
+      .toDF("media_id", "mime", "payload")
+    val rows = MediaPipeline.videoFrameEmbeddings(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.count(_._1 == 1L) === 3 &&
+      rows.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(0, 1, 2))
+    assert(rows.filter(_._1 == 2L).map(_._2).toSeq === Seq(-1))
+  }
+
   test("decodeImage: real javax.imageio decode, luminance strips, stub fallback") {
     val dim = 8
     val png = pngBytes(64, 32, bright = 240)
