@@ -924,6 +924,47 @@ object TextQueries extends QueryPack {
           col("cum_before"))
     }),
 
+    // BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    // for a FIXED 3-term query — the classic lexical-search scoring an
+    // analytics engine owes its text side. Per-term tf via conditional
+    // aggregation (one corpus groupBy), df/N/avgdl from tiny aggregates
+    // broadcast back, and the 3 per-term partials are summed in FIXED
+    // expression order (a groupBy sum over exploded terms would be
+    // accumulation-order-dependent and hash-flaky). Top-20 by quantized
+    // score. Hash-checked.
+    "text_bm25" -> ((s, dir) => {
+      val terms = Seq("the", "data", "model")
+      val t = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val tf = t.select(col("doc_id") +: col("dl") +: terms.map(w =>
+        size(filter(col("toks"), tok => tok === w)).cast("long")
+          .as(s"tf_$w")): _*)
+      val aggs = count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("dl")).cast("double").as("sum_dl") +:
+        terms.map(w => sum((col(s"tf_$w") > 0).cast("long"))
+          .cast("double").as(s"df_$w"))
+      val stats = tf.agg(aggs.head, aggs.tail: _*)
+      val scored = tf.crossJoin(broadcast(stats))
+      // constants written as the SAME literals on both engines (1.2+1
+      // folded in Scala could land an ulp off SQL's 2.2)
+      def part(w: String) = {
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$w") + lit(0.5)) /
+            (col(s"df_$w") + lit(0.5)))
+        val tfw = col(s"tf_$w").cast("double")
+        idf * (tfw * lit(2.2)) /
+          (tfw + lit(1.2) * (lit(0.25) + lit(0.75) *
+            col("dl").cast("double") / (col("sum_dl") / col("n_docs"))))
+      }
+      val withScore = scored.withColumn("score",
+        round(part(terms(0)) + part(terms(1)) + part(terms(2)), 9))
+        .filter(col("score") > 0)
+      TopK.perGroupAgg(withScore, Seq.empty, col("score"), col("doc_id"),
+          20, idName = "doc_id")
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Temperature-weighted mixture (the multilingual-LLM sampling rule,
     // e.g. mC4/XLM-R: p_i ∝ n_i^α with α<1 upweighting small sources):
     // per-source token counts → α=0.5 weights → expected token draw
@@ -1333,6 +1374,39 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "text_bm25" -> {
+        def partSql(w: String) =
+          s"""ln(1.0 + (n_docs - df_$w + 0.5) / (df_$w + 0.5))
+             |  * (CAST(tf_$w AS DOUBLE) * 2.2)
+             |  / (CAST(tf_$w AS DOUBLE) + 1.2 * (0.25 + 0.75
+             |      * CAST(dl AS DOUBLE) / (sum_dl / n_docs)))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |tf AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |         CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS tf_the,
+           |         CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) AS tf_data,
+           |         CAST(len(list_filter(toks, x -> x = 'model')) AS BIGINT) AS tf_model
+           |  FROM t),
+           |st AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |         CAST(sum(dl) AS DOUBLE) AS sum_dl,
+           |         CAST(sum(CASE WHEN tf_the > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_the,
+           |         CAST(sum(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_data,
+           |         CAST(sum(CASE WHEN tf_model > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_model
+           |  FROM tf),
+           |sc AS (
+           |  SELECT doc_id,
+           |         round(${partSql("the")}
+           |           + ${partSql("data")}
+           |           + ${partSql("model")}, 9) AS score
+           |  FROM tf CROSS JOIN st)
+           |SELECT rank, doc_id, round(score, 6) AS score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           |           AS BIGINT) AS rank,
+           |         doc_id, score
+           |  FROM sc WHERE score > 0) r
+           |WHERE rank <= 20""".stripMargin
+      },
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,
