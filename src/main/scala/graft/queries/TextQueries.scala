@@ -924,6 +924,54 @@ object TextQueries extends QueryPack {
           col("cum_before"))
     }),
 
+    // Data PROFILING (the quality report every warehouse engine ships:
+    // per-column nulls / distincts / range). ONE aggregate computes all
+    // columns' stats in a single table scan (multi-distinct via
+    // Catalyst's expand — not one scan per column), then `stack`
+    // unpivots to long form so a wide table never widens the output
+    // schema. Hash-checked against per-column SQL aggregates.
+    "table_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        round(round(min(col(c)), 9), 6).as(s"${c}__mn"),
+        round(round(max(col(c)), 9), 6).as(s"${c}__mx"))) :+
+        count(lit(1)).as("__n")
+      val a = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      a.selectExpr(s"stack(${cols.length}, $stackArgs) as " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
+    }),
+
+    // Overlapping token CHUNKING (the RAG/embedding prep step: size 64,
+    // stride 48 ⇒ 16-token overlap): per-doc chunk table with the
+    // chunk's token span and content hash. Chunk count from INTEGER
+    // arithmetic only ((n-64+47) div 48 + 1 — a float ceil could land
+    // an ulp off); pure per-row explode, zero shuffle. Hash-checked.
+    "text_chunk" -> ((s, dir) => {
+      val size = 64
+      val stride = 48
+      val t = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
+        .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+        .filter(col("n_tokens") > 0)
+      t.withColumn("n_chunks",
+          when(col("n_tokens") <= size, lit(1L))
+            .otherwise(expr(s"(n_tokens - $size + ${stride - 1}) div $stride") + 1L))
+        .select(col("doc_id"), col("toks"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .withColumn("start_tok", col("chunk_idx") * stride)
+        .withColumn("n_toks",
+          least(lit(size.toLong), col("n_tokens") - col("start_tok")))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_toks"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("start_tok") + 1).cast("int"),
+              col("n_toks").cast("int")))).as("chunk_hash"))
+    }),
+
     // BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
     // for a FIXED 3-term query — the classic lexical-search scoring an
     // analytics engine owes its text side. Per-term tf via conditional
@@ -1374,6 +1422,37 @@ object TextQueries extends QueryPack {
            |SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
            |       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
            |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      "table_profile" -> {
+        def prof(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  round(round(min($c), 9), 6) AS min_v,
+             |  round(round(max($c), 9), 6) AS max_v
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(prof).mkString("\nUNION ALL\n")
+      },
+      "text_chunk" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, $tokensSql AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+           |      FROM t WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, toks, n_tokens,
+           |        CASE WHEN n_tokens <= 64 THEN 1
+           |             ELSE (n_tokens - 64 + 47) // 48 + 1 END AS n_chunks
+           |      FROM n),
+           |e AS (SELECT doc_id, toks, n_tokens,
+           |        unnest(range(n_chunks)) AS chunk_idx
+           |      FROM c)
+           |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+           |       least(64, n_tokens - chunk_idx * 48) AS n_toks,
+           |       md5(array_to_string(
+           |         toks[chunk_idx * 48 + 1 :
+           |              chunk_idx * 48 + least(64, n_tokens - chunk_idx * 48)],
+           |         ' ')) AS chunk_hash
+           |FROM e""".stripMargin,
       "text_bm25" -> {
         def partSql(w: String) =
           s"""ln(1.0 + (n_docs - df_$w + 0.5) / (df_$w + 0.5))

@@ -406,6 +406,44 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("SQ8 l2 route: dequantized-L2 coarse geometry serves l2sq ASC queries") {
+    setup
+    import graft.operators.Sq8Ann
+    // self-contained corpus write: no ordering dependency on the ip test
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid3"), col("embedding").as("vec3"))
+      .write.mode("overwrite").parquet("target/tmp/ann_sq8_corpus")
+    val corpus = spark.read.parquet("target/tmp/ann_sq8_corpus")
+    corpus.createOrReplaceTempView("sq8_corpus")
+    val d = corpus.select(col("vid3").as("d_id"), col("vec3").as("d_vec"))
+    val bounds = Sq8Ann.trainBounds(d)
+    val encoded = Sq8Ann.encode(d, bounds).cache()
+    encoded.count()
+    AnnIndexRegistry.registerSq8(corpus, "vid3", "vec3", encoded, bounds,
+      metricName = "l2", nCand = 60)
+    val q = corpus.filter(col("vid3") === 11).select("vec3").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val l2Sql = s"""SELECT vid3, graft_vec_l2sq(vec3, $q) AS score
+                   |FROM sq8_corpus ORDER BY score ASC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(l2Sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(l2Sql)
+      assert(routedTier(df) === Seq("sq8"), "l2 query not routed to sq8")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"sq8 l2 recall $recall")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("sharded tier route: persisted shards (incl. a delta) serve SQL top-k") {
     setup
     import graft.index.ShardedIndex
