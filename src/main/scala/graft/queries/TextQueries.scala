@@ -113,6 +113,35 @@ object TextQueries extends QueryPack {
           PhoneRe, "<PHONE>"))
       .drop("text")
 
+  /** Overlapping token CHUNKING over a `(doc_id, text)` frame (the
+    * RAG/embedding prep step: `size`-token chunks every `stride`
+    * tokens). Chunk count from INTEGER arithmetic only ((n-size+
+    * stride-1) div stride + 1 — a float ceil could land an ulp off);
+    * pure per-row explode, zero shuffle, so it composes unchanged with
+    * Structured Streaming (StreamingSpec: stream == batch
+    * row-for-row). */
+  def chunkTokens(docsDf: DataFrame, size: Int = 64,
+                  stride: Int = 48): DataFrame = {
+    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    t.withColumn("n_chunks",
+        when(col("n_tokens") <= size, lit(1L))
+          .otherwise(expr(s"(n_tokens - $size + ${stride - 1}) div $stride")
+            + 1L))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_toks",
+        least(lit(size.toLong), col("n_tokens") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"),
+            col("n_toks").cast("int")))).as("chunk_hash"))
+  }
+
   /** ExactSubstr-style duplicate-SPAN accounting (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2022 —
     * the span-removal step after duplicate n-grams are found): every
@@ -951,26 +980,7 @@ object TextQueries extends QueryPack {
     // chunk's token span and content hash. Chunk count from INTEGER
     // arithmetic only ((n-64+47) div 48 + 1 — a float ceil could land
     // an ulp off); pure per-row explode, zero shuffle. Hash-checked.
-    "text_chunk" -> ((s, dir) => {
-      val size = 64
-      val stride = 48
-      val t = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
-        .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
-        .filter(col("n_tokens") > 0)
-      t.withColumn("n_chunks",
-          when(col("n_tokens") <= size, lit(1L))
-            .otherwise(expr(s"(n_tokens - $size + ${stride - 1}) div $stride") + 1L))
-        .select(col("doc_id"), col("toks"), col("n_tokens"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-        .withColumn("start_tok", col("chunk_idx") * stride)
-        .withColumn("n_toks",
-          least(lit(size.toLong), col("n_tokens") - col("start_tok")))
-        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-          col("n_toks"),
-          md5(concat_ws(" ",
-            slice(col("toks"), (col("start_tok") + 1).cast("int"),
-              col("n_toks").cast("int")))).as("chunk_hash"))
-    }),
+    "text_chunk" -> ((s, dir) => chunkTokens(docs(s, dir))),
 
     // BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
     // for a FIXED 3-term query — the classic lexical-search scoring an

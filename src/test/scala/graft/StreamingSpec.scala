@@ -389,6 +389,27 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch duplicate recovered")
   }
 
+  test("streaming token chunking matches the batch chunking row-for-row") {
+    import graft.queries.TextQueries
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(40).cache()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val batch = key(TextQueries.chunkTokens(d).collect())
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextQueries.chunkTokens(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toSeq)
+      input.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+      assert(key(spark.table("chunk_stream").collect()) === batch)
+    } finally q.stop()
+  }
+
   test("streaming SQ8 encode matches the batch encode row-for-row") {
     import graft.operators.Sq8Ann
     // bounds come from the batch (offline) side; encode is stateless so
