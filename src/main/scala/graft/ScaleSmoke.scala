@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * Exemptions (documented super-linear SEMANTICS, not plan defects):
   * dedup_embedding_cosine is an exact all-pairs top-N — compute is O(N²)
   * by definition (its scale path is the thresholded LSH twin);
-  * semdedup's FIXTURE parameterization pins nlist=16 so the DuckDB
-  * oracle is a fixed SQL text — per-cell pair scans are then O((N/16)²).
+  * semdedup's / semdedup_text's FIXTURE parameterizations pin nlist
+  * (16 / 8) so the DuckDB oracles are fixed SQL texts — per-cell pair
+  * scans are then O((N/nlist)²).
   * Production callers scale nlist with the corpus ([[graft.operators
   * .SemDedup.markSeeded]] takes it as a parameter; nlist ∝ √N balances
   * assignment vs pair-scan at the classic IVF N^1.5).
@@ -39,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val Exempt = Set("dedup_embedding_cosine", "semdedup")
+  private val Exempt = Set("dedup_embedding_cosine", "semdedup", "semdedup_text")
 
   /** Letters shifted by `r` within each case; digits/punct unchanged. */
   private def caesar(c: Column, r: Int): Column = {

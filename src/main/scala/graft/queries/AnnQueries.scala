@@ -128,6 +128,40 @@ object AnnQueries extends QueryPack {
         nlist = 16, tau = 0.9)
     }),
 
+    // The COMPLETE text→vector→dedup composition in one declarative
+    // DAG: documents → hashing-trick embeddings (dense 32-bucket form
+    // of doc_embed_hash, zero-norm docs dropped) → seeded-centroid
+    // SemDeDup marking. Every stage is deterministic, so the whole
+    // pipeline — tokenize, hash, assign, cell-local cosine, survivors —
+    // is hash-checked END-TO-END in DuckDB. The story the engine
+    // exists for: semantic dedup of raw text with zero model weights.
+    "semdedup_text" -> ((s, dir) => {
+      val contrib = {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextQueries.tokensCol).as("tok"))
+        val h = md5(col("tok"))
+        val nib1 = conv(substring(h, 1, 1), 16, 10).cast("int")
+        val nib2 = conv(substring(h, 2, 1), 16, 10).cast("int")
+        toks.select(col("doc_id"),
+          (nib1 * 2 + pmod(nib2, lit(2))).cast("int").as("pos"),
+          when(pmod(shiftright(nib2, 1), lit(2)) === 1, 1.0)
+            .otherwise(-1.0).as("c"))
+      }
+      val sums = contrib.groupBy("doc_id", "pos").agg(sum("c").as("v"))
+      val dense = sums.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("v"))))
+          .as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(31)),
+            j => coalesce(element_at(col("m"), j), lit(0.0)).cast("float"))
+            .as("vec"))
+        .filter(aggregate(col("vec"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")) > 0)
+      graft.operators.SemDedup.markSeeded(
+        dense.select(col("doc_id").as("id"), col("vec")),
+        nlist = 8, tau = 0.95)
+    }),
+
     // IVF with a corpus-SEEDED (training-free) quantizer — the
     // oracle-checkable twin of knn_ivf: seed pick, cell assignment,
     // probing, and exact rerank are ALL deterministic double arithmetic,
@@ -290,6 +324,27 @@ object AnnQueries extends QueryPack {
       val enc = Sq8Ann.encode(d, bounds)
       val cands = Sq8Ann.searchEncoded(queryVecs, enc, d, bounds,
           k = 40, nCand = 80)
+        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
+      graft.operators.Rerank.chamferTopK(e, querySets, cands, C, K)
+    }),
+
+    // The flagship multivector shape over the IVF-PQ tier — THE layout
+    // a 100 TB deployment runs: per-sub-vector candidates from the
+    // partition-pruned codes-only index, smooth-Chamfer rerank on full
+    // precision. Rows-only (both quantizers training-dependent);
+    // LlmPipelineSpec gates ≥0.9 set recall vs the fullscan oracle.
+    "g9_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val querySets = e.filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      val queryVecs = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val (path, centroids, cbs) = ivfPqIndex(s, dir)
+      val cands = graft.operators.IvfPq.knnOverIndexBlocked(s, queryVecs,
+          path, d, centroids, cbs, k = 40, nCand = 160)
         .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
       graft.operators.Rerank.chamferTopK(e, querySets, cands, C, K)
     }),
@@ -912,6 +967,59 @@ object AnnQueries extends QueryPack {
        |FROM assigned c LEFT JOIN dups d ON d.id = c.id""".stripMargin
   }
 
+  /** semdedup_text oracle — the composed documents → hashing-trick
+    * embeddings → SemDeDup pipeline in one SQL statement: the
+    * doc_embed_hash CTEs densified to 32 buckets, zero-norm docs
+    * dropped, then the [[semDedupOracle]] CTEs over the hashed
+    * vectors. Bucket sums are ±1 integers in double, exact in any
+    * accumulation order. */
+  private val semDedupTextOracle: String = {
+    val nlist = 8
+    val tau = 0.95
+    s"""WITH t AS (SELECT doc_id, unnest(${TextQueries.tokensSql}) AS tok
+       |           FROM documents),
+       |hh AS (SELECT doc_id, md5(tok) AS h FROM t),
+       |cc AS (SELECT doc_id,
+       |        CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 2
+       |          + ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) & 1)
+       |          AS INTEGER) AS pos,
+       |        CASE WHEN ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+       |               >> 1) & 1 = 1
+       |             THEN 1.0 ELSE -1.0 END AS c
+       |      FROM hh),
+       |sums AS (SELECT doc_id, pos, sum(c) AS v FROM cc GROUP BY doc_id, pos),
+       |dims AS (SELECT unnest(range(32)) AS j),
+       |ids AS (SELECT DISTINCT doc_id FROM sums),
+       |dense AS (
+       |  SELECT i.doc_id,
+       |         list(CAST(COALESCE(s.v, 0) AS FLOAT) ORDER BY dims.j) AS vec
+       |  FROM ids i CROSS JOIN dims
+       |       LEFT JOIN sums s ON s.doc_id = i.doc_id AND s.pos = dims.j
+       |  GROUP BY i.doc_id),
+       |corpus AS (
+       |  SELECT doc_id AS id, vec FROM dense
+       |  WHERE list_sum(list_transform(vec,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |seeds AS (
+       |  SELECT rn - 1 AS cell, s_vec FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
+       |           vec AS s_vec
+       |    FROM corpus) t WHERE rn <= $nlist),
+       |assigned AS (
+       |  SELECT id, vec, cell FROM (
+       |    SELECT c.id, c.vec, s.cell,
+       |           row_number() OVER (PARTITION BY c.id
+       |             ORDER BY ${cosSql("c.vec", "s.s_vec")} DESC, s.cell ASC) AS rn
+       |    FROM corpus c CROSS JOIN seeds s) t WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.id
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${cosSql("a.vec", "b.vec")} >= $tau)
+       |SELECT c.id, CAST(c.cell AS BIGINT) AS cell,
+       |       CAST(CASE WHEN d.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM assigned c LEFT JOIN dups d ON d.id = c.id""".stripMargin
+  }
+
   /** DuckDB byte extraction for the media oracle: hex-encode the payload
     * and decode each byte as two nibble lookups (pure SQL, no blob
     * indexing needed). */
@@ -1004,6 +1112,7 @@ object AnnQueries extends QueryPack {
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,
+    "semdedup_text" -> semDedupTextOracle,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents
         |           WHERE doc_id < 50),

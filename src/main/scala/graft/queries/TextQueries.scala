@@ -27,10 +27,10 @@ object TextQueries extends QueryPack {
   private val StopSqlList = Stop.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** tokens = non-empty lowercase whitespace splits. */
-  private def tokensCol: Column =
+  private[queries] def tokensCol: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
-  private val tokensSql =
+  private[queries] val tokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -523,6 +523,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"SQ8 recall@10 = $avg")
   }
 
+  test("g9_ivfpq: codes-only-tier multivector search >=0.9 set recall vs fullscan") {
+    val approx = AnnQueries.queries("g9_ivfpq")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"g9_ivfpq set Recall@10 = $avg")
+  }
+
   test("g9_sq8: compressed-tier multivector search >=0.95 set recall vs fullscan") {
     val approx = AnnQueries.queries("g9_sq8")(spark, sfDir)
       .select("qset_id", "dset_id").collect()
