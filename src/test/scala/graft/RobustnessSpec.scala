@@ -172,6 +172,26 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking boundaries: 1 token, exactly size, size+1, empty doc") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, "solo"), // 1 token → one 1-token chunk
+      (2L, words(64)), // exactly size → one full chunk
+      (3L, words(65)), // size+1 → second chunk starts at stride 48
+      (4L, "   ") // whitespace only → zero tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = TextQueries.chunkTokens(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(out(1L).toSeq === Seq((1L, 0L, 0L, 1L)))
+    assert(out(2L).toSeq === Seq((2L, 0L, 0L, 64L)))
+    assert(out(3L).sortBy(_._2).toSeq ===
+      Seq((3L, 0L, 0L, 64L), (3L, 1L, 48L, 17L)))
+    assert(!out.contains(4L), "whitespace-only doc must emit no chunks")
+  }
+
   test("round-8 edge cases: prefix sum, delta ingest, image decode guards") {
     import graft.index.{ShardedIndex, ShardedIndexRef}
     import graft.operators.PrefixSum
