@@ -41,7 +41,8 @@ import org.apache.spark.sql.functions.col
 final class HnswIndex(val m: Int,
                       val layers: Array[Array[Array[Int]]], // layer -> node -> nbrs
                       val levels: Array[Int], val entryPoint: Int,
-                      val maxLevel: Int, val metricName: String)
+                      val maxLevel: Int, val metricName: String,
+                      val baseFingerprint: Long)
     extends Serializable {
   def neighbors(layer: Int, node: Int): Array[Int] = {
     val l = layers(layer)(node)
@@ -107,6 +108,32 @@ object Hnsw {
   private def nearestM(cands: Iterable[(Int, Float)], max: Int): Array[Int] =
     cands.toSeq.sortBy { case (id, d) => (d, id) }.take(max).map(_._1).toArray
 
+  /** Cheap corpus fingerprint stamped into the index at build time:
+    * hashes (n, dim) plus the raw floats of rows 0, entryPoint and n−1.
+    * [[append]] recomputes it over the grown store's first n rows, so a
+    * `combined` whose prefix differs from (or reorders) the corpus the
+    * base index was built over fails loudly instead of silently reusing
+    * adjacency that points at the wrong vectors. Three spot rows, not a
+    * full-corpus hash — O(dim), catches the realistic mistakes (wrong
+    * corpus, reordered load, truncated prefix) with high probability. */
+  private[index] def storeFingerprint(vecs: VectorStore, n: Int,
+                                      entry: Int): Long = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    mix(n); mix(vecs.dim)
+    if (n > 0) {
+      Seq(0, math.max(entry, 0), n - 1).distinct.foreach { row =>
+        val off = vecs.offset(row)
+        var i = 0
+        while (i < vecs.dim) {
+          mix(java.lang.Float.floatToIntBits(vecs.data(off + i)).toLong)
+          i += 1
+        }
+      }
+    }
+    h
+  }
+
   /** Build with the reference arm's knobs (M=35, efConstruction=500).
     * Sequential semantics (batch size 1): every insert sees all earlier
     * nodes — the paper's algorithm exactly. */
@@ -151,7 +178,12 @@ object Hnsw {
     * Deterministic for a given ingest history; recall parity with a
     * fresh build is gated in IndexSpec (exact equality is not promised —
     * batch-ramp boundaries differ, the same trade hnswlib's insert-order
-    * sensitivity accepts). Closes the lifecycle gap of the broadcast
+    * sensitivity accepts). The same-prefix contract is VALIDATED, not
+    * assumed: the base index carries a spot fingerprint of its build
+    * corpus (rows 0 / entryPoint / n−1), recomputed here over
+    * `combined`'s prefix — a wrong, truncated or reordered prefix fails
+    * loudly instead of silently searching stale adjacency over wrong
+    * vectors. Closes the lifecycle gap of the broadcast
     * graph tiers: RoarGraph delta-ingests via [[ShardedIndex
     * .appendDelta]]; HNSW now via append (reference analog: hnswlib
     * `addPoint` on a live index, `tests/hnsw/search_rerank_hnsw.cpp`). */
@@ -181,7 +213,8 @@ object Hnsw {
     val maxLevel = if (n > 0) levels.max else 0
     val layers = Array.fill(maxLevel + 1)(new Array[Array[Int]](n))
     val mMax0 = 2 * m
-    if (n == 0) return new HnswIndex(m, layers, levels, -1, -1, metricName)
+    if (n == 0) return new HnswIndex(m, layers, levels, -1, -1, metricName,
+      storeFingerprint(vecs, 0, -1))
     var entry = 0
     var entryLevel = levels(0)
     prior.foreach { p =>
@@ -191,6 +224,13 @@ object Hnsw {
           java.util.Arrays.copyOfRange(levels, 0, p.levels.length)),
         "append: level prefix mismatch — base index built with a " +
           "different (seed, m) than this append call")
+      // the combined store's first n rows must BE the base-build corpus:
+      // recompute the base's spot fingerprint over this store's prefix
+      require(storeFingerprint(vecs, p.levels.length, p.entryPoint) ==
+          p.baseFingerprint,
+        "append: combined store's first n rows differ from (or reorder) " +
+          "the corpus the base index was built over — the reused " +
+          "adjacency would point at wrong vectors")
       for (layer <- p.layers.indices)
         System.arraycopy(p.layers(layer), 0, layers(layer), 0,
           p.layers(layer).length)
@@ -199,7 +239,8 @@ object Hnsw {
     }
     val startFrom = prior.map(_.levels.length).getOrElse(1)
     if (startFrom >= n)
-      return new HnswIndex(m, layers, levels, entry, entryLevel, metricName)
+      return new HnswIndex(m, layers, levels, entry, entryLevel, metricName,
+        storeFingerprint(vecs, n, entry))
 
     /** Read-only phase for node v against the frozen graph: greedy
       * descent from the batch-start entry, then per-layer ef-search;
@@ -288,7 +329,8 @@ object Hnsw {
         batch = math.min(maxBatch, batch * 2)
       }
     } finally if (pool != null) pool.shutdown()
-    new HnswIndex(m, layers, levels, entry, entryLevel, metricName)
+    new HnswIndex(m, layers, levels, entry, entryLevel, metricName,
+      storeFingerprint(vecs, n, entry))
   }
 
   /** Top-k search, `ef` beam at layer 0 (`hnsw->setEf(budget/c)` in the

@@ -104,16 +104,28 @@ object MinHashLsh {
     * recomputing or reshuffling resident text. Band-key rows are
     * (doc_id, band, key): ~`numBands` × 48 bytes per doc, ~0.1% of a
     * multi-KB document corpus. */
-  def writeBandIndex(keys: DataFrame, path: String): Unit =
+  def writeBandIndex(keys: DataFrame, path: String): Unit = {
     keys.select(col("doc_id"), col("band"), col("key"))
       .write.mode("overwrite").parquet(path)
+    maxDocId(keys).foreach(Watermark.write(keys.sparkSession, path, _))
+  }
 
   /** Append a batch's band keys to the resident index (delta-only write;
     * resident files untouched — same lifecycle posture as
-    * [[graft.index.ShardedIndex.appendDelta]]). */
-  def appendBandIndex(keys: DataFrame, path: String): Unit =
+    * [[graft.index.ShardedIndex.appendDelta]]), then advance the max-id
+    * [[Watermark]] sidecar — the replay detector
+    * [[graft.streaming.StreamingIngest.incrementalDedupBatch]] reads. */
+  def appendBandIndex(keys: DataFrame, path: String): Unit = {
     keys.select(col("doc_id"), col("band"), col("key"))
       .write.mode("append").parquet(path)
+    maxDocId(keys).foreach(
+      Watermark.advance(keys.sparkSession, path, "doc_id", _))
+  }
+
+  private def maxDocId(keys: DataFrame): Option[Long] = {
+    val m = keys.agg(max(col("doc_id"))).first()
+    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  }
 
   /** Fold an append-accumulated band index into a fresh compacted
     * layout. Daily [[appendBandIndex]] calls each leave their own small
@@ -123,15 +135,25 @@ object MinHashLsh {
     * by `key` and sorts within partitions, so (a) scan parallelism is
     * `numFiles` even-sized splits, (b) parquet dictionary/RLE pages
     * compress the sorted key runs, (c) row-group min/max stats on `key`
-    * become selective. Staging-dir rewrite then swap, same posture as
-    * [[graft.index.ShardedIndex.compact]]: readers of the old layout
-    * are never mid-overwrite, and the swap is two renames. */
+    * become selective. Also drops exact-duplicate rows (the only way
+    * one arises is an at-least-once replayed append — [[bandKeys]]
+    * emits one row per (doc, band)), so compaction is the repair step
+    * for replay double-appends.
+    *
+    * Concurrency contract: compaction requires QUIESCENCE — no
+    * concurrent probe or ingest; the two-rename swap has a window with
+    * no live index at `path`. A compact that crashed between its
+    * renames is recovered at the start of the next one (same posture
+    * as [[SemDedup.recoverCompact]]). */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, numFiles: Int = 0): Unit = {
+    SemDedup.recoverCompact(spark, path)
     val n = if (numFiles > 0) numFiles
             else spark.sparkContext.defaultParallelism
     val staging = s"${path}__compact_staging"
+    val wm = Watermark.read(spark, path, "doc_id")
     spark.read.parquet(path)
+      .dropDuplicates("doc_id", "band", "key")
       .repartitionByRange(n, col("key"), col("band"))
       .sortWithinPartitions("key", "band")
       .write.mode("overwrite").parquet(staging)
@@ -142,6 +164,7 @@ object MinHashLsh {
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
       s"compact: cannot promote staging for $path")
     fs.delete(old, true)
+    wm.foreach(Watermark.write(spark, path, _))
   }
 
   /** Incremental near-dup candidates: all banded pairs of resident ∪

@@ -78,32 +78,80 @@ object SemDedup {
         coalesce(col("_dup"), lit(0L)).as("is_dup"))
   }
 
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Max-id [[Watermark]] sidecar over the cell index, keyed on `id`.
+    * [[incrementalMark]]'s monotone-ingest check reads THIS, not a
+    * full-index `max(id)` scan. A stale watermark (crash between data
+    * append and sidecar write) only means a replayed append re-appends
+    * duplicate (id, vec, cell) rows, which change no mark (the dup rule
+    * is an EXISTS over same-cell lower ids) and which
+    * [[compactCellIndex]] folds away. */
+  private[graft] def readWatermark(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[Long] =
+    Watermark.read(spark, path, "id")
+
+  private def writeWatermark(spark: org.apache.spark.sql.SparkSession,
+                             path: String, maxId: Long): Unit =
+    Watermark.write(spark, path, maxId)
+
+  private def maxId(df: DataFrame): Option[Long] = {
+    val m = df.agg(max(col("id"))).first()
+    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  }
+
   /** Persist the cell-partitioned resident layout (`path/cell=<c>/…`) —
     * the incremental face's offline half. A batch probe later reads
     * ONLY the partitions its rows assign to (Spark partition pruning),
-    * the [[MinHashLsh.writeBandIndex]] posture on the embedding side. */
+    * the [[MinHashLsh.writeBandIndex]] posture on the embedding side.
+    * Stamps the max-id watermark sidecar. */
   def writeCellIndex(corpus: DataFrame, centroids: Array[Array[Float]],
-                     path: String): Unit =
+                     path: String): Unit = {
     assigned(corpus, centroids)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    maxId(corpus).foreach(writeWatermark(corpus.sparkSession, path, _))
+  }
 
   /** Append a batch to the resident layout (delta files only; resident
-    * files untouched — the frozen-quantizer append posture). */
+    * files untouched — the frozen-quantizer append posture), then
+    * advance the watermark sidecar. The id agg is over the BATCH only
+    * (column-pruned), never the index. */
   def appendCellIndex(batch: DataFrame, centroids: Array[Array[Float]],
-                      path: String): Unit =
+                      path: String): Unit = {
+    val spark = batch.sparkSession
     assigned(batch, centroids)
       .write.partitionBy("cell").mode("append").parquet(path)
+    maxId(batch).foreach { bm =>
+      val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
+      writeWatermark(spark, path, math.max(wm, bm))
+    }
+  }
 
   /** Fold append-accumulated small files back into one file per cell
     * (each cell's rows hash to one task, so `partitionBy` writes a
     * single file per cell directory), keeping the cell-partitioned
-    * layout — probes stay partition-pruned. Same staging-swap posture
-    * as [[MinHashLsh.compactBandIndex]]: readers never see a
-    * half-written index. */
+    * layout — probes stay partition-pruned. Also drops duplicate `id`
+    * rows (identical by construction — the only way one arises is an
+    * at-least-once replayed append), so compaction is the repair step
+    * for replay double-appends.
+    *
+    * Concurrency contract: compaction requires QUIESCENCE — no
+    * concurrent probe or ingest. The two-rename swap has a window where
+    * no index exists at `path`, and a reader racing it would fail or
+    * bootstrap empty. Crash recovery is handled at the START of the
+    * next compact (and is cheap to call from any startup path): a
+    * stranded `__compact_old` with no live `path` is renamed back; a
+    * stranded old WITH a live path (crash after promote, before
+    * cleanup) is deleted. */
   def compactCellIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    recoverCompact(spark, path)
     val staging = s"${path}__compact_staging"
+    val wm = readWatermark(spark, path)
     spark.read.parquet(path)
+      .dropDuplicates("id")
       .repartition(col("cell"))
       .sortWithinPartitions("id")
       .write.partitionBy("cell").mode("overwrite").parquet(staging)
@@ -114,6 +162,26 @@ object SemDedup {
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
       s"compact: cannot promote staging for $path")
     fs.delete(old, true)
+    wm.foreach(writeWatermark(spark, path, _))
+  }
+
+  /** Recover from a compact that crashed between its two renames: if
+    * `__compact_old` is stranded with nothing live at `path`, restore
+    * it; if both exist (crash after promote), drop the old copy. No-op
+    * when there is nothing to recover. */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__compact_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(hp))
+        require(fs.rename(old, hp), s"recover: cannot restore $path")
+      else fs.delete(old, true)
+    }
+    // a stranded staging dir is always safe to drop — it was never live
+    val staging = new org.apache.hadoop.fs.Path(s"${path}__compact_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   /** INCREMENTAL marking: mark only the batch's rows against the
@@ -125,7 +193,18 @@ object SemDedup {
     * neighbor ∨ lower-id batch neighbor" is EXACTLY the batch slice of
     * [[mark]] over the union, so wave-by-wave ingest reproduces the
     * batch operator row-for-row (spec-gated). Call [[appendCellIndex]]
-    * with the same batch afterwards to grow the index. */
+    * with the same batch afterwards to grow the index.
+    *
+    * The contract check reads the watermark SIDECAR, not the index
+    * (one tiny file per batch, not an O(index) listing). It is also
+    * REPLAY-SAFE: `foreachBatch` drivers are at-least-once, so a crash
+    * between the index append and the checkpoint commit re-delivers a
+    * batch whose ids are ALREADY resident. Watermark ≥ the whole batch
+    * is recognized as exactly that replay — the probe excludes the
+    * batch's own resident copies (`id < batch min`) and produces the
+    * SAME marks as the original delivery (idempotent output). A
+    * watermark that lands INSIDE the batch's id range is a genuinely
+    * non-monotone ingest and still fails loudly. */
   def incrementalMark(spark: org.apache.spark.sql.SparkSession,
                       path: String, centroids: Array[Array[Float]],
                       batch: DataFrame, tau: Double): DataFrame = {
@@ -134,16 +213,19 @@ object SemDedup {
     if (cells.isEmpty)
       return asg.select(col("id"), col("cell").cast("long").as("cell"),
         lit(0L).as("is_dup")).limit(0)
-    // ingest-time contract check: id-column-only scan (column-pruned),
-    // validated over the WHOLE index, not just the probed cells
-    val maxResident = spark.read.parquet(path).agg(max(col("id"))).first()
-    val minBatch = asg.agg(min(col("id"))).first().getLong(0)
-    if (!maxResident.isNullAt(0))
-      require(maxResident.getLong(0) < minBatch,
-        s"incrementalMark needs monotone ids across ingests: resident max " +
-          s"${maxResident.getLong(0)} >= batch min $minBatch")
+    val mm = asg.agg(min(col("id")), max(col("id"))).first()
+    val (minBatch, maxBatch) = (mm.getLong(0), mm.getLong(1))
+    val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
+    require(wm < minBatch || wm >= maxBatch,
+      s"incrementalMark needs monotone ids across ingests: resident " +
+        s"watermark $wm lands inside the batch id range " +
+        s"[$minBatch, $maxBatch] — not a replay, not an append")
+    // wm >= maxBatch is an exact at-least-once replay: the batch's own
+    // rows are already resident; excluding them (id < minBatch)
+    // reproduces the original delivery's marks byte-for-byte
     val resident = spark.read.parquet(path)
       .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+      .filter(col("id") < minBatch)
       .select(col("cell").cast("int").as("cell"), col("id").as("a_id"),
         col("vec").as("a_vec"))
     val vsResident = asg.join(resident, Seq("cell"))

@@ -187,9 +187,10 @@ object Sq8Ann {
                     val d = qv(i) - dec(i); l2 += d * d; i += 1
                   }
                   -round9(l2)
-                } else if (dNorm == 0.0) {
-                  // a zero (or zero-dequantized) row has no direction:
-                  // rank it last instead of feeding NaN to the heap
+                } else if (dNorm == 0.0 || qns(qi) == 0.0) {
+                  // a zero (or zero-dequantized) row OR a zero-norm query
+                  // has no direction: rank it last instead of feeding NaN
+                  // (0/0) to the heap — same convention as rerankExact
                   -1.0
                 } else {
                   var dot = 0.0

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
+
+/** Max-id watermark sidecar for the resident parquet indexes (SemDeDup
+  * cell index, MinHash band index): one long in `path/_watermark`
+  * (`_`-prefixed, so parquet readers ignore it), maintained by every
+  * index write. Incremental ingest validates its monotone-id contract
+  * and detects at-least-once REPLAYS against this sidecar — one tiny
+  * file read per micro-batch instead of a full-index `max(id)` scan,
+  * which at 100 TB is an O(index) file listing + footer pass per batch.
+  *
+  * Crash window: the sidecar is written AFTER the data it covers, so a
+  * crash in between leaves the watermark STALE (low). The only
+  * consequence is that a replayed append re-appends rows the watermark
+  * didn't cover — exact duplicate rows, which change no downstream
+  * answer (both consumers are EXISTS/DISTINCT-shaped) and which the
+  * index's compaction folds away.
+  */
+object Watermark {
+
+  private val FileName = "_watermark"
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read the watermark. `None` = no index at `path` (or an empty one).
+    * An index written before the sidecar existed (legacy) falls back to
+    * one full column-pruned `max(idCol)` scan, then self-heals on the
+    * next append or compact. */
+  def read(spark: SparkSession, path: String, idCol: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
+    val wp = new org.apache.hadoop.fs.Path(path, FileName)
+    if (fs.exists(wp)) {
+      val in = fs.open(wp)
+      try Some(in.readLong()) finally in.close()
+    } else {
+      val m = spark.read.parquet(path).agg(max(col(idCol))).first()
+      if (m.isNullAt(0)) None else Some(m.getLong(0))
+    }
+  }
+
+  /** Overwrite the sidecar with `maxId`. */
+  def write(spark: SparkSession, path: String, maxId: Long): Unit = {
+    val fs = fsFor(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, FileName), true)
+    try out.writeLong(maxId) finally out.close()
+  }
+
+  /** Advance the sidecar to at least `batchMax` (append path). */
+  def advance(spark: SparkSession, path: String, idCol: String,
+              batchMax: Long): Unit =
+    write(spark, path,
+      math.max(read(spark, path, idCol).getOrElse(Long.MinValue), batchMax))
+}

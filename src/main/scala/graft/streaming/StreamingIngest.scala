@@ -112,27 +112,42 @@ object StreamingIngest {
     * The first batch bootstraps: within-batch pairs only, then its
     * keys become the index. foreachBatch is at-least-once; the
     * `batch_id` stamp is the idempotence key a resumed stream uses to
-    * drop replayed output (`WHERE batch_id = max` per replay window).
+    * drop replayed output (`WHERE batch_id = max` per replay window),
+    * and the index side is replay-safe the same way
+    * [[incrementalSemDedupBatch]] is: a batch whose ids the watermark
+    * already covers re-emits identical pairs (its own resident copies
+    * are excluded from the probe, so no spurious self-collisions) and
+    * skips the re-append.
     *
     * Returns the (sink-shaped) function to hand to
     * `writeStream.foreachBatch`. */
   def incrementalDedupBatch(indexPath: String, pairsOut: String,
                             numHashes: Int = 8, rowsPerBand: Int = 2)
       : (DataFrame, Long) => Unit = { (shingles, batchId) =>
-    import graft.operators.MinHashLsh
+    import graft.operators.{MinHashLsh, Watermark}
     val spark = shingles.sparkSession
     val keys = MinHashLsh.bandKeys(shingles, numHashes, rowsPerBand)
       .persist() // consumed twice: the probe and the index append
     try {
-      val hp = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val resident =
-        if (fs.exists(hp)) spark.read.parquet(indexPath)
-        else keys.limit(0) // bootstrap: empty resident, within-batch only
-      MinHashLsh.incrementalPairs(resident, keys)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(pairsOut)
-      MinHashLsh.appendBandIndex(keys, indexPath)
+      val mm = keys.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      if (!mm.isNullAt(1)) { // empty batch: nothing to probe or append
+        val wm = Watermark.read(spark, indexPath, "doc_id")
+        require(wm.forall(w => w < mm.getLong(0) || w >= mm.getLong(1)),
+          s"incrementalDedupBatch needs monotone doc ids across ingests: " +
+            s"resident watermark ${wm.get} lands inside the batch id " +
+            s"range [${mm.getLong(0)}, ${mm.getLong(1)}] — not a replay, " +
+            "not an append")
+        val isReplay = wm.exists(_ >= mm.getLong(1))
+        val resident =
+          if (wm.isDefined)
+            spark.read.parquet(indexPath)
+              .filter(col("doc_id") < mm.getLong(0))
+          else keys.limit(0) // bootstrap: empty resident, within-batch only
+        MinHashLsh.incrementalPairs(resident, keys)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsOut)
+        if (!isReplay) MinHashLsh.appendBandIndex(keys, indexPath)
+      }
     } finally keys.unpersist()
   }
 
@@ -144,7 +159,16 @@ object StreamingIngest {
     * `batch_id`-stamped, append the batch to the cell index. Batch N+1
     * dedups against everything prior; the monotone-id ingest contract
     * is validated inside incrementalMark. First batch bootstraps from
-    * an empty index (within-batch marking only). */
+    * an empty index (within-batch marking only).
+    *
+    * REPLAY-SAFE: foreachBatch is at-least-once, and a crash between
+    * the index append and the checkpoint commit re-delivers a batch
+    * whose ids are already resident. The watermark sidecar recognizes
+    * that replay (watermark ≥ the batch's max id): the marks are
+    * recomputed identically (incrementalMark excludes the batch's own
+    * resident copies) and re-emitted under the same `batch_id`
+    * idempotence stamp, and the index append is SKIPPED — the stream
+    * makes progress instead of tripping the monotone-id check forever. */
   def incrementalSemDedupBatch(indexPath: String, marksOut: String,
                                centroids: Array[Array[Float]], tau: Double)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
@@ -152,15 +176,18 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val rows = batch.persist() // consumed twice: the probe and the append
     try {
-      val hp = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marks =
-        if (fs.exists(hp))
-          SemDedup.incrementalMark(spark, indexPath, centroids, rows, tau)
-        else SemDedup.mark(rows, centroids, tau) // bootstrap: batch-only
-      marks.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(marksOut)
-      SemDedup.appendCellIndex(rows, centroids, indexPath)
+      val mm = rows.agg(min(col("id")), max(col("id"))).first()
+      if (!mm.isNullAt(1)) { // empty batch: nothing to mark or append
+        val wm = SemDedup.readWatermark(spark, indexPath)
+        val isReplay = wm.exists(_ >= mm.getLong(1))
+        val marks =
+          if (wm.isDefined)
+            SemDedup.incrementalMark(spark, indexPath, centroids, rows, tau)
+          else SemDedup.mark(rows, centroids, tau) // bootstrap: batch-only
+        marks.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(marksOut)
+        if (!isReplay) SemDedup.appendCellIndex(rows, centroids, indexPath)
+      }
     } finally rows.unpersist()
   }
 

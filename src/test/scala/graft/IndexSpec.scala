@@ -450,6 +450,15 @@ class IndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Hnsw.append(grown, baseStore)
     }
+    // a combined store whose first n rows are NOT the base-build corpus
+    // (here: same rows, reordered) is rejected by the stored corpus
+    // fingerprint — the reused adjacency would point at wrong vectors
+    val reordered = VectorStore.fromDf(
+      emb.select((lit(nTotal - 1) - col("vec_id")).as("vec_id"),
+        col("embedding")), "vec_id", "embedding", Metrics("cosine"))
+    intercept[IllegalArgumentException] {
+      Hnsw.append(base, reordered)
+    }
   }
 
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {

@@ -509,6 +509,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8: zero-norm query never feeds NaN to the heap; both stages agree on -1.0") {
+    import graft.operators.Sq8Ann
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val b = Sq8Ann.trainBounds(d)
+    val enc = Sq8Ann.encode(d, b)
+    val dim = d.first().getSeq[Float](1).length
+    val zeroQ = Seq((9999L, Seq.fill(dim)(0.0f)))
+      .toDF("q_id", "q_vec")
+    val out = Sq8Ann.searchEncoded(zeroQ, enc, d, b, k = 5, nCand = 20)
+      .collect()
+    assert(out.length === 5, "zero-norm query produced no defined ranking")
+    out.foreach { r =>
+      val s = r.getDouble(3)
+      assert(!s.isNaN, "NaN score surfaced for a zero-norm query")
+      assert(s === -1.0, s"zero-norm query scored $s, expected -1.0 " +
+        "(coarse and rerank stages must agree)")
+    }
+  }
+
   test("sq8: >=0.95 recall@10 vs exact j1 (byte codes are near-exact)") {
     val approx = AnnQueries.queries("knn_sq8")(spark, sfDir)
       .select("q_id", "d_id").collect()
@@ -694,11 +715,23 @@ class LlmPipelineSpec extends AnyFunSuite {
       "no cross-wave duplicate found on the planted corpus")
     assert(m1 ++ m2 === full,
       "wave-by-wave marking diverged from the batch operator")
-    // growing the index then re-ingesting the same (now lower) ids is a
-    // monotonicity violation and must fail loudly at ingest
+    // the watermark sidecar tracks the appended max id (no full-index
+    // scan in the probe path)
     SemDedup.appendCellIndex(w2, cents, path)
+    val wMax = corpus.agg(max(col("id"))).first().getLong(0)
+    assert(SemDedup.readWatermark(spark, path) === Some(wMax),
+      "watermark sidecar diverged from the index max id")
+    // re-ingesting the SAME batch after its append is an at-least-once
+    // REPLAY: recognized, reproduced identically (the probe excludes the
+    // batch's own resident copies), never stuck
+    val replay = asMap(
+      SemDedup.incrementalMark(spark, path, cents, w2, tau).collect())
+    assert(replay === m2, "replayed marks diverged from original delivery")
+    // a batch that STRADDLES the watermark is a genuine monotonicity
+    // violation and must still fail loudly at ingest
     intercept[IllegalArgumentException] {
-      SemDedup.incrementalMark(spark, path, cents, w2, tau)
+      SemDedup.incrementalMark(spark, path, cents,
+        w2.select((col("id") + 1L).as("id"), col("vec")), tau)
     }
     // compaction folds the appended small files to one per cell and
     // leaves probe results bit-identical
@@ -716,9 +749,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     val filesAfter = dataFiles()
     assert(filesAfter < filesBefore,
       s"compaction did not shrink files: $filesBefore -> $filesAfter")
+    assert(SemDedup.readWatermark(spark, path) === Some(wMax),
+      "compaction lost the watermark sidecar")
     val after = asMap(
       SemDedup.incrementalMark(spark, path, cents, w3, tau).collect())
     assert(after === before, "post-compaction probe diverged")
+    // crash recovery: simulate a compact that died between its two
+    // renames (index stranded at __compact_old, nothing live)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"${path}__compact_old")))
+    SemDedup.recoverCompact(spark, path)
+    val recovered = asMap(
+      SemDedup.incrementalMark(spark, path, cents, w3, tau).collect())
+    assert(recovered === before, "post-recovery probe diverged")
   }
 
   test("ivf-pq: codes-only partition-pruned index reaches >=0.8 recall@10") {

@@ -347,6 +347,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(inc === Set((4L, 6L, 4L), (5L, 6L, 4L)),
       s"post-compaction probe wrong: $inc")
+    // at-least-once REPLAY: re-delivering batch 2 after its index append
+    // must not throw, not grow the index, and emit the same pairs it
+    // did originally (no spurious self-collisions with its own resident
+    // copies)
+    val idxRows = spark.read.parquet(idx).count()
+    StreamingIngest.incrementalDedupBatch(idx, pairsOut)(
+      batch2.toDF("doc_id", "shingle").withColumn("h", md5(col("shingle"))),
+      1L)
+    assert(spark.read.parquet(idx).count() === idxRows,
+      "replayed batch grew the band index")
+    val afterReplay = spark.read.parquet(pairsOut)
+      .select("doc_a", "doc_b", "n_shared_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterReplay === want,
+      s"replay changed the distinct pair set: $afterReplay")
+    assert(!afterReplay.exists(p => p._1 == p._2),
+      "replay produced self-pairs")
   }
 
   test("streaming incremental semdedup: micro-batch marks equal the batch operator") {
@@ -387,6 +404,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(marksOut)
         .filter(col("batch_id") === 1 && col("is_dup") === 1).count() > 0,
       "no cross-batch duplicate recovered")
+    // at-least-once REPLAY: re-delivering wave 2 after its index append
+    // (the crash-between-append-and-checkpoint case) must not throw,
+    // not grow the index, and reproduce the original marks
+    val idxRows = spark.read.parquet(idx).count()
+    StreamingIngest.incrementalSemDedupBatch(idx, marksOut, cents, tau)(
+      w2.toSeq.toDF("id", "vec"), 1L)
+    assert(spark.read.parquet(idx).count() === idxRows,
+      "replayed batch grew the cell index")
+    val replayed = spark.read.parquet(marksOut)
+      .select("id", "cell", "is_dup").distinct().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(replayed === want, "replayed marks diverged")
   }
 
   test("streaming token chunking matches the batch chunking row-for-row") {
