@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
+import graft.functions.expressions.{VecCosineExpr, VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
 
 /** Column-level vector kernels over `array<float>` columns.
   *
@@ -44,6 +44,7 @@ object VectorFunctions {
 
   /** Σ (a_i − b_i)² — squared L2 (native codegen). distance.h:21-89. */
   def vecL2Sq(a: Column, b: Column): Column = expr2(VecL2SqExpr.apply)(a, b)
+
 
   /** ‖a‖₂ (native codegen; the FastL2 norm-cache kernel). */
   def vecNorm(a: Column): Column =
@@ -93,12 +94,15 @@ object VectorFunctions {
   /** HOF spec form of [[vecNorm]]. */
   def vecNormHof(a: Column): Column = sqrt(vecNormSq(a))
 
-  /** cosine(a, b) = ⟨a,b⟩ / (‖a‖‖b‖). The reference gets cosine by
-    * L2-normalizing at load then taking IP (`index_bipartite.cpp:37-39`);
-    * this form works on un-normalized input. On hot paths materialize the
-    * norms ONCE per side (see KnnJoin) instead of calling this per pair. */
-  def vecCosine(a: Column, b: Column): Column =
-    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+  /** cosine(a, b) = ⟨a,b⟩ / (‖a‖‖b‖) in ONE fused native-codegen loop
+    * ([[VecCosineExpr]], also the SQL `graft_vec_cosine`) — bit-identical
+    * to the composed `vecDot / (vecNorm * vecNorm)` form (same double
+    * accumulation per term, sqrt at the end). The reference gets cosine
+    * by L2-normalizing at load then taking IP
+    * (`index_bipartite.cpp:37-39`); this form works on un-normalized
+    * input. On hot paths materialize the norms ONCE per side (see
+    * KnnJoin) instead of calling this per pair. */
+  def vecCosine(a: Column, b: Column): Column = expr2(VecCosineExpr.apply)(a, b)
 
   /** L2-normalize (util.h:214-229). NOTE: inline use recomputes the norm
     * per element under Catalyst — for hot paths materialize the norm in a

@@ -142,6 +142,74 @@ case class VecL2SqExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cosine similarity Σaᵢbᵢ / (‖a‖·‖b‖) in ONE fused loop — the most
+  * common SQL similarity spelling (the reference treats cosine as a
+  * first-class metric: `distance.h:91-225` + normalize-at-load,
+  * `src/index_bipartite.cpp:37-39`). Arithmetic is exactly
+  * `graft_vec_dot(a,b) / (graft_vec_norm(a) * graft_vec_norm(b))` —
+  * double accumulation in array order, sqrt at the end — so values are
+  * bit-identical to the composed form (and to the DuckDB oracle's
+  * list_dot/norm spelling). A zero-norm side yields IEEE 0/0 = NaN,
+  * same as the composed form. */
+case class VecCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with VecElemType {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val etL = elemType(left.dataType)
+    val etR = elemType(right.dataType)
+    checkSameLength("graft_vec_cosine", x.numElements(), y.numElements())
+    val n = x.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val u = getElem(etL, x, i)
+      val v = getElem(etR, y, i)
+      dot += u * v; na += u * u; nb += v * v
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etL = elemType(left.dataType)
+    val etR = elemType(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |${lengthGuard("graft_vec_cosine", a, b)}
+         |int $n = $a.numElements();
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $u = ${getter(etL, a, i)};
+         |  double $v = ${getter(etR, b, i)};
+         |  $dot += $u * $v;
+         |  $na += $u * $u;
+         |  $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineExpr =
+    copy(left = l, right = r)
+}
+
 /** ‖a‖₂ = sqrt(Σ aᵢ²) (`distance.h:226-321`'s norm cache kernel). */
 case class VecNormExpr(child: Expression)
     extends UnaryExpression with VecElemType {

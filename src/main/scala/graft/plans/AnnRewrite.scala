@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-import graft.functions.expressions.{VecDotExpr, VecL2SqExpr}
+import graft.functions.expressions.{VecCosineExpr, VecDotExpr, VecL2SqExpr}
 import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
 
 /** SQL auto-routing of exhaustive top-k similarity queries to the ANN
@@ -58,8 +58,18 @@ object AnnIndexRegistry {
   // are the check.
   private val entries = new TrieMap[(String, String, String), (String, Entry)]
 
-  private def routeMetrics(byL2: Boolean): Seq[String] =
-    if (byL2) Seq("l2") else Seq("ip", "cosine")
+  /** Query kind → acceptable index metrics, in preference order.
+    * "l2" = ORDER BY graft_vec_l2sq ASC; "cos" = ORDER BY
+    * graft_vec_cosine DESC (served ONLY by cosine-metric entries —
+    * their normalized geometry IS cosine ordering, no corpus caveat);
+    * "dot" = ORDER BY graft_vec_dot DESC ("ip" preferred; a cosine
+    * entry is the registrant's normalized-corpus assertion, see the
+    * entries comment above). */
+  private def routeMetrics(kind: String): Seq[String] = kind match {
+    case "l2" => Seq("l2")
+    case "cos" => Seq("cosine")
+    case _ => Seq("ip", "cosine")
+  }
 
   /** Canonical identity of a corpus scan: the single leaf relation under
     * (optional) attribute-only projections and subquery aliases. None if
@@ -102,15 +112,15 @@ object AnnIndexRegistry {
     entries.put((idCol, vecCol, entry.metricName), (fp, entry))
   }
 
-  def lookup(idCol: String, vecCol: String, byL2: Boolean): Option[Entry] =
-    routeMetrics(byL2).iterator
+  def lookup(idCol: String, vecCol: String, kind: String): Option[Entry] =
+    routeMetrics(kind).iterator
       .flatMap(m => entries.get((idCol, vecCol, m))).map(_._2)
       .nextOption()
 
   /** Lookup that also proves `child` IS the registered corpus relation. */
-  def lookupFor(idCol: String, vecCol: String, byL2: Boolean,
+  def lookupFor(idCol: String, vecCol: String, kind: String,
                 child: LogicalPlan): Option[Entry] =
-    routeMetrics(byL2).iterator.flatMap { m =>
+    routeMetrics(kind).iterator.flatMap { m =>
       for {
         (fp, entry) <- entries.get((idCol, vecCol, m))
         childFp <- scanFingerprint(child)
@@ -266,34 +276,34 @@ object AnnIndexRegistry {
       // full coarse scan over byte codes = 1/4 of the float bytes
       costHint = 0.25))
 
-  def lookupTier(idCol: String, vecCol: String, byL2: Boolean,
+  def lookupTier(idCol: String, vecCol: String, kind: String,
                  preferred: Option[String] = None): Option[CandidateTierEntry] =
-    lookupTierWithFp(idCol, vecCol, byL2, preferred).map(_._2)
+    lookupTierWithFp(idCol, vecCol, kind, preferred).map(_._2)
 
   /** [[lookupTier]] plus the registered corpus fingerprint — execute-time
     * callers re-verify it against the fingerprint proven at plan time,
     * and pass the planned tier NAME as `preferred` so execution resolves
     * the same tier the chooser picked. */
-  def lookupTierWithFp(idCol: String, vecCol: String, byL2: Boolean,
+  def lookupTierWithFp(idCol: String, vecCol: String, kind: String,
                        preferred: Option[String] = None)
       : Option[(String, CandidateTierEntry)] =
-    routeMetrics(byL2).iterator
+    routeMetrics(kind).iterator
       .flatMap(m => tierEntries.get((idCol, vecCol, m))
         .flatMap(chooseTier(_, preferred)))
       .nextOption()
 
   /** [[lookup]] plus the registered corpus fingerprint. */
   def lookupWithFp(idCol: String, vecCol: String,
-                   byL2: Boolean): Option[(String, Entry)] =
-    routeMetrics(byL2).iterator
+                   kind: String): Option[(String, Entry)] =
+    routeMetrics(kind).iterator
       .flatMap(m => entries.get((idCol, vecCol, m)))
       .nextOption()
 
-  def lookupTierFor(idCol: String, vecCol: String, byL2: Boolean,
+  def lookupTierFor(idCol: String, vecCol: String, kind: String,
                     child: LogicalPlan,
                     preferred: Option[String] = None)
       : Option[CandidateTierEntry] =
-    routeMetrics(byL2).iterator.flatMap { m =>
+    routeMetrics(kind).iterator.flatMap { m =>
       for {
         byName <- tierEntries.get((idCol, vecCol, m))
         childFp <- scanFingerprint(child)
@@ -306,9 +316,10 @@ object AnnIndexRegistry {
   def clear(): Unit = { entries.clear(); tierEntries.clear() }
 }
 
-/** Logical stand-in for an index-backed top-k search. `byL2` = the
-  * query sorted ascending on graft_vec_l2sq (nearest by L2²); false =
-  * descending on graft_vec_dot. `tier` picks the physical answer:
+/** Logical stand-in for an index-backed top-k search. `kind` = the
+  * routed query spelling: "dot" (graft_vec_dot DESC), "l2"
+  * (graft_vec_l2sq ASC), "cos" (graft_vec_cosine DESC — the most
+  * common similarity spelling). `tier` picks the physical answer:
   * "graph" = broadcast RoarGraph beam search (one task);
   * "ivfpq" = partition-pruned distributed probe over the codes-only
   * index (the corpus-outgrew-the-broadcast-ceiling path).
@@ -320,7 +331,7 @@ object AnnIndexRegistry {
 case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          vecName: String, queryVec: Array[Float], k: Int,
                          idFirst: Boolean,
-                         byL2: Boolean = false,
+                         kind: String = "dot",
                          tier: String = "graph",
                          fingerprint: String = "") extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
@@ -357,14 +368,24 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def cosOf(e: Expression): Option[(AttributeReference, Array[Float])] =
+    e match {
+      case VecCosineExpr(a: AttributeReference, l: Literal) =>
+        asFloatArray(l).map(v => (a, v))
+      case VecCosineExpr(l: Literal, a: AttributeReference) =>
+        asFloatArray(l).map(v => (a, v))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString("spark.graft.ann.rewrite", "false").toBoolean) {
       return plan
     }
     plan.transformDown {
-      // dot DESC (similarity) and l2² ASC (nearest) both route; dot ASC /
-      // l2 DESC are farthest-point queries no ANN index answers — left
-      // exhaustive by the direction⇄expression pairing below.
+      // dot/cosine DESC (similarity) and l2² ASC (nearest) all route;
+      // dot/cosine ASC / l2 DESC are farthest-point queries no ANN index
+      // answers — left exhaustive by the direction⇄expression pairing
+      // below.
       case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
           Sort(Seq(SortOrder(sortKey: AttributeReference, dir, _, _)), true,
             Project(projList, projChild), _)))
@@ -373,11 +394,13 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           scoreAlias <- projList.collectFirst {
             case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
           }
-          (vecAttr, qv, byL2) <- dir match {
+          (vecAttr, qv, kind) <- dir match {
             case Descending =>
-              dotOf(scoreAlias._2).map { case (a, v) => (a, v, false) }
+              dotOf(scoreAlias._2).map { case (a, v) => (a, v, "dot") }
+                .orElse(cosOf(scoreAlias._2).map { case (a, v) =>
+                  (a, v, "cos") })
             case Ascending =>
-              l2Of(scoreAlias._2).map { case (a, v) => (a, v, true) }
+              l2Of(scoreAlias._2).map { case (a, v) => (a, v, "l2") }
             case _ => None
           }
           idAttr <- projList.collectFirst {
@@ -400,11 +423,11 @@ object AnnTopKRule extends Rule[LogicalPlan] {
             val pref = SQLConf.get
               .getConfString("spark.graft.ann.tier", "").trim
             val graph = AnnIndexRegistry
-              .lookupFor(idAttr.name, vecAttr.name, byL2, projChild)
+              .lookupFor(idAttr.name, vecAttr.name, kind, projChild)
               .filter(_.rawVecsB.value.dim == qv.length)
               .map(_ => "graph")
             def tiers(p: Option[String]) = AnnIndexRegistry
-              .lookupTierFor(idAttr.name, vecAttr.name, byL2, projChild, p)
+              .lookupTierFor(idAttr.name, vecAttr.name, kind, projChild, p)
               .filter(_.dim == qv.length)
               .map(_.name)
             if (pref == "graph") graph
@@ -413,7 +436,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           }
           fp <- AnnIndexRegistry.scanFingerprint(projChild)
         } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
-          idFirst = projList.head.exprId == idAttr.exprId, byL2 = byL2,
+          idFirst = projList.head.exprId == idAttr.exprId, kind = kind,
           tier = tier, fingerprint = fp)
         rewritten.getOrElse(limit)
     }
@@ -443,13 +466,16 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
 
   private def tierRows(entry: AnnIndexRegistry.CandidateTierEntry): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{broadcast, col, typedlit}
-    import graft.functions.VectorFunctions.{vecDot, vecL2Sq}
+    import graft.functions.VectorFunctions.{vecCosine, vecDot, vecL2Sq}
     val spark = entry.data.sparkSession
     import spark.implicits._
     val cands = entry.candidates(spark, node.queryVec, node.k)
     val qLit = typedlit(node.queryVec)
-    val score = if (node.byL2) vecL2Sq(col(entry.dataVecCol), qLit)
-                else vecDot(col(entry.dataVecCol), qLit)
+    val score = node.kind match {
+      case "l2" => vecL2Sq(col(entry.dataVecCol), qLit)
+      case "cos" => vecCosine(col(entry.dataVecCol), qLit)
+      case _ => vecDot(col(entry.dataVecCol), qLit)
+    }
     // candidate ids under a reserved alias: a corpus whose id column is
     // itself named d_id would otherwise make the join condition ambiguous
     val scored = entry.data
@@ -458,7 +484,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       .select(col(entry.dataIdCol).cast("long").as("id"),
         score.cast("double").as("score"))
     val ordered =
-      if (node.byL2) scored.orderBy(col("score").asc, col("id").asc)
+      if (node.kind == "l2") scored.orderBy(col("score").asc, col("id").asc)
       else scored.orderBy(col("score").desc, col("id").asc)
     ordered.limit(node.k).as[(Long, Double)].collect()
   }
@@ -476,7 +502,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = {
     if (node.tier != "graph") {
       val (storedFp, entry) = AnnIndexRegistry
-        .lookupTierWithFp(node.idName, node.vecName, node.byL2,
+        .lookupTierWithFp(node.idName, node.vecName, node.kind,
           preferred = Some(node.tier))
         .getOrElse(sys.error(
           s"candidate tier '${node.tier}' for (${node.idName}, " +
@@ -493,14 +519,14 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       }
     }
     val (graphFp, entry) =
-      AnnIndexRegistry.lookupWithFp(node.idName, node.vecName, node.byL2)
+      AnnIndexRegistry.lookupWithFp(node.idName, node.vecName, node.kind)
         .getOrElse(sys.error(
           s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
     checkFingerprint(graphFp, "ANN index")
     val qv = node.queryVec
     val k = node.k
     val idFirst = node.idFirst
-    val byL2 = node.byL2
+    val kind = node.kind
     val schema = node.output.map(_.dataType).toArray
     sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
       val graph = entry.graphB.value
@@ -513,7 +539,9 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
         q, l, visited)
       // exact rescoring over RAW vectors — scores == the original
-      // expression's values (graft_vec_dot or graft_vec_l2sq)
+      // expression's values (graft_vec_dot, graft_vec_l2sq or
+      // graft_vec_cosine; cosine mirrors VecCosineExpr's fused loop, so
+      // values are bit-identical to the exhaustive plan's)
       require(raw.dim == qv.length,
         s"query dim ${qv.length} != corpus dim ${raw.dim}")
       val scored = (0 until queue.size).map { i =>
@@ -522,17 +550,29 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
         val n = raw.dim
         var s = 0.0
         var j = 0
-        if (byL2) {
-          while (j < n) {
-            val d = raw.data(off + j).toDouble - qv(j).toDouble
-            s += d * d
-            j += 1
-          }
-        } else {
-          while (j < n) { s += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
+        kind match {
+          case "l2" =>
+            while (j < n) {
+              val d = raw.data(off + j).toDouble - qv(j).toDouble
+              s += d * d
+              j += 1
+            }
+          case "cos" =>
+            var dot = 0.0
+            var na = 0.0
+            var nb = 0.0
+            while (j < n) {
+              val u = raw.data(off + j).toDouble
+              val v = qv(j).toDouble
+              dot += u * v; na += u * u; nb += v * v
+              j += 1
+            }
+            s = dot / (math.sqrt(na) * math.sqrt(nb))
+          case _ =>
+            while (j < n) { s += raw.data(off + j).toDouble * qv(j).toDouble; j += 1 }
         }
         (id.toLong, s)
-      }.sortBy { case (id, s) => (if (byL2) s else -s, id) }.take(k)
+      }.sortBy { case (id, s) => (if (kind == "l2") s else -s, id) }.take(k)
       val proj = UnsafeProjection.create(schema)
       scored.iterator.map { case (id, s) =>
         val row = if (idFirst) InternalRow(id, s) else InternalRow(s, id)

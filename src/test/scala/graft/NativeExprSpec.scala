@@ -33,6 +33,18 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("vecCosine native == composed dot/(norm*norm), bit-identical") {
+    // the composed form is what the DuckDB oracle computes
+    // (list_dot / (norm * norm)) and what pre-cosine-expression code
+    // spelled out — the fused loop must not drift by even one ulp
+    val composed = vecDotHof(col("va"), col("vb")) /
+      (vecNormHof(col("va")) * vecNormHof(col("vb")))
+    val diff = pairs.select(
+        (vecCosine(col("va"), col("vb")) - composed).as("d"))
+      .agg(sum(when(col("d") =!= 0.0, 1).otherwise(0))).first().getLong(0)
+    assert(diff === 0L)
+  }
+
   test("vecNorm native == HOF, bit-identical") {
     val diff = Tables.embeddings(spark, sfDir)
       .select((vecNorm(col("embedding")) - vecNormHof(col("embedding"))).as("d"))
