@@ -38,6 +38,30 @@ import org.apache.spark.sql.functions._
   * BENCH_SF1_SMOKE.json (env SPARK_GRAFT_SMOKE_OUT), exits 1 on any
   * violation.
   */
+/** Standalone fixture scaler: `runMain graft.ScaleFixtures [srcDir]
+  * [factor] [dstDir]` writes the [[ScaleSmoke.scaleTables]] replicated
+  * tables and exits — the sf1 sweep ([[Sweep]]) and any ad-hoc scale
+  * experiment share one deterministic corpus without re-running the
+  * whole smoke. */
+object ScaleFixtures {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val dstDir = args.lift(2).getOrElse("/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleSmoke.scaleTables(spark, srcDir, dstDir, factor)
+    println(s"scaled $srcDir x$factor -> $dstDir")
+    spark.stop()
+  }
+}
+
 object ScaleSmoke {
 
   private val Exempt = Set("dedup_embedding_cosine", "semdedup", "semdedup_text")

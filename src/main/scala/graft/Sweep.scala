@@ -46,9 +46,14 @@ import graft.sources.Sinks
   * stage is materialized and timed separately from the chamfer rerank,
   * and `rerank_frac` = rerank / (search + rerank).
   *
-  * Usage: `runMain graft.Sweep [sfDir] [budgets-csv] [outDir]` —
+  * Usage: `runMain graft.Sweep [sfDir] [budgets-csv] [outDir] [params]` —
   * defaults: sf0.01 fixtures, budgets 40,80,120,200, stdout TSV only.
-  * With outDir set, rows land as an S12 TSV sink.
+  * With outDir set, rows land as an S12 TSV sink. `params` picks the
+  * RoarGraph build knobs: `fixture` (default — the 2k-vector fixture
+  * scale-down, 20/8/40) or `ref` (the reference's production knobs
+  * 100/35/100, `build_roargraph_index.sh:27-29`) — graph DEGREE must
+  * scale with the corpus, so a 10×-corpus sweep run with fixture knobs
+  * measures an undersized graph, not the algorithm.
   */
 object Sweep {
   import VectorQueries.{C, NQ, K}
@@ -58,6 +63,11 @@ object Sweep {
     val budgets = args.lift(1).getOrElse("40,80,120,200")
       .split(",").map(_.trim.toInt).toSeq
     val outDir = args.lift(2)
+    val params = args.lift(3).getOrElse("fixture") match {
+      case "ref" => IndexQueries.FixtureParams.copy(
+        mSq = 100, mPjbp = 35, lPjpq = 100)
+      case _ => IndexQueries.FixtureParams
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,7 +76,7 @@ object Sweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = run(spark, sfDir, budgets)
+    val rows = run(spark, sfDir, budgets, params)
     println("arm\tbudget\trecall\trderr\tqps\tsearch_sec\trerank_frac")
     rows.foreach { case (arm, b, r, e, q, t, f) =>
       println(f"$arm\t$b\t$r%.4f\t$e%.5f\t$q%.1f\t$t%.3f\t$f%.3f") }
@@ -81,10 +91,11 @@ object Sweep {
 
   /** One (arm, budget, Recall@K, rel-dist-err, QPS, search wall sec,
     * rerank_frac) row per (arm × budget). */
-  def run(spark: SparkSession, sfDir: String,
-          budgets: Seq[Int]): Seq[(String, Int, Double, Double, Double, Double, Double)] = {
+  def run(spark: SparkSession, sfDir: String, budgets: Seq[Int],
+          params: graft.index.BuildParams = IndexQueries.FixtureParams)
+      : Seq[(String, Int, Double, Double, Double, Double, Double)] = {
     val emb = Tables.embeddings(spark, sfDir)
-    val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
+    val idx = GraphBuild.build(spark, emb, emb, params)
     val graphB = spark.sparkContext.broadcast(idx.graph)
     val vecsB = spark.sparkContext.broadcast(idx.vecs)
     // HNSW arm SHARES the corpus broadcast (vecsB) — the index itself
