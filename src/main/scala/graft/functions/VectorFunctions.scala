@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{VecCosineExpr, VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
+import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
 
 /** Column-level vector kernels over `array<float>` columns.
   *
@@ -93,6 +93,12 @@ object VectorFunctions {
 
   /** HOF spec form of [[vecNorm]]. */
   def vecNormHof(a: Column): Column = sqrt(vecNormSq(a))
+
+  /** Smooth-Chamfer similarity between two vector SETS
+    * (`array<array<float>>`; first arg = QUERY set — asymmetric). The
+    * SQL face is `graft_chamfer_score`; see [[VecChamferExpr]]. */
+  def chamferScore(q: Column, d: Column): Column =
+    expr2(VecChamferExpr.apply)(q, d)
 
   /** cosine(a, b) = ⟨a,b⟩ / (‖a‖‖b‖) in ONE fused native-codegen loop
     * ([[VecCosineExpr]], also the SQL `graft_vec_cosine`) — bit-identical

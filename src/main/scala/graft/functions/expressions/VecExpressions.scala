@@ -437,3 +437,124 @@ case class VecProjectExpr(vec: Expression, seedsFlat: Seq[Double], dim: Int)
   override protected def withNewChildInternal(c: Expression): VecProjectExpr =
     copy(vec = c)
 }
+
+/** Smooth-Chamfer similarity between two VECTOR SETS (`array<array
+  * <float|double>>`), the reference's set-level scoring function
+  * (`/root/reference/src/multivector_reranker.cpp:377-430`) as a SQL
+  * expression — `graft_chamfer_score(query_set, data_set)`. Makes the
+  * engine's flagship question ("which corpus sets best match this query
+  * set") EXPRESSIBLE in SQL: the exhaustive form is a full scan ranked
+  * by this expression, and the ANN rewrite routes that exact shape to
+  * the G9 kernel + chamfer-rescore tail.
+  *
+  * Arithmetic mirrors [[graft.functions.ChamferAggregator]] term for
+  * term (pairwise cosine in promoted doubles, two stable LSE passes at
+  * τ=16/txtScale=1, cQ = query-set cardinality, denominator 2), so the
+  * routed plan's exact rescoring equals this expression's values
+  * bit-for-bit. The first argument is the QUERY set (cQ and the row
+  * LSE come from it) — the function is NOT symmetric.
+  *
+  * Codegen calls [[scoreOf]] through a reference object (the
+  * [[VecProjectExpr]] pattern): the O(c²·dim) kernel stays one JVM
+  * method, rows stay inside whole-stage codegen. The distributed hot
+  * path for corpus-wide rerank remains the single-shuffle
+  * ChamferAggregator; this expression serves the SQL surface and the
+  * bounded candidate rescore. */
+case class VecChamferExpr(left: Expression, right: Expression)
+    extends BinaryExpression with VecElemType {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private def innerType(dt: DataType): DataType = dt match {
+    case ArrayType(ArrayType(et, _), _) => et
+    case other => throw new IllegalArgumentException(
+      s"graft_chamfer_score: expected array<array<numeric>>, got $other")
+  }
+
+  private def setOf(a: ArrayData, et: DataType): Array[Array[Double]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getArray(i)
+      val v = new Array[Double](row.numElements())
+      var j = 0
+      while (j < v.length) { v(j) = getElem(et, row, j); j += 1 }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  def scoreOf(qa: ArrayData, da: ArrayData): Double = {
+    val q = setOf(qa, innerType(left.dataType))
+    val d = setOf(da, innerType(right.dataType))
+    require(q.nonEmpty && d.nonEmpty,
+      "graft_chamfer_score: empty vector set")
+    val dim = q(0).length
+    (q ++ d).foreach(v => checkSameLength("graft_chamfer_score", v.length, dim))
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qn = q.map(norm)
+    val dn = d.map(norm)
+    val nI = q.length
+    val nJ = d.length
+    val m = Array.ofDim[Double](nI, nJ)
+    var i = 0
+    while (i < nI) {
+      var j = 0
+      while (j < nJ) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) { dot += q(i)(k) * d(j)(k); k += 1 }
+        m(i)(j) = dot / (qn(i) * dn(j))
+        j += 1
+      }
+      i += 1
+    }
+    val temperature = 16.0
+    val ts = temperature * 1.0 // txtScale = 1
+    var term1Sum = 0.0
+    i = 0
+    while (i < nI) {
+      var mx = Double.NegativeInfinity
+      var j = 0
+      while (j < nJ) { val x = ts * m(i)(j); if (x > mx) mx = x; j += 1 }
+      var se = 0.0
+      j = 0
+      while (j < nJ) { se += math.exp(ts * m(i)(j) - mx); j += 1 }
+      term1Sum += math.log(se) + mx
+      i += 1
+    }
+    var term2Sum = 0.0
+    var j = 0
+    while (j < nJ) {
+      var mx = Double.NegativeInfinity
+      var i2 = 0
+      while (i2 < nI) { val x = temperature * m(i2)(j); if (x > mx) mx = x; i2 += 1 }
+      var se = 0.0
+      i2 = 0
+      while (i2 < nI) { se += math.exp(temperature * m(i2)(j) - mx); i2 += 1 }
+      term2Sum += math.log(se) + mx
+      j += 1
+    }
+    (term1Sum / (nI * ts) + term2Sum / (nI * temperature)) / 2.0
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    scoreOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chamfer", this,
+      classOf[VecChamferExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.scoreOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecChamferExpr =
+    copy(left = l, right = r)
+}

@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-import graft.functions.expressions.{VecCosineExpr, VecDotExpr, VecL2SqExpr}
+import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr}
 import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
 
 /** SQL auto-routing of exhaustive top-k similarity queries to the ANN
@@ -313,7 +313,86 @@ object AnnIndexRegistry {
       } yield entry
     }.nextOption()
 
-  def clear(): Unit = { entries.clear(); tierEntries.clear() }
+  /** The SET-LEVEL (multivector) tier behind the flagship SQL shape
+    *
+    * ```sql
+    * SELECT dset_id, graft_chamfer_score(<query-set literal>, vec_set)
+    *   AS score
+    * FROM corpus_sets ORDER BY score DESC LIMIT k
+    * ```
+    *
+    * — the reference's `test_search_multivector_rerank` entry point
+    * (tests/test_search_multivector_rerank.cpp:276-339) made reachable
+    * from SQL. `data` is the set-level relation (one row per set:
+    * id + `array<array<float>>` members, sub-vectors in q_sub order);
+    * `candidates` runs the G9 per-sub-vector search and returns AT
+    * LEAST the k best candidate `dset_id`s; the route rescores that
+    * bounded set with the query's OWN chamfer expression against
+    * `data`, so the registered generator controls RECALL only — scores
+    * equal the exhaustive plan's bit-for-bit. `dim` = sub-vector
+    * dimension (gates literal shape); `name` surfaces as the node's
+    * tier. */
+  case class MvEntry(
+      name: String, data: org.apache.spark.sql.DataFrame,
+      dataIdCol: String, dataVecCol: String, dim: Int,
+      /** (spark, querySubVectors, k) → DataFrame with a `dset_id`
+        * column. Driver-side at execute time; must launch distributed
+        * work, never collect the corpus. */
+      candidates: (SparkSession, Array[Array[Float]], Int) => org.apache.spark.sql.DataFrame)
+
+  private val mvEntries = new TrieMap[(String, String), (String, MvEntry)]
+
+  /** Register the multivector tier over `corpusSets` (a bare scan of
+    * the set-level relation) — same fingerprint proof as [[register]]. */
+  def registerMv(corpusSets: org.apache.spark.sql.DataFrame, idCol: String,
+                 vecCol: String, entry: MvEntry): Unit = {
+    val fp = scanFingerprint(corpusSets.queryExecution.optimizedPlan).getOrElse(
+      sys.error("ANN registration requires a bare scan corpus (no " +
+        "Filter/Join/expression-Project above the relation): " +
+        corpusSets.queryExecution.optimizedPlan.nodeName))
+    mvEntries.put((idCol, vecCol), (fp, entry))
+  }
+
+  /** [[registerMv]] with the G9 broadcast-RoarGraph generator: the
+    * adaptive multivector beam search over the SUB-vector graph (the
+    * g9_multivector_search kernel), candidate sets = hit sub-vector
+    * ids / c. */
+  def registerMvRoar(corpusSets: org.apache.spark.sql.DataFrame,
+                     idCol: String, vecCol: String,
+                     graphB: Broadcast[CsrGraph],
+                     vecsB: Broadcast[VectorStore],
+                     metricName: String, c: Int, dim: Int,
+                     budget: Int = 120, name: String = "mv_roar"): Unit =
+    registerMv(corpusSets, idCol, vecCol, MvEntry(
+      name, corpusSets, idCol, vecCol, dim,
+      (s, qsets, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val qdf = qsets.zipWithIndex
+          .map { case (v, i) => (0L, i, v.toSeq) }.toSeq
+          .toDF("qset_id", "q_sub", "q_vec")
+        BeamSearch.searchMultiDf(s, qdf, graphB, vecsB, metricName,
+            minPq = math.max(10, budget / math.max(c, 1)),
+            maxPq = math.max(200, budget * 2), budget = budget,
+            adaptive = true)
+          .select((col("d_id") / c).cast("long").as("dset_id"))
+          .distinct()
+      }))
+
+  def lookupMvFor(idCol: String, vecCol: String,
+                  child: LogicalPlan): Option[MvEntry] =
+    (for {
+      (fp, entry) <- mvEntries.get((idCol, vecCol))
+      childFp <- scanFingerprint(child)
+      if childFp == fp
+    } yield entry)
+
+  def lookupMvWithFp(idCol: String, vecCol: String): Option[(String, MvEntry)] =
+    mvEntries.get((idCol, vecCol))
+
+  def clear(): Unit = {
+    entries.clear(); tierEntries.clear(); mvEntries.clear()
+  }
 }
 
 /** Logical stand-in for an index-backed top-k search. `kind` = the
@@ -333,7 +412,8 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          idFirst: Boolean,
                          kind: String = "dot",
                          tier: String = "graph",
-                         fingerprint: String = "") extends LeafNode {
+                         fingerprint: String = "",
+                         mvDim: Int = 0) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
@@ -377,6 +457,27 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def asFloatMatrix(l: Literal): Option[Array[Array[Float]]] =
+    l.dataType match {
+      case ArrayType(et @ ArrayType(FloatType, _), _) =>
+        Some(l.value.asInstanceOf[ArrayData].toArray[ArrayData](et)
+          .map(_.toFloatArray()))
+      case ArrayType(et @ ArrayType(DoubleType, _), _) =>
+        Some(l.value.asInstanceOf[ArrayData].toArray[ArrayData](et)
+          .map(_.toDoubleArray().map(_.toFloat)))
+      case _ => None
+    }
+
+  /** The flagship set-level shape: chamfer score of a QUERY-set literal
+    * (first argument — the function is asymmetric) against the set
+    * column. */
+  private def chamferOf(e: Expression)
+      : Option[(AttributeReference, Array[Array[Float]])] = e match {
+    case VecChamferExpr(l: Literal, a: AttributeReference) =>
+      asFloatMatrix(l).map(m => (a, m))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString("spark.graft.ann.rewrite", "false").toBoolean) {
       return plan
@@ -385,11 +486,23 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       // dot/cosine DESC (similarity) and l2² ASC (nearest) all route;
       // dot/cosine ASC / l2 DESC are farthest-point queries no ANN index
       // answers — left exhaustive by the direction⇄expression pairing
-      // below.
-      case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
-          Sort(Seq(SortOrder(sortKey: AttributeReference, dir, _, _)), true,
-            Project(projList, projChild), _)))
-          if projList.length == 2 =>
+      // below. A Project pushed between the limit and the sort
+      // (Catalyst's project-through-limit — e.g. a user wrapping the
+      // routed query to stamp a tag column or re-round the score) is
+      // TRANSPARENT: the rule matches through it and re-wraps it over
+      // the search node, so the common "SELECT extras FROM (<routed
+      // top-k>)" shape still routes.
+      case limit @ GlobalLimit(Literal(k: Int, _), LocalLimit(_, body)) =>
+        val unwrapped = body match {
+          case s: Sort => Some((None: Option[Project], s))
+          case p @ Project(_, s: Sort) => Some((Some(p), s))
+          case _ => None
+        }
+        unwrapped match {
+          case Some((wrapper,
+              Sort(Seq(SortOrder(sortKey: AttributeReference, dir, _, _)), true,
+                Project(projList, projChild), _)))
+              if projList.length == 2 =>
         val rewritten = for {
           scoreAlias <- projList.collectFirst {
             case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
@@ -435,10 +548,38 @@ object AnnTopKRule extends Rule[LogicalPlan] {
             else graph.orElse(tiers(None))
           }
           fp <- AnnIndexRegistry.scanFingerprint(projChild)
-        } yield AnnSearchNode(limit.output, idAttr.name, vecAttr.name, qv, k,
+        } yield AnnSearchNode(projList.map(_.toAttribute), idAttr.name,
+          vecAttr.name, qv, k,
           idFirst = projList.head.exprId == idAttr.exprId, kind = kind,
           tier = tier, fingerprint = fp)
-        rewritten.getOrElse(limit)
+        // the SET-LEVEL flagship shape: chamfer(query-set literal,
+        // vec_set) DESC LIMIT k over a registered set relation; ASC is
+        // a farthest-set query no index answers — left exhaustive
+        val mvRewritten = for {
+          scoreAlias <- projList.collectFirst {
+            case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
+          }
+          if dir == Descending
+          (vecAttr, qsets) <- chamferOf(scoreAlias._2)
+          idAttr <- projList.collectFirst {
+            case a: AttributeReference if a.exprId != sortKey.exprId => a
+          }
+          if idAttr.dataType == LongType
+          entry <- AnnIndexRegistry
+            .lookupMvFor(idAttr.name, vecAttr.name, projChild)
+          if qsets.nonEmpty && qsets.forall(_.length == entry.dim)
+          fp <- AnnIndexRegistry.scanFingerprint(projChild)
+        } yield AnnSearchNode(projList.map(_.toAttribute), idAttr.name,
+          vecAttr.name, qsets.flatten, k,
+          idFirst = projList.head.exprId == idAttr.exprId,
+          kind = "mv", tier = entry.name, fingerprint = fp,
+          mvDim = entry.dim)
+        rewritten.orElse(mvRewritten)
+          .map[LogicalPlan](n =>
+            wrapper.map(w => w.copy(child = n): LogicalPlan).getOrElse(n))
+          .getOrElse(limit)
+          case _ => limit
+        }
     }
   }
 }
@@ -489,6 +630,29 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     ordered.limit(node.k).as[(Long, Double)].collect()
   }
 
+  /** Set-level route: run the registered G9 candidate generator, then
+    * rescore the bounded candidate set with the query's OWN chamfer
+    * expression against the set relation (broadcast-candidates join —
+    * the corpus is read, never shuffled, never resident). Scores equal
+    * the exhaustive plan's bit-for-bit; only the candidate SET is
+    * approximate. */
+  private def mvRows(entry: AnnIndexRegistry.MvEntry): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{broadcast, col, typedlit}
+    import graft.functions.VectorFunctions.chamferScore
+    val spark = entry.data.sparkSession
+    import spark.implicits._
+    val qsets = node.queryVec.grouped(node.mvDim).toArray
+    val cands = entry.candidates(spark, qsets, node.k)
+    val qLit = typedlit(qsets.map(_.toSeq).toSeq)
+    val scored = entry.data
+      .join(broadcast(cands.select(col("dset_id").as("__graft_cand_id"))),
+        col(entry.dataIdCol) === col("__graft_cand_id"))
+      .select(col(entry.dataIdCol).cast("long").as("id"),
+        chamferScore(qLit, col(entry.dataVecCol)).cast("double").as("score"))
+    scored.orderBy(col("score").desc, col("id").asc)
+      .limit(node.k).as[(Long, Double)].collect()
+  }
+
   /** The rule proved at plan time that the query's relation IS the
     * registered corpus; a re-registration for the same (idCol, vecCol,
     * metric) over a different relation between planning and execution
@@ -500,6 +664,22 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
         s"(planned ${node.fingerprint}, registry has $storedFp)")
 
   override protected def doExecute(): RDD[InternalRow] = {
+    if (node.kind == "mv") {
+      val (storedFp, entry) = AnnIndexRegistry
+        .lookupMvWithFp(node.idName, node.vecName)
+        .getOrElse(sys.error(
+          s"multivector tier for (${node.idName}, ${node.vecName}) vanished"))
+      checkFingerprint(storedFp, "multivector tier")
+      val rows = mvRows(entry)
+      val idFirst = node.idFirst
+      val schema = node.output.map(_.dataType).toArray
+      return sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        it.map { case (id, s) =>
+          proj(if (idFirst) InternalRow(id, s) else InternalRow(s, id))
+        }
+      }
+    }
     if (node.tier != "graph") {
       val (storedFp, entry) = AnnIndexRegistry
         .lookupTierWithFp(node.idName, node.vecName, node.kind,

@@ -302,6 +302,34 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // The reference's FLAGSHIP question asked FROM SQL — the set-level
+    // top-k (`test_search_multivector_rerank.cpp:276-339`) as a plain
+    // `ORDER BY graft_chamfer_score(<query-set literal>, vec_set) DESC
+    // LIMIT k` over a set-level relation, auto-routed by AnnTopKRule to
+    // the G9 adaptive beam search + exact chamfer rescore
+    // (plans/AnnRewrite.scala `MvEntry`). One SQL statement per fixture
+    // query set, unioned with the qset stamp. Rows-only (graph search
+    // is order-dependent); LlmPipelineSpec gates ≥0.95 set recall vs
+    // the fullscan chamfer oracle AND asserts the route actually fires
+    // (AnnSearch in the physical plan).
+    "g9_sql_multivector" -> ((s, dir) => {
+      val setsDf = mvSqlSetup(s, dir)
+      s.conf.set("spark.graft.ann.rewrite", "true")
+      val qRows = Tables.embeddings(s, dir).filter(col("vec_id") < NQ * C)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      qRows.groupBy(_._1 / C).toSeq.sortBy(_._1).map { case (qsetId, rows) =>
+        val qLit = rows.sortBy(_._1)
+          .map(_._2.map(x => s"${x}F").mkString("array(", ", ", ")"))
+          .mkString("array(", ", ", ")")
+        s.sql(s"""SELECT dset_id, graft_chamfer_score($qLit, vec_set)
+                 |  AS score
+                 |FROM graft_mv_sets ORDER BY score DESC LIMIT $K""".stripMargin)
+          .select(lit(qsetId).as("qset_id"), col("dset_id"),
+            round(col("score"), 6).as("score"))
+      }.reduce(_ unionAll _)
+    }),
+
     // The FLAGSHIP multivector query shape (G9: per-sub-vector candidate
     // generation → smooth-Chamfer rerank → top-k sets) served by the
     // COMPRESSED tier instead of a graph: SQ8 coarse scan proposes each
@@ -486,6 +514,60 @@ object AnnQueries extends QueryPack {
         (x * (lit(1.0) + lit(0.5) * sin(col("id") + lit(37.0) * j)))
           .cast("float")).as("vec"))
     base.unionAll(planted)
+  }
+
+  /** Offline half of the SQL multivector surface, once per fixture dir:
+    * the SET-LEVEL parquet relation (one row per corpus set, members in
+    * sub order — the bare-scan corpus the rewrite fingerprints), plus
+    * the G9 sub-vector RoarGraph broadcasts. Every call (re)points the
+    * `graft_mv_sets` view and the registry at THIS dir's relation, and
+    * makes sure the session has the functions + rule injected — cheap
+    * and idempotent, so dir switches stay consistent. Cache invariant
+    * as [[ivfPqCache]]: paths and broadcasts only. */
+  private val mvSqlCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String,
+      org.apache.spark.broadcast.Broadcast[graft.index.CsrGraph],
+      org.apache.spark.broadcast.Broadcast[graft.index.VectorStore],
+      String, Int)]()
+
+  private def mvSqlSetup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
+    graft.functions.GraftFunctions.register(s)
+    val cls = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
+      cls.experimental.extraOptimizations =
+        cls.experimental.extraOptimizations :+ AnnTopKRule
+      cls.experimental.extraStrategies =
+        cls.experimental.extraStrategies :+ AnnStrategy
+    }
+    val (path, graphB, vecsB, metric, dim) =
+      mvSqlCache.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir)
+        val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
+            (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
+          .groupBy("dset_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
+            x => x.getField("embedding")).as("vec_set"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mv_sets_")
+        sys.addShutdownHook {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        sets.write.mode("overwrite").parquet(tmp.toString)
+        val idx = graft.index.GraphBuild.build(s, e, e,
+          IndexQueries.FixtureParams)
+        (tmp.toString, s.sparkContext.broadcast(idx.graph),
+          s.sparkContext.broadcast(idx.vecs), idx.params.metric,
+          idx.vecs.dim)
+      })
+    val sets = s.read.parquet(path)
+    sets.createOrReplaceTempView("graft_mv_sets")
+    AnnIndexRegistry.registerMvRoar(sets, "dset_id", "vec_set",
+      graphB, vecsB, metric, C, dim)
+    sets
   }
 
   /** One IVF-PQ index build per fixture dir (the offline half); every

@@ -142,6 +142,56 @@ object TextQueries extends QueryPack {
             col("n_toks").cast("int")))).as("chunk_hash"))
   }
 
+  /** BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    * over a `(doc_id, text)` frame for an arbitrary `terms` relation
+    * (one `term` column) — the parameterized face of the fixed-term
+    * `text_bm25` query. Scale shape: the corpus is passed ONCE (token
+    * explode + hash join against the BROADCAST term list — at 100 TB
+    * the term list is the small side by construction); df and the
+    * corpus stats (N, avgdl) are tiny aggregates broadcast back into
+    * the scoring join, and the final top-k is the bounded-heap
+    * [[graft.operators.TopK.perGroupAgg]], never a global sort.
+    *
+    * Determinism: each per-term partial is quantized to MICRO units
+    * (round9 → ×1e6 → long), so the per-doc `sum` is a LONG total —
+    * exact in any accumulation order — and the query hash-checks
+    * against the DuckDB oracle despite the data-dependent term count
+    * (a double sum over a groupBy would be order-dependent and flaky).
+    * Reference scope: retrieval scoring is the engine's text-side
+    * addition; the reference is vector-only (SURVEY §2). */
+  def bm25(docsDf: DataFrame, terms: DataFrame, k: Int = 20): DataFrame = {
+    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+      .withColumn("dl",
+        org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+    val docStats = t.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl"))
+    val tf = t.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(terms.select(col("term"))), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(docStats))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val part = idf * (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
+        col("dl").cast("double") / (col("sum_dl") / col("n_docs"))))
+    val perDoc = scored
+      .withColumn("micro", round(round(part, 9) * lit(1e6), 0).cast("long"))
+      .groupBy("doc_id").agg(sum(col("micro")).as("micro"))
+      .withColumn("score",
+        round(col("micro").cast("double") / lit(1e6), 6))
+      .filter(col("score") > 0)
+    graft.operators.TopK.perGroupAgg(perDoc, Seq.empty, col("score"),
+        col("doc_id"), k, idName = "doc_id")
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score"))
+  }
+
   /** ExactSubstr-style duplicate-SPAN accounting (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2022 —
     * the span-removal step after duplicate n-grams are found): every
@@ -975,6 +1025,31 @@ object TextQueries extends QueryPack {
         "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
     }),
 
+    // table_profile's PRODUCTION variant: exact multi-column distinct
+    // counts force Catalyst's Expand — every scan row is replicated
+    // once per profiled column before the partial aggregate, and at
+    // 100 TB that ×#columns row blow-up is the plan's dominant CPU
+    // cost. The scale shape is HyperLogLog++ (`approx_count_distinct`,
+    // rsd 2%): ONE pass, no Expand, constant-size mergeable sketches —
+    // what warehouse profilers actually run. Nulls/min/max/count stay
+    // exact; only n_distinct is approximate (gated within 5% of the
+    // exact twin, plan asserted Expand-free, in LlmPipelineSpec).
+    "table_profile_approx" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nn"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__nd"),
+        round(round(min(col(c)), 9), 6).as(s"${c}__mn"),
+        round(round(max(col(c)), 9), 6).as(s"${c}__mx"))) :+
+        count(lit(1)).as("__n")
+      val a = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      a.selectExpr(s"stack(${cols.length}, $stackArgs) as " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
+    }),
+
     // Overlapping token CHUNKING (the RAG/embedding prep step: size 64,
     // stride 48 ⇒ 16-token overlap): per-doc chunk table with the
     // chunk's token span and content hash. Chunk count from INTEGER
@@ -1021,6 +1096,23 @@ object TextQueries extends QueryPack {
           20, idName = "doc_id")
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // text_bm25 generalized to a QUERY TABLE — the production retrieval
+    // shape: terms are DATA (a joined relation), not code, so the same
+    // plan serves any query without recompilation. Tokens explode once
+    // and hash-join the BROADCAST term list (the only corpus pass);
+    // df/N/avgdl come from tiny broadcast aggregates. Per-term partials
+    // are micro-quantized to LONGs before the per-doc sum, so the
+    // groupBy total is exact in ANY accumulation order — the
+    // order-dependence that forced text_bm25's fixed-expression sum
+    // disappears, and the query stays DuckDB-hash-checkable. The fixed
+    // 3-term text_bm25 remains as the independent hash-green twin.
+    "text_bm25_query" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("the", "data", "model", "learning", "neural")
+        .toDF("term")
+      bm25(docs(s, dir), terms, k = 20)
     }),
 
     // Temperature-weighted mixture (the multilingual-LLM sampling rule,
@@ -1496,6 +1588,42 @@ object TextQueries extends QueryPack {
            |  FROM sc WHERE score > 0) r
            |WHERE rank <= 20""".stripMargin
       },
+      "text_bm25_query" ->
+        s"""WITH terms AS (
+           |  SELECT unnest(['the', 'data', 'model', 'learning', 'neural'])
+           |    AS term),
+           |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        unnest(toks) AS term FROM t),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM d JOIN terms USING (term)
+           |  GROUP BY doc_id, dl, term),
+           |st AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |         CAST(sum(len(toks)) AS DOUBLE) AS sum_dl
+           |  FROM t),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           |       FROM tf GROUP BY term),
+           |sc AS (
+           |  SELECT doc_id,
+           |         CAST(round(round(
+           |             ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+           |             * (CAST(tf AS DOUBLE) * 2.2)
+           |             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |                 * CAST(dl AS DOUBLE) / (sum_dl / n_docs))), 9)
+           |           * 1e6, 0) AS BIGINT) AS micro
+           |  FROM tf JOIN df USING (term) CROSS JOIN st),
+           |agg AS (
+           |  SELECT doc_id,
+           |         round(CAST(sum(micro) AS DOUBLE) / 1e6, 6) AS score
+           |  FROM sc GROUP BY doc_id)
+           |SELECT rank, doc_id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           |           AS BIGINT) AS rank,
+           |         doc_id, score
+           |  FROM agg WHERE score > 0) r
+           |WHERE rank <= 20""".stripMargin,
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,

@@ -370,6 +370,63 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("multivector route: chamfer set query routes to the G9 tier with exact scores") {
+    setup
+    // the reference's flagship question as ONE SQL statement: top-k
+    // corpus SETS by smooth chamfer against a query-set literal
+    val e = Tables.embeddings(spark, sfDir)
+    val C = 4
+    val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
+        (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
+      .groupBy("dset_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
+        x => x.getField("embedding")).as("vec_set"))
+    val dir = "target/tmp/ann_mv_sets"
+    sets.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("mv_sets")
+    val idx = GraphBuild.build(spark, e, e, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerMvRoar(corpus, "dset_id", "vec_set",
+      spark.sparkContext.broadcast(idx.graph),
+      spark.sparkContext.broadcast(idx.vecs),
+      idx.params.metric, C, idx.vecs.dim)
+    val qLit = e.filter(col("vec_id") >= C && col("vec_id") < 2 * C)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => s"${x}F")
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val mvSql = s"""SELECT dset_id, graft_chamfer_score($qLit, vec_set)
+                   |  AS score
+                   |FROM mv_sets ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(mvSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exact.length === 10)
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(mvSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AnnSearch"), s"mv query not routed:\n$plan")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      // scores are EXACT (the rescore runs the query's own expression)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"mv route recall $recall")
+      // the query's own set is its best match — sanity of the literal
+      assert(approx.head._1 === 1L, s"self set not top: ${approx.head}")
+      // farthest-set (ASC) stays exhaustive
+      assert(!spark.sql(mvSql.replace("DESC", "ASC"))
+        .queryExecution.executedPlan.toString.contains("AnnSearch"),
+        "chamfer ASC must not route")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("cosine tier route: a cosine-metric candidate tier serves graft_vec_cosine") {
     setup
     import graft.operators.Sq8Ann

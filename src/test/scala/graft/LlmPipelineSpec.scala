@@ -509,6 +509,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("table_profile_approx: Expand-free plan, exact stats, distincts within 5%") {
+    val exact = TextQueries.queries("table_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val df = TextQueries.queries("table_profile_approx")(spark, sfDir)
+    val approx = df.collect().map(r => r.getString(0) -> r).toMap
+    // the exact twin pays Catalyst's Expand (scan rows × #profiled
+    // columns feed the partial aggregate); the production HLL variant
+    // must not — that row blow-up is the dominant 100 TB cost
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"production profile still pays Expand:\n$plan")
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows drifted")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_nulls drifted")
+      assert(a.getDouble(4) === e.getDouble(4), s"$c min drifted")
+      assert(a.getDouble(5) === e.getDouble(5), s"$c max drifted")
+      val ed = e.getLong(3).toDouble
+      assert(math.abs(a.getLong(3) - ed) / ed <= 0.05,
+        s"$c approx distinct ${a.getLong(3)} vs exact ${e.getLong(3)}")
+    }
+  }
+
   test("sq8: zero-norm query never feeds NaN to the heap; both stages agree on -1.0") {
     import graft.operators.Sq8Ann
     import spark.implicits._
@@ -542,6 +566,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.95, s"SQ8 recall@10 = $avg")
+  }
+
+  test("g9_sql_multivector: the SQL flagship routes and holds >=0.95 set recall") {
+    val out = AnnQueries.queries("g9_sql_multivector")(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AnnSearch"),
+      s"SQL flagship did not route through the ANN tier:\n$plan")
+    val approx = out.select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === oracle.keySet)
+    val recalls = oracle.map { case (q, gt) =>
+      approx(q).intersect(gt).size.toDouble / gt.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.95, s"g9_sql set Recall@10 = $avg")
   }
 
   test("g9_ivfpq: codes-only-tier multivector search >=0.9 set recall vs fullscan") {

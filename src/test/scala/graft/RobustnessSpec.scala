@@ -46,7 +46,8 @@ class RobustnessSpec extends AnyFunSuite {
     // the injected seq to a session at creation; here we assert the
     // injections landed by name)
     val names = GraftFunctions.injections.map(_._1.funcName)
-    assert(names === Seq("graft_vec_dot", "graft_vec_l2sq", "graft_vec_norm"))
+    assert(names === Seq("graft_vec_dot", "graft_vec_l2sq",
+      "graft_vec_cosine", "graft_chamfer_score", "graft_vec_norm"))
   }
 
   test("index build is deterministic across repeated runs") {
