@@ -105,9 +105,13 @@ object MinHashLsh {
     * (doc_id, band, key): ~`numBands` × 48 bytes per doc, ~0.1% of a
     * multi-KB document corpus. */
   def writeBandIndex(keys: DataFrame, path: String): Unit = {
-    keys.select(col("doc_id"), col("band"), col("key"))
-      .write.mode("overwrite").parquet(path)
-    maxDocId(keys).foreach(Watermark.write(keys.sparkSession, path, _))
+    // one materialization serves the write AND the watermark max — an
+    // unpersisted agg would re-run the whole shingle→signature pipeline
+    val k = keys.select(col("doc_id"), col("band"), col("key")).persist()
+    try {
+      k.write.mode("overwrite").parquet(path)
+      maxDocId(k).foreach(Watermark.write(keys.sparkSession, path, _))
+    } finally k.unpersist()
   }
 
   /** Append a batch's band keys to the resident index (delta-only write;
@@ -116,10 +120,12 @@ object MinHashLsh {
     * [[Watermark]] sidecar — the replay detector
     * [[graft.streaming.StreamingIngest.incrementalDedupBatch]] reads. */
   def appendBandIndex(keys: DataFrame, path: String): Unit = {
-    keys.select(col("doc_id"), col("band"), col("key"))
-      .write.mode("append").parquet(path)
-    maxDocId(keys).foreach(
-      Watermark.advance(keys.sparkSession, path, "doc_id", _))
+    val k = keys.select(col("doc_id"), col("band"), col("key")).persist()
+    try {
+      k.write.mode("append").parquet(path)
+      maxDocId(k).foreach(
+        Watermark.advance(keys.sparkSession, path, "doc_id", _))
+    } finally k.unpersist()
   }
 
   private def maxDocId(keys: DataFrame): Option[Long] = {

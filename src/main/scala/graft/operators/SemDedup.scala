@@ -109,9 +109,13 @@ object SemDedup {
     * Stamps the max-id watermark sidecar. */
   def writeCellIndex(corpus: DataFrame, centroids: Array[Array[Float]],
                      path: String): Unit = {
-    assigned(corpus, centroids)
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
-    maxId(corpus).foreach(writeWatermark(corpus.sparkSession, path, _))
+    // one materialization serves the write AND the watermark max — an
+    // unpersisted agg would re-run the corpus pipeline + assignment
+    val a = assigned(corpus, centroids).persist()
+    try {
+      a.write.partitionBy("cell").mode("overwrite").parquet(path)
+      maxId(a).foreach(writeWatermark(corpus.sparkSession, path, _))
+    } finally a.unpersist()
   }
 
   /** Append a batch to the resident layout (delta files only; resident
@@ -121,12 +125,14 @@ object SemDedup {
   def appendCellIndex(batch: DataFrame, centroids: Array[Array[Float]],
                       path: String): Unit = {
     val spark = batch.sparkSession
-    assigned(batch, centroids)
-      .write.partitionBy("cell").mode("append").parquet(path)
-    maxId(batch).foreach { bm =>
-      val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
-      writeWatermark(spark, path, math.max(wm, bm))
-    }
+    val a = assigned(batch, centroids).persist()
+    try {
+      a.write.partitionBy("cell").mode("append").parquet(path)
+      maxId(a).foreach { bm =>
+        val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
+        writeWatermark(spark, path, math.max(wm, bm))
+      }
+    } finally a.unpersist()
   }
 
   /** Fold append-accumulated small files back into one file per cell
