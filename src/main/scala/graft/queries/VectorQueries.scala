@@ -70,6 +70,17 @@ object VectorQueries extends QueryPack {
         .select(col("q_id"), col("d_id"),
           round(vecDot(col("q_vec"), col("d_vec")), 6).as("dot"))
     }),
+    // P6 (SQL face): the fused cosine expression (VecCosineExpr /
+    // graft_vec_cosine) hash-checked end-to-end against the composed
+    // DuckDB spelling — the most common similarity call a SQL user
+    // makes, and the route target of the cosine ANN rewrite.
+    "p6_vec_cosine" -> ((s, dir) => {
+      val q = queryVecs(s, dir)
+      val d = dataVecs(s, dir).filter(col("d_id") < 50)
+      d.crossJoin(broadcast(q))
+        .select(col("q_id"), col("d_id"),
+          round(vecCosine(col("q_vec"), col("d_vec")), 6).as("cosine"))
+    }),
     // P1: squared-L2 kernel (distance.h:21-89).
     "p1_vec_l2sq" -> ((s, dir) => {
       val q = queryVecs(s, dir)
@@ -245,6 +256,11 @@ object VectorQueries extends QueryPack {
          |WHERE NOT EXISTS (SELECT 1 FROM sampled s WHERE s.set_id = m.set_id)""".stripMargin,
     "p2_vec_dot" ->
       s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id, round($dotSql, 6) AS dot
+         |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) d""".stripMargin,
+    "p6_vec_cosine" ->
+      s"""SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         |round(${cosineSql("q", "d")}, 6) AS cosine
          |FROM (SELECT * FROM embeddings WHERE vec_id < ${NQ * C}) q
          |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) d""".stripMargin,
     "p1_vec_l2sq" ->

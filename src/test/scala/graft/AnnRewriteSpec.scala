@@ -370,6 +370,29 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("wrapper projection: SELECT extras FROM (routed top-k) still routes") {
+    setup
+    // Catalyst pushes the outer Project through the limit; the rule
+    // must match through it — the common "tag the routed result" shape
+    val q = queryLit
+    val wrapped =
+      s"""SELECT 'mine' AS tag, vec_id, score FROM (
+         |  SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+         |  FROM ann_corpus ORDER BY score DESC LIMIT 10)""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(wrapped)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AnnSearch"), s"wrapped query not routed:\n$plan")
+      val rows = df.collect()
+      assert(rows.length === 10)
+      assert(rows.forall(_.getString(0) == "mine"))
+      // ordering survives the wrapper
+      val scores = rows.map(_.getDouble(2))
+      assert(scores.toSeq === scores.sortBy(-(_: Double)).toSeq)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("multivector route: chamfer set query routes to the G9 tier with exact scores") {
     setup
     // the reference's flagship question as ONE SQL statement: top-k
