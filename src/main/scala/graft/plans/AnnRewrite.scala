@@ -379,6 +379,33 @@ object AnnIndexRegistry {
           .distinct()
       }))
 
+  /** [[registerMv]] with the persisted SHARDED graph tier as the
+    * generator — the SQL flagship past the broadcast ceiling: the same
+    * adaptive multivector search runs per shard through the
+    * resident-LRU lifecycle (delta shards included), and the chamfer
+    * rescore stays the route's own. One registration call swaps the
+    * flagship's physical engine with zero SQL change. */
+  def registerMvSharded(corpusSets: org.apache.spark.sql.DataFrame,
+                        idCol: String, vecCol: String,
+                        ref: graft.index.ShardedIndexRef, c: Int, dim: Int,
+                        budget: Int = 120,
+                        name: String = "mv_sharded"): Unit =
+    registerMv(corpusSets, idCol, vecCol, MvEntry(
+      name, corpusSets, idCol, vecCol, dim,
+      (s, qsets, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val qdf = qsets.zipWithIndex
+          .map { case (v, i) => (0L, i, v.toSeq) }.toSeq
+          .toDF("qset_id", "q_sub", "q_vec")
+        graft.index.ShardedIndex.searchMultiDf(s, qdf, ref,
+            minPq = math.max(10, budget / math.max(c, 1)),
+            maxPq = math.max(200, budget * 2), budget = budget,
+            adaptive = true)
+          .select((col("d_id") / c).cast("long").as("dset_id"))
+          .distinct()
+      }))
+
   def lookupMvFor(idCol: String, vecCol: String,
                   child: LogicalPlan): Option[MvEntry] =
     (for {

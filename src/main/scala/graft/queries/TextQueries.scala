@@ -145,11 +145,13 @@ object TextQueries extends QueryPack {
   /** BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
     * over a `(doc_id, text)` frame for an arbitrary `terms` relation
     * (one `term` column) — the parameterized face of the fixed-term
-    * `text_bm25` query. Scale shape: the corpus is passed ONCE (token
-    * explode + hash join against the BROADCAST term list — at 100 TB
-    * the term list is the small side by construction); df and the
-    * corpus stats (N, avgdl) are tiny aggregates broadcast back into
-    * the scoring join, and the final top-k is the bounded-heap
+    * `text_bm25` query. Scale shape: two column-pruned corpus passes —
+    * one narrow stats aggregate (N, Σdl; at 100 TB that pair is
+    * maintained corpus metadata, not recomputed per query) and one
+    * token-explode probe hash-joined against the BROADCAST term list
+    * (the small side by construction). df and the stats broadcast back
+    * into the scoring join — no shuffled join anywhere, plan-asserted —
+    * and the final top-k is the bounded-heap
     * [[graft.operators.TopK.perGroupAgg]], never a global sort.
     *
     * Determinism: each per-term partial is quantized to MICRO units

@@ -450,6 +450,63 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("multivector route over the SHARDED tier: the SQL flagship past the broadcast ceiling") {
+    setup
+    // same SQL, different physical engine: one registration call swaps
+    // the set-level route's candidate generator to the persisted
+    // sharded index (delta shard included) — the corpus-outgrew-the-
+    // broadcast posture for the flagship query
+    val e = Tables.embeddings(spark, sfDir)
+    val C = 4
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
+        (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
+      .groupBy("dset_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
+        x => x.getField("embedding")).as("vec_set"))
+    val dir = "target/tmp/ann_mv_sets_sharded"
+    sets.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("mv_sets_sh")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mv_sharded_").toString
+    import graft.index.ShardedIndex
+    val base = ShardedIndex.buildPersisted(spark,
+      e.filter(col("vec_id") < 400), IndexQueries.FixtureParams, 2, idxPath)
+    val ref = ShardedIndex.appendDelta(spark,
+      e.filter(col("vec_id") >= 400), base, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerMvSharded(corpus, "dset_id", "vec_set", ref,
+      C, dim)
+    val qLit = e.filter(col("vec_id") >= C && col("vec_id") < 2 * C)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => s"${x}F")
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val mvSql = s"""SELECT dset_id, graft_chamfer_score($qLit, vec_set)
+                   |  AS score
+                   |FROM mv_sets_sh ORDER BY score DESC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(mvSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(mvSql)
+      assert(routedTier(df) === Seq("mv_sharded"),
+        "mv query not routed to the sharded tier")
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(approx.length === 10)
+      val exactById = exact.toMap
+      approx.foreach { case (id, s) =>
+        exactById.get(id).foreach(es => assert(es === s, s"score drift $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"sharded mv route recall $recall")
+      assert(approx.head._1 === 1L, s"self set not top: ${approx.head}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("cosine tier route: a cosine-metric candidate tier serves graft_vec_cosine") {
     setup
     import graft.operators.Sq8Ann

@@ -509,6 +509,16 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bm25_query plan: every join broadcasts; term list never shuffles the corpus") {
+    val df = TextQueries.queries("text_bm25_query")(spark, sfDir)
+    df.collect() // finalize AQE before reading the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bm25 shuffled a join side — the term/df/stats joins must all " +
+        s"broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("table_profile_approx: Expand-free plan, exact stats, distincts within 5%") {
     val exact = TextQueries.queries("table_profile")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
