@@ -449,13 +449,32 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
 /** Optimizer rule: exhaustive sort-limit over `graft_vec_dot` → ANN. */
 object AnnTopKRule extends Rule[LogicalPlan] {
 
-  private def asFloatArray(l: Literal): Option[Array[Float]] = l.dataType match {
-    case ArrayType(FloatType, _) =>
-      Some(l.value.asInstanceOf[ArrayData].toFloatArray())
-    case ArrayType(DoubleType, _) =>
-      Some(l.value.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
-    case _ => None
+  /** NULL-bearing literals (a null array, or `array(1.0F, NULL, …)`)
+    * must BAIL OUT to the exhaustive plan: the null-intolerant
+    * expressions evaluate them to NULL scores (ordered last), while
+    * `ArrayData.toFloatArray` would silently read the null slot as
+    * 0.0f — a routed plan would then answer a DIFFERENT question than
+    * the exhaustive one. */
+  private def noNulls(a: ArrayData): Boolean = {
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
   }
+
+  private def asFloatArray(l: Literal): Option[Array[Float]] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ArrayType(FloatType, _) =>
+        Some(l.value.asInstanceOf[ArrayData]).filter(noNulls)
+          .map(_.toFloatArray())
+      case ArrayType(DoubleType, _) =>
+        Some(l.value.asInstanceOf[ArrayData]).filter(noNulls)
+          .map(_.toDoubleArray().map(_.toFloat))
+      case _ => None
+    }
 
   private def dotOf(e: Expression): Option[(AttributeReference, Array[Float])] =
     e match {
@@ -485,13 +504,18 @@ object AnnTopKRule extends Rule[LogicalPlan] {
     }
 
   private def asFloatMatrix(l: Literal): Option[Array[Array[Float]]] =
-    l.dataType match {
+    if (l.value == null) None
+    else l.dataType match {
       case ArrayType(et @ ArrayType(FloatType, _), _) =>
-        Some(l.value.asInstanceOf[ArrayData].toArray[ArrayData](et)
-          .map(_.toFloatArray()))
+        Some(l.value.asInstanceOf[ArrayData]).filter(noNulls)
+          .map(_.toArray[ArrayData](et))
+          .filter(_.forall(noNulls))
+          .map(_.map(_.toFloatArray()))
       case ArrayType(et @ ArrayType(DoubleType, _), _) =>
-        Some(l.value.asInstanceOf[ArrayData].toArray[ArrayData](et)
-          .map(_.toDoubleArray().map(_.toFloat)))
+        Some(l.value.asInstanceOf[ArrayData]).filter(noNulls)
+          .map(_.toArray[ArrayData](et))
+          .filter(_.forall(noNulls))
+          .map(_.map(_.toDoubleArray().map(_.toFloat)))
       case _ => None
     }
 

@@ -128,6 +128,27 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("NULL-element query literal: not routed, fails at eval like the exhaustive plan") {
+    setup
+    // array(1.0F, NULL, ...) folds to a literal with a null element; the
+    // rule must bail to the exhaustive plan (which throws at eval) —
+    // never NPE inside the optimizer and kill query compilation
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).first().getInt(0)
+    val nullQ = ("array(CAST(NULL AS FLOAT)" +
+      ", 1.0F" * (dims - 1)) + ")"
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(sql(nullQ))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnSearch"),
+        s"null-element literal was routed:\n$plan")
+      // VecDotExpr is null-intolerant: the whole expression is NULL,
+      // ordering puts nulls last — the exhaustive plan still answers
+      assert(df.collect().length === 10)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("a filtered query is NOT routed (and keeps its filter)") {
     setup
     val q = queryLit
