@@ -331,7 +331,15 @@ object ShardedIndex {
     * build residency is [[buildPersisted]]'s proven one-shard peak. The
     * merge-when-small policy: appends are cheap, so a caller compacts
     * only when [[deltaFraction]] crosses its threshold ([[maybeCompact]])
-    * — one rebuild amortized over many appends. */
+    * — one rebuild amortized over many appends.
+    *
+    * Crash posture: the staged union is written FIRST and deleted
+    * LAST, so no vector is ever lost — a crash mid-rebuild leaves the
+    * complete corpus at `<path>/compact_staging`, and recovery is
+    * re-running [[buildPersisted]] from that staging dir (then
+    * dropping staging + deltas). Like the band/cell index compactions,
+    * the rebuild-in-place requires QUIESCENCE: no concurrent search
+    * may run while shard dirs are being overwritten. */
   def compact(spark: SparkSession, ref: ShardedIndexRef,
               params: BuildParams): ShardedIndexRef = {
     require(params.metric == ref.metric,

@@ -314,6 +314,11 @@ object AnnQueries extends QueryPack {
     // (AnnSearch in the physical plan).
     "g9_sql_multivector" -> ((s, dir) => {
       val setsDf = mvSqlSetup(s, dir)
+      // left ON for the session: the returned DF optimizes lazily at
+      // action time, so unsetting here would race the rewrite. Safe
+      // because the rule is a cheap conf-gated pattern match and the
+      // only registration in driver runs is this query's own set
+      // relation (fingerprint-pinned).
       s.conf.set("spark.graft.ann.rewrite", "true")
       val qRows = Tables.embeddings(s, dir).filter(col("vec_id") < NQ * C)
         .select(col("vec_id"), col("embedding")).collect()
