@@ -13,6 +13,30 @@ import graft.sources.{Fbin, RandomVectors, Sinks}
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("watermark sidecar: roundtrip, monotone advance, legacy fallback, parquet-invisible") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Watermark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wm_").toString + "/idx"
+    // no index at all -> None
+    assert(Watermark.read(spark, dir, "id") === None)
+    // legacy index (no sidecar) -> falls back to a column-pruned scan
+    Seq(1L, 5L, 3L).toDF("id").write.parquet(dir)
+    assert(Watermark.read(spark, dir, "id") === Some(5L))
+    // write + read roundtrip; advance never regresses
+    Watermark.write(spark, dir, 5L)
+    assert(Watermark.read(spark, dir, "id") === Some(5L))
+    Watermark.advance(spark, dir, "id", 9L)
+    assert(Watermark.read(spark, dir, "id") === Some(9L))
+    Watermark.advance(spark, dir, "id", 2L) // stale batch max
+    assert(Watermark.read(spark, dir, "id") === Some(9L))
+    // the `_`-prefixed sidecar is invisible to parquet readers
+    assert(spark.read.parquet(dir).agg(
+      org.apache.spark.sql.functions.max(col("id"))).first().getLong(0) === 5L)
+    assert(spark.read.parquet(dir).count() === 3L)
+  }
+
   test("fbin write/read roundtrip preserves ids, dims and bits") {
     val path = "/tmp/graft_test.fbin"
     val orig = Tables.embeddings(spark, sfDir)
