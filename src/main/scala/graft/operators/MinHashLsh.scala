@@ -105,13 +105,16 @@ object MinHashLsh {
     * (doc_id, band, key): ~`numBands` × 48 bytes per doc, ~0.1% of a
     * multi-KB document corpus. */
   def writeBandIndex(keys: DataFrame, path: String): Unit = {
-    // one materialization serves the write AND the watermark max — an
-    // unpersisted agg would re-run the whole shingle→signature pipeline
-    val k = keys.select(col("doc_id"), col("band"), col("key")).persist()
-    try {
-      k.write.mode("overwrite").parquet(path)
-      maxDocId(k).foreach(Watermark.write(keys.sparkSession, path, _))
-    } finally k.unpersist()
+    // the watermark max PIGGYBACKS on the write action (CollectMetrics
+    // via Observation): one action computes the keys, writes them, and
+    // observes max(doc_id) on the way past — no persist, no second
+    // aggregation pass over the shingle→signature pipeline
+    val obs = org.apache.spark.sql.Observation()
+    keys.select(col("doc_id"), col("band"), col("key"))
+      .observe(obs, max(col("doc_id")).as("max_id"))
+      .write.mode("overwrite").parquet(path)
+    obs.get.get("max_id").collect { case m: Long => m }
+      .foreach(Watermark.write(keys.sparkSession, path, _))
   }
 
   /** Append a batch's band keys to the resident index (delta-only write;
@@ -120,17 +123,12 @@ object MinHashLsh {
     * [[Watermark]] sidecar — the replay detector
     * [[graft.streaming.StreamingIngest.incrementalDedupBatch]] reads. */
   def appendBandIndex(keys: DataFrame, path: String): Unit = {
-    val k = keys.select(col("doc_id"), col("band"), col("key")).persist()
-    try {
-      k.write.mode("append").parquet(path)
-      maxDocId(k).foreach(
-        Watermark.advance(keys.sparkSession, path, "doc_id", _))
-    } finally k.unpersist()
-  }
-
-  private def maxDocId(keys: DataFrame): Option[Long] = {
-    val m = keys.agg(max(col("doc_id"))).first()
-    if (m.isNullAt(0)) None else Some(m.getLong(0))
+    val obs = org.apache.spark.sql.Observation()
+    keys.select(col("doc_id"), col("band"), col("key"))
+      .observe(obs, max(col("doc_id")).as("max_id"))
+      .write.mode("append").parquet(path)
+    obs.get.get("max_id").collect { case m: Long => m }
+      .foreach(Watermark.advance(keys.sparkSession, path, "doc_id", _))
   }
 
   /** Fold an append-accumulated band index into a fresh compacted
@@ -191,12 +189,20 @@ object MinHashLsh {
     val crossPairs = residentKeys.as("x")
       .join(broadcast(newKeys.as("y")), cond)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        col("x.band").as("band"))
     val withinPairs = newKeys.as("x").join(newKeys.as("y"), cond)
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.band").as("band"))
+    // DISTINCT bands per pair, not join rows: bandKeys emits one row per
+    // (doc, band) so the two are equal on a clean index, but an
+    // at-least-once REPLAYED append (stale watermark) leaves exact-dup
+    // resident rows until compaction — a raw count would inflate band
+    // counts through that window, a distinct count cannot. The distinct
+    // collapses inside the same partial agg (band is a small int).
     crossPairs.unionAll(withinPairs)
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .agg(countDistinct(col("band")).as("n_shared_bands"))
   }
 }

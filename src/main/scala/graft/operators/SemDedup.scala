@@ -97,42 +97,38 @@ object SemDedup {
                              path: String, maxId: Long): Unit =
     Watermark.write(spark, path, maxId)
 
-  private def maxId(df: DataFrame): Option[Long] = {
-    val m = df.agg(max(col("id"))).first()
-    if (m.isNullAt(0)) None else Some(m.getLong(0))
-  }
-
   /** Persist the cell-partitioned resident layout (`path/cell=<c>/…`) —
     * the incremental face's offline half. A batch probe later reads
     * ONLY the partitions its rows assign to (Spark partition pruning),
     * the [[MinHashLsh.writeBandIndex]] posture on the embedding side.
-    * Stamps the max-id watermark sidecar. */
+    * Stamps the max-id watermark sidecar — the max PIGGYBACKS on the
+    * write action (Observation/CollectMetrics), so one pass serves both
+    * instead of persist + a second aggregation action. */
   def writeCellIndex(corpus: DataFrame, centroids: Array[Array[Float]],
                      path: String): Unit = {
-    // one materialization serves the write AND the watermark max — an
-    // unpersisted agg would re-run the corpus pipeline + assignment
-    val a = assigned(corpus, centroids).persist()
-    try {
-      a.write.partitionBy("cell").mode("overwrite").parquet(path)
-      maxId(a).foreach(writeWatermark(corpus.sparkSession, path, _))
-    } finally a.unpersist()
+    val obs = org.apache.spark.sql.Observation()
+    assigned(corpus, centroids)
+      .observe(obs, max(col("id")).as("max_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    obs.get.get("max_id").collect { case m: Long => m }
+      .foreach(writeWatermark(corpus.sparkSession, path, _))
   }
 
   /** Append a batch to the resident layout (delta files only; resident
     * files untouched — the frozen-quantizer append posture), then
-    * advance the watermark sidecar. The id agg is over the BATCH only
-    * (column-pruned), never the index. */
+    * advance the watermark sidecar. The batch max is observed on the
+    * append action itself — the index is never scanned. */
   def appendCellIndex(batch: DataFrame, centroids: Array[Array[Float]],
                       path: String): Unit = {
     val spark = batch.sparkSession
-    val a = assigned(batch, centroids).persist()
-    try {
-      a.write.partitionBy("cell").mode("append").parquet(path)
-      maxId(a).foreach { bm =>
-        val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
-        writeWatermark(spark, path, math.max(wm, bm))
-      }
-    } finally a.unpersist()
+    val obs = org.apache.spark.sql.Observation()
+    assigned(batch, centroids)
+      .observe(obs, max(col("id")).as("max_id"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+    obs.get.get("max_id").collect { case m: Long => m }.foreach { bm =>
+      val wm = readWatermark(spark, path).getOrElse(Long.MinValue)
+      writeWatermark(spark, path, math.max(wm, bm))
+    }
   }
 
   /** Fold append-accumulated small files back into one file per cell

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions.{col, max}
   * crash in between leaves the watermark STALE (low). The only
   * consequence is that a replayed append re-appends rows the watermark
   * didn't cover — exact duplicate rows, which change no downstream
-  * answer (both consumers are EXISTS/DISTINCT-shaped) and which the
-  * index's compaction folds away.
+  * answer: the SemDeDup probe is EXISTS-shaped, and the band-index
+  * probe counts DISTINCT bands per pair
+  * ([[MinHashLsh.incrementalPairs]]), so neither is inflated by a
+  * duplicated row. Compaction folds the duplicates away.
   */
 object Watermark {
 

@@ -110,14 +110,23 @@ object StreamingIngest {
     * `pairsOut` stamped with `batch_id`, then appends its own keys to
     * the index — so batch N+1 dedups against everything before it.
     * The first batch bootstraps: within-batch pairs only, then its
-    * keys become the index. foreachBatch is at-least-once; the
-    * `batch_id` stamp is the idempotence key a resumed stream uses to
-    * drop replayed output (`WHERE batch_id = max` per replay window),
-    * and the index side is replay-safe the same way
+    * keys become the index. foreachBatch is at-least-once, and the
+    * index side is replay-safe the same way
     * [[incrementalSemDedupBatch]] is: a batch whose ids the watermark
     * already covers re-emits identical pairs (its own resident copies
     * are excluded from the probe, so no spurious self-collisions) and
     * skips the re-append.
+    *
+    * CONSUMER CONTRACT for `pairsOut`: a replayed batch re-appends its
+    * (identical) pair rows under the SAME `batch_id` — the stamp
+    * identifies which batch produced a row, it cannot distinguish an
+    * original from its replay. Downstream reads must therefore be
+    * DISTINCT over the pair columns, e.g.
+    * `SELECT DISTINCT doc_a, doc_b, n_shared_bands FROM pairsOut`
+    * (per batch_id or globally — the replayed rows are byte-identical,
+    * so distinct recovers exactly-once semantics). The specs read the
+    * sink this way; non-distinct aggregates over `pairsOut` (row
+    * counts, sums) are NOT replay-safe by design.
     *
     * Returns the (sink-shaped) function to hand to
     * `writeStream.foreachBatch`. */
@@ -166,9 +175,13 @@ object StreamingIngest {
     * whose ids are already resident. The watermark sidecar recognizes
     * that replay (watermark ≥ the batch's max id): the marks are
     * recomputed identically (incrementalMark excludes the batch's own
-    * resident copies) and re-emitted under the same `batch_id`
-    * idempotence stamp, and the index append is SKIPPED — the stream
-    * makes progress instead of tripping the monotone-id check forever. */
+    * resident copies) and re-emitted under the same `batch_id` stamp,
+    * and the index append is SKIPPED — the stream makes progress
+    * instead of tripping the monotone-id check forever. As with
+    * [[incrementalDedupBatch]]'s pairs sink, the replayed mark rows are
+    * byte-identical and carry the SAME batch_id, so `marksOut` readers
+    * must be DISTINCT over (id, cell, is_dup[, batch_id]) — the stamp
+    * alone cannot drop a replay. */
   def incrementalSemDedupBatch(indexPath: String, marksOut: String,
                                centroids: Array[Array[Float]], tau: Double)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
