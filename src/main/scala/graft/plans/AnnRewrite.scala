@@ -6,13 +6,14 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, Literal, SortOrder, Descending, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, ExprId, Expression, LessThan, LessThanOrEqual, Literal, NamedExpression, RowNumber, SortOrder, UnsafeProjection, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr}
 import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
@@ -338,9 +339,20 @@ object AnnIndexRegistry {
       /** (spark, querySubVectors, k) → DataFrame with a `dset_id`
         * column. Driver-side at execute time; must launch distributed
         * work, never collect the corpus. */
-      candidates: (SparkSession, Array[Array[Float]], Int) => org.apache.spark.sql.DataFrame)
+      candidates: (SparkSession, Array[Array[Float]], Int) => org.apache.spark.sql.DataFrame,
+      /** BATCHED form serving the query-RELATION route: candidates for
+        * EVERY query set in ONE distributed job. Input is the bounded
+        * collected query side (id, sub-vectors in sub order); output a
+        * DataFrame with (`qset_id`, `dset_id`) — at least the k best
+        * candidate sets per query set (more is fine, the rescore
+        * bounds the answer). */
+      candidatesBatch: (SparkSession, Seq[(Long, Array[Array[Float]])], Int) => org.apache.spark.sql.DataFrame)
 
-  private val mvEntries = new TrieMap[(String, String), (String, MvEntry)]
+  // keyed by (idCol, vecCol, corpus fingerprint): several set relations
+  // (e.g. the standard route and a saturating-budget twin over a second
+  // parquet copy) register independently and resolve by the relation a
+  // query actually scans
+  private val mvEntries = new TrieMap[(String, String, String), MvEntry]
 
   /** Register the multivector tier over `corpusSets` (a bare scan of
     * the set-level relation) — same fingerprint proof as [[register]]. */
@@ -350,7 +362,7 @@ object AnnIndexRegistry {
       sys.error("ANN registration requires a bare scan corpus (no " +
         "Filter/Join/expression-Project above the relation): " +
         corpusSets.queryExecution.optimizedPlan.nodeName))
-    mvEntries.put((idCol, vecCol), (fp, entry))
+    mvEntries.put((idCol, vecCol, fp), entry)
   }
 
   /** [[registerMv]] with the G9 broadcast-RoarGraph generator: the
@@ -362,22 +374,33 @@ object AnnIndexRegistry {
                      graphB: Broadcast[CsrGraph],
                      vecsB: Broadcast[VectorStore],
                      metricName: String, c: Int, dim: Int,
-                     budget: Int = 120, name: String = "mv_roar"): Unit =
+                     budget: Int = 120, name: String = "mv_roar"): Unit = {
+    // ONE distributed searchMultiDf job serves every query set in the
+    // batch — the relation route's whole point (the literal route is
+    // the single-set special case of the same generator)
+    def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
+              k: Int): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val qdf = qsets.flatMap { case (qid, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
+      }.toDF("qset_id", "q_sub", "q_vec")
+      BeamSearch.searchMultiDf(s, qdf, graphB, vecsB, metricName,
+          minPq = math.max(10, budget / math.max(c, 1)),
+          maxPq = math.max(200, budget * 2), budget = budget,
+          adaptive = true)
+        .select(col("qset_id"),
+          (col("d_id") / c).cast("long").as("dset_id"))
+        .distinct()
+    }
     registerMv(corpusSets, idCol, vecCol, MvEntry(
       name, corpusSets, idCol, vecCol, dim,
-      (s, qsets, k) => {
-        import s.implicits._
+      (s, qset, k) => {
         import org.apache.spark.sql.functions.col
-        val qdf = qsets.zipWithIndex
-          .map { case (v, i) => (0L, i, v.toSeq) }.toSeq
-          .toDF("qset_id", "q_sub", "q_vec")
-        BeamSearch.searchMultiDf(s, qdf, graphB, vecsB, metricName,
-            minPq = math.max(10, budget / math.max(c, 1)),
-            maxPq = math.max(200, budget * 2), budget = budget,
-            adaptive = true)
-          .select((col("d_id") / c).cast("long").as("dset_id"))
-          .distinct()
-      }))
+        batch(s, Seq((0L, qset)), k).select(col("dset_id"))
+      },
+      batch))
+  }
 
   /** [[registerMv]] with the persisted SHARDED graph tier as the
     * generator — the SQL flagship past the broadcast ceiling: the same
@@ -389,33 +412,37 @@ object AnnIndexRegistry {
                         idCol: String, vecCol: String,
                         ref: graft.index.ShardedIndexRef, c: Int, dim: Int,
                         budget: Int = 120,
-                        name: String = "mv_sharded"): Unit =
+                        name: String = "mv_sharded"): Unit = {
+    def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
+              k: Int): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val qdf = qsets.flatMap { case (qid, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
+      }.toDF("qset_id", "q_sub", "q_vec")
+      graft.index.ShardedIndex.searchMultiDf(s, qdf, ref,
+          minPq = math.max(10, budget / math.max(c, 1)),
+          maxPq = math.max(200, budget * 2), budget = budget,
+          adaptive = true)
+        .select(col("qset_id"),
+          (col("d_id") / c).cast("long").as("dset_id"))
+        .distinct()
+    }
     registerMv(corpusSets, idCol, vecCol, MvEntry(
       name, corpusSets, idCol, vecCol, dim,
-      (s, qsets, k) => {
-        import s.implicits._
+      (s, qset, k) => {
         import org.apache.spark.sql.functions.col
-        val qdf = qsets.zipWithIndex
-          .map { case (v, i) => (0L, i, v.toSeq) }.toSeq
-          .toDF("qset_id", "q_sub", "q_vec")
-        graft.index.ShardedIndex.searchMultiDf(s, qdf, ref,
-            minPq = math.max(10, budget / math.max(c, 1)),
-            maxPq = math.max(200, budget * 2), budget = budget,
-            adaptive = true)
-          .select((col("d_id") / c).cast("long").as("dset_id"))
-          .distinct()
-      }))
+        batch(s, Seq((0L, qset)), k).select(col("dset_id"))
+      },
+      batch))
+  }
 
   def lookupMvFor(idCol: String, vecCol: String,
                   child: LogicalPlan): Option[MvEntry] =
-    (for {
-      (fp, entry) <- mvEntries.get((idCol, vecCol))
-      childFp <- scanFingerprint(child)
-      if childFp == fp
-    } yield entry)
+    scanFingerprint(child).flatMap(fp => mvEntries.get((idCol, vecCol, fp)))
 
-  def lookupMvWithFp(idCol: String, vecCol: String): Option[(String, MvEntry)] =
-    mvEntries.get((idCol, vecCol))
+  def lookupMv(idCol: String, vecCol: String, fp: String): Option[MvEntry] =
+    mvEntries.get((idCol, vecCol, fp))
 
   def clear(): Unit = {
     entries.clear(); tierEntries.clear(); mvEntries.clear()
@@ -444,6 +471,33 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
+}
+
+/** Logical stand-in for the query-RELATION flagship route: per-query-set
+  * top-k over Join(query relation, registered set corpus) by chamfer
+  * DESC, one statement for ANY number of query sets — the reference
+  * harness's real multiplicity (10k query sets per sweep,
+  * `tests/test_search_multivector_rerank.cpp:276`). UNARY: the query
+  * side stays in the plan as `child` (any subplan — relation, filter,
+  * aggregate — planned and executed normally, then collected: it is
+  * the bounded side of a top-k search by definition); only the
+  * corpus-scoring join + rank window are replaced. `qsetId`/`qVecId`
+  * pin the child's id and `array<array<float>>` columns by exprId;
+  * `fingerprint` pins the corpus relation proven at plan time. */
+case class MvJoinTopKNode(output: Seq[Attribute], child: LogicalPlan,
+                          qsetId: ExprId, qVecId: ExprId,
+                          dsetName: String, dVecName: String, k: Int,
+                          tier: String, fingerprint: String, mvDim: Int)
+    extends UnaryNode {
+  override protected def withNewChildInternal(c: LogicalPlan): MvJoinTopKNode =
+    copy(child = c)
+  override def maxRows: Option[Long] =
+    child.maxRows.map(q => q * k.toLong)
+  // the corpus-side id and the chamfer score are PRODUCED here (their
+  // source subtree was replaced); without this the node prints with the
+  // missing-input `!` marker
+  override def producedAttributes: AttributeSet =
+    AttributeSet(output.filterNot(child.outputSet.contains))
 }
 
 /** Optimizer rule: exhaustive sort-limit over `graft_vec_dot` → ANN. */
@@ -529,11 +583,119 @@ object AnnTopKRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The query-RELATION form of the flagship set-level query — ONE
+    * statement for any number of query sets:
+    *
+    * {{{
+    * SELECT qset_id, dset_id, score FROM (
+    *   SELECT q.qset_id, d.dset_id,
+    *          graft_chamfer_score(q.vec_set, d.vec_set) AS score,
+    *          row_number() OVER (PARTITION BY q.qset_id
+    *            ORDER BY graft_chamfer_score(q.vec_set, d.vec_set) DESC,
+    *                     d.dset_id ASC) AS rnk
+    *   FROM query_sets q CROSS JOIN graft_mv_sets d) t
+    * WHERE rnk <= k
+    * }}}
+    *
+    * Matched against the POST-optimizer shape (this rule runs in the
+    * user batch): Project over Filter(rnk ≤ k) over Window(row_number
+    * partitioned by the query-side id, ordered chamfer DESC
+    * [, corpus-id ASC]) over [WindowGroupLimit] over Project(chamfer
+    * score/order aliases) over an unconditioned Inner/Cross Join whose
+    * CORPUS side fingerprints to a registered [[AnnIndexRegistry
+    * .MvEntry]]. The query side is arbitrary and survives as the
+    * rewritten node's child. The outer projection may compute anything
+    * over the three routed columns (round, tags, renames); referencing
+    * anything else (rnk, raw vec sets) bails out to the exhaustive
+    * plan. ASC chamfer order (farthest sets) never matches. */
+  private def rewriteMvJoin(p: Project, outerList: Seq[NamedExpression],
+                            cond: Expression, w: Window): Option[LogicalPlan] = {
+    val header = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Seq(part: AttributeReference), os, _)), _)) =>
+        Some((al, part, os))
+      case _ => None
+    }
+    for {
+      (rnkAlias, qsetAttr, orderSpec) <- header
+      k <- cond match {
+        case LessThanOrEqual(a: AttributeReference,
+            Literal(k: Int, IntegerType)) if a.exprId == rnkAlias.exprId =>
+          Some(k)
+        case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+            if a.exprId == rnkAlias.exprId => Some(k - 1)
+        case _ => None
+      }
+      if k > 0
+      // InferWindowGroupLimit may already have inserted its per-group
+      // truncation below the Window — transparent either way
+      inner = w.child match {
+        case wgl: WindowGroupLimit => wgl.child
+        case c => c
+      }
+      (plist, join) <- inner match {
+        case Project(pl, j: Join)
+            if (j.joinType == Cross || j.joinType == Inner) &&
+              j.condition.isEmpty => Some((pl, j))
+        case _ => None
+      }
+      w0Attr <- orderSpec.headOption.collect {
+        case SortOrder(a: AttributeReference, Descending, _, _) => a
+      }
+      tieOpt <- orderSpec.drop(1) match {
+        case Seq() => Some(None)
+        case Seq(SortOrder(a: AttributeReference, Ascending, _, _)) =>
+          Some(Some(a))
+        case _ => None
+      }
+      w0Child <- plist.collectFirst {
+        case a @ Alias(child, _) if a.exprId == w0Attr.exprId => child
+      }
+      qdPair <- w0Child match {
+        case VecChamferExpr(qv: AttributeReference, dv: AttributeReference) =>
+          Some((qv, dv))
+        case _ => None
+      }
+      (qVec, dVec) = qdPair
+      sides <-
+        if (join.left.outputSet.contains(qVec) &&
+            join.right.outputSet.contains(dVec))
+          Some((join.left, join.right))
+        else if (join.right.outputSet.contains(qVec) &&
+            join.left.outputSet.contains(dVec))
+          Some((join.right, join.left))
+        else None
+      (qSide, dSide) = sides
+      if qSide.outputSet.contains(qsetAttr) && qsetAttr.dataType == LongType
+      dsetAttr <- plist.collect {
+        case a: AttributeReference
+            if dSide.outputSet.contains(a) && a.dataType == LongType => a
+      } match {
+        case Seq(one) => Some(one)
+        case many => tieOpt.flatMap(t => many.find(_.exprId == t.exprId))
+      }
+      if tieOpt.forall(_.exprId == dsetAttr.exprId)
+      scoreAlias <- plist.collectFirst {
+        case a @ Alias(child, _)
+            if a.exprId != w0Attr.exprId && child.semanticEquals(w0Child) => a
+      }
+      if outerList.forall(_.references.subsetOf(AttributeSet(
+        Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute))))
+      entry <- AnnIndexRegistry.lookupMvFor(dsetAttr.name, dVec.name, dSide)
+      fp <- AnnIndexRegistry.scanFingerprint(dSide)
+    } yield p.copy(child = MvJoinTopKNode(
+      Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
+      qsetAttr.exprId, qVec.exprId, dsetAttr.name, dVec.name, k,
+      entry.name, fp, entry.dim))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString("spark.graft.ann.rewrite", "false").toBoolean) {
       return plan
     }
     plan.transformDown {
+      case p @ Project(outerList, Filter(cond, w: Window)) =>
+        rewriteMvJoin(p, outerList, cond, w).getOrElse(p)
       // dot/cosine DESC (similarity) and l2² ASC (nearest) all route;
       // dot/cosine ASC / l2 DESC are farthest-point queries no ANN index
       // answers — left exhaustive by the direction⇄expression pairing
@@ -583,18 +745,36 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           // dim-mismatch gates on both: the exhaustive plan's expression
           // throws on it; the index path must not instead return
           // truncated scores — bail out so both routes fail identically.
+          //
+          // BROADCAST CEILING: the graph tier holds the whole corpus
+          // driver/executor-resident (VectorStore broadcast — the one
+          // documented scale ceiling, SURVEY §7.3). When the corpus
+          // relation's estimated bytes (parquet stats via plan
+          // statistics) exceed `spark.graft.ann.broadcastMaxBytes`
+          // (default 4g ≈ the reference's own 10M×200d in-RAM scale),
+          // the chooser SKIPS the graph entry and falls to the
+          // registered candidate tiers (sharded / IVF-PQ / SQ8) —
+          // the scale path — automatically. An explicit
+          // `spark.graft.ann.tier=graph` force overrides the ceiling:
+          // forcing a tier by name is the operator's assertion that
+          // they know the memory cost.
           tier <- {
             val pref = SQLConf.get
               .getConfString("spark.graft.ann.tier", "").trim
-            val graph = AnnIndexRegistry
+            val ceiling = org.apache.spark.network.util.JavaUtils
+              .byteStringAsBytes(SQLConf.get.getConfString(
+                "spark.graft.ann.broadcastMaxBytes", "4g"))
+            val graphEntry = AnnIndexRegistry
               .lookupFor(idAttr.name, vecAttr.name, kind, projChild)
               .filter(_.rawVecsB.value.dim == qv.length)
+            val graph = graphEntry
+              .filter(_ => projChild.stats.sizeInBytes <= BigInt(ceiling))
               .map(_ => "graph")
             def tiers(p: Option[String]) = AnnIndexRegistry
               .lookupTierFor(idAttr.name, vecAttr.name, kind, projChild, p)
               .filter(_.dim == qv.length)
               .map(_.name)
-            if (pref == "graph") graph
+            if (pref == "graph") graphEntry.map(_ => "graph")
             else if (pref.nonEmpty) tiers(Some(pref))
             else graph.orElse(tiers(None))
           }
@@ -639,7 +819,97 @@ object AnnTopKRule extends Rule[LogicalPlan] {
 object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AnnSearchNode => AnnSearchExec(n) :: Nil
+    case n: MvJoinTopKNode => MvJoinTopKExec(n, planLater(n.child)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Physical side of the query-relation flagship route: execute the
+  * planned query-side child and COLLECT it (the bounded side — the
+  * same posture as a broadcast exchange materializing its child), run
+  * the registered generator's BATCHED candidate search (one
+  * distributed job for every query set), then rescore the bounded
+  * (qset, dset) candidate pairs with the query's OWN chamfer
+  * expression against the corpus relation — candidates and query sets
+  * broadcast, the corpus read once, never shuffled, never resident.
+  * Scores equal the exhaustive plan's bit-for-bit; only the candidate
+  * SET per query is approximate. Per-query top-k runs on the bounded
+  * candidates via the bounded-heap aggregator (ties: id ASC — the
+  * matched ORDER BY's tiebreak). */
+case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = node.output
+  override protected def withNewChildInternal(c: SparkPlan): MvJoinTopKExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val entry = AnnIndexRegistry
+      .lookupMv(node.dsetName, node.dVecName, node.fingerprint)
+      .getOrElse(sys.error(
+        s"multivector tier for (${node.dsetName}, ${node.dVecName}, " +
+          s"${node.fingerprint}) vanished"))
+    val qIdx = child.output.indexWhere(_.exprId == node.qsetId)
+    val vIdx = child.output.indexWhere(_.exprId == node.qVecId)
+    require(qIdx >= 0 && vIdx >= 0,
+      "query-side columns vanished from the planned child")
+    val qsets = child.executeCollect().iterator.map { r =>
+      require(!r.isNullAt(qIdx) && !r.isNullAt(vIdx),
+        "NULL query set: the routed plan cannot reproduce NULL-score " +
+          "ordering — run with spark.graft.ann.rewrite=false")
+      val arr = r.getArray(vIdx)
+      val subs = new Array[Array[Float]](arr.numElements())
+      var i = 0
+      while (i < subs.length) {
+        require(!arr.isNullAt(i), "NULL sub-vector in query set")
+        val sub = arr.getArray(i)
+        var j = 0
+        while (j < sub.numElements()) {
+          require(!sub.isNullAt(j), "NULL component in query sub-vector")
+          j += 1
+        }
+        val fa = sub.toFloatArray()
+        require(fa.length == node.mvDim,
+          s"query sub-vector dim ${fa.length} != corpus dim ${node.mvDim}")
+        subs(i) = fa
+        i += 1
+      }
+      (r.getLong(qIdx), subs)
+    }.toSeq
+    val out: Array[(Long, Long, Double)] =
+      if (qsets.isEmpty) Array.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import graft.functions.VectorFunctions.chamferScore
+        val spark = entry.data.sparkSession
+        import spark.implicits._
+        val cands = entry.candidatesBatch(spark, qsets, node.k)
+        val qdf = qsets.map { case (id, vs) => (id, vs.map(_.toSeq).toSeq) }
+          .toDF("__graft_qid", "__graft_qset")
+        val scored = entry.data
+          .join(broadcast(cands.select(col("qset_id").as("__graft_qid"),
+              col("dset_id").as("__graft_cand_id"))),
+            col(entry.dataIdCol) === col("__graft_cand_id"))
+          .join(broadcast(qdf), Seq("__graft_qid"))
+          .select(col("__graft_qid"),
+            col(entry.dataIdCol).cast("long").as("__graft_did"),
+            chamferScore(col("__graft_qset"), col(entry.dataVecCol))
+              .cast("double").as("__graft_score"))
+          // a NULL-scored corpus set (null members) is ordered last by
+          // the exhaustive DESC sort — it can only appear in a top-k
+          // when non-null sets run out, which a candidate route cannot
+          // reproduce anyway; drop them
+          .filter(col("__graft_score").isNotNull)
+        graft.operators.TopK.perGroupAgg(scored, Seq(col("__graft_qid")),
+            col("__graft_score"), col("__graft_did"), node.k,
+            idName = "__graft_did")
+          .select(col("__graft_qid"), col("__graft_did"), col("score"))
+          .as[(Long, Long, Double)].collect()
+      }
+    val schema = node.output.map(_.dataType).toArray
+    sparkContext.parallelize(out.toIndexedSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map { case (q, d, s) => proj(InternalRow(q, d, s)) }
+    }
   }
 }
 
@@ -716,11 +986,13 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     if (node.kind == "mv") {
-      val (storedFp, entry) = AnnIndexRegistry
-        .lookupMvWithFp(node.idName, node.vecName)
+      // fingerprint is part of the registry key now, so the lookup
+      // itself proves the planned relation is still the registered one
+      val entry = AnnIndexRegistry
+        .lookupMv(node.idName, node.vecName, node.fingerprint)
         .getOrElse(sys.error(
-          s"multivector tier for (${node.idName}, ${node.vecName}) vanished"))
-      checkFingerprint(storedFp, "multivector tier")
+          s"multivector tier for (${node.idName}, ${node.vecName}, " +
+            s"${node.fingerprint}) vanished"))
       val rows = mvRows(entry)
       val idFirst = node.idFirst
       val schema = node.output.map(_.dataType).toArray

@@ -303,36 +303,35 @@ object AnnQueries extends QueryPack {
     }),
 
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
-    // top-k (`test_search_multivector_rerank.cpp:276-339`) as a plain
-    // `ORDER BY graft_chamfer_score(<query-set literal>, vec_set) DESC
-    // LIMIT k` over a set-level relation, auto-routed by AnnTopKRule to
-    // the G9 adaptive beam search + exact chamfer rescore
-    // (plans/AnnRewrite.scala `MvEntry`). One SQL statement per fixture
-    // query set, unioned with the qset stamp. Rows-only (graph search
-    // is order-dependent); LlmPipelineSpec gates ≥0.95 set recall vs
-    // the fullscan chamfer oracle AND asserts the route actually fires
-    // (AnnSearch in the physical plan).
+    // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
+    // QUERY-RELATION spelling: ONE statement for every query set (the
+    // reference harness runs 10k sets per sweep, line 276 — a
+    // literal-per-set SQL surface is a toy at that multiplicity), the
+    // per-set top-k expressed as the standard rank-window idiom and
+    // auto-routed by AnnTopKRule to ONE batched G9 adaptive beam-search
+    // job + exact chamfer rescore (plans/AnnRewrite.scala
+    // `MvJoinTopKNode`). Runs in the dedicated ROUTED child session —
+    // `spark.graft.ann.rewrite` is never set on the caller's session.
+    // Rows-only (graph search is order-dependent); LlmPipelineSpec
+    // gates ≥0.95 set recall vs the fullscan chamfer oracle AND asserts
+    // the route actually fires (MvJoinTopK in the physical plan).
     "g9_sql_multivector" -> ((s, dir) => {
-      val setsDf = mvSqlSetup(s, dir)
-      // left ON for the session: the returned DF optimizes lazily at
-      // action time, so unsetting here would race the rewrite. Safe
-      // because the rule is a cheap conf-gated pattern match and the
-      // only registration in driver runs is this query's own set
-      // relation (fingerprint-pinned).
-      s.conf.set("spark.graft.ann.rewrite", "true")
-      val qRows = Tables.embeddings(s, dir).filter(col("vec_id") < NQ * C)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-      qRows.groupBy(_._1 / C).toSeq.sortBy(_._1).map { case (qsetId, rows) =>
-        val qLit = rows.sortBy(_._1)
-          .map(_._2.map(x => s"${x}F").mkString("array(", ", ", ")"))
-          .mkString("array(", ", ", ")")
-        s.sql(s"""SELECT dset_id, graft_chamfer_score($qLit, vec_set)
-                 |  AS score
-                 |FROM graft_mv_sets ORDER BY score DESC LIMIT $K""".stripMargin)
-          .select(lit(qsetId).as("qset_id"), col("dset_id"),
-            round(col("score"), 6).as("score"))
-      }.reduce(_ unionAll _)
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets", K))
+    }),
+
+    // The flagship SQL route at SATURATING budget — the end-to-end
+    // EXACTNESS certificate for the whole routed machinery (rule match
+    // → batched beam search → chamfer rescore → bounded top-k): with
+    // the beam budget ≥ the corpus (the reference sweep's recall-1.0
+    // regime, budget ≥600 on the sf1 grid), the candidate set
+    // saturates and the routed plan's answer is HASH-IDENTICAL to the
+    // fullscan chamfer oracle (a1's oracle shape, same round-6 score
+    // discipline). Reference behavior:
+    // tests/test_search_multivector_rerank.cpp:341-347 at max budget.
+    "g9_sql_saturated" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets_sat", K))
     }),
 
     // The FLAGSHIP multivector query shape (G9: per-sub-vector candidate
@@ -521,33 +520,68 @@ object AnnQueries extends QueryPack {
     base.unionAll(planted)
   }
 
+  /** The rank-window SQL spelling of the flagship set-level query over
+    * a query-set RELATION — the exact shape `AnnTopKRule.rewriteMvJoin`
+    * routes. One statement for every query set in `graft_mv_queries`. */
+  private def mvRelationSql(setsView: String, k: Int): String =
+    s"""SELECT qset_id, dset_id, round(score, 6) AS score FROM (
+       |  SELECT q.qset_id, d.dset_id,
+       |         graft_chamfer_score(q.vec_set, d.vec_set) AS score,
+       |         row_number() OVER (PARTITION BY q.qset_id
+       |           ORDER BY graft_chamfer_score(q.vec_set, d.vec_set) DESC,
+       |                    d.dset_id ASC) AS rnk
+       |  FROM graft_mv_queries q CROSS JOIN $setsView d) t
+       |WHERE rnk <= $k""".stripMargin
+
+  /** Dedicated CHILD session for routed SQL statements: shares the
+    * SparkContext (broadcasts, cached blocks) but owns its SQLConf, so
+    * `spark.graft.ann.rewrite=true` lives HERE for the child's
+    * lifetime and the CALLER's session conf is never touched — a later
+    * query registering its own relation on the main session can never
+    * be silently routed, and the driver run leaves the main session's
+    * conf exactly as it found it (QuerySmokeSpec asserts). */
+  private val routedSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
+  private def routedSession(s: SparkSession): SparkSession =
+    routedSessions.computeIfAbsent(s, _ => {
+      val child = s.newSession()
+      child.conf.set("spark.graft.ann.rewrite", "true")
+      child
+    })
+
   /** Offline half of the SQL multivector surface, once per fixture dir:
     * the SET-LEVEL parquet relation (one row per corpus set, members in
-    * sub order — the bare-scan corpus the rewrite fingerprints), plus
-    * the G9 sub-vector RoarGraph broadcasts. Every call (re)points the
-    * `graft_mv_sets` view and the registry at THIS dir's relation, and
-    * makes sure the session has the functions + rule injected — cheap
-    * and idempotent, so dir switches stay consistent. Cache invariant
-    * as [[ivfPqCache]]: paths and broadcasts only. */
+    * sub order — the bare-scan corpus the rewrite fingerprints) written
+    * TWICE (standard + `_sat` saturating-budget twin: the registry keys
+    * mv entries by relation fingerprint, so each copy carries its own
+    * budget), plus the G9 sub-vector RoarGraph broadcasts shared by
+    * both. Every call (re)points the views — `graft_mv_sets`,
+    * `graft_mv_sets_sat`, and the `graft_mv_queries` query-set relation
+    * — and the registry at THIS dir's relations, on the ROUTED child
+    * session; cheap and idempotent, so dir switches stay consistent.
+    * Cache invariant as [[ivfPqCache]]: paths and broadcasts only.
+    * Returns the routed session statements should run in. */
   private val mvSqlCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String,
+    String, (String, String,
       org.apache.spark.broadcast.Broadcast[graft.index.CsrGraph],
       org.apache.spark.broadcast.Broadcast[graft.index.VectorStore],
       String, Int)]()
 
-  private def mvSqlSetup(s: SparkSession, dir: String): DataFrame = {
+  private def mvSqlSetup(s: SparkSession, dir: String): SparkSession = {
     import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
-    graft.functions.GraftFunctions.register(s)
-    val cls = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rs = routedSession(s)
+    graft.functions.GraftFunctions.register(rs)
+    val cls = rs.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
       cls.experimental.extraOptimizations =
         cls.experimental.extraOptimizations :+ AnnTopKRule
       cls.experimental.extraStrategies =
         cls.experimental.extraStrategies :+ AnnStrategy
     }
-    val (path, graphB, vecsB, metric, dim) =
+    val (path, satPath, graphB, vecsB, metric, dim) =
       mvSqlCache.computeIfAbsent(dir, _ => {
-        val e = Tables.embeddings(s, dir)
+        val e = Tables.embeddings(rs, dir)
         val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
             (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
           .groupBy("dset_id")
@@ -555,24 +589,45 @@ object AnnQueries extends QueryPack {
             array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
             x => x.getField("embedding")).as("vec_set"))
         val tmp = java.nio.file.Files.createTempDirectory("graft_mv_sets_")
+        val sat = java.nio.file.Files.createTempDirectory("graft_mv_sat_")
         sys.addShutdownHook {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
+          Seq(tmp, sat).foreach(d =>
+            Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p)))
         }
         sets.write.mode("overwrite").parquet(tmp.toString)
-        val idx = graft.index.GraphBuild.build(s, e, e,
+        sets.write.mode("overwrite").parquet(sat.toString)
+        val idx = graft.index.GraphBuild.build(rs, e, e,
           IndexQueries.FixtureParams)
-        (tmp.toString, s.sparkContext.broadcast(idx.graph),
-          s.sparkContext.broadcast(idx.vecs), idx.params.metric,
+        (tmp.toString, sat.toString, rs.sparkContext.broadcast(idx.graph),
+          rs.sparkContext.broadcast(idx.vecs), idx.params.metric,
           idx.vecs.dim)
       })
-    val sets = s.read.parquet(path)
+    val sets = rs.read.parquet(path)
     sets.createOrReplaceTempView("graft_mv_sets")
     AnnIndexRegistry.registerMvRoar(sets, "dset_id", "vec_set",
       graphB, vecsB, metric, C, dim)
-    sets
+    // saturating twin: budget ≥ 2× the sub-vector corpus — the beam
+    // explores every reachable node, the candidate set saturates, and
+    // the routed answer must equal the fullscan chamfer ranking
+    val satSets = rs.read.parquet(satPath)
+    satSets.createOrReplaceTempView("graft_mv_sets_sat")
+    AnnIndexRegistry.registerMvRoar(satSets, "dset_id", "vec_set",
+      graphB, vecsB, metric, C, dim,
+      budget = 2 * vecsB.value.n, name = "mv_roar_sat")
+    // the query-set relation: the fixture's NQ query sets, grouped in
+    // sub order — any subplan works on the query side (no fingerprint)
+    Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)
+      .select((col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"), col("embedding"))
+      .groupBy("qset_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("q_sub"), col("embedding")))),
+        x => x.getField("embedding")).as("vec_set"))
+      .createOrReplaceTempView("graft_mv_queries")
+    rs
   }
 
   /** One IVF-PQ index build per fixture dir (the offline half); every

@@ -289,57 +289,48 @@ object VectorQueries extends QueryPack {
          |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
          |  FROM scored)
          |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
-    "a1_smooth_chamfer_topk" -> {
-      val ts = SetSim.Temperature * SetSim.TxtScale
-      val t = SetSim.Temperature
-      s"""$simTriplesCte,
-         |rl AS (
-         |  SELECT qset_id, dset_id, q_sub, m + ln(sum(exp(x - m))) AS lse FROM (
-         |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
-         |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS m
-         |    FROM sims) GROUP BY qset_id, dset_id, q_sub, m),
-         |cl AS (
-         |  SELECT qset_id, dset_id, d_sub, m + ln(sum(exp(x - m))) AS lse FROM (
-         |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
-         |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS m
-         |    FROM sims) GROUP BY qset_id, dset_id, d_sub, m),
-         |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
-         |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
-         |scored AS (
-         |  SELECT t1.qset_id, t1.dset_id,
-         |         round((t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator}, 9) AS score
-         |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
-         |ranked AS (
-         |  SELECT qset_id, dset_id, score,
-         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
-         |  FROM scored)
-         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
-    },
-    "w3_full_ranking" -> {
-      val ts = SetSim.Temperature * SetSim.TxtScale
-      val t = SetSim.Temperature
-      s"""$simTriplesCte,
-         |rl AS (
-         |  SELECT qset_id, dset_id, q_sub, m + ln(sum(exp(x - m))) AS lse FROM (
-         |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
-         |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS m
-         |    FROM sims) GROUP BY qset_id, dset_id, q_sub, m),
-         |cl AS (
-         |  SELECT qset_id, dset_id, d_sub, m + ln(sum(exp(x - m))) AS lse FROM (
-         |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
-         |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS m
-         |    FROM sims) GROUP BY qset_id, dset_id, d_sub, m),
-         |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
-         |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
-         |scored AS (
-         |  SELECT t1.qset_id, t1.dset_id,
-         |         round((t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator}, 9) AS score
-         |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
-         |ranked AS (
-         |  SELECT qset_id, dset_id, score,
-         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
-         |  FROM scored)
-         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked""".stripMargin
-    }
+    "a1_smooth_chamfer_topk" ->
+      s"""$chamferRankedCtes
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    "w3_full_ranking" ->
+      s"""$chamferRankedCtes
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked""".stripMargin,
+    // g9_sql_saturated (defined in AnnQueries): the routed SQL
+    // multivector plan at saturating beam budget must reproduce the
+    // fullscan chamfer ranking EXACTLY — same CTEs as a1's oracle,
+    // minus the rank column (the routed statement doesn't emit it)
+    "g9_sql_saturated" ->
+      s"""$chamferRankedCtes
+         |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
   )
+
+  /** Shared oracle CTE chain: exhaustive smooth-Chamfer scoring of all
+    * (query set, corpus set) pairs, round-9 quantized, rank-windowed
+    * (score DESC, dset_id ASC) — consumed by the a1 top-k, w3 full
+    * ranking, and g9_sql_saturated oracles. */
+  private lazy val chamferRankedCtes: String = {
+    val ts = SetSim.Temperature * SetSim.TxtScale
+    val t = SetSim.Temperature
+    s"""$simTriplesCte,
+       |rl AS (
+       |  SELECT qset_id, dset_id, q_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+       |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
+       |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS m
+       |    FROM sims) GROUP BY qset_id, dset_id, q_sub, m),
+       |cl AS (
+       |  SELECT qset_id, dset_id, d_sub, m + ln(sum(exp(x - m))) AS lse FROM (
+       |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
+       |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS m
+       |    FROM sims) GROUP BY qset_id, dset_id, d_sub, m),
+       |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
+       |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
+       |scored AS (
+       |  SELECT t1.qset_id, t1.dset_id,
+       |         round((t1.s1 / (${C.toDouble} * $ts) + t2.s2 / (${C.toDouble} * $t)) / ${SetSim.Denominator}, 9) AS score
+       |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id),
+       |ranked AS (
+       |  SELECT qset_id, dset_id, score,
+       |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+  }
 }

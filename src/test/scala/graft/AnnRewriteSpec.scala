@@ -294,6 +294,44 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("broadcast ceiling: past ann.broadcastMaxBytes the chooser falls to the candidate tier") {
+    setup
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    // graph + ivfpq both registered over the SAME corpus (as in the
+    // precedence test): the ceiling conf is what flips the choice
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val sample = IvfAnn.collectSample(d, 2000, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val idxPath = "target/tmp/ann_ivfpq_index_ceiling"
+    IvfPq.writeIndex(spark, d, idxPath, centroids, cbs)
+    AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+      AnnIndexRegistry.IvfPqEntry(idxPath, emb, "vec_id", "embedding",
+        centroids, cbs, "ip", nProbe = 12, nCand = 250))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      // undersized corpus (default 4g ceiling): the graph stays preferred
+      assert(routedTier(spark.sql(sql(queryLit))) === Seq("graph"))
+      // oversized: a 1-byte ceiling makes ANY corpus too big for the
+      // broadcast tier — the chooser must fall to the registered
+      // candidate tier automatically, and the query must still answer
+      spark.conf.set("spark.graft.ann.broadcastMaxBytes", "1")
+      val df = spark.sql(sql(queryLit))
+      assert(routedTier(df) === Seq("ivfpq"),
+        "oversized corpus did not fall to the candidate tier")
+      assert(df.collect().length === 10)
+      // an explicit tier force is the operator's memory-cost assertion:
+      // it overrides the ceiling
+      spark.conf.set("spark.graft.ann.tier", "graph")
+      assert(routedTier(spark.sql(sql(queryLit))) === Seq("graph"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.broadcastMaxBytes")
+      spark.conf.unset("spark.graft.ann.tier")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("custom candidate tier: a user-registered generator serves SQL top-k") {
     setup
     import graft.operators.{IvfAnn, KnnKernel, RandomProjection}
@@ -525,6 +563,70 @@ class AnnRewriteSpec extends AnyFunSuite {
         .intersect(exact.map(_._1).toSet).size / 10.0
       assert(recall >= 0.9, s"sharded mv route recall $recall")
       assert(approx.head._1 === 1L, s"self set not top: ${approx.head}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("query-relation mv route: one statement for all sets, exact at saturating budget") {
+    setup
+    // the flagship's RELATION spelling: per-query-set top-k as the
+    // standard rank-window idiom over Join(query relation, set corpus),
+    // routed to ONE batched beam-search job (MvJoinTopKExec). At
+    // saturating budget the routed answer must EQUAL the exhaustive
+    // window plan's — the whole-route exactness certificate.
+    val e = Tables.embeddings(spark, sfDir)
+    val C = 4
+    val setsOf = (idName: String, subName: String, filter: org.apache.spark.sql.Column) =>
+      e.filter(filter)
+        .select((col("vec_id") / C).cast("long").as(idName),
+          (col("vec_id") % C).cast("int").as(subName), col("embedding"))
+        .groupBy(idName)
+        .agg(transform(
+          array_sort(collect_list(struct(col(subName), col("embedding")))),
+          x => x.getField("embedding")).as("vec_set"))
+    val dir = "target/tmp/ann_mv_rel_sets"
+    setsOf("dset_id", "d_sub", lit(true)).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("mv_rel_sets")
+    // the QUERY side is an arbitrary subplan (an aggregate over the
+    // embeddings scan — no parquet relation, no registration needed)
+    setsOf("qset_id", "q_sub", col("vec_id") < 3 * C)
+      .createOrReplaceTempView("mv_rel_queries")
+    val idx = GraphBuild.build(spark, e, e, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerMvRoar(corpus, "dset_id", "vec_set",
+      spark.sparkContext.broadcast(idx.graph),
+      spark.sparkContext.broadcast(idx.vecs),
+      idx.params.metric, C, idx.vecs.dim,
+      budget = 2 * idx.vecs.n, name = "mv_roar_rel")
+    val relSql =
+      """SELECT qset_id, dset_id, score FROM (
+        |  SELECT q.qset_id, d.dset_id,
+        |         graft_chamfer_score(q.vec_set, d.vec_set) AS score,
+        |         row_number() OVER (PARTITION BY q.qset_id
+        |           ORDER BY graft_chamfer_score(q.vec_set, d.vec_set) DESC,
+        |                    d.dset_id ASC) AS rnk
+        |  FROM mv_rel_queries q CROSS JOIN mv_rel_sets d) t
+        |WHERE rnk <= 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(relSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(relSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MvJoinTopK"), s"relation form not routed:\n$plan")
+      val routed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(routed === exact, "saturated relation route != exhaustive")
+      // a FILTER on the corpus side changes the question: must not route
+      val filtered = spark.sql(
+        relSql.replace("CROSS JOIN mv_rel_sets d",
+          "CROSS JOIN (SELECT * FROM mv_rel_sets WHERE dset_id > 5) d"))
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("MvJoinTopK"), "filtered corpus side must not route")
+      // chamfer ASC (farthest sets) is not index-answerable: no route
+      val asc = spark.sql(relSql.replace("DESC,", "ASC,"))
+      assert(!asc.queryExecution.executedPlan.toString.contains("MvJoinTopK"),
+        "ASC window order must not route")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 

@@ -580,9 +580,11 @@ class LlmPipelineSpec extends AnyFunSuite {
 
   test("g9_sql_multivector: the SQL flagship routes and holds >=0.95 set recall") {
     val out = AnnQueries.queries("g9_sql_multivector")(spark, sfDir)
+    // the relation form routes through the batched MvJoinTopK node —
+    // one statement, one distributed search job for every query set
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("AnnSearch"),
-      s"SQL flagship did not route through the ANN tier:\n$plan")
+    assert(plan.contains("MvJoinTopK"),
+      s"SQL flagship did not route through the relation-form mv tier:\n$plan")
     val approx = out.select("qset_id", "dset_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
@@ -594,6 +596,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.95, s"g9_sql set Recall@10 = $avg")
+  }
+
+  test("g9_sql_saturated: the routed plan is EXACT at saturating budget") {
+    val out = AnnQueries.queries("g9_sql_saturated")(spark, sfDir)
+    assert(out.queryExecution.executedPlan.toString.contains("MvJoinTopK"),
+      "saturated flagship did not route")
+    val routed = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val oracle = VectorQueries.queries("a1_smooth_chamfer_topk")(spark, sfDir)
+      .select("qset_id", "dset_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(routed === oracle,
+      "saturated routed answer != fullscan chamfer ranking")
+  }
+
+  test("routed SQL queries leave the caller session's conf untouched") {
+    val before = spark.conf.getOption("spark.graft.ann.rewrite")
+    AnnQueries.queries("g9_sql_multivector")(spark, sfDir).collect()
+    assert(spark.conf.getOption("spark.graft.ann.rewrite") === before,
+      "g9_sql_multivector leaked spark.graft.ann.rewrite into the " +
+        "caller session")
   }
 
   test("g9_ivfpq: codes-only-tier multivector search >=0.9 set recall vs fullscan") {

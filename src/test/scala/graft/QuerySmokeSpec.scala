@@ -33,6 +33,17 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("routed SQL queries leave this session's ann.rewrite conf as found") {
+    // the routed statements run in a dedicated CHILD session; the
+    // driver session's conf must come back exactly as it went in
+    val before = spark.conf.getOption("spark.graft.ann.rewrite")
+    SparkEntry.queries("g9_sql_multivector")(spark, sfDir).count()
+    SparkEntry.queries("g9_sql_saturated")(spark, sfDir).count()
+    assert(spark.conf.getOption("spark.graft.ann.rewrite") === before,
+      "routed SQL queries leaked spark.graft.ann.rewrite into the " +
+        "caller session")
+  }
+
   test("verify type guard trips on decimal/binary, passes the stable set") {
     import org.apache.spark.sql.types._
     val bad = StructType(Seq(
