@@ -481,6 +481,31 @@ object TextQueries extends QueryPack {
           NumHashes, RowsPerBand))
     }),
 
+    // The COMPACTION lifecycle on the oracle surface: the resident
+    // index is built the way months of ingest actually build it — an
+    // initial write, a later delta APPEND, and an at-least-once
+    // REPLAYED append (exact duplicate rows, the stale-watermark crash
+    // case) — then folded by compactBandIndex (dup rows dropped,
+    // key-range layout, two-rename swap with crash recovery at entry)
+    // and probed. Must hash-equal dedup_incremental: compaction is
+    // answer-preserving, including after a replay double-append.
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      import graft.operators.MinHashLsh
+      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bandidx_compact_").toString
+      def keysOf(pred: org.apache.spark.sql.Column) =
+        MinHashLsh.bandKeys(sh.filter(pred), NumHashes, RowsPerBand)
+      MinHashLsh.writeBandIndex(
+        keysOf(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2), idx)
+      MinHashLsh.appendBandIndex(keysOf(col("doc_id") % 4 === 3), idx)
+      // the replay: the same delta appended AGAIN (at-least-once)
+      MinHashLsh.appendBandIndex(keysOf(col("doc_id") % 4 === 3), idx)
+      MinHashLsh.compactBandIndex(s, idx)
+      MinHashLsh.incrementalPairs(
+        s.read.parquet(idx), keysOf(col("doc_id") % 4 === 0))
+    }),
+
     // Duplicate-CLUSTER resolution — the step every real pipeline runs
     // right after the pair queries above: connected components over the
     // MinHash near-dup pairs (alternating large-star/small-star, bounded
@@ -1185,6 +1210,18 @@ object TextQueries extends QueryPack {
       val parts = (1 to RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sigs"
     }.mkString("\n|  UNION ALL\n|  ")
+    val incrementalOracleSql =
+      s"""WITH sh AS ($trigramsSql),
+         |sigs AS (
+         |  SELECT doc_id,
+         |         $sigExprs
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+         |WHERE x.doc_id < y.doc_id AND (x.doc_id % 4 = 0 OR y.doc_id % 4 = 0)
+         |GROUP BY x.doc_id, y.doc_id""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
@@ -1382,19 +1419,12 @@ object TextQueries extends QueryPack {
            |HAVING count(*) > $MaxBucket""".stripMargin,
       // The incremental path must add EXACTLY the union-corpus pairs
       // that touch the batch — so the oracle is the full-corpus banded
-      // self-join restricted to pairs with a batch endpoint.
-      "dedup_incremental" ->
-        s"""WITH sh AS ($trigramsSql),
-           |sigs AS (
-           |  SELECT doc_id,
-           |         $sigExprs
-           |  FROM sh GROUP BY doc_id),
-           |banded AS (
-           |  $bandSelects)
-           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
-           |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
-           |WHERE x.doc_id < y.doc_id AND (x.doc_id % 4 = 0 OR y.doc_id % 4 = 0)
-           |GROUP BY x.doc_id, y.doc_id""".stripMargin,
+      // self-join restricted to pairs with a batch endpoint. The
+      // COMPACTED twin shares it verbatim: compaction is
+      // answer-preserving by contract, so the probe after append +
+      // replay + compact must produce the same pair set.
+      "dedup_incremental" -> incrementalOracleSql,
+      "dedup_incremental_compacted" -> incrementalOracleSql,
       // Same pair set as dedup_minhash_pairs, then components via a
       // recursive transitive-closure CTE (UNION dedupes, so cycles
       // terminate) labeled with the component minimum — the min-id
