@@ -485,10 +485,13 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
   * pin the child's id and `array<array<float>>` columns by exprId;
   * `fingerprint` pins the corpus relation proven at plan time. */
 case class MvJoinTopKNode(output: Seq[Attribute], child: LogicalPlan,
-                          qsetId: ExprId, qVecId: ExprId,
+                          qsetAttr: Attribute, qVecAttr: Attribute,
                           dsetName: String, dVecName: String, k: Int,
                           tier: String, fingerprint: String, mvDim: Int)
     extends UnaryNode {
+  // qsetAttr/qVecAttr are Expression-typed fields, so they surface in
+  // this node's `references` — no later rule can prune the query-side
+  // vec column out from under the exec
   override protected def withNewChildInternal(c: LogicalPlan): MvJoinTopKNode =
     copy(child = c)
   override def maxRows: Option[Long] =
@@ -685,7 +688,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       fp <- AnnIndexRegistry.scanFingerprint(dSide)
     } yield p.copy(child = MvJoinTopKNode(
       Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
-      qsetAttr.exprId, qVec.exprId, dsetAttr.name, dVec.name, k,
+      qsetAttr, qVec, dsetAttr.name, dVec.name, k,
       entry.name, fp, entry.dim))
   }
 
@@ -848,8 +851,8 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
       .getOrElse(sys.error(
         s"multivector tier for (${node.dsetName}, ${node.dVecName}, " +
           s"${node.fingerprint}) vanished"))
-    val qIdx = child.output.indexWhere(_.exprId == node.qsetId)
-    val vIdx = child.output.indexWhere(_.exprId == node.qVecId)
+    val qIdx = child.output.indexWhere(_.exprId == node.qsetAttr.exprId)
+    val vIdx = child.output.indexWhere(_.exprId == node.qVecAttr.exprId)
     require(qIdx >= 0 && vIdx >= 0,
       "query-side columns vanished from the planned child")
     val qsets = child.executeCollect().iterator.map { r =>

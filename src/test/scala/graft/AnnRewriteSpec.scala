@@ -630,6 +630,58 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("query-relation mv route: a NULL query set fails loudly, never silently misroutes") {
+    setup
+    val e = Tables.embeddings(spark, sfDir)
+    val C = 4
+    val dir = "target/tmp/ann_mv_rel_sets_null"
+    e.select((col("vec_id") / C).cast("long").as("dset_id"),
+        (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
+      .groupBy("dset_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
+        x => x.getField("embedding")).as("vec_set"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val idx = GraphBuild.build(spark, e, e, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerMvRoar(corpus, "dset_id", "vec_set",
+      spark.sparkContext.broadcast(idx.graph),
+      spark.sparkContext.broadcast(idx.vecs),
+      idx.params.metric, C, idx.vecs.dim)
+    corpus.createOrReplaceTempView("mv_rel_sets_n")
+    // a query relation with one RUNTIME-null vec_set row (a literal
+    // null would constant-fold the chamfer away and correctly stay
+    // exhaustive — covered by the plan shape itself): the exhaustive
+    // plan orders NULL scores last; a candidate route cannot reproduce
+    // that — the exec must REFUSE with the documented message, not
+    // return a silently different answer
+    corpus.select(col("dset_id").as("qset_id"),
+        when(col("dset_id") === 0, lit(null)).otherwise(col("vec_set"))
+          .as("vec_set"))
+      .filter(col("qset_id") < 2)
+      .createOrReplaceTempView("mv_null_queries")
+    val relSql =
+      """SELECT qset_id, dset_id, score FROM (
+        |  SELECT q.qset_id, d.dset_id,
+        |         graft_chamfer_score(q.vec_set, d.vec_set) AS score,
+        |         row_number() OVER (PARTITION BY q.qset_id
+        |           ORDER BY graft_chamfer_score(q.vec_set, d.vec_set) DESC,
+        |                    d.dset_id ASC) AS rnk
+        |  FROM mv_null_queries q CROSS JOIN mv_rel_sets_n d) t
+        |WHERE rnk <= 5""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(relSql)
+      assert(df.queryExecution.executedPlan.toString.contains("MvJoinTopK"))
+      val ex = intercept[Exception](df.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("NULL query set")),
+        s"unexpected failure: ${messages(ex)}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("cosine tier route: a cosine-metric candidate tier serves graft_vec_cosine") {
     setup
     import graft.operators.Sq8Ann
