@@ -84,12 +84,23 @@ object ScaleSmoke {
     val emb = Tables.embeddings(spark, src)
     val nEmb = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // replica r: rotate by r mod dim; NEGATE on the second wrap (r >=
+    // dim) so factors past the dimensionality stay direction-distinct
+    // (cos(x, -rot(x)) = -cos(x, rot(x))) — a factor-100 sweep at dim
+    // 64 would otherwise ask slice() for a negative length (and a bare
+    // r%dim wrap would mint exact duplicate vectors)
+    require(factor <= 2 * dim,
+      s"scaleTables supports at most ${2 * dim} direction-distinct " +
+        s"replicas at dim $dim (rotations + negated rotations); got $factor")
     out("embeddings", reps { r =>
-      val rot = if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r))
+      val rr = r % dim
+      val rot = if (rr == 0) col("embedding")
+        else concat(slice(col("embedding"), rr + 1, dim - rr),
+          slice(col("embedding"), 1, rr))
+      val rep = if ((r / dim) % 2 == 1)
+        transform(rot, x => (-x).cast("float")) else rot
       emb.select((col("vec_id") + lit(r * nEmb)).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        rep.as("embedding"), col("label"))
     })
 
     val doc = Tables.documents(spark, src)
