@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecNormExpr}
+import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecMaxSimExpr, VecNormExpr}
 
 /** SQL-surface registration of the native vector expressions, so
   * `spark.sql("SELECT graft_vec_dot(a, b) ...")` works — as a
@@ -39,6 +39,7 @@ object GraftFunctions {
       binary("graft_vec_l2sq", VecL2SqExpr.apply),
       binary("graft_vec_cosine", VecCosineExpr.apply),
       binary("graft_chamfer_score", VecChamferExpr.apply),
+      binary("graft_maxsim_score", VecMaxSimExpr.apply),
       unary("graft_vec_norm", VecNormExpr.apply))
 
   /** Runtime registration on an existing session (idempotent). */

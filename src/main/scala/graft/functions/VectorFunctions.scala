@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecNormExpr, VecProjectExpr}
+import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecLshBandKeysExpr, VecMaxSimExpr, VecNormExpr, VecProjectExpr}
 
 /** Column-level vector kernels over `array<float>` columns.
   *
@@ -99,6 +99,11 @@ object VectorFunctions {
     * SQL face is `graft_chamfer_score`; see [[VecChamferExpr]]. */
   def chamferScore(q: Column, d: Column): Column =
     expr2(VecChamferExpr.apply)(q, d)
+
+  /** Summed-max similarity (MaxSim) of two vector sets — the fused
+    * [[VecMaxSimExpr]] (SQL: `graft_maxsim_score`); query set first. */
+  def maxSimScore(q: Column, d: Column): Column =
+    expr2(VecMaxSimExpr.apply)(q, d)
 
   /** cosine(a, b) = ⟨a,b⟩ / (‖a‖‖b‖) in ONE fused native-codegen loop
     * ([[VecCosineExpr]], also the SQL `graft_vec_cosine`) — bit-identical

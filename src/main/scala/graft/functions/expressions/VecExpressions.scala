@@ -558,3 +558,92 @@ case class VecChamferExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecChamferExpr =
     copy(left = l, right = r)
 }
+
+/** Summed-max similarity (ColBERT MaxSim) between two VECTOR SETS —
+  * the reference's second set-level scoring function
+  * (`ComputeSummedMaxSimilarity`,
+  * `/root/reference/src/multivector_reranker.cpp:432-438`) as a SQL
+  * expression: `graft_maxsim_score(query_set, data_set)` =
+  * Σ_i max_j cosine(q_i, d_j), summed in ascending i order (the same
+  * deterministic accumulation as [[graft.functions.MaxSimAggregator]]'s
+  * finish). First argument is the QUERY set (the max runs over the
+  * data side per query sub-vector) — NOT symmetric.
+  *
+  * Same design as [[VecChamferExpr]]: pairwise cosine in promoted
+  * doubles, one fused JVM kernel invoked from codegen through a
+  * reference object; the distributed corpus-wide path stays the
+  * single-shuffle MaxSimAggregator, this expression serves the SQL
+  * surface and the bounded candidate rescore of the routed plan. */
+case class VecMaxSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with VecElemType {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private def innerType(dt: DataType): DataType = dt match {
+    case ArrayType(ArrayType(et, _), _) => et
+    case other => throw new IllegalArgumentException(
+      s"graft_maxsim_score: expected array<array<numeric>>, got $other")
+  }
+
+  private def setOf(a: ArrayData, et: DataType): Array[Array[Double]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getArray(i)
+      val v = new Array[Double](row.numElements())
+      var j = 0
+      while (j < v.length) { v(j) = getElem(et, row, j); j += 1 }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  def scoreOf(qa: ArrayData, da: ArrayData): Double = {
+    val q = setOf(qa, innerType(left.dataType))
+    val d = setOf(da, innerType(right.dataType))
+    require(q.nonEmpty && d.nonEmpty,
+      "graft_maxsim_score: empty vector set")
+    val dim = q(0).length
+    (q ++ d).foreach(v => checkSameLength("graft_maxsim_score", v.length, dim))
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qn = q.map(norm)
+    val dn = d.map(norm)
+    var sum = 0.0
+    var i = 0
+    while (i < q.length) {
+      var mx = Double.NegativeInfinity
+      var j = 0
+      while (j < d.length) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) { dot += q(i)(k) * d(j)(k); k += 1 }
+        val c = dot / (qn(i) * dn(j))
+        if (c > mx) mx = c
+        j += 1
+      }
+      sum += mx
+      i += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    scoreOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxsim", this,
+      classOf[VecMaxSimExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.scoreOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecMaxSimExpr =
+    copy(left = l, right = r)
+}

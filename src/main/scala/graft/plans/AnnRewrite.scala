@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
-import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr}
+import graft.functions.expressions.{VecChamferExpr, VecCosineExpr, VecDotExpr, VecL2SqExpr, VecMaxSimExpr}
 import graft.index.{BeamSearch, CsrGraph, Metrics, VectorStore, VisitedSet}
 
 /** SQL auto-routing of exhaustive top-k similarity queries to the ANN
@@ -467,7 +467,50 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
                          kind: String = "dot",
                          tier: String = "graph",
                          fingerprint: String = "",
-                         mvDim: Int = 0) extends LeafNode {
+                         mvDim: Int = 0,
+                         mvScore: String = "chamfer") extends LeafNode {
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = k.toLong * 16)
+}
+
+/** Opaque carrier for a `LogicalPlan` fragment inside another node's
+  * fields: NOT a `TreeNode`, so Catalyst's child traversal and
+  * expression transforms never descend into it — the fragment rides
+  * along verbatim from the optimizer rule that captured it to the
+  * physical operator that re-executes it (via
+  * `GraftColumnBridge.ofRows`). `toString` shows only the tag so plan
+  * strings stay readable. */
+case class OpaqueSubplan(plan: LogicalPlan, tag: String) {
+  override def toString: String = tag
+}
+
+/** Logical stand-in for the FILTERED top-k search —
+  *
+  * ```sql
+  * SELECT id, graft_vec_*(vec, <literal>) AS score
+  * FROM corpus WHERE <pred> ORDER BY score {DESC|ASC} LIMIT k
+  * ```
+  *
+  * — the filtered-ANN shape every metadata-constrained retrieval runs
+  * (lang = 'en', source = ..., id ranges). `filtered` carries the whole
+  * `Filter(pred, scan)` subtree opaquely; execution generates an
+  * ESCALATING candidate stream from the routed tier (graph beam /
+  * candidate generator), keeps candidates that pass the predicate (the
+  * carried subplan re-executes with full parquet pushdown, constrained
+  * to the candidate ids), rescores them with the query's OWN expression
+  * and stops as soon as k survivors exist — or the tier saturates, at
+  * which point the answer is EXACT (every corpus row the tier can reach
+  * was considered). `spark.graft.ann.filtered.exact=true` jumps straight
+  * to the saturating fetch (the certificate mode, mirroring
+  * g9_sql_saturated). Scores always equal the exhaustive plan's —
+  * bit-for-bit — only the candidate SET is approximate below
+  * saturation. */
+case class AnnFilteredTopKNode(output: Seq[Attribute], idName: String,
+                               vecName: String, queryVec: Array[Float],
+                               k: Int, idFirst: Boolean, kind: String,
+                               tier: String, fingerprint: String,
+                               filtered: OpaqueSubplan) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = k.toLong * 16)
@@ -487,7 +530,8 @@ case class AnnSearchNode(output: Seq[Attribute], idName: String,
 case class MvJoinTopKNode(output: Seq[Attribute], child: LogicalPlan,
                           qsetAttr: Attribute, qVecAttr: Attribute,
                           dsetName: String, dVecName: String, k: Int,
-                          tier: String, fingerprint: String, mvDim: Int)
+                          tier: String, fingerprint: String, mvDim: Int,
+                          score: String = "chamfer")
     extends UnaryNode {
   // qsetAttr/qVecAttr are Expression-typed fields, so they surface in
   // this node's `references` — no later rule can prune the query-side
@@ -576,13 +620,17 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The flagship set-level shape: chamfer score of a QUERY-set literal
-    * (first argument — the function is asymmetric) against the set
-    * column. */
-  private def chamferOf(e: Expression)
-      : Option[(AttributeReference, Array[Array[Float]])] = e match {
+  /** The flagship set-level shape: a set-scoring function of a QUERY-set
+    * literal (first argument — both functions are asymmetric) against
+    * the set column. Returns the attr, the literal matrix, and which
+    * scorer ("chamfer" | "maxsim") so the rescore runs the query's own
+    * function. */
+  private def setScoreOf(e: Expression)
+      : Option[(AttributeReference, Array[Array[Float]], String)] = e match {
     case VecChamferExpr(l: Literal, a: AttributeReference) =>
-      asFloatMatrix(l).map(m => (a, m))
+      asFloatMatrix(l).map(m => (a, m, "chamfer"))
+    case VecMaxSimExpr(l: Literal, a: AttributeReference) =>
+      asFloatMatrix(l).map(m => (a, m, "maxsim"))
     case _ => None
   }
 
@@ -654,12 +702,14 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       w0Child <- plist.collectFirst {
         case a @ Alias(child, _) if a.exprId == w0Attr.exprId => child
       }
-      qdPair <- w0Child match {
+      qdTriple <- w0Child match {
         case VecChamferExpr(qv: AttributeReference, dv: AttributeReference) =>
-          Some((qv, dv))
+          Some((qv, dv, "chamfer"))
+        case VecMaxSimExpr(qv: AttributeReference, dv: AttributeReference) =>
+          Some((qv, dv, "maxsim"))
         case _ => None
       }
-      (qVec, dVec) = qdPair
+      (qVec, dVec, scoreName) = qdTriple
       sides <-
         if (join.left.outputSet.contains(qVec) &&
             join.right.outputSet.contains(dVec))
@@ -689,7 +739,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
     } yield p.copy(child = MvJoinTopKNode(
       Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
       qsetAttr, qVec, dsetAttr.name, dVec.name, k,
-      entry.name, fp, entry.dim))
+      entry.name, fp, entry.dim, scoreName))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -719,6 +769,20 @@ object AnnTopKRule extends Rule[LogicalPlan] {
               Sort(Seq(SortOrder(sortKey: AttributeReference, dir, _, _)), true,
                 Project(projList, projChild), _)))
               if projList.length == 2 =>
+        // FILTERED shape: a deterministic predicate between the
+        // projection and the scan routes too (post-filter with
+        // escalation — AnnFilteredTopKNode). The whole Filter subtree
+        // is carried and re-executed, so the predicate may reference
+        // ANY corpus column (including the vector itself); only
+        // nondeterministic predicates bail out (they cannot be
+        // re-evaluated in a second scan without changing the answer).
+        val (filterCond, scanChild) = projChild match {
+          case Filter(c, fc)
+              if c.deterministic && SQLConf.get.getConfString(
+                "spark.graft.ann.filtered", "true").toBoolean =>
+            (Some(c), fc)
+          case _ => (None, projChild)
+        }
         val rewritten = for {
           scoreAlias <- projList.collectFirst {
             case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
@@ -768,24 +832,34 @@ object AnnTopKRule extends Rule[LogicalPlan] {
               .byteStringAsBytes(SQLConf.get.getConfString(
                 "spark.graft.ann.broadcastMaxBytes", "4g"))
             val graphEntry = AnnIndexRegistry
-              .lookupFor(idAttr.name, vecAttr.name, kind, projChild)
+              .lookupFor(idAttr.name, vecAttr.name, kind, scanChild)
               .filter(_.rawVecsB.value.dim == qv.length)
             val graph = graphEntry
-              .filter(_ => projChild.stats.sizeInBytes <= BigInt(ceiling))
+              .filter(_ => scanChild.stats.sizeInBytes <= BigInt(ceiling))
               .map(_ => "graph")
             def tiers(p: Option[String]) = AnnIndexRegistry
-              .lookupTierFor(idAttr.name, vecAttr.name, kind, projChild, p)
+              .lookupTierFor(idAttr.name, vecAttr.name, kind, scanChild, p)
               .filter(_.dim == qv.length)
               .map(_.name)
             if (pref == "graph") graphEntry.map(_ => "graph")
             else if (pref.nonEmpty) tiers(Some(pref))
             else graph.orElse(tiers(None))
           }
-          fp <- AnnIndexRegistry.scanFingerprint(projChild)
-        } yield AnnSearchNode(projList.map(_.toAttribute), idAttr.name,
-          vecAttr.name, qv, k,
-          idFirst = projList.head.exprId == idAttr.exprId, kind = kind,
-          tier = tier, fingerprint = fp)
+          fp <- AnnIndexRegistry.scanFingerprint(scanChild)
+        } yield filterCond match {
+          case None =>
+            AnnSearchNode(projList.map(_.toAttribute), idAttr.name,
+              vecAttr.name, qv, k,
+              idFirst = projList.head.exprId == idAttr.exprId, kind = kind,
+              tier = tier, fingerprint = fp): LogicalPlan
+          case Some(cond) =>
+            AnnFilteredTopKNode(projList.map(_.toAttribute), idAttr.name,
+              vecAttr.name, qv, k,
+              idFirst = projList.head.exprId == idAttr.exprId, kind = kind,
+              tier = tier, fingerprint = fp,
+              filtered = OpaqueSubplan(projChild,
+                "pred=" + cond.toString.take(120))): LogicalPlan
+        }
         // the SET-LEVEL flagship shape: chamfer(query-set literal,
         // vec_set) DESC LIMIT k over a registered set relation; ASC is
         // a farthest-set query no index answers — left exhaustive
@@ -794,7 +868,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
             case a @ Alias(child, _) if a.exprId == sortKey.exprId => (a, child)
           }
           if dir == Descending
-          (vecAttr, qsets) <- chamferOf(scoreAlias._2)
+          (vecAttr, qsets, scoreName) <- setScoreOf(scoreAlias._2)
           idAttr <- projList.collectFirst {
             case a: AttributeReference if a.exprId != sortKey.exprId => a
           }
@@ -807,7 +881,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
           vecAttr.name, qsets.flatten, k,
           idFirst = projList.head.exprId == idAttr.exprId,
           kind = "mv", tier = entry.name, fingerprint = fp,
-          mvDim = entry.dim)
+          mvDim = entry.dim, mvScore = scoreName)
         rewritten.orElse(mvRewritten)
           .map[LogicalPlan](n =>
             wrapper.map(w => w.copy(child = n): LogicalPlan).getOrElse(n))
@@ -822,6 +896,7 @@ object AnnTopKRule extends Rule[LogicalPlan] {
 object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AnnSearchNode => AnnSearchExec(n) :: Nil
+    case n: AnnFilteredTopKNode => AnnFilteredTopKExec(n) :: Nil
     case n: MvJoinTopKNode => MvJoinTopKExec(n, planLater(n.child)) :: Nil
     case _ => Nil
   }
@@ -882,7 +957,7 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
       if (qsets.isEmpty) Array.empty
       else {
         import org.apache.spark.sql.functions.{broadcast, col}
-        import graft.functions.VectorFunctions.chamferScore
+        import graft.functions.VectorFunctions.{chamferScore, maxSimScore}
         val spark = entry.data.sparkSession
         import spark.implicits._
         val cands = entry.candidatesBatch(spark, qsets, node.k)
@@ -895,7 +970,9 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
           .join(broadcast(qdf), Seq("__graft_qid"))
           .select(col("__graft_qid"),
             col(entry.dataIdCol).cast("long").as("__graft_did"),
-            chamferScore(col("__graft_qset"), col(entry.dataVecCol))
+            (if (node.score == "maxsim")
+               maxSimScore(col("__graft_qset"), col(entry.dataVecCol))
+             else chamferScore(col("__graft_qset"), col(entry.dataVecCol)))
               .cast("double").as("__graft_score"))
           // a NULL-scored corpus set (null members) is ordered last by
           // the exhaustive DESC sort — it can only appear in a top-k
@@ -962,17 +1039,20 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     * approximate. */
   private def mvRows(entry: AnnIndexRegistry.MvEntry): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{broadcast, col, typedlit}
-    import graft.functions.VectorFunctions.chamferScore
+    import graft.functions.VectorFunctions.{chamferScore, maxSimScore}
     val spark = entry.data.sparkSession
     import spark.implicits._
     val qsets = node.queryVec.grouped(node.mvDim).toArray
     val cands = entry.candidates(spark, qsets, node.k)
     val qLit = typedlit(qsets.map(_.toSeq).toSeq)
+    val score =
+      if (node.mvScore == "maxsim") maxSimScore(qLit, col(entry.dataVecCol))
+      else chamferScore(qLit, col(entry.dataVecCol))
     val scored = entry.data
       .join(broadcast(cands.select(col("dset_id").as("__graft_cand_id"))),
         col(entry.dataIdCol) === col("__graft_cand_id"))
       .select(col(entry.dataIdCol).cast("long").as("id"),
-        chamferScore(qLit, col(entry.dataVecCol)).cast("double").as("score"))
+        score.cast("double").as("score"))
     scored.orderBy(col("score").desc, col("id").asc)
       .limit(node.k).as[(Long, Double)].collect()
   }
@@ -1083,6 +1163,152 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       scored.iterator.map { case (id, s) =>
         val row = if (idFirst) InternalRow(id, s) else InternalRow(s, id)
         proj(row)
+      }
+    }
+  }
+}
+
+/** Physical side of the FILTERED top-k route: escalating post-filter.
+  *
+  * Each round fetches a candidate stream of target size `c` from the
+  * routed tier (graph beam with l=c, or the registered candidate
+  * generator), re-executes the carried `Filter(pred, scan)` subplan
+  * CONSTRAINED to those candidate ids (an IN filter that reaches the
+  * parquet scan for bounded id sets, a broadcast-candidates join above
+  * that — the corpus is never resident and never shuffled), rescores
+  * survivors with the query's OWN expression, and answers when k
+  * survivors exist. No k survivors → `c` quadruples and the round
+  * repeats; when the tier SATURATES (the beam exhausted the reachable
+  * set, or the generator returned fewer than asked) the answer is exact
+  * over everything the tier can reach and escalation stops. Cost model
+  * at scale: each round is one column-pruned, predicate+id-pushed scan
+  * plus O(c) exact distances — the predicate's selectivity sets how many
+  * rounds run (selective predicates escalate toward the saturating fetch,
+  * which equals the exhaustive plan's cost; permissive predicates answer
+  * in round one at a tiny fraction of it).
+  *
+  * Conf knobs (read from the executing session at execute time):
+  * `spark.graft.ann.filtered.overfetch` (initial c = overfetch·k,
+  * default 8), `.maxRounds` (default 6), `.exact` (jump straight to the
+  * saturating fetch — the certificate mode: the answer then equals the
+  * exhaustive plan's, which knn_sql_filtered hash-proves), `.isinMax`
+  * (IN-pushdown vs broadcast-join switchover, default 100000).
+  *
+  * NULL-scored survivors (null vector cells) are dropped — the same
+  * posture as MvJoinTopKExec: the exhaustive DESC sort orders them last,
+  * so they only matter when non-null rows run out, which a candidate
+  * route cannot reproduce anyway. */
+case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
+  override def output: Seq[Attribute] = node.output
+
+  private def checkFingerprint(storedFp: String, what: String): Unit =
+    if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
+      sys.error(s"$what for (${node.idName}, ${node.vecName}) was " +
+        "re-registered over a different relation after planning " +
+        s"(planned ${node.fingerprint}, registry has $storedFp)")
+
+  /** One candidate fetch of target size `c` → (ids, saturated). */
+  private def candidateIds(c: Int): (Array[Long], Boolean) = node.tier match {
+    case "graph" =>
+      val (fp, entry) =
+        AnnIndexRegistry.lookupWithFp(node.idName, node.vecName, node.kind)
+          .getOrElse(sys.error(
+            s"ANN index for (${node.idName}, ${node.vecName}) vanished"))
+      checkFingerprint(fp, "ANN index")
+      val graph = entry.graphB.value
+      val searchVecs = entry.searchVecsB.value
+      require(entry.rawVecsB.value.dim == node.queryVec.length,
+        s"query dim ${node.queryVec.length} != corpus dim " +
+          s"${entry.rawVecsB.value.dim}")
+      val metric = Metrics(entry.metricName)
+      val q = if (metric.normalizeAtLoad) VectorStore.normalized(node.queryVec)
+              else node.queryVec
+      // l = 2n saturates: the beam then explores every reachable node
+      // (the same regime g9_sql_saturated certifies for the mv route)
+      val l = math.min(math.max(c.toLong, entry.searchL.toLong), 2L * graph.n).toInt
+      val visited = new VisitedSet(graph.n)
+      val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
+        q, l, visited)
+      val ids = Array.tabulate(queue.size)(i => queue.id(i).toLong)
+      (ids, l >= graph.n || queue.size < l)
+    case t =>
+      val (fp, entry) = AnnIndexRegistry
+        .lookupTierWithFp(node.idName, node.vecName, node.kind,
+          preferred = Some(t))
+        .getOrElse(sys.error(
+          s"candidate tier '$t' for (${node.idName}, ${node.vecName}) " +
+            "vanished"))
+      checkFingerprint(fp, "candidate tier")
+      val s = entry.data.sparkSession
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val ids = entry.candidates(s, node.queryVec, c)
+        .select(col("d_id").cast("long")).distinct().as[Long].collect()
+      (ids, ids.length < c)
+  }
+
+  /** Top-k among `ids` that survive the carried predicate, scored with
+    * the routed query's own expression. */
+  private def topkRows(filtered: org.apache.spark.sql.DataFrame,
+                       ids: Array[Long], isinMax: Int): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{broadcast, col, typedlit}
+    import graft.functions.VectorFunctions.{vecCosine, vecDot, vecL2Sq}
+    val s = filtered.sparkSession
+    import s.implicits._
+    val qLit = typedlit(node.queryVec)
+    val score = node.kind match {
+      case "l2" => vecL2Sq(col(node.vecName), qLit)
+      case "cos" => vecCosine(col(node.vecName), qLit)
+      case _ => vecDot(col(node.vecName), qLit)
+    }
+    val constrained =
+      if (ids.length <= isinMax)
+        filtered.where(col(node.idName).isInCollection(ids.toSeq))
+      else
+        filtered.join(
+          broadcast(ids.toSeq.toDF("__graft_cand_id")),
+          col(node.idName) === col("__graft_cand_id"))
+    val scored = constrained
+      .select(col(node.idName).cast("long").as("id"),
+        score.cast("double").as("score"))
+      .filter(col("score").isNotNull)
+    val ordered =
+      if (node.kind == "l2") scored.orderBy(col("score").asc, col("id").asc)
+      else scored.orderBy(col("score").desc, col("id").asc)
+    ordered.limit(node.k).as[(Long, Double)].collect()
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = SparkSession.active
+    def conf(key: String, dflt: String): String =
+      spark.conf.getOption(key).getOrElse(dflt)
+    val exact = conf("spark.graft.ann.filtered.exact", "false").toBoolean
+    val overfetch = conf("spark.graft.ann.filtered.overfetch", "8").toInt
+    val maxRounds = conf("spark.graft.ann.filtered.maxRounds", "6").toInt
+    val isinMax = conf("spark.graft.ann.filtered.isinMax", "100000").toInt
+    val filtered = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(spark, node.filtered.plan)
+    val maxC = 1 << 26
+    var c =
+      if (exact) maxC
+      else math.max(64L, math.min(overfetch.toLong * node.k, maxC.toLong)).toInt
+    var rows: Array[(Long, Double)] = Array.empty
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val (ids, saturated) = candidateIds(c)
+      rows = topkRows(filtered, ids, isinMax)
+      done = rows.length >= node.k || saturated || round >= maxRounds ||
+        c >= maxC
+      if (!done) c = math.min(c.toLong * 4, maxC.toLong).toInt
+    }
+    val idFirst = node.idFirst
+    val schema = node.output.map(_.dataType).toArray
+    sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map { case (id, s) =>
+        proj(if (idFirst) InternalRow(id, s) else InternalRow(s, id))
       }
     }
   }

@@ -302,6 +302,33 @@ object AnnQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     }),
 
+    // FILTERED ANN from SQL — the metadata-constrained retrieval every
+    // production corpus runs (`WHERE label IN (...) ORDER BY cosine DESC
+    // LIMIT k`): AnnTopKRule routes the Filter+Sort+Limit shape to
+    // AnnFilteredTopKNode (plans/AnnRewrite.scala), whose exec fetches an
+    // ESCALATING candidate stream from the fixture RoarGraph and
+    // post-filters it against the carried predicate (re-executed with
+    // full parquet pushdown, constrained to candidate ids). This entry is
+    // the EXACTNESS certificate: it runs in the exact-mode child session
+    // (`spark.graft.ann.filtered.exact=true` → the saturating fetch, the
+    // same regime g9_sql_saturated certifies), so the routed answer must
+    // be HASH-IDENTICAL to the exhaustive filtered top-k in DuckDB.
+    "knn_sql_filtered" -> ((s, dir) => {
+      val rs = svSqlSetup(s, dir, exact = true)
+      rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
+    }),
+
+    // The same filtered statement at the DEFAULT overfetch (candidates =
+    // 8·k per round, escalating ×4 until k survivors or saturation) —
+    // the plan a 100 TB corpus actually runs. Rows-only: below
+    // saturation the candidate set is approximate by design;
+    // AnnRewriteSpec holds the ≥0.9 recall gate, the routed-plan
+    // assert, and the saturation-equals-exhaustive property.
+    "knn_sql_filtered_ann" -> ((s, dir) => {
+      val rs = svSqlSetup(s, dir, exact = false)
+      rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
+    }),
+
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
     // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
     // QUERY-RELATION spelling: ONE statement for every query set (the
@@ -332,6 +359,27 @@ object AnnQueries extends QueryPack {
     "g9_sql_saturated" -> ((s, dir) => {
       val rs = mvSqlSetup(s, dir)
       rs.sql(mvRelationSql("graft_mv_sets_sat", K))
+    }),
+
+    // The A2 scorer (ColBERT MaxSim) through the SAME relation route —
+    // `graft_maxsim_score` in the rank window instead of chamfer: the
+    // matched function selects the rescorer, the candidate beam search
+    // is shared. Rows-only (graph candidates are order-dependent);
+    // AnnRewriteSpec's maxsim test holds the saturation-exactness and
+    // routed-plan gates on the fixture.
+    "a2_sql_maxsim" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets", K, fn = "graft_maxsim_score"))
+    }),
+
+    // MaxSim relation route at SATURATING budget — hash-green twin: the
+    // candidate set saturates, so the routed answer must equal the
+    // exhaustive MaxSim ranking (a2's oracle shape, minus the rank
+    // column). Reference scorer: ComputeSummedMaxSimilarity,
+    // multivector_reranker.cpp:432-438.
+    "a2_sql_saturated" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets_sat", K, fn = "graft_maxsim_score"))
     }),
 
     // The FLAGSHIP multivector query shape (G9: per-sub-vector candidate
@@ -522,13 +570,17 @@ object AnnQueries extends QueryPack {
 
   /** The rank-window SQL spelling of the flagship set-level query over
     * a query-set RELATION — the exact shape `AnnTopKRule.rewriteMvJoin`
-    * routes. One statement for every query set in `graft_mv_queries`. */
-  private def mvRelationSql(setsView: String, k: Int): String =
+    * routes. One statement for every query set in `graft_mv_queries`.
+    * `fn` picks the set scorer: `graft_chamfer_score` (A1, the default)
+    * or `graft_maxsim_score` (A2) — the matched function decides the
+    * route's rescorer, the candidate beams are shared. */
+  private def mvRelationSql(setsView: String, k: Int,
+                            fn: String = "graft_chamfer_score"): String =
     s"""SELECT qset_id, dset_id, round(score, 6) AS score FROM (
        |  SELECT q.qset_id, d.dset_id,
-       |         graft_chamfer_score(q.vec_set, d.vec_set) AS score,
+       |         $fn(q.vec_set, d.vec_set) AS score,
        |         row_number() OVER (PARTITION BY q.qset_id
-       |           ORDER BY graft_chamfer_score(q.vec_set, d.vec_set) DESC,
+       |           ORDER BY $fn(q.vec_set, d.vec_set) DESC,
        |                    d.dset_id ASC) AS rnk
        |  FROM graft_mv_queries q CROSS JOIN $setsView d) t
        |WHERE rnk <= $k""".stripMargin
@@ -549,6 +601,74 @@ object AnnQueries extends QueryPack {
       child.conf.set("spark.graft.ann.rewrite", "true")
       child
     })
+
+  /** Second routed child for the filtered-ANN CERTIFICATE query: same
+    * shared SparkContext, but `spark.graft.ann.filtered.exact=true` so
+    * every filtered route in it jumps straight to the saturating fetch
+    * (exact answers). A separate session — not a set/unset on the shared
+    * routed one — because the conf is read at EXECUTE time and the
+    * standard rows-only variant may execute arbitrarily later. */
+  private val exactSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
+  private def exactFilteredSession(s: SparkSession): SparkSession =
+    exactSessions.computeIfAbsent(s, _ => {
+      val child = s.newSession()
+      child.conf.set("spark.graft.ann.rewrite", "true")
+      child.conf.set("spark.graft.ann.filtered.exact", "true")
+      child
+    })
+
+  /** The filtered-ANN SQL spelling both knn_sql_filtered variants run:
+    * metadata predicate + similarity order + limit, score rounded at the
+    * query boundary (the wrapper projection the rule matches through). */
+  private def filteredKnnSql(qlit: String, k: Int): String =
+    s"""SELECT vec_id, round(score, 6) AS score FROM (
+       |  SELECT vec_id, graft_vec_cosine(embedding, $qlit) AS score
+       |  FROM graft_emb WHERE label IN (2, 5)
+       |  ORDER BY score DESC LIMIT $k) t""".stripMargin
+
+  /** Query literal for the single-vector routed statements: the corpus
+    * vector at vec_id=5, inlined as exact float literals
+    * (`Float.toString` round-trips, so the literal equals the stored
+    * vector bit-for-bit — the oracle references the same row). */
+  private def svQueryLit(s: SparkSession, dir: String): String =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 5)
+      .select("embedding").first().getSeq[Float](0)
+      .map(x => s"${x}F").mkString("array(", ", ", ")")
+
+  /** Single-vector SQL-route setup: install the rule on the routed (or
+    * exact-mode) child session, register the FIXTURE RoarGraph (shared
+    * with IndexQueries — one build per JVM per dir) over the embeddings
+    * relation with raw vectors for exact rescoring, and (re)point the
+    * `graft_emb` view. Idempotent per (session, dir). */
+  private val svRawCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[graft.index.VectorStore]]()
+
+  private def svSqlSetup(s: SparkSession, dir: String,
+                         exact: Boolean): SparkSession = {
+    import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
+    val rs = if (exact) exactFilteredSession(s) else routedSession(s)
+    graft.functions.GraftFunctions.register(rs)
+    val cls = rs.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
+      cls.experimental.extraOptimizations =
+        cls.experimental.extraOptimizations :+ AnnTopKRule
+      cls.experimental.extraStrategies =
+        cls.experimental.extraStrategies :+ AnnStrategy
+    }
+    val (graphB, vecsB) = IndexQueries.fixtureHandles(rs, dir)
+    val rawB = svRawCache.computeIfAbsent(dir, _ =>
+      rs.sparkContext.broadcast(graft.index.VectorStore.fromDf(
+        Tables.embeddings(rs, dir), "vec_id", "embedding",
+        graft.index.Metrics.InnerProduct)))
+    val emb = Tables.embeddings(rs, dir)
+    AnnIndexRegistry.register(emb, "vec_id", "embedding",
+      AnnIndexRegistry.Entry(graphB, vecsB, rawB,
+        IndexQueries.FixtureParams.metric, searchL = 80))
+    emb.createOrReplaceTempView("graft_emb")
+    rs
+  }
 
   /** Offline half of the SQL multivector surface, once per fixture dir:
     * the SET-LEVEL parquet relation (one row per corpus set, members in
@@ -1251,6 +1371,24 @@ object AnnQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // knn_sql_filtered: exhaustive filtered cosine top-k — the routed
+    // plan runs in exact mode (saturating fetch), so ids AND scores must
+    // hash-match. Ranking mirrors the route exactly: raw double cosine
+    // DESC, vec_id ASC tiebreak, round-6 only at the output boundary.
+    "knn_sql_filtered" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+         |scored AS (
+         |  SELECT d.vec_id,
+         |         ${dotSqlAB("d.embedding", "q.embedding")} /
+         |           (${normSqlExpr("d.embedding")} * ${normSqlExpr("q.embedding")}) AS score
+         |  FROM embeddings d CROSS JOIN q
+         |  WHERE d.label IN (2, 5)),
+         |ranked AS (
+         |  SELECT vec_id, score,
+         |         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT vec_id, round(score, 6) AS score FROM ranked
+         |WHERE rnk <= ${2 * K}""".stripMargin,
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,

@@ -51,6 +51,15 @@ object IndexQueries extends QueryPack {
         s.sparkContext.broadcast(idx.vecs))
     })
 
+  /** The fixture index's (graph, search-vector) broadcasts, shared with
+    * the other query packs (AnnQueries' single-vector SQL route) so each
+    * JVM builds the fixture graph once. */
+  private[queries] def fixtureHandles(s: SparkSession, dir: String)
+      : (Broadcast[CsrGraph], Broadcast[VectorStore]) = {
+    val h = handles(s, dir)
+    (h.graphB, h.vecsB)
+  }
+
   /** One persisted sharded index per (dir, nShards) — the scale-tier twin
     * of [[handles]]. The descriptor is data-free: the index lives on disk
     * and each search loads one shard at a time (ShardedIndex lifecycle). */

@@ -149,19 +149,110 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
-  test("a filtered query is NOT routed (and keeps its filter)") {
+  private def filteredSql(q: String, pred: String, k: Int = 10): String =
+    s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
+       |FROM ann_corpus WHERE $pred
+       |ORDER BY score DESC LIMIT $k""".stripMargin
+
+  test("filtered query routes to AnnFilteredTopK; predicate still applies") {
     setup
     val q = queryLit
     spark.conf.set("spark.graft.ann.rewrite", "true")
     try {
-      val df = spark.sql(
-        s"""SELECT vec_id, graft_vec_dot(embedding, $q) AS score
-           |FROM ann_corpus WHERE vec_id >= 100
-           |ORDER BY score DESC LIMIT 10""".stripMargin)
+      val df = spark.sql(filteredSql(q, "vec_id >= 100"))
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("AnnSearch"), s"filtered query was routed:\n$plan")
-      // the filter actually applied — no row below 100 leaks through
+      assert(plan.contains("AnnFilteredTopK"),
+        s"filtered query did not route:\n$plan")
+      val rows = df.collect()
+      assert(rows.length === 10)
+      rows.foreach(r => assert(r.getLong(0) >= 100))
+      // scores are the query's own expression — spot-check one row
+      val (id0, s0) = (rows(0).getLong(0), rows(0).getDouble(1))
+      val check = spark.sql(
+        s"SELECT graft_vec_dot(embedding, $q) FROM ann_corpus WHERE vec_id = $id0")
+        .first().getDouble(0)
+      assert(s0 === check)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("filtered routing is OFF-switchable (spark.graft.ann.filtered=false)") {
+    setup
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.filtered", "false")
+    try {
+      val df = spark.sql(filteredSql(queryLit, "vec_id >= 100"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnFilteredTopK") && !plan.contains("AnnSearch"),
+        s"filtered query routed with the switch off:\n$plan")
       df.collect().foreach(r => assert(r.getLong(0) >= 100))
+    } finally {
+      spark.conf.unset("spark.graft.ann.filtered")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("filtered route: nondeterministic predicate never routes") {
+    setup
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(filteredSql(queryLit, "rand() < 2.0"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("AnnFilteredTopK"),
+        s"nondeterministic predicate was routed:\n$plan")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("filtered route: selective predicate escalates to saturation = exact") {
+    setup
+    val q = queryLit
+    // only ~n/50 rows match and fewer than k=20 do below id 500: the
+    // first fetch cannot find 20 survivors, escalation must run to the
+    // saturating beam, and the answer then EQUALS the exhaustive plan's
+    val pred = "vec_id % 50 = 3 AND vec_id < 500"
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(filteredSql(q, pred, k = 20)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(filteredSql(q, pred, k = 20))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("AnnFilteredTopK"))
+      val routed = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(routed.toSeq === exact.toSeq,
+        "saturated filtered route must equal the exhaustive plan")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("filtered route: exact mode equals the exhaustive plan on a permissive predicate") {
+    setup
+    val q = queryLit
+    val pred = "vec_id % 7 = 3"
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(filteredSql(q, pred)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.filtered.exact", "true")
+    try {
+      val routed = spark.sql(filteredSql(q, pred)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(routed.toSeq === exact.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.ann.filtered.exact")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("filtered route: default overfetch recalls >=0.9 of the exhaustive filtered top-k") {
+    setup
+    val q = queryLit
+    val pred = "vec_id % 2 = 1"
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(filteredSql(q, pred)).collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val routed = spark.sql(filteredSql(q, pred)).collect().map(_.getLong(0)).toSet
+      val recall = (routed & exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"filtered recall $recall < 0.9")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
@@ -240,6 +331,29 @@ class AnnRewriteSpec extends AnyFunSuite {
       // scores (the rescoring runs the query's own expression)
       assert(approx.toSeq === exact.toSeq,
         s"ivfpq route diverged:\n  approx=${approx.mkString(",")}\n  exact=${exact.mkString(",")}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("filtered route over a candidate tier: predicate + escalation through IVF-PQ") {
+    val q = ivfpqSetup
+    val pred = "vid % 3 = 0"
+    val fSql = s"""SELECT vid, graft_vec_l2sq(vec, $q) AS score
+                  |FROM ivfpq_corpus WHERE $pred
+                  |ORDER BY score ASC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(fSql).collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(fSql)
+      val tiers = df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnFilteredTopKNode => n.tier
+      }
+      assert(tiers === Seq("ivfpq"), "filtered query not on the ivfpq tier")
+      val rows = df.collect()
+      rows.foreach(r => assert(r.getLong(0) % 3 === 0, "predicate leaked"))
+      val recall = (rows.map(_.getLong(0)).toSet & exact).size.toDouble /
+        exact.size
+      assert(recall >= 0.9, s"filtered ivfpq recall $recall < 0.9")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
@@ -627,6 +741,79 @@ class AnnRewriteSpec extends AnyFunSuite {
       val asc = spark.sql(relSql.replace("DESC,", "ASC,"))
       assert(!asc.queryExecution.executedPlan.toString.contains("MvJoinTopK"),
         "ASC window order must not route")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("maxsim route: graft_maxsim_score routes through both mv spellings, exact at saturation") {
+    setup
+    // the A2 scorer (ColBERT summed-max) behind the same mv machinery:
+    // the matched function decides the rescorer, the candidate beams
+    // are shared — so MaxSim inherits the whole route (relation +
+    // literal spellings) from one matcher extension
+    val e = Tables.embeddings(spark, sfDir)
+    val C = 4
+    val setsOf = (idName: String, subName: String, filter: org.apache.spark.sql.Column) =>
+      e.filter(filter)
+        .select((col("vec_id") / C).cast("long").as(idName),
+          (col("vec_id") % C).cast("int").as(subName), col("embedding"))
+        .groupBy(idName)
+        .agg(transform(
+          array_sort(collect_list(struct(col(subName), col("embedding")))),
+          x => x.getField("embedding")).as("vec_set"))
+    val dir = "target/tmp/ann_mv_maxsim_sets"
+    setsOf("dset_id", "d_sub", lit(true)).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("mv_ms_sets")
+    setsOf("qset_id", "q_sub", col("vec_id") < 3 * C)
+      .createOrReplaceTempView("mv_ms_queries")
+    val idx = GraphBuild.build(spark, e, e, IndexQueries.FixtureParams)
+    AnnIndexRegistry.registerMvRoar(corpus, "dset_id", "vec_set",
+      spark.sparkContext.broadcast(idx.graph),
+      spark.sparkContext.broadcast(idx.vecs),
+      idx.params.metric, C, idx.vecs.dim,
+      budget = 2 * idx.vecs.n, name = "mv_roar_ms")
+    val relSql =
+      """SELECT qset_id, dset_id, score FROM (
+        |  SELECT q.qset_id, d.dset_id,
+        |         graft_maxsim_score(q.vec_set, d.vec_set) AS score,
+        |         row_number() OVER (PARTITION BY q.qset_id
+        |           ORDER BY graft_maxsim_score(q.vec_set, d.vec_set) DESC,
+        |                    d.dset_id ASC) AS rnk
+        |  FROM mv_ms_queries q CROSS JOIN mv_ms_sets d) t
+        |WHERE rnk <= 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(relSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(relSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MvJoinTopK"),
+        s"maxsim relation form not routed:\n$plan")
+      val routed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(routed === exact, "saturated maxsim route != exhaustive")
+      // the LITERAL spelling routes to AnnSearchExec with the maxsim
+      // rescorer and equals the exhaustive answer at saturation too
+      val qLit = e.filter(col("vec_id") >= C && col("vec_id") < 2 * C)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(x => s"${x}F")
+          .mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
+      val litSql = s"""SELECT dset_id, graft_maxsim_score($qLit, vec_set)
+                      |  AS score
+                      |FROM mv_ms_sets ORDER BY score DESC LIMIT 10""".stripMargin
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val exactLit = spark.sql(litSql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      val dfLit = spark.sql(litSql)
+      assert(dfLit.queryExecution.executedPlan.toString.contains("AnnSearch"),
+        "maxsim literal form not routed")
+      val routedLit = dfLit.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(routedLit === exactLit, "saturated maxsim literal != exhaustive")
+      assert(routedLit.head._1 === 1L, s"self set not top: ${routedLit.head}")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 

@@ -47,7 +47,8 @@ class RobustnessSpec extends AnyFunSuite {
     // injections landed by name)
     val names = GraftFunctions.injections.map(_._1.funcName)
     assert(names === Seq("graft_vec_dot", "graft_vec_l2sq",
-      "graft_vec_cosine", "graft_chamfer_score", "graft_vec_norm"))
+      "graft_vec_cosine", "graft_chamfer_score", "graft_maxsim_score",
+      "graft_vec_norm"))
   }
 
   test("index build is deterministic across repeated runs") {

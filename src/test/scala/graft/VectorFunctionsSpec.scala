@@ -95,6 +95,39 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSimScore expression == aggregator rerank, bit parity on top-k") {
+    import graft.queries.VectorQueries
+    import graft.queries.VectorQueries.{C, K}
+    // same contract as the chamfer parity above, for the A2 scorer: the
+    // fused graft_maxsim_score must reproduce the oracle-checked
+    // MaxSimAggregator ranking exactly, or the routed maxsim rescore
+    // isn't "the query's own expression"
+    val oracle = VectorQueries.queries("a2_maxsim_topk")(spark, sfDir)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(2), r.getDouble(3))).toSet).toMap
+    val e = Tables.embeddings(spark, sfDir)
+    val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
+        (col("vec_id") % C).cast("int").as("d_sub"), col("embedding"))
+      .groupBy("dset_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d_sub"), col("embedding")))),
+        x => x.getField("embedding")).as("vec_set")).cache()
+    oracle.keys.toSeq.sorted.foreach { qsetId =>
+      val qset = e.filter(col("vec_id") >= qsetId * C &&
+          col("vec_id") < (qsetId + 1) * C)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0))
+      val got = sets.select(col("dset_id"),
+          round(round(maxSimScore(typedlit(qset.map(_.toSeq).toSeq),
+            col("vec_set")), 9), 6).as("score"))
+        .orderBy(col("score").desc, col("dset_id").asc).limit(K)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === oracle(qsetId),
+        s"qset $qsetId: maxsim expression top-k diverged from the aggregator")
+    }
+  }
+
   test("maxSim matches scalar") {
     val sims = Seq(
       (0L, 0L, 0, 0, 0.9), (0L, 0L, 0, 1, 0.1),
