@@ -159,7 +159,15 @@ object AnnIndexRegistry {
         * metric); ties break on the tier name. Built-in registrations
         * compute an honest value; user tiers default to 1.0 (a full
         * coarse scan) and should override. */
-      costHint: Double = 1.0)
+      costHint: Double = 1.0,
+      /** Optional BATCHED generator serving the single-vector
+        * query-RELATION route (`SvJoinTopKNode`): candidates for EVERY
+        * collected query vector in ONE distributed job — (q_id, d_id)
+        * rows, at least the k best per query (more is fine, the
+        * rescore bounds the answer). null (the default) = this tier
+        * serves only literal-query statements; the relation route then
+        * skips it. */
+      candidatesBatch: (SparkSession, Seq[(Long, Array[Float])], Int) => org.apache.spark.sql.DataFrame = null)
 
   /** All candidate tiers per (idCol, vecCol, metric), keyed by tier
     * name — MULTIPLE tiers may now serve one corpus (e.g. an IVF-PQ
@@ -250,7 +258,18 @@ object AnnIndexRegistry {
       // beam search touches O(searchL · degree) vectors per shard — a
       // tiny read fraction once shards are resident; the honest cost is
       // shard residency churn, approximated by a small constant
-      costHint = 0.02))
+      costHint = 0.02,
+      // the relation route's batch form: ONE per-shard search job for
+      // every collected query vector
+      candidatesBatch = (s, qs, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val q = qs.map { case (id, v) => (id, v.toSeq) }
+          .toDF("q_id", "q_vec")
+        graft.index.ShardedIndex
+          .searchSingleDf(s, q, ref, l = math.max(searchL, 4 * k), k = 4 * k)
+          .select(col("q_id"), col("d_id"))
+      }))
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —
     * coarse dequantized scan over the 4×-compressed codes (see
@@ -547,6 +566,30 @@ case class MvJoinTopKNode(output: Seq[Attribute], child: LogicalPlan,
     AttributeSet(output.filterNot(child.outputSet.contains))
 }
 
+/** Logical stand-in for the SINGLE-VECTOR query-relation route:
+  * per-query top-k over Join(query relation, registered corpus) by
+  * `graft_vec_cosine`/`graft_vec_dot` DESC or `graft_vec_l2sq` ASC —
+  * one statement for ANY number of query vectors (the reference
+  * harness's G8 multiplicity, `tests/test_search_roargraph.cpp`: 10k
+  * queries per sweep). Same unary posture as [[MvJoinTopKNode]]: the
+  * query side survives as `child` (any subplan, executed then
+  * collected — the bounded side of a top-k search by definition);
+  * the corpus-scoring join + rank window are replaced. `kind` is the
+  * matched spelling ("cos"/"dot"/"l2"); `tier` the chosen physical
+  * generator ("graph" or a batch-capable candidate tier). */
+case class SvJoinTopKNode(output: Seq[Attribute], child: LogicalPlan,
+                          qAttr: Attribute, qVecAttr: Attribute,
+                          dName: String, dVecName: String, k: Int,
+                          kind: String, tier: String, fingerprint: String)
+    extends UnaryNode {
+  override protected def withNewChildInternal(c: LogicalPlan): SvJoinTopKNode =
+    copy(child = c)
+  override def maxRows: Option[Long] =
+    child.maxRows.map(q => q * k.toLong)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(output.filterNot(child.outputSet.contains))
+}
+
 /** Optimizer rule: exhaustive sort-limit over `graft_vec_dot` → ANN. */
 object AnnTopKRule extends Rule[LogicalPlan] {
 
@@ -690,9 +733,11 @@ object AnnTopKRule extends Rule[LogicalPlan] {
               j.condition.isEmpty => Some((pl, j))
         case _ => None
       }
-      w0Attr <- orderSpec.headOption.collect {
-        case SortOrder(a: AttributeReference, Descending, _, _) => a
+      w0Pair <- orderSpec.headOption.collect {
+        case SortOrder(a: AttributeReference, d @ (Descending | Ascending),
+            _, _) => (a, d)
       }
+      (w0Attr, w0Dir) = w0Pair
       tieOpt <- orderSpec.drop(1) match {
         case Seq() => Some(None)
         case Seq(SortOrder(a: AttributeReference, Ascending, _, _)) =>
@@ -703,10 +748,16 @@ object AnnTopKRule extends Rule[LogicalPlan] {
         case a @ Alias(child, _) if a.exprId == w0Attr.exprId => child
       }
       qdTriple <- w0Child match {
-        case VecChamferExpr(qv: AttributeReference, dv: AttributeReference) =>
-          Some((qv, dv, "chamfer"))
-        case VecMaxSimExpr(qv: AttributeReference, dv: AttributeReference) =>
-          Some((qv, dv, "maxsim"))
+        case VecChamferExpr(qv: AttributeReference, dv: AttributeReference)
+            if w0Dir == Descending => Some((qv, dv, "chamfer"))
+        case VecMaxSimExpr(qv: AttributeReference, dv: AttributeReference)
+            if w0Dir == Descending => Some((qv, dv, "maxsim"))
+        case VecCosineExpr(qv: AttributeReference, dv: AttributeReference)
+            if w0Dir == Descending => Some((qv, dv, "cos"))
+        case VecDotExpr(qv: AttributeReference, dv: AttributeReference)
+            if w0Dir == Descending => Some((qv, dv, "dot"))
+        case VecL2SqExpr(qv: AttributeReference, dv: AttributeReference)
+            if w0Dir == Ascending => Some((qv, dv, "l2"))
         case _ => None
       }
       (qVec, dVec, scoreName) = qdTriple
@@ -734,12 +785,46 @@ object AnnTopKRule extends Rule[LogicalPlan] {
       }
       if outerList.forall(_.references.subsetOf(AttributeSet(
         Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute))))
-      entry <- AnnIndexRegistry.lookupMvFor(dsetAttr.name, dVec.name, dSide)
       fp <- AnnIndexRegistry.scanFingerprint(dSide)
-    } yield p.copy(child = MvJoinTopKNode(
-      Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
-      qsetAttr, qVec, dsetAttr.name, dVec.name, k,
-      entry.name, fp, entry.dim, scoreName))
+      node <- scoreName match {
+        case "chamfer" | "maxsim" =>
+          AnnIndexRegistry.lookupMvFor(dsetAttr.name, dVec.name, dSide)
+            .map(entry => MvJoinTopKNode(
+              Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
+              qsetAttr, qVec, dsetAttr.name, dVec.name, k,
+              entry.name, fp, entry.dim, scoreName): LogicalPlan)
+        case kind =>
+          // SINGLE-VECTOR relation route: same tier family as the
+          // literal arm — graph first (broadcast ceiling honored),
+          // otherwise a candidate tier that registered a BATCH
+          // generator. Query dims gate at execute time (the query side
+          // is a relation — its vectors exist only at runtime; a
+          // mismatch fails loudly, exactly like the exhaustive plan's
+          // expression would).
+          val pref = SQLConf.get
+            .getConfString("spark.graft.ann.tier", "").trim
+          val ceiling = org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(SQLConf.get.getConfString(
+              "spark.graft.ann.broadcastMaxBytes", "4g"))
+          val graphEntry = AnnIndexRegistry
+            .lookupFor(dsetAttr.name, dVec.name, kind, dSide)
+          val graph = graphEntry
+            .filter(_ => dSide.stats.sizeInBytes <= BigInt(ceiling))
+            .map(_ => "graph")
+          def tiers(p: Option[String]) = AnnIndexRegistry
+            .lookupTierFor(dsetAttr.name, dVec.name, kind, dSide, p)
+            .filter(_.candidatesBatch != null)
+            .map(_.name)
+          val tier =
+            if (pref == "graph") graphEntry.map(_ => "graph")
+            else if (pref.nonEmpty) tiers(Some(pref))
+            else graph.orElse(tiers(None))
+          tier.map(t => SvJoinTopKNode(
+            Seq(qsetAttr, dsetAttr, scoreAlias.toAttribute), qSide,
+            qsetAttr, qVec, dsetAttr.name, dVec.name, k,
+            kind, t, fp): LogicalPlan)
+      }
+    } yield p.copy(child = node)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -898,6 +983,7 @@ object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case n: AnnSearchNode => AnnSearchExec(n) :: Nil
     case n: AnnFilteredTopKNode => AnnFilteredTopKExec(n) :: Nil
     case n: MvJoinTopKNode => MvJoinTopKExec(n, planLater(n.child)) :: Nil
+    case n: SvJoinTopKNode => SvJoinTopKExec(n, planLater(n.child)) :: Nil
     case _ => Nil
   }
 }
@@ -1310,6 +1396,180 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
       it.map { case (id, s) =>
         proj(if (idFirst) InternalRow(id, s) else InternalRow(s, id))
       }
+    }
+  }
+}
+
+/** Physical side of the single-vector query-relation route: execute and
+  * COLLECT the planned query side (bounded), run ONE batched candidate
+  * job for every query vector (graph tier: distributed
+  * `BeamSearch.searchSingleDf` over the broadcast graph; candidate
+  * tiers: their registered BATCH generator), rescore the bounded
+  * (query, candidate) pairs with the routed query's OWN expression, and
+  * rank-window to k per query — ties on the corpus id ASC, exactly the
+  * matched ORDER BY. Graph-tier rescoring runs against the broadcast
+  * RAW vector store (zero corpus reads); tier rescoring joins the
+  * bounded candidates against the registered full-precision relation
+  * (read once, never shuffled, never resident). Scores equal the
+  * exhaustive plan's bit-for-bit; only the candidate SET per query is
+  * approximate. `spark.graft.ann.relation.exact=true` saturates the
+  * graph beam (l = 2n — the g9_sql_saturated regime), making the
+  * answer exact end-to-end: the certificate mode g8_sql_saturated
+  * hash-proves. NULL-scored corpus rows are dropped (the
+  * MvJoinTopKExec posture). */
+case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = node.output
+  override protected def withNewChildInternal(c: SparkPlan): SvJoinTopKExec =
+    copy(child = c)
+
+  private def checkFingerprint(storedFp: String, what: String): Unit =
+    if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
+      sys.error(s"$what for (${node.dName}, ${node.dVecName}) was " +
+        "re-registered over a different relation after planning " +
+        s"(planned ${node.fingerprint}, registry has $storedFp)")
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qIdx = child.output.indexWhere(_.exprId == node.qAttr.exprId)
+    val vIdx = child.output.indexWhere(_.exprId == node.qVecAttr.exprId)
+    require(qIdx >= 0 && vIdx >= 0,
+      "query-side columns vanished from the planned child")
+    val queries: Seq[(Long, Array[Float])] =
+      child.executeCollect().iterator.map { r =>
+        require(!r.isNullAt(qIdx) && !r.isNullAt(vIdx),
+          "NULL query vector: the routed plan cannot reproduce " +
+            "NULL-score ordering — run with spark.graft.ann.rewrite=false")
+        val arr = r.getArray(vIdx)
+        var j = 0
+        while (j < arr.numElements()) {
+          require(!arr.isNullAt(j), "NULL component in query vector")
+          j += 1
+        }
+        (r.getLong(qIdx), arr.toFloatArray())
+      }.toSeq
+    // the rescore keys queries by id (broadcast map): duplicate ids
+    // would silently collapse — fail loudly instead (the exhaustive
+    // plan ranks duplicate rows independently, which a keyed candidate
+    // route cannot reproduce)
+    require(queries.map(_._1).distinct.lengthCompare(queries.length) == 0,
+      "duplicate q_id in the query relation: the routed plan keys " +
+        "candidates by query id — run with spark.graft.ann.rewrite=false")
+    val out: Array[(Long, Long, Double)] =
+      if (queries.isEmpty) Array.empty
+      else {
+        val spark = SparkSession.active
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{broadcast, col, row_number}
+        val kind = node.kind
+        val scored: org.apache.spark.sql.DataFrame =
+          if (node.tier == "graph") {
+            val (fp, entry) = AnnIndexRegistry
+              .lookupWithFp(node.dName, node.dVecName, kind)
+              .getOrElse(sys.error(
+                s"ANN index for (${node.dName}, ${node.dVecName}) vanished"))
+            checkFingerprint(fp, "ANN index")
+            val dim = entry.rawVecsB.value.dim
+            queries.foreach { case (qid, v) =>
+              require(v.length == dim,
+                s"query $qid dim ${v.length} != corpus dim $dim")
+            }
+            val saturate = spark.conf
+              .getOption("spark.graft.ann.relation.exact")
+              .getOrElse("false").toBoolean
+            val n = entry.graphB.value.n
+            val l =
+              if (saturate) 2 * n
+              else math.min(math.max(entry.searchL, 4 * node.k), 2 * n)
+            val qdf = queries.map { case (id, v) => (id, v.toSeq) }
+              .toDF("q_id", "q_vec")
+            val hits = BeamSearch.searchSingleDf(spark, qdf, entry.graphB,
+              entry.searchVecsB, entry.metricName, l, k = l)
+            // exact rescore off the broadcast RAW store — zero corpus
+            // reads; same per-kind double loops as the literal route
+            val rawB = entry.rawVecsB
+            val qMapB = spark.sparkContext.broadcast(queries.toMap)
+            hits.select(col("q_id"), col("d_id")).as[(Long, Long)]
+              .mapPartitions { it =>
+                val raw = rawB.value
+                val qm = qMapB.value
+                it.map { case (qid, did) =>
+                  val qv = qm(qid)
+                  val off = raw.offset(did.toInt)
+                  val nd = raw.dim
+                  var s = 0.0
+                  var j = 0
+                  kind match {
+                    case "l2" =>
+                      while (j < nd) {
+                        val d = raw.data(off + j).toDouble - qv(j).toDouble
+                        s += d * d
+                        j += 1
+                      }
+                    case "cos" =>
+                      var dot = 0.0; var na = 0.0; var nb = 0.0
+                      while (j < nd) {
+                        val u = qv(j).toDouble
+                        val v = raw.data(off + j).toDouble
+                        dot += u * v; na += u * u; nb += v * v
+                        j += 1
+                      }
+                      s = dot / (math.sqrt(na) * math.sqrt(nb))
+                    case _ =>
+                      while (j < nd) {
+                        s += qv(j).toDouble * raw.data(off + j).toDouble
+                        j += 1
+                      }
+                  }
+                  (qid, did, s)
+                }
+              }.toDF("__graft_qid", "__graft_did", "__graft_score")
+          } else {
+            val (fp, entry) = AnnIndexRegistry
+              .lookupTierWithFp(node.dName, node.dVecName, kind,
+                preferred = Some(node.tier))
+              .getOrElse(sys.error(
+                s"candidate tier '${node.tier}' for (${node.dName}, " +
+                  s"${node.dVecName}) vanished"))
+            checkFingerprint(fp, "candidate tier")
+            require(entry.candidatesBatch != null,
+              s"tier '${node.tier}' has no batch generator")
+            queries.foreach { case (qid, v) =>
+              require(v.length == entry.dim,
+                s"query $qid dim ${v.length} != corpus dim ${entry.dim}")
+            }
+            import graft.functions.VectorFunctions.{vecCosine, vecDot, vecL2Sq}
+            val cands = entry.candidatesBatch(spark, queries, node.k)
+            val qdf = queries.map { case (id, v) => (id, v.toSeq) }
+              .toDF("__graft_qid", "__graft_qvec")
+            val scoreCol = kind match {
+              case "l2" => vecL2Sq(col("__graft_qvec"), col(entry.dataVecCol))
+              case "cos" => vecCosine(col("__graft_qvec"), col(entry.dataVecCol))
+              case _ => vecDot(col("__graft_qvec"), col(entry.dataVecCol))
+            }
+            entry.data
+              .join(broadcast(cands.select(col("q_id").as("__graft_qid"),
+                  col("d_id").as("__graft_cand_id"))),
+                col(entry.dataIdCol) === col("__graft_cand_id"))
+              .join(broadcast(qdf), Seq("__graft_qid"))
+              .select(col("__graft_qid"),
+                col(entry.dataIdCol).cast("long").as("__graft_did"),
+                scoreCol.cast("double").as("__graft_score"))
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__graft_qid"))
+          .orderBy(
+            if (kind == "l2") col("__graft_score").asc else col("__graft_score").desc,
+            col("__graft_did").asc)
+        scored.filter(col("__graft_score").isNotNull)
+          .withColumn("__graft_rnk", row_number().over(w))
+          .filter(col("__graft_rnk") <= node.k)
+          .select(col("__graft_qid"), col("__graft_did"), col("__graft_score"))
+          .as[(Long, Long, Double)].collect()
+      }
+    val schema = node.output.map(_.dataType).toArray
+    sparkContext.parallelize(out.toIndexedSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map { case (q, d, s) => proj(InternalRow(q, d, s)) }
     }
   }
 }

@@ -329,6 +329,28 @@ object AnnQueries extends QueryPack {
       rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
     }),
 
+    // The G8 single-vector harness question FROM SQL at real
+    // multiplicity — per-query top-k over a query RELATION (one
+    // statement for all NQ·C query vectors), the rank-window shape
+    // routed to SvJoinTopKNode: ONE batched beam-search job + exact
+    // rescore off the broadcast raw store, zero corpus reads. Rows-only
+    // (graph search order-dependent); AnnRewriteSpec holds the
+    // saturation-exactness, recall, and routed-plan gates.
+    "g8_sql_knn" -> ((s, dir) => {
+      val rs = svSqlSetup(s, dir, exact = false)
+      rs.sql(svRelationSql(K))
+    }),
+
+    // The same statement in the certificate session
+    // (`spark.graft.ann.relation.exact=true` → l = 2n saturating
+    // beams): the candidate set saturates and the routed answer must be
+    // HASH-IDENTICAL to the exhaustive per-query cosine ranking in
+    // DuckDB — the single-vector twin of g9_sql_saturated.
+    "g8_sql_saturated" -> ((s, dir) => {
+      val rs = svSqlSetup(s, dir, exact = true)
+      rs.sql(svRelationSql(K))
+    }),
+
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
     // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
     // QUERY-RELATION spelling: ONE statement for every query set (the
@@ -616,6 +638,9 @@ object AnnQueries extends QueryPack {
       val child = s.newSession()
       child.conf.set("spark.graft.ann.rewrite", "true")
       child.conf.set("spark.graft.ann.filtered.exact", "true")
+      // the single-vector relation route's saturating mode rides the
+      // same certificate session: l = 2n beams, exact end-to-end
+      child.conf.set("spark.graft.ann.relation.exact", "true")
       child
     })
 
@@ -667,8 +692,27 @@ object AnnQueries extends QueryPack {
       AnnIndexRegistry.Entry(graphB, vecsB, rawB,
         IndexQueries.FixtureParams.metric, searchL = 80))
     emb.createOrReplaceTempView("graft_emb")
+    // the query relation for the single-vector RELATION spelling: the
+    // fixture's NQ·C query vectors (any subplan works — no registration)
+    Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .createOrReplaceTempView("graft_emb_queries")
     rs
   }
+
+  /** The rank-window SQL spelling of per-query single-vector top-k over
+    * a query RELATION — the exact shape `AnnTopKRule` routes to
+    * `SvJoinTopKNode`: one statement for every query vector (the G8
+    * harness runs 10k, tests/test_search_roargraph.cpp). */
+  private def svRelationSql(k: Int): String =
+    s"""SELECT q_id, vec_id AS d_id, round(score, 6) AS score FROM (
+       |  SELECT q.q_id, d.vec_id,
+       |         graft_vec_cosine(q.q_vec, d.embedding) AS score,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY graft_vec_cosine(q.q_vec, d.embedding) DESC,
+       |                    d.vec_id ASC) AS rnk
+       |  FROM graft_emb_queries q CROSS JOIN graft_emb d) t
+       |WHERE rnk <= $k""".stripMargin
 
   /** Offline half of the SQL multivector surface, once per fixture dir:
     * the SET-LEVEL parquet relation (one row per corpus set, members in
@@ -1389,6 +1433,24 @@ object AnnQueries extends QueryPack {
          |  FROM scored)
          |SELECT vec_id, round(score, 6) AS score FROM ranked
          |WHERE rnk <= ${2 * K}""".stripMargin,
+    // g8_sql_saturated: exhaustive per-query cosine top-k over the
+    // same query relation — raw-score ranking with id tiebreak, the
+    // exact mirror of the routed window (round-6 only at the boundary)
+    "g8_sql_saturated" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < ${NQ * C}),
+         |scored AS (
+         |  SELECT q.q_id, d.vec_id,
+         |         ${dotSqlAB("q.q_vec", "d.embedding")} /
+         |           (${normSqlExpr("q.q_vec")} * ${normSqlExpr("d.embedding")}) AS score
+         |  FROM q CROSS JOIN embeddings d),
+         |ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id AS d_id, round(score, 6) AS score FROM ranked
+         |WHERE rnk <= $K""".stripMargin,
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,

@@ -69,6 +69,11 @@ object BuildSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup build (base corpus): JIT + codegen + shuffle-path
+    // warmup, so the first timed row isn't JVM-cold-start inflated
+    GraphBuild.build(spark, Tables.embeddings(spark, srcDir),
+      Tables.embeddings(spark, srcDir), IndexQueries.FixtureParams)
+
     val rows = new scala.collection.mutable.ArrayBuffer[String]
     rows += "arm\tfactor\tn\tshards\tbuild_sec\tavg_degree\tmax_degree"
 

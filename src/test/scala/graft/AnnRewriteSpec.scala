@@ -1070,6 +1070,115 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("single-vector query-relation route: one statement for all queries, exact when saturated") {
+    setup
+    // the G8 harness multiplicity from SQL: per-query top-k as the
+    // standard rank-window idiom over Join(query relation, corpus),
+    // routed to ONE batched beam-search job (SvJoinTopKExec) + exact
+    // rescore off the broadcast raw store
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .createOrReplaceTempView("sv_rel_queries")
+    val relSql =
+      """SELECT q_id, vec_id, score FROM (
+        |  SELECT q.q_id, d.vec_id,
+        |         graft_vec_cosine(q.q_vec, d.embedding) AS score,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY graft_vec_cosine(q.q_vec, d.embedding) DESC,
+        |                    d.vec_id ASC) AS rnk
+        |  FROM sv_rel_queries q CROSS JOIN ann_corpus d) t
+        |WHERE rnk <= 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(relSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.relation.exact", "true")
+    try {
+      val df = spark.sql(relSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SvJoinTopK"),
+        s"single-vector relation form not routed:\n$plan")
+      val routed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(routed === exact, "saturated sv relation route != exhaustive")
+      // cosine ASC (farthest) must not route
+      val asc = spark.sql(relSql.replace("DESC,", "ASC,"))
+      assert(!asc.queryExecution.executedPlan.toString.contains("SvJoinTopK"),
+        "ASC cosine window must not route")
+      // default (non-saturating) budget: routed, >=0.9 per-query recall
+      spark.conf.unset("spark.graft.ann.relation.exact")
+      val approx = spark.sql(relSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val exactByQ = exact.map(t => (t._1, t._2)).groupBy(_._1)
+      val recalls = exactByQ.map { case (q, es) =>
+        val got = approx.getOrElse(q, Array.empty).map(_._2).toSet
+        (es.map(_._2).toSet & got).size.toDouble / es.size
+      }
+      assert(recalls.sum / recalls.size >= 0.9,
+        s"sv relation mean recall ${recalls.sum / recalls.size}")
+    } finally {
+      spark.conf.unset("spark.graft.ann.relation.exact")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("single-vector relation route over the SHARDED batch tier") {
+    setup
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    val dir = "target/tmp/ann_sv_sharded_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid4"), col("embedding").as("vec4"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("sv_sh_corpus")
+    val emb = corpus.select(col("vid4").as("vec_id"), col("vec4").as("embedding"))
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_sv_sharded_").toString
+    val ref = ShardedIndex.buildPersisted(spark, emb,
+      IndexQueries.FixtureParams, 2, idxPath)
+    AnnIndexRegistry.registerSharded(corpus, "vid4", "vec4", ref,
+      dim = 64, metricName = "ip", searchL = 120)
+    corpus.filter(col("vid4") < 8)
+      .select(col("vid4").as("q_id"), col("vec4").as("q_vec"))
+      .createOrReplaceTempView("sv_sh_queries")
+    val relSql =
+      """SELECT q_id, vid4, score FROM (
+        |  SELECT q.q_id, d.vid4,
+        |         graft_vec_dot(q.q_vec, d.vec4) AS score,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY graft_vec_dot(q.q_vec, d.vec4) DESC,
+        |                    d.vid4 ASC) AS rnk
+        |  FROM sv_sh_queries q CROSS JOIN sv_sh_corpus d) t
+        |WHERE rnk <= 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(relSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(relSql)
+      val tiers = df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.SvJoinTopKNode => n.tier
+      }
+      assert(tiers === Seq("sharded"), "sv relation not on the sharded tier")
+      val routed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact scores on every returned row, >=0.9 mean per-query recall
+      val exactScore = exact.map(t => ((t._1, t._2), t._3)).toMap
+      routed.foreach { case (q, d, s) =>
+        exactScore.get((q, d)).foreach(es => assert(es === s, s"drift $q/$d"))
+      }
+      val exactByQ = exact.groupBy(_._1)
+      val routedByQ = routed.groupBy(_._1)
+      val recalls = exactByQ.map { case (q, es) =>
+        val got = routedByQ.getOrElse(q, Array.empty).map(_._2).toSet
+        (es.map(_._2).toSet & got).size.toDouble / es.size
+      }
+      assert(recalls.sum / recalls.size >= 0.9,
+        s"sharded sv relation mean recall ${recalls.sum / recalls.size}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("same-named columns on a DIFFERENT relation are NOT routed") {
     setup
     val q = queryLit
