@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * `index_bipartite.cpp:3111-3131`). Graph parity is judged by recall
   * (SURVEY §7.3); IndexSpec asserts recall parity of the lsh-fed build. */
 case class BuildParams(mSq: Int = 100, mPjbp: Int = 35, lPjpq: Int = 100,
-                       metric: String = "cosine", knnSource: String = "exact")
+                       metric: String = "cosine", knnSource: String = "exact",
+                       /** IVF list-generator cell count; 0 (default) =
+                         * auto ≈ √N with nProbe and the centroid-training
+                         * sample scaled to match — the knob whose FIXED
+                         * fixture value thinned the graph at 50k
+                         * (SWEEP_BUILD.tsv's roar_ivf row: avg degree
+                         * 14.3 → 7.9). nlist ∝ √N is the same balance
+                         * note SemDedup carries. */
+                       ivfNlist: Int = 0)
 
 /** A built RoarGraph index: broadcastable graph + packed base vectors. */
 final class RoarIndex(val graph: CsrGraph, val vecs: VectorStore,
@@ -271,9 +279,18 @@ object GraphBuild {
             // knnSource="exact"/"ivf")
             graft.operators.LshAnn.knn(trainQ, d, params.mSq,
               numPlanes = 128, rowsPerBand = 8, excludeSelf = true)
-          else
+          else {
+            // auto-scale the IVF knobs with the corpus: fixed fixture
+            // values degrade both cost and list quality as N grows
+            val n = vecsB.value.n
+            val nlist =
+              if (params.ivfNlist > 0) params.ivfNlist
+              else math.max(16, math.sqrt(n.toDouble).toInt)
             graft.operators.IvfAnn.knn(spark, trainQ, d, params.mSq,
+              nlist = nlist, nProbe = math.max(10, nlist / 8),
+              sampleN = math.max(2000, 20 * nlist),
               excludeSelf = true)
+          }
         rankedToLists(ranked)
       case other => sys.error(s"unknown knnSource '$other' (exact|lsh|ivf)")
     }

@@ -277,13 +277,7 @@ object ShardedIndex {
     // exactly, i.e. cover [existing, existing+batch) with no duplicates.
     // Cost: parquet-footer counts over resident shards + one agg over
     // the (batch-sized) delta.
-    val existing =
-      (0 until ref.nShards)
-        .map(s => spark.read.parquet(s"${shardDir(ref, s)}/vectors").count())
-        .sum +
-      (0 until ref.nDeltas)
-        .map(d => spark.read.parquet(s"${deltaDir(ref, d)}/vectors").count())
-        .sum
+    val existing = totalRows(spark, ref)
     val stats = delta.agg(
       count(col("vec_id")), count_distinct(col("vec_id")),
       min(col("vec_id")), max(col("vec_id"))).head()
@@ -313,14 +307,46 @@ object ShardedIndex {
     ref.copy(nDeltas = j + 1)
   }
 
+  /** Row count of one parquet directory read DRIVER-SIDE from the file
+    * footers (block row counts) — no Spark job. The lifecycle metadata
+    * checks (replay, density, compaction trigger) run per micro-batch;
+    * paying a distributed count job each time is pure scheduler
+    * overhead for what is a footer field. */
+  private def footerRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    var n = 0L
+    fs.listStatus(path).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
+  /** Total indexed rows (base + deltas) — parquet-footer counts, no
+    * data read and no Spark job. The ingest replay check and
+    * [[appendDelta]]'s dense-gid validation both key off this. */
+  def totalRows(spark: SparkSession, ref: ShardedIndexRef): Long =
+    (0 until ref.nShards)
+      .map(s => footerRows(spark, s"${shardDir(ref, s)}/vectors"))
+      .sum +
+    (0 until ref.nDeltas)
+      .map(d => footerRows(spark, s"${deltaDir(ref, d)}/vectors"))
+      .sum
+
   /** Total delta rows as a fraction of base rows — the [[compact]]
     * trigger (parquet metadata counts, no data read). */
   def deltaFraction(spark: SparkSession, ref: ShardedIndexRef): Double = {
     if (ref.nDeltas == 0) return 0.0
     val d = (0 until ref.nDeltas)
-      .map(j => spark.read.parquet(s"${deltaDir(ref, j)}/vectors").count()).sum
+      .map(j => footerRows(spark, s"${deltaDir(ref, j)}/vectors")).sum
     val b = (0 until ref.nShards)
-      .map(s => spark.read.parquet(s"${shardDir(ref, s)}/vectors").count()).sum
+      .map(s => footerRows(spark, s"${shardDir(ref, s)}/vectors")).sum
     if (b == 0) Double.PositiveInfinity else d.toDouble / b
   }
 

@@ -312,6 +312,57 @@ object IndexQueries extends QueryPack {
         cands.select(col("qset_id"), col("d_id")), C, K)
     }),
 
+    // The STREAMING-INGEST LIFECYCLE on the oracle surface — the
+    // foreachBatch policy ([[graft.streaming.StreamingIngest
+    // .ingestVectorBatch]]) driven through its three canonical
+    // micro-batches over a bounded slice (min(n, 500) vectors — the
+    // lifecycle is the subject here; build-cost scaling lives in
+    // SWEEP_BUILD.tsv): an append below the compaction threshold, an
+    // at-least-once REPLAY of the same batch (skipped idempotently),
+    // and a second append that tips deltaFraction over compactAt and
+    // folds the index. Output = the deterministic per-stage facts
+    // (action taken, delta count, indexed rows) that the DuckDB oracle
+    // DERIVES independently from the corpus count and the policy
+    // constants — so the engine's actual shard layout arithmetic is
+    // hash-checked, not just spec-asserted.
+    "g8_ingest_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingIngest
+      // the base index is deterministic and REUSED (one build per JVM
+      // per dir, the handle-cache pattern); each call COPIES the cached
+      // directory — compaction rebuilds in place, so the cache must
+      // never hand out its own path. The heavy micro-jobs run in a
+      // low-partition child session (tiny data, sequential jobs —
+      // empty-task overhead is pure waste), and every lifecycle
+      // metadata check reads parquet FOOTERS driver-side instead of
+      // running count jobs; together 16 → ~8 s at sf0.1, the rest
+      // being the three honest delta/compact graph builds.
+      val ls = lifecycleSession(s)
+      val nAll = emb(ls, dir).count()
+      val n = math.min(nAll, 500L)
+      val e = emb(ls, dir).filter(col("vec_id") < n)
+      val nBase = n * 4 / 5
+      val b1End = nBase + (n - nBase) / 2
+      val basePath = lifecycleBase(ls, dir, nBase)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lifecycle_").toString
+      copyDir(basePath, path)
+      var ref = ShardedIndexRef(path, 1, FixtureParams.metric)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      def run(stage: Long, batch: DataFrame): Unit = {
+        val (r, a) = StreamingIngest.ingestVectorBatch(ls, batch, ref,
+          FixtureParams, compactAt = 0.25)
+        ref = r
+        out += ((stage, a, ref.nDeltas.toLong,
+          ShardedIndex.totalRows(ls, ref)))
+      }
+      val batch1 = e.filter(col("vec_id") >= nBase && col("vec_id") < b1End)
+      run(1, batch1)
+      run(2, batch1) // the at-least-once replay
+      run(3, e.filter(col("vec_id") >= b1End))
+      out.toSeq.toDF("stage", "action", "n_deltas", "total_rows")
+    }),
+
     // G8 over the DELTA-GROWN sharded tier: base shards + appended delta
     // shard searched with one budget, candidates merged through the
     // bounded per-query top-k (rows-only — graph search is approximate;
@@ -328,6 +379,46 @@ object IndexQueries extends QueryPack {
           round(col("score"), 6).as("score"))
     })
   )
+
+  /** Low-partition child session for the ingest-lifecycle micro-jobs
+    * (tiny data, many sequential jobs — empty-task overhead dominates
+    * at the session default). One per parent session. */
+  private val lifecycleSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
+  private def lifecycleSession(s: SparkSession): SparkSession =
+    lifecycleSessions.computeIfAbsent(s, _ => {
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      child
+    })
+
+  /** One 1-shard lifecycle BASE index per dir per JVM (path-only cache —
+    * the no-localCheckpoint invariant holds trivially). Callers must
+    * COPY the directory before mutating (delta appends / compaction). */
+  private val lifecycleBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lifecycleBase(s: SparkSession, dir: String,
+                            nBase: Long): String =
+    lifecycleBaseCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lifecycle_base_").toString
+      ShardedIndex.buildPersisted(s,
+        emb(s, dir).filter(col("vec_id") < nBase), FixtureParams, 1, path)
+      path
+    })
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val s0 = Paths.get(src)
+    val d0 = Paths.get(dst)
+    Files.walk(s0).forEach { p: Path =>
+      val t = d0.resolve(s0.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private def dotSqlAB(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -357,6 +448,27 @@ object IndexQueries extends QueryPack {
        |  FROM topm CROSS JOIN nd WHERE rank = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // g8_ingest_lifecycle: the oracle re-derives the lifecycle facts
+    // from the corpus count and the policy constants alone (base = 4/5
+    // of the min(n,500) slice, two equal batches, compactAt = 0.25) —
+    // the engine's actual parquet shard layout must land on the same
+    // numbers
+    "g8_ingest_lifecycle" ->
+      """WITH c AS (SELECT least(count(*), 500) AS n FROM embeddings),
+        |p AS (SELECT n, (n * 4) // 5 AS nbase,
+        |             (n * 4) // 5 + (n - (n * 4) // 5) // 2 AS b1end
+        |      FROM c),
+        |f AS (SELECT n, nbase, b1end,
+        |             CAST(n - nbase AS DOUBLE) / nbase >= 0.25 AS compacts
+        |      FROM p)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'append' AS action,
+        |       CAST(1 AS BIGINT) AS n_deltas, b1end AS total_rows FROM f
+        |UNION ALL
+        |SELECT 2, 'skip-replay', 1, b1end FROM f
+        |UNION ALL
+        |SELECT 3,
+        |       CASE WHEN compacts THEN 'append+compact' ELSE 'append' END,
+        |       CASE WHEN compacts THEN 0 ELSE 2 END, n FROM f""".stripMargin,
     "j5_edges" -> s"$rankedCte\nSELECT src, dst, kind FROM edges",
     "a5_degree" ->
       s"""$rankedCte,

@@ -204,6 +204,45 @@ object StreamingIngest {
     } finally rows.unpersist()
   }
 
+  /** Streaming ANN ingest — the foreachBatch body that keeps a
+    * persisted SHARDED index continuously searchable while vectors
+    * stream in. Per micro-batch: validate ids are a dense continuation
+    * of the corpus ([[graft.index.ShardedIndex.appendDelta]]'s
+    * contract, checked there), append the batch as a DELTA shard (its
+    * own small RoarGraph — immediately served by both Df search
+    * paths), and when the accumulated delta fraction reaches
+    * `compactAt`, fold every delta back into the strided base layout
+    * ([[graft.index.ShardedIndex.compact]] — disk-to-disk, never
+    * resident).
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract: a batch
+    * whose ids all fall below the indexed row count was already
+    * appended by a previous (crashed-after-write) attempt — skipped
+    * idempotently, the same posture as the band/cell index sidecars. A
+    * PARTIALLY overlapping batch is neither a clean replay nor a clean
+    * continuation and fails loudly in appendDelta's density check.
+    * Returns (updated ref, action ∈ skip-empty | skip-replay |
+    * append | append+compact) — the caller holds the ref across
+    * batches (driver-side var in the foreachBatch closure, the
+    * standard pattern). */
+  def ingestVectorBatch(spark: org.apache.spark.sql.SparkSession,
+                        batch: org.apache.spark.sql.DataFrame,
+                        ref: graft.index.ShardedIndexRef,
+                        params: graft.index.BuildParams,
+                        compactAt: Double = 0.25)
+      : (graft.index.ShardedIndexRef, String) = {
+    import graft.index.ShardedIndex
+    val rows = batch.select(col("vec_id"), col("embedding"))
+    val stats = rows.agg(count(col("vec_id")), max(col("vec_id"))).head()
+    if (stats.getLong(0) == 0L) return (ref, "skip-empty")
+    val existing = ShardedIndex.totalRows(spark, ref)
+    if (stats.getLong(1) < existing) return (ref, "skip-replay")
+    val appended = ShardedIndex.appendDelta(spark, rows, ref, params)
+    if (ShardedIndex.deltaFraction(spark, appended) >= compactAt)
+      (ShardedIndex.compact(spark, appended, params), "append+compact")
+    else (appended, "append")
+  }
+
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
   def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {

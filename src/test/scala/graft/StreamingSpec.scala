@@ -263,6 +263,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest lifecycle: replay-skip and auto-compaction in one foreachBatch body") {
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // ingestVectorBatch packages the whole daily-ingest policy: append
+    // each micro-batch as a delta shard, SKIP an at-least-once replay
+    // idempotently (ids already below the indexed row count), and fold
+    // deltas into the strided base when their fraction passes compactAt
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_lifecycle_").toString
+    var ref = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (r, a) = StreamingIngest.ingestVectorBatch(spark, batch, ref,
+          IndexQueries.FixtureParams, compactAt = 0.2)
+        ref = r
+        actions += a
+        ()
+      }.start()
+    try {
+      val newRows = emb.filter(col("vec_id") >= 400).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, b2) = newRows.partition(_._1 < 450)
+      input.addData(b1.toSeq)           // 50/400 = 0.125 < 0.2: append
+      q.processAllAvailable()
+      input.addData(b1.toSeq)           // the REPLAY: same ids again
+      q.processAllAvailable()
+      input.addData(b2.toSeq)           // 100/400 = 0.25 >= 0.2: compact
+      q.processAllAvailable()
+      assert(actions.toSeq === Seq("append", "skip-replay", "append+compact"),
+        s"lifecycle actions were $actions")
+      assert(ref.nDeltas === 0, "compaction must fold every delta")
+      assert(ShardedIndex.totalRows(spark, ref) === 500L)
+      // the compacted index serves every streamed vector (self-hits)
+      val deltaQ = emb.filter(col("vec_id") >= 400)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val selfHits = ShardedIndex.searchSingleDf(spark, deltaQ, ref,
+          l = 60, k = 10)
+        .filter(col("q_id") === col("d_id"))
+        .select("q_id").distinct().count()
+      assert(selfHits === newRows.length.toLong,
+        s"only $selfHits of ${newRows.length} vectors findable post-compact")
+    } finally q.stop()
+  }
+
   test("streaming ANN serving: graph search over a query stream matches batch") {
     import graft.index.{BeamSearch, GraphBuild}
     import graft.queries.IndexQueries
