@@ -219,6 +219,19 @@ object AnnIndexRegistry {
       (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,
         entry.centroids, entry.codebooks, entry.nProbe,
         math.max(entry.nCand, 4 * k)),
+      candidatesBatch = (s, qs, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val q = qs.map { case (id, v) => (id, v.toSeq) }
+          .toDF("q_id", "q_vec")
+        graft.operators.IvfPq.knnOverIndexBlocked(s, q, entry.path,
+            entry.data.select(col(entry.dataIdCol).as("d_id"),
+              col(entry.dataVecCol).as("d_vec")),
+            entry.centroids, entry.codebooks,
+            k = math.max(entry.nCand, 4 * k), nProbe = entry.nProbe,
+            nCand = math.max(entry.nCand, 4 * k))
+          .select(col("q_id"), col("d_id"))
+      },
       // probed-cell fraction × PQ codes-vs-float compression: the
       // coarse stage reads ~nProbe/nlist of a nSub/(4·dim)-sized layout
       costHint = {
@@ -292,6 +305,16 @@ object AnnIndexRegistry {
           math.max(nCand, 4 * k), excludeSelf = false,
           byL2 = metricName == "l2")
           .select(col("d_id"))
+      },
+      candidatesBatch = (s, qs, k) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val q = qs.map { case (id, v) => (id, v.toSeq) }
+          .toDF("q_id", "q_vec")
+        graft.operators.Sq8Ann.coarseCandidates(q, encoded, bounds,
+          math.max(nCand, 4 * k), excludeSelf = false,
+          byL2 = metricName == "l2")
+          .select(col("q_id"), col("d_id"))
       },
       // full coarse scan over byte codes = 1/4 of the float bytes
       costHint = 0.25))

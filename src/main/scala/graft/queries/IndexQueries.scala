@@ -413,11 +413,12 @@ object IndexQueries extends QueryPack {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val s0 = Paths.get(src)
     val d0 = Paths.get(dst)
-    Files.walk(s0).forEach { p: Path =>
+    val walk = Files.walk(s0)
+    try walk.forEach { p: Path =>
       val t = d0.resolve(s0.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   private def dotSqlAB(a: String, b: String) =

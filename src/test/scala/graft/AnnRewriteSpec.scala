@@ -1122,6 +1122,51 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("single-vector relation route over the IVF-PQ batch tier") {
+    val q0 = ivfpqSetup // registers l2 + ip tiers (now batch-capable)
+    assert(q0.nonEmpty)
+    spark.sql("SELECT vid, vec FROM ivfpq_corpus WHERE vid < 6")
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"))
+      .createOrReplaceTempView("ivfpq_rel_queries")
+    val relSql =
+      """SELECT q_id, vid, score FROM (
+        |  SELECT q.q_id, d.vid,
+        |         graft_vec_l2sq(q.q_vec, d.vec) AS score,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY graft_vec_l2sq(q.q_vec, d.vec) ASC,
+        |                    d.vid ASC) AS rnk
+        |  FROM ivfpq_rel_queries q CROSS JOIN ivfpq_corpus d) t
+        |WHERE rnk <= 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(relSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(relSql)
+      val tiers = df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.SvJoinTopKNode => n.tier
+      }
+      assert(tiers === Seq("ivfpq"), "sv relation not on the ivfpq tier")
+      val routed = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      // probe coverage is per-query (nProbe cells of nlist): scores on
+      // every returned row must be EXACT, the candidate set is gated at
+      // >=0.9 mean per-query recall — the tier contract
+      val exactScore = exact.map(t => ((t._1, t._2), t._3)).toMap
+      routed.foreach { case (q, d, sc) =>
+        exactScore.get((q, d)).foreach(es => assert(es === sc, s"drift $q/$d"))
+      }
+      val exactByQ = exact.groupBy(_._1)
+      val routedByQ = routed.groupBy(_._1)
+      val recalls = exactByQ.map { case (qk, es) =>
+        val got = routedByQ.getOrElse(qk, Seq.empty).map(_._2).toSet
+        (es.map(_._2).toSet & got).size.toDouble / es.size
+      }
+      assert(recalls.sum / recalls.size >= 0.9,
+        s"ivfpq batch relation mean recall ${recalls.sum / recalls.size}")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("single-vector relation route over the SHARDED batch tier") {
     setup
     import graft.index.ShardedIndex
