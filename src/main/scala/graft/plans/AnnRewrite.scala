@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
@@ -1011,6 +1012,26 @@ object AnnStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Shared guard for the relation routes' COLLECTED query side: the
+  * query relation is the bounded side of a top-k search by definition,
+  * but "bounded" must be enforced, not assumed — a runaway subplan
+  * would otherwise OOM the driver inside executeCollect.
+  * `spark.graft.ann.relation.maxQueries` (default 100000) caps it;
+  * `executeTake(cap+1)` stops reading early instead of materializing
+  * the overflow. */
+private[plans] object RelationQueryGuard {
+  def apply(child: SparkPlan): Array[InternalRow] = {
+    val cap = SQLConf.get.getConfString(
+      "spark.graft.ann.relation.maxQueries", "100000").toInt
+    val taken = child.executeTake(cap + 1)
+    if (taken.length > cap)
+      sys.error(s"query relation exceeds spark.graft.ann.relation" +
+        s".maxQueries=$cap — the routed plan collects the query side; " +
+        "raise the cap or run with spark.graft.ann.rewrite=false")
+    taken
+  }
+}
+
 /** Physical side of the query-relation flagship route: execute the
   * planned query-side child and COLLECT it (the bounded side — the
   * same posture as a broadcast exchange materializing its child), run
@@ -1029,6 +1050,10 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
   override protected def withNewChildInternal(c: SparkPlan): MvJoinTopKExec =
     copy(child = c)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numQueries" -> SQLMetrics.createMetric(sparkContext,
+      "query sets collected"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val entry = AnnIndexRegistry
       .lookupMv(node.dsetName, node.dVecName, node.fingerprint)
@@ -1039,7 +1064,7 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
     val vIdx = child.output.indexWhere(_.exprId == node.qVecAttr.exprId)
     require(qIdx >= 0 && vIdx >= 0,
       "query-side columns vanished from the planned child")
-    val qsets = child.executeCollect().iterator.map { r =>
+    val qsets = RelationQueryGuard(child).iterator.map { r =>
       require(!r.isNullAt(qIdx) && !r.isNullAt(vIdx),
         "NULL query set: the routed plan cannot reproduce NULL-score " +
           "ordering — run with spark.graft.ann.rewrite=false")
@@ -1062,6 +1087,7 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
       }
       (r.getLong(qIdx), subs)
     }.toSeq
+    metrics("numQueries").add(qsets.size)
     val out: Array[(Long, Long, Double)] =
       if (qsets.isEmpty) Array.empty
       else {
@@ -1114,6 +1140,10 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
   * same pattern as a broadcast exchange materializing its child. */
 case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   override def output: Seq[Attribute] = node.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numCandidates" -> SQLMetrics.createMetric(sparkContext,
+      "candidate ids considered"))
 
   private def tierRows(entry: AnnIndexRegistry.CandidateTierEntry): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{broadcast, col, typedlit}
@@ -1223,6 +1253,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     val idFirst = node.idFirst
     val kind = node.kind
     val schema = node.output.map(_.dataType).toArray
+    val candMetric = metrics("numCandidates")
     sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
       val graph = entry.graphB.value
       val searchVecs = entry.searchVecsB.value
@@ -1233,6 +1264,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
       val l = math.max(entry.searchL, 4 * k)
       val (queue, _, _) = BeamSearch.searchSingle(graph, searchVecs, metric,
         q, l, visited)
+      candMetric.add(queue.size)
       // exact rescoring over RAW vectors — scores == the original
       // expression's values (graft_vec_dot, graft_vec_l2sq or
       // graft_vec_cosine; cosine mirrors VecCosineExpr's fused loop, so
@@ -1309,6 +1341,14 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   * route cannot reproduce anyway. */
 case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
   override def output: Seq[Attribute] = node.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numRounds" -> SQLMetrics.createMetric(sparkContext,
+      "escalation rounds"),
+    "numCandidates" -> SQLMetrics.createMetric(sparkContext,
+      "candidate ids fetched (all rounds)"),
+    "numSurvivors" -> SQLMetrics.createMetric(sparkContext,
+      "rows in the answer"))
 
   private def checkFingerprint(storedFp: String, what: String): Unit =
     if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
@@ -1407,11 +1447,14 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
     while (!done) {
       round += 1
       val (ids, saturated) = candidateIds(c)
+      metrics("numCandidates").add(ids.length)
       rows = topkRows(filtered, ids, isinMax)
       done = rows.length >= node.k || saturated || round >= maxRounds ||
         c >= maxC
       if (!done) c = math.min(c.toLong * 4, maxC.toLong).toInt
     }
+    metrics("numRounds").add(round)
+    metrics("numSurvivors").add(rows.length)
     val idFirst = node.idFirst
     val schema = node.output.map(_.dataType).toArray
     sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>
@@ -1446,6 +1489,12 @@ case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
   override protected def withNewChildInternal(c: SparkPlan): SvJoinTopKExec =
     copy(child = c)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numQueries" -> SQLMetrics.createMetric(sparkContext,
+      "query vectors collected"),
+    "numCandidates" -> SQLMetrics.createMetric(sparkContext,
+      "candidate pairs rescored (graph tier)"))
+
   private def checkFingerprint(storedFp: String, what: String): Unit =
     if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
       sys.error(s"$what for (${node.dName}, ${node.dVecName}) was " +
@@ -1458,7 +1507,7 @@ case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
     require(qIdx >= 0 && vIdx >= 0,
       "query-side columns vanished from the planned child")
     val queries: Seq[(Long, Array[Float])] =
-      child.executeCollect().iterator.map { r =>
+      RelationQueryGuard(child).iterator.map { r =>
         require(!r.isNullAt(qIdx) && !r.isNullAt(vIdx),
           "NULL query vector: the routed plan cannot reproduce " +
             "NULL-score ordering — run with spark.graft.ann.rewrite=false")
@@ -1477,6 +1526,7 @@ case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
     require(queries.map(_._1).distinct.lengthCompare(queries.length) == 0,
       "duplicate q_id in the query relation: the routed plan keys " +
         "candidates by query id — run with spark.graft.ann.rewrite=false")
+    metrics("numQueries").add(queries.size)
     val out: Array[(Long, Long, Double)] =
       if (queries.isEmpty) Array.empty
       else {
@@ -1511,11 +1561,13 @@ case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
             // reads; same per-kind double loops as the literal route
             val rawB = entry.rawVecsB
             val qMapB = spark.sparkContext.broadcast(queries.toMap)
+            val candMetric = metrics("numCandidates")
             hits.select(col("q_id"), col("d_id")).as[(Long, Long)]
               .mapPartitions { it =>
                 val raw = rawB.value
                 val qm = qMapB.value
                 it.map { case (qid, did) =>
+                  candMetric.add(1)
                   val qv = qm(qid)
                   val off = raw.offset(did.toInt)
                   val nd = raw.dim

@@ -1122,6 +1122,54 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("routed execs expose SQLMetrics; the relation query-side cap fails loudly") {
+    setup
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      // filtered route: rounds / candidates / survivors land in the
+      // standard metrics surface (Spark UI / plan detail)
+      val fdf = spark.sql(filteredSql(queryLit, "vec_id >= 100"))
+      val rows = fdf.collect()
+      val fexec = fdf.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.AnnFilteredTopKExec => e
+      }.getOrElse(fail("AnnFilteredTopKExec not in plan"))
+      assert(fexec.metrics("numRounds").value >= 1L)
+      assert(fexec.metrics("numCandidates").value > 0L)
+      assert(fexec.metrics("numSurvivors").value === rows.length.toLong)
+      // sv relation route: query count + rescored pairs
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 12)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .createOrReplaceTempView("metrics_queries")
+      val relSql =
+        """SELECT q_id, vec_id, score FROM (
+          |  SELECT q.q_id, d.vec_id,
+          |         graft_vec_cosine(q.q_vec, d.embedding) AS score,
+          |         row_number() OVER (PARTITION BY q.q_id
+          |           ORDER BY graft_vec_cosine(q.q_vec, d.embedding) DESC,
+          |                    d.vec_id ASC) AS rnk
+          |  FROM metrics_queries q CROSS JOIN ann_corpus d) t
+          |WHERE rnk <= 5""".stripMargin
+      val sdf = spark.sql(relSql)
+      sdf.collect()
+      val sexec = sdf.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.SvJoinTopKExec => e
+      }.getOrElse(fail("SvJoinTopKExec not in plan"))
+      assert(sexec.metrics("numQueries").value === 12L)
+      assert(sexec.metrics("numCandidates").value > 0L)
+      // the query-side cap: a relation past maxQueries fails loudly
+      // instead of collecting unboundedly into the driver
+      spark.conf.set("spark.graft.ann.relation.maxQueries", "5")
+      val e = intercept[Exception](spark.sql(relSql).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("maxQueries")), s"$e")
+    } finally {
+      spark.conf.unset("spark.graft.ann.relation.maxQueries")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("single-vector relation route over the IVF-PQ batch tier") {
     val q0 = ivfpqSetup // registers l2 + ip tiers (now batch-capable)
     assert(q0.nonEmpty)
