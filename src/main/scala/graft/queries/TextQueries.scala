@@ -194,6 +194,30 @@ object TextQueries extends QueryPack {
         col("score"))
   }
 
+  /** Query-term list shared by the BM25-query and hybrid-retrieval
+    * entries (and their oracles). */
+  private val HybridTerms = Seq("the", "data", "model", "learning", "neural")
+
+  /** The two hybrid-retrieval arms over the documents fixture: BM25
+    * top-50 for [[HybridTerms]], and hash-embedding cosine top-50 of
+    * every doc against the query terms' own hash embedding (the
+    * zero-model-weights semantic arm — at scale this slot is any
+    * registered ANN tier; the sparse-cosine scan keeps the whole stack
+    * DuckDB-checkable). */
+  private def hybridArms(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.HybridRetrieval
+    import s.implicits._
+    val terms = HybridTerms.toDF("term")
+    val lex = bm25(docs(s, dir), terms, k = 50)
+    val docToks = docs(s, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    val qToks = terms.select(lit(0L).as("qid"), col("term").as("tok"))
+    val dv = HybridRetrieval.hashEmbed(docToks)
+    val qv = HybridRetrieval.hashEmbed(qToks, idCol = "qid")
+    (lex, HybridRetrieval.sparseCosineTopK(dv, qv, k = 50))
+  }
+
   /** ExactSubstr-style duplicate-SPAN accounting (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2022 —
     * the span-removal step after duplicate n-grams are found): every
@@ -823,22 +847,32 @@ object TextQueries extends QueryPack {
     // form (doc_id, pos, val), nonzero buckets only — hash-checked.
     // Scale shape: explode + one map-side-combinable groupBy on
     // (doc_id, bucket); norm is a per-doc window over ≤32 rows.
-    "doc_embed_hash" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, dir).select(col("doc_id"), explode(tokensCol).as("tok"))
-      val h = md5(col("tok"))
-      val nib1 = conv(substring(h, 1, 1), 16, 10).cast("int")
-      val nib2 = conv(substring(h, 2, 1), 16, 10).cast("int")
-      val contrib = toks.select(col("doc_id"),
-        (nib1 * 2 + pmod(nib2, lit(2))).cast("long").as("pos"),
-        when(pmod(shiftright(nib2, 1), lit(2)) === 1, 1.0)
-          .otherwise(-1.0).as("c"))
-      val sums = contrib.groupBy("doc_id", "pos").agg(sum("c").as("v"))
-      val nz = sums.filter(col("v") =!= 0.0)
-      val w = Window.partitionBy("doc_id")
-      nz.withColumn("norm", sqrt(sum(col("v") * col("v")).over(w)))
-        .select(col("doc_id"), col("pos"),
-          round(round(col("v") / col("norm"), 9), 6).as("val"))
+    "doc_embed_hash" -> ((s, dir) =>
+      graft.operators.HybridRetrieval.hashEmbed(
+        docs(s, dir).select(col("doc_id"), explode(tokensCol).as("tok")))),
+
+    // HYBRID RETRIEVAL, arm 1+2 fused by Reciprocal Rank Fusion
+    // (Cormack et al. 2009): BM25 top-50 (the bm25 operator, broadcast
+    // term join + bounded heap) ∪ hash-embedding cosine top-50 (sparse
+    // pico-exact dot against the query terms' OWN hash embedding),
+    // score = 1/(60+r_lex) + 1/(60+r_sem), re-ranked, top-20. The
+    // production RAG/curation retrieval stack end-to-end, deterministic
+    // enough to hash-check: every data-width sum is integer-quantized,
+    // fusion is a fixed two-term expression over two ≤50-row lists.
+    "hybrid_rrf" -> ((s, dir) => {
+      val (lex, sem) = hybridArms(s, dir)
+      graft.operators.HybridRetrieval.rrfFuse(lex, sem, k = 20)
+    }),
+
+    // The same two arms fused by weighted min-max normalization (Lee
+    // 1997 CombSUM lineage): each arm's scores normalize onto [0,1]
+    // over its own top-50 list, fused score = 0.5·lex + 0.5·sem —
+    // the score-aware fusion twin of hybrid_rrf (rank-only). Arm
+    // min/max are order-independent aggregates; per-row arithmetic is
+    // fixed-width, so this too is DuckDB-hash-checkable.
+    "hybrid_weighted" -> ((s, dir) => {
+      val (lex, sem) = hybridArms(s, dir)
+      graft.operators.HybridRetrieval.minMaxFuse(lex, sem, k = 20)
     }),
 
     // Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
@@ -1194,6 +1228,129 @@ object TextQueries extends QueryPack {
        |       CAST(COALESCE(h.n_common, 0) >= 3 AS BIGINT) AS is_contaminated
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |WHERE d.doc_id % 17 != 0""".stripMargin
+
+  /** Shared CTE chain producing the two hybrid arms in DuckDB —
+    * `lex(rank, doc_id, score)` (BM25 top-50 for [[HybridTerms]],
+    * micro-quantized exactly like the Spark arm) and
+    * `sem(rank, doc_id, score)` (hash-embedding sparse cosine top-50,
+    * pico-quantized dot). Mirrors [[hybridArms]] term for term. */
+  private lazy val hybridArmsSql: String = {
+    val termList = HybridTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val nibblePos =
+      """CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 2
+        |          + ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) & 1)
+        |          AS BIGINT)""".stripMargin
+    val nibbleSign =
+      """CASE WHEN ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |               >> 1) & 1 = 1
+        |             THEN 1.0 ELSE -1.0 END""".stripMargin
+    s"""terms AS (SELECT unnest($termList) AS term),
+       |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |        unnest(toks) AS term FROM t),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM d JOIN terms USING (term)
+       |  GROUP BY doc_id, dl, term),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(len(toks)) AS DOUBLE) AS sum_dl
+       |  FROM t),
+       |idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |        FROM tf GROUP BY term),
+       |bsc AS (
+       |  SELECT doc_id,
+       |         CAST(round(round(
+       |             ln(1.0 + (n_docs - idf.df + 0.5) / (idf.df + 0.5))
+       |             * (CAST(tf AS DOUBLE) * 2.2)
+       |             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |                 * CAST(dl AS DOUBLE) / (sum_dl / n_docs))), 9)
+       |           * 1e6, 0) AS BIGINT) AS micro
+       |  FROM tf JOIN idf USING (term) CROSS JOIN st),
+       |bagg AS (
+       |  SELECT doc_id,
+       |         round(CAST(sum(micro) AS DOUBLE) / 1e6, 6) AS score
+       |  FROM bsc GROUP BY doc_id),
+       |lex AS (SELECT rank, doc_id, score FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS rank, doc_id, score
+       |  FROM bagg WHERE score > 0) r WHERE rank <= 50),
+       |dh AS (SELECT doc_id, md5(tok) AS h
+       |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+       |dcontrib AS (SELECT doc_id, $nibblePos AS pos, $nibbleSign AS c
+       |             FROM dh),
+       |dsums AS (SELECT doc_id, pos, sum(c) AS v FROM dcontrib
+       |          GROUP BY doc_id, pos),
+       |dnz AS (SELECT * FROM dsums WHERE v <> 0),
+       |dn AS (SELECT doc_id, sqrt(sum(v * v)) AS norm FROM dnz
+       |       GROUP BY doc_id),
+       |dvec AS (SELECT dnz.doc_id, dnz.pos,
+       |           round(round(dnz.v / dn.norm, 9), 6) AS val
+       |         FROM dnz JOIN dn USING (doc_id)),
+       |qh AS (SELECT md5(term) AS h FROM terms),
+       |qcontrib AS (SELECT $nibblePos AS pos, $nibbleSign AS c FROM qh),
+       |qsums AS (SELECT pos, sum(c) AS v FROM qcontrib GROUP BY pos),
+       |qnz AS (SELECT * FROM qsums WHERE v <> 0),
+       |qn AS (SELECT sqrt(sum(v * v)) AS norm FROM qnz),
+       |qvec AS (SELECT pos, round(round(v / (SELECT norm FROM qn), 9), 6)
+       |           AS val FROM qnz),
+       |dots AS (
+       |  SELECT dvec.doc_id,
+       |         sum(CAST(round(dvec.val * 1e6, 0) AS BIGINT)
+       |           * CAST(round(qvec.val * 1e6, 0) AS BIGINT)) AS pico
+       |  FROM dvec JOIN qvec USING (pos) GROUP BY dvec.doc_id),
+       |sem AS (SELECT rank, doc_id, score FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS rank, doc_id, score
+       |  FROM (SELECT doc_id, round(CAST(pico AS DOUBLE) / 1e12, 6)
+       |          AS score FROM dots) x) r WHERE rank <= 50)""".stripMargin
+  }
+
+  private lazy val hybridRrfOracle: String =
+    s"""WITH $hybridArmsSql,
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |         COALESCE(l.rank, 0) AS lex_rank,
+       |         COALESCE(s.rank, 0) AS sem_rank,
+       |         round(CASE WHEN l.rank IS NULL THEN 0.0
+       |                    ELSE 1.0 / (60 + l.rank) END
+       |             + CASE WHEN s.rank IS NULL THEN 0.0
+       |                    ELSE 1.0 / (60 + s.rank) END, 6) AS score
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT rank, doc_id, score, lex_rank, sem_rank FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS rank,
+       |         doc_id, score, lex_rank, sem_rank
+       |  FROM fused) r
+       |WHERE rank <= 20""".stripMargin
+
+  private lazy val hybridWeightedOracle: String =
+    s"""WITH $hybridArmsSql,
+       |lstat AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+       |lnorm AS (
+       |  SELECT doc_id,
+       |         CASE WHEN mx = mn THEN 1.0
+       |              ELSE round((score - mn) / (mx - mn), 9) END AS lex_norm
+       |  FROM lex CROSS JOIN lstat),
+       |sstat AS (SELECT min(score) AS mn, max(score) AS mx FROM sem),
+       |snorm AS (
+       |  SELECT doc_id,
+       |         CASE WHEN mx = mn THEN 1.0
+       |              ELSE round((score - mn) / (mx - mn), 9) END AS sem_norm
+       |  FROM sem CROSS JOIN sstat),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |         round(round(COALESCE(l.lex_norm, 0.0) * 0.5
+       |             + COALESCE(s.sem_norm, 0.0) * 0.5, 9), 6) AS score,
+       |         round(COALESCE(l.lex_norm, 0.0), 6) AS lex_norm,
+       |         round(COALESCE(s.sem_norm, 0.0), 6) AS sem_norm
+       |  FROM lnorm l FULL OUTER JOIN snorm s ON l.doc_id = s.doc_id)
+       |SELECT rank, doc_id, score, lex_norm, sem_norm FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS rank,
+       |         doc_id, score, lex_norm, sem_norm
+       |  FROM fused) r
+       |WHERE rank <= 20""".stripMargin
 
   def oracles: Map[String, String] = {
     val voteSql = (0 until 16).map { b =>
@@ -1673,6 +1830,8 @@ object TextQueries extends QueryPack {
            |       CAST(floor(round(CAST(wq AS DOUBLE) / w_tot, 9) * 1000000)
            |         AS BIGINT) AS expected_tokens
            |FROM tot""".stripMargin,
+      "hybrid_rrf" -> hybridRrfOracle,
+      "hybrid_weighted" -> hybridWeightedOracle,
       "doc_embed_hash" ->
         s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
            |h AS (SELECT doc_id, md5(tok) AS h FROM t),
