@@ -546,9 +546,15 @@ case class OpaqueSubplan(plan: LogicalPlan, tag: String) {
   * which point the answer is EXACT (every corpus row the tier can reach
   * was considered). `spark.graft.ann.filtered.exact=true` jumps straight
   * to the saturating fetch (the certificate mode, mirroring
-  * g9_sql_saturated). Scores always equal the exhaustive plan's —
-  * bit-for-bit — only the candidate SET is approximate below
-  * saturation. */
+  * g9_sql_saturated). Before any search, a bounded probe
+  * (`limit(preFilterMax+1).count()` on the pushed-down filtered scan)
+  * detects SELECTIVE predicates: at most
+  * `spark.graft.ann.filtered.preFilterMax` surviving rows (default 2k;
+  * 0 disables) short-circuits to scoring them ALL — exact by
+  * construction and cheaper than beam + escalation, the classic
+  * brute-force-when-selective strategy. Scores always equal the
+  * exhaustive plan's — bit-for-bit — only the candidate SET is
+  * approximate below saturation. */
 case class AnnFilteredTopKNode(output: Seq[Attribute], idName: String,
                                vecName: String, queryVec: Array[Float],
                                k: Int, idFirst: Boolean, kind: String,
@@ -1344,11 +1350,13 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numRounds" -> SQLMetrics.createMetric(sparkContext,
-      "escalation rounds"),
+      "escalation rounds (0 = pre-filter short-circuit)"),
     "numCandidates" -> SQLMetrics.createMetric(sparkContext,
       "candidate ids fetched (all rounds)"),
     "numSurvivors" -> SQLMetrics.createMetric(sparkContext,
-      "rows in the answer"))
+      "rows in the answer"),
+    "numPreFilterRows" -> SQLMetrics.createMetric(sparkContext,
+      "filtered rows scored exhaustively by the short-circuit"))
 
   private def checkFingerprint(storedFp: String, what: String): Unit =
     if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
@@ -1396,8 +1404,9 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
       (ids, ids.length < c)
   }
 
-  /** Top-k among `ids` that survive the carried predicate, scored with
-    * the routed query's own expression. */
+  /** Top-k among `ids` that survive the carried predicate (`ids` null
+    * = the pre-filter short-circuit: EVERY filtered row scores), scored
+    * with the routed query's own expression. */
   private def topkRows(filtered: org.apache.spark.sql.DataFrame,
                        ids: Array[Long], isinMax: Int): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{broadcast, col, typedlit}
@@ -1411,7 +1420,8 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
       case _ => vecDot(col(node.vecName), qLit)
     }
     val constrained =
-      if (ids.length <= isinMax)
+      if (ids == null) filtered
+      else if (ids.length <= isinMax)
         filtered.where(col(node.idName).isInCollection(ids.toSeq))
       else
         filtered.join(
@@ -1435,23 +1445,43 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
     val overfetch = conf("spark.graft.ann.filtered.overfetch", "8").toInt
     val maxRounds = conf("spark.graft.ann.filtered.maxRounds", "6").toInt
     val isinMax = conf("spark.graft.ann.filtered.isinMax", "100000").toInt
+    // pre-filter short-circuit ceiling: when the predicate keeps at most
+    // this many rows, score them ALL instead of beam-searching — cheaper
+    // (the candidate route re-executes the same filtered scan per round
+    // anyway, plus the search) and EXACT by construction, the classic
+    // brute-force-when-selective strategy every filtered-ANN system
+    // runs. Default 2k; "0" disables the probe entirely.
+    val preFilterMax = conf("spark.graft.ann.filtered.preFilterMax",
+      (2L * node.k).toString).toLong
     val filtered = org.apache.spark.sql.GraftColumnBridge
       .ofRows(spark, node.filtered.plan)
-    val maxC = 1 << 26
-    var c =
-      if (exact) maxC
-      else math.max(64L, math.min(overfetch.toLong * node.k, maxC.toLong)).toInt
+    // the probe stops reading at preFilterMax+1 rows (LocalLimit
+    // short-circuit over the pushed-down scan) — bounded cost even when
+    // the predicate is permissive
+    val probeCnt =
+      if (preFilterMax <= 0) Long.MaxValue
+      else filtered.select(org.apache.spark.sql.functions.col(node.idName))
+        .limit((preFilterMax + 1).toInt).count()
     var rows: Array[(Long, Double)] = Array.empty
     var round = 0
-    var done = false
-    while (!done) {
-      round += 1
-      val (ids, saturated) = candidateIds(c)
-      metrics("numCandidates").add(ids.length)
-      rows = topkRows(filtered, ids, isinMax)
-      done = rows.length >= node.k || saturated || round >= maxRounds ||
-        c >= maxC
-      if (!done) c = math.min(c.toLong * 4, maxC.toLong).toInt
+    if (probeCnt <= preFilterMax) {
+      rows = topkRows(filtered, null, isinMax)
+      metrics("numPreFilterRows").add(probeCnt)
+    } else {
+      val maxC = 1 << 26
+      var c =
+        if (exact) maxC
+        else math.max(64L, math.min(overfetch.toLong * node.k, maxC.toLong)).toInt
+      var done = false
+      while (!done) {
+        round += 1
+        val (ids, saturated) = candidateIds(c)
+        metrics("numCandidates").add(ids.length)
+        rows = topkRows(filtered, ids, isinMax)
+        done = rows.length >= node.k || saturated || round >= maxRounds ||
+          c >= maxC
+        if (!done) c = math.min(c.toLong * 4, maxC.toLong).toInt
+      }
     }
     metrics("numRounds").add(round)
     metrics("numSurvivors").add(rows.length)

@@ -213,6 +213,10 @@ class AnnRewriteSpec extends AnyFunSuite {
     val exact = spark.sql(filteredSql(q, pred, k = 20)).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     spark.conf.set("spark.graft.ann.rewrite", "true")
+    // pin the pre-filter short-circuit OFF: this test exercises the
+    // ESCALATION mechanic specifically (the short-circuit would answer
+    // this selective predicate without ever searching)
+    spark.conf.set("spark.graft.ann.filtered.preFilterMax", "0")
     try {
       val df = spark.sql(filteredSql(q, pred, k = 20))
       assert(df.queryExecution.executedPlan.toString
@@ -220,6 +224,41 @@ class AnnRewriteSpec extends AnyFunSuite {
       val routed = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(routed.toSeq === exact.toSeq,
         "saturated filtered route must equal the exhaustive plan")
+      val ex = df.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.AnnFilteredTopKExec => e
+      }.get
+      assert(ex.metrics("numRounds").value >= 1L,
+        "short-circuit fired despite preFilterMax=0")
+    } finally {
+      spark.conf.unset("spark.graft.ann.filtered.preFilterMax")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("filtered route: selective predicate short-circuits to the exact pre-filter scan") {
+    setup
+    val q = queryLit
+    // 10 matching rows < preFilterMax (2k=40): the probe detects the
+    // selective predicate and the exec scores the survivors directly —
+    // zero beam searches, zero candidate fetches, EXACT answer
+    val pred = "vec_id % 50 = 3 AND vec_id < 500"
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(filteredSql(q, pred, k = 20)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = spark.sql(filteredSql(q, pred, k = 20))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("AnnFilteredTopK"))
+      val routed = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(routed.toSeq === exact.toSeq,
+        "pre-filter short-circuit must equal the exhaustive plan")
+      val ex = df.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.AnnFilteredTopKExec => e
+      }.get
+      assert(ex.metrics("numRounds").value === 0L, "escalation ran")
+      assert(ex.metrics("numCandidates").value === 0L, "tier was searched")
+      assert(ex.metrics("numPreFilterRows").value === 10L)
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
