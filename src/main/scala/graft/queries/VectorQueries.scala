@@ -99,6 +99,46 @@ object VectorQueries extends QueryPack {
           round(element_at(col("embedding"), 1).cast("double") /
             col("norm_raw"), 6).as("first_elem_normed"))
     }),
+    // DIVERSIFIED top-K, cap flavor: at most m=2 results per label
+    // group per query, then the global top-K of the survivors — the
+    // relational diversity guard (per-source caps, near-dup-cluster
+    // caps) every production retrieval runs when plain top-k collapses
+    // onto one cluster. Stage 1 is a bounded-heap aggregate per
+    // (query, label); stage 2 ranks the ≤ labels·m survivors per query.
+    // Fully deterministic → hash-checked.
+    "w1_topk_diverse" -> ((s, dir) => {
+      val q = queryVecs(s, dir).withColumn("q_norm", vecNorm(col("q_vec")))
+      val d = emb(s, dir)
+        .select(col("vec_id").as("d_id"), col("label").cast("long").as("group"),
+          col("embedding").as("d_vec"))
+        .withColumn("d_norm", vecNorm(col("d_vec")))
+      val scored = d.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("d_id"))
+        .select(col("q_id"), col("group"), col("d_id"),
+          round(vecDot(col("q_vec"), col("d_vec")) /
+            (col("q_norm") * col("d_norm")), 9).as("score"))
+      graft.operators.DiverseTopK.capDiversified(scored, m = 2, k = K)
+        .select(col("q_id"), col("rank"), col("d_id"), col("group"),
+          round(col("score"), 6).as("score"))
+    }),
+    // DIVERSIFIED top-K, MMR flavor (Carbonell & Goldstein 1998): greedy
+    // λ-balanced re-rank of each query's top-50 cosine candidates —
+    // next = argmax λ·rel − (1−λ)·max sim-to-selected. Candidate pairs
+    // and the greedy loop stay keyed by query in the executors
+    // (mapGroups over nCand² bounded rows). Rows-only: the greedy
+    // objective is order-sensitive by design; DiverseTopKSpec holds the
+    // λ=1 ≡ plain-top-k equality, the hand-computed fixture order, and
+    // the duplicate-suppression property.
+    "topk_mmr" -> ((s, dir) => {
+      val cands = KnnKernel.bruteForce(s, queryVecs(s, dir),
+          dataVecs(s, dir), 50, excludeSelf = true)
+        .select(col("q_id"), col("d_id"), round(col("score"), 9).as("rel"))
+      graft.operators.DiverseTopK.mmr(s, cands,
+          dataVecs(s, dir).select(col("d_id"), col("d_vec")), k = K)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("mmr_score"), 6).as("mmr_score"),
+          round(col("rel"), 6).as("rel"))
+    }),
     // J1+W1: brute-force cosine k-NN join, top-K per query vector
     // (bounded-heap top-k; ranks on the 9-decimal-quantized score).
     "j1_knn_cosine" -> ((s, dir) => {
@@ -273,6 +313,26 @@ object VectorQueries extends QueryPack {
       s"""SELECT vec_id, round($normSql, 6) AS norm,
          |round(CAST(embedding[1] AS DOUBLE) / $normSql, 6) AS first_elem_normed
          |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "w1_topk_diverse" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, CAST(label AS BIGINT) AS "group", embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.q_id, d."group", d.d_id,
+         |         round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
+         |capped AS (
+         |  SELECT q_id, "group", d_id, score,
+         |         row_number() OVER (PARTITION BY q_id, "group"
+         |           ORDER BY score DESC, d_id ASC) AS lrank
+         |  FROM scored),
+         |surv AS (SELECT * FROM capped WHERE lrank <= 2),
+         |ranked AS (
+         |  SELECT q_id, d_id, "group", score,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, d_id ASC) AS BIGINT) AS rank
+         |  FROM surv)
+         |SELECT q_id, rank, d_id, "group", round(score, 6) AS score
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "j1_knn_cosine" -> j1OracleSql,
     // identical semantics, kernel-tier execution — same oracle
     "j1_knn_block" -> j1OracleSql,
