@@ -51,7 +51,7 @@ object FilteredSweep {
     }
 
     val rows = new scala.collection.mutable.ArrayBuffer[String]
-    rows += "factor\tn\tmod\tmatch_rows\toverfetch\texhaustive_s\trouted_s\trecall"
+    rows += "factor\tn\tmod\tmatch_rows\toverfetch\texhaustive_s\trouted_s\tnosc_s\tstrategy\trecall"
 
     factors.foreach { f =>
       val dir =
@@ -83,15 +83,22 @@ object FilteredSweep {
       // overfetch) tracks the underlying beam budget curve (SWEEP_SF1's
       // budget axis), and the ultra-selective end escalates to the
       // saturating fetch where recall is 1.0 by construction
-      Seq(2L, 100L, 1000L).foreach { m =>
+      // n/10 rounds the selectivity grid out with an ULTRA-selective
+      // point (≈10 matches ≤ preFilterMax=2k): the pre-filter
+      // short-circuit answers it without any search
+      Seq(2L, 100L, 1000L, n / 10).foreach { m =>
         val sql =
           s"""SELECT vec_id, graft_vec_cosine(embedding, $qLit) AS score
              |FROM fs_corpus WHERE vec_id % $m = 0
              |ORDER BY score DESC LIMIT 10""".stripMargin
-        def timed(rewrite: Boolean, overfetch: Int): (Seq[Long], Double) = {
+        def timed(rewrite: Boolean, overfetch: Int,
+                  preFilterMax: Option[Int] = None): (Seq[Long], Double) = {
           spark.conf.set("spark.graft.ann.rewrite", rewrite.toString)
           spark.conf.set("spark.graft.ann.filtered.overfetch",
             overfetch.toString)
+          preFilterMax.foreach(p =>
+            spark.conf.set("spark.graft.ann.filtered.preFilterMax",
+              p.toString))
           try {
             val t0 = System.nanoTime()
             val ids = spark.sql(sql).collect().map(_.getLong(0)).toSeq
@@ -99,17 +106,23 @@ object FilteredSweep {
           } finally {
             spark.conf.set("spark.graft.ann.rewrite", "false")
             spark.conf.unset("spark.graft.ann.filtered.overfetch")
+            spark.conf.unset("spark.graft.ann.filtered.preFilterMax")
           }
         }
         timed(rewrite = true, 8) // warm the path once (JIT + broadcasts)
         val (exact, tEx) = timed(rewrite = false, 8)
         val matches = n / m + (if (n % m > 0) 1 else 0)
+        // default probe ceiling is 2k = 20 for this statement
+        val strategy = if (matches <= 20) "prefilter" else "escalate"
         Seq(8, 40, 200).foreach { of =>
           val (routed, tRt) = timed(rewrite = true, of)
+          // same point with the short-circuit DISABLED: isolates what
+          // the probe buys (or costs) against pure escalation
+          val (_, tNoSc) = timed(rewrite = true, of, preFilterMax = Some(0))
           val recall =
             if (exact.isEmpty) 1.0
             else (routed.toSet & exact.toSet).size.toDouble / exact.size
-          rows += f"$f\t$n\t$m\t$matches\t$of\t$tEx%.2f\t$tRt%.2f\t$recall%.4f"
+          rows += f"$f\t$n\t$m\t$matches\t$of\t$tEx%.2f\t$tRt%.2f\t$tNoSc%.2f\t$strategy\t$recall%.4f"
           println(rows.last)
         }
       }
