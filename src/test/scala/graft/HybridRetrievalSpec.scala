@@ -112,6 +112,53 @@ class HybridRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("fusion is partition-count invariant (quantized sums, no float drift)") {
+    val sfDir = TestSpark.sfDir
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run() = TextQueries.queries("hybrid_rrf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() === base, "fused ranking changed with partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("the semantic arm slot accepts a dense ANN tier (kernel kNN over densified hash embeddings)") {
+    val sfDir = TestSpark.sfDir
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    val dv = HybridRetrieval.hashEmbed(docToks)
+    import spark.implicits._
+    val qToks = Seq("the", "data", "model", "learning", "neural")
+      .toDF("tok").select(lit(0L).as("qid"), col("tok"))
+    val qv = HybridRetrieval.hashEmbed(qToks, idCol = "qid")
+    // densify the sparse rows to 32-dim float arrays — the shape every
+    // registered ANN tier consumes
+    def densify(sparse: org.apache.spark.sql.DataFrame, id: String) =
+      sparse.groupBy(col(id))
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(col("val"))).as("m"))
+        .select(col(id),
+          transform(sequence(lit(0L), lit(31L)),
+            i => coalesce(element_at(col("m"), i), lit(0.0))
+              .cast("float")).as("vec"))
+    val dDense = densify(dv, "doc_id")
+      .select(col("doc_id").as("d_id"), col("vec").as("d_vec"))
+    val qDense = densify(qv, "qid")
+      .select(col("qid").as("q_id"), col("vec").as("q_vec"))
+    val viaKernel = graft.operators.KnnKernel
+      .bruteForce(spark, qDense, dDense, 50)
+      .select("d_id").collect().map(_.getLong(0)).toSet
+    val viaSparse = HybridRetrieval.sparseCosineTopK(dv, qv, k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = (viaKernel & viaSparse).size.toDouble / viaSparse.size
+    assert(overlap >= 0.9,
+      s"dense-tier arm diverged from the sparse arm: overlap $overlap")
+  }
+
   test("hybrid_rrf surfaces docs found by only one arm") {
     val sfDir = TestSpark.sfDir
     val rows = TextQueries.queries("hybrid_rrf")(spark, sfDir).collect()
