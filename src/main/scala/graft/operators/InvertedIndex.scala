@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-appendable INVERTED INDEX with BM25
+  * serving — the lexical mirror of the incremental band/cell/vector
+  * indexes: a retrieval corpus is ingested batch by batch, each batch
+  * appends its postings once, and queries answer from the index
+  * without ever re-tokenizing the corpus.
+  *
+  * Layout under `path`:
+  *  - `postings/` — parquet `(doc_id, dl, term, tf)` partitioned by
+  *    `bucket = crc32(term) % 64`: a query for B distinct terms prunes
+  *    to ≤B partitions at the SCAN (partition pruning + term predicate
+  *    pushdown), so serving cost scales with the matched postings, not
+  *    the corpus. At 100 TB the postings relation is the standard
+  *    sharded inverted file; nothing here is resident.
+  *  - `_stats` — one tiny text file `watermark,n_docs,sum_dl`:
+  *    the corpus-level BM25 constants (maintained additively per
+  *    batch — at scale this pair is corpus metadata, never recomputed)
+  *    plus the max-doc-id watermark that makes at-least-once replays
+  *    idempotent (same posture as [[Watermark]]).
+  *
+  * Crash window (same stale-low posture as [[Watermark]]): `_stats`
+  * writes AFTER the postings append, so a crash in between leaves the
+  * watermark low and a replayed batch re-appends byte-identical
+  * posting rows. [[bm25Query]] folds exact duplicates with
+  * `max(tf)` per (doc_id, dl, term) — a doc lives in exactly one
+  * batch, so duplicates are always identical rows and the fold is
+  * lossless; stats were never double-added because the stats write
+  * and the append commit together in the non-crash path and the
+  * replay re-append is detected on the next healthy batch.
+  *
+  * Scoring delegates to the SAME `bm25Rank` tail the inline
+  * hash-green `text_bm25_query` uses
+  * ([[graft.queries.TextQueries.bm25Rank]]) — the index path cannot
+  * drift from the oracle-checked formula.
+  */
+object InvertedIndex {
+
+  val NumBuckets = 64
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (watermark, n_docs, sum_dl) or None for an absent/empty index. */
+  def readStats(spark: SparkSession, path: String)
+      : Option[(Long, Long, Long)] = {
+    val p = new Path(path, "_stats")
+    val f = fs(spark, path)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val parts = scala.io.Source.fromInputStream(in).mkString.trim
+        .split(",")
+      Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+    } finally in.close()
+  }
+
+  private def writeStats(spark: SparkSession, path: String,
+                         wm: Long, nDocs: Long, sumDl: Long): Unit = {
+    val out = fs(spark, path).create(new Path(path, "_stats"), true)
+    try out.write(s"$wm,$nDocs,$sumDl".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Append one batch of `(doc_id, text)` rows. Doc ids must be
+    * MONOTONE across batches (the ingest contract every incremental
+    * index here shares); a batch whose ids the watermark already
+    * covers is a REPLAY and is skipped idempotently; a partial overlap
+    * fails loudly. Each batch costs one tokenize + one keyed groupBy —
+    * the corpus is never re-read. */
+  def append(spark: SparkSession, docsDf: DataFrame, path: String): Unit = {
+    import graft.queries.TextQueries
+    val (cnt, sumDl, minId, maxId) = TextQueries.corpusStatsOf(docsDf)
+    if (cnt == 0) return // empty batch: nothing to append
+    val prior = readStats(spark, path)
+    prior.foreach { case (wm, _, _) =>
+      require(wm < minId || wm >= maxId,
+        s"inverted-index append needs monotone doc ids: watermark $wm " +
+          s"lands inside the batch range [$minId, $maxId] — not a " +
+          "replay, not an append")
+    }
+    if (prior.exists(_._1 >= maxId)) return // replay: already indexed
+    TextQueries.postingsOf(docsDf)
+      .withColumn("bucket", pmod(crc32(col("term")), lit(NumBuckets.toLong)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
+    writeStats(spark, path, maxId, n0 + cnt, s0 + sumDl)
+  }
+
+  /** BM25 top-k for `terms` served FROM the index: the postings scan
+    * prunes to the terms' buckets (partition pruning) and pushes the
+    * term filter; corpus constants come from `_stats`; scoring is the
+    * shared hash-green `bm25Rank` tail. */
+  def bm25Query(spark: SparkSession, path: String, terms: Seq[String],
+                k: Int = 20): DataFrame = {
+    import graft.queries.TextQueries
+    val (_, nDocs, sumDl) = readStats(spark, path).getOrElse(
+      sys.error(s"no inverted index at $path"))
+    val crc = new java.util.zip.CRC32
+    val buckets = terms.map { t =>
+      crc.reset(); crc.update(t.getBytes("UTF-8"))
+      (crc.getValue % NumBuckets).toString
+    }.distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+      // fold byte-identical rows from a stale-watermark replay
+      // re-append (see the crash-window note above)
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(max(col("tf")).as("tf"))
+    val stats = spark.range(1).select(
+      lit(nDocs).cast("double").as("n_docs"),
+      lit(sumDl).cast("double").as("sum_dl"))
+    TextQueries.bm25Rank(tf, stats, k)
+  }
+}

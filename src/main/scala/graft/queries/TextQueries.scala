@@ -172,6 +172,20 @@ object TextQueries extends QueryPack {
       .join(broadcast(terms.select(col("term"))), Seq("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+    bm25Rank(tf, docStats, k)
+  }
+
+  /** Scoring tail shared by the inline [[bm25]] and the persisted
+    * inverted-index serving path
+    * ([[graft.operators.InvertedIndex.bm25Query]]): rank postings
+    * `(doc_id, dl, term, tf)` against 1-row corpus stats
+    * `(n_docs, sum_dl)`. df broadcasts back into the scoring join;
+    * per-term partials micro-quantize to LONGs before the per-doc sum
+    * (exact in any accumulation order); top-k is the bounded heap.
+    * Keeping one implementation means the index path can never drift
+    * from the hash-green inline formula. */
+  private[graft] def bm25Rank(tf: DataFrame, docStats: DataFrame,
+                              k: Int): DataFrame = {
     val df = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(df), Seq("term"))
@@ -192,6 +206,30 @@ object TextQueries extends QueryPack {
         col("doc_id"), k, idName = "doc_id")
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("score"))
+  }
+
+  /** Tokenized postings `(doc_id, dl, term, tf)` + 1-row batch stats —
+    * the append-side input of the persisted inverted index. */
+  private[graft] def postingsOf(docsDf: DataFrame): DataFrame = {
+    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+      .withColumn("dl",
+        org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+    t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+  }
+
+  /** (n_docs, sum_dl, min_id, max_id) of a docs frame — one aggregate,
+    * zero-token docs included (they carry dl=0 into the corpus stats
+    * exactly as the inline bm25 counts them). */
+  private[graft] def corpusStatsOf(docsDf: DataFrame)
+      : (Long, Long, Long, Long) = {
+    val r = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+      .agg(count(lit(1)).cast("long"),
+        sum(org.apache.spark.sql.functions.size(col("toks")).cast("long")),
+        min(col("doc_id")), max(col("doc_id"))).first()
+    if (r.isNullAt(2)) (0L, 0L, -1L, -1L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** Query-term list shared by the BM25-query and hybrid-retrieval
@@ -1176,6 +1214,27 @@ object TextQueries extends QueryPack {
       bm25(docs(s, dir), terms, k = 20)
     }),
 
+    // The SAME BM25 question served FROM a persisted inverted index
+    // (operators/InvertedIndex.scala) built the way months of ingest
+    // build it — two monotone-id appends plus an at-least-once REPLAYED
+    // append (skipped idempotently; a stale-watermark double-append
+    // would be folded at read). The query's scan prunes to the terms'
+    // postings buckets; corpus constants come from the additive _stats
+    // sidecar; scoring is the shared bm25Rank tail — so this must be
+    // HASH-IDENTICAL to text_bm25_query, which recomputes everything
+    // from raw text. The parity IS the index-correctness oracle.
+    "text_bm25_indexed" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_invidx_").toString
+      val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+      InvertedIndex.append(s, d.filter(col("doc_id") <= half), idx)
+      InvertedIndex.append(s, d.filter(col("doc_id") > half), idx)
+      InvertedIndex.append(s, d.filter(col("doc_id") > half), idx) // replay
+      InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
+    }),
+
     // Temperature-weighted mixture (the multilingual-LLM sampling rule,
     // e.g. mC4/XLM-R: p_i ∝ n_i^α with α<1 upweighting small sources):
     // per-source token counts → α=0.5 weights → expected token draw
@@ -1351,6 +1410,46 @@ object TextQueries extends QueryPack {
        |         doc_id, score, lex_norm, sem_norm
        |  FROM fused) r
        |WHERE rank <= 20""".stripMargin
+
+  /** Shared by text_bm25_query and its index-served twin
+    * text_bm25_indexed (same terms, same k, same corpus => identical
+    * expected result). */
+  private lazy val bm25QueryOracle: String =
+        s"""WITH terms AS (
+           |  SELECT unnest(['the', 'data', 'model', 'learning', 'neural'])
+           |    AS term),
+           |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        unnest(toks) AS term FROM t),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM d JOIN terms USING (term)
+           |  GROUP BY doc_id, dl, term),
+           |st AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |         CAST(sum(len(toks)) AS DOUBLE) AS sum_dl
+           |  FROM t),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           |       FROM tf GROUP BY term),
+           |sc AS (
+           |  SELECT doc_id,
+           |         CAST(round(round(
+           |             ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+           |             * (CAST(tf AS DOUBLE) * 2.2)
+           |             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |                 * CAST(dl AS DOUBLE) / (sum_dl / n_docs))), 9)
+           |           * 1e6, 0) AS BIGINT) AS micro
+           |  FROM tf JOIN df USING (term) CROSS JOIN st),
+           |agg AS (
+           |  SELECT doc_id,
+           |         round(CAST(sum(micro) AS DOUBLE) / 1e6, 6) AS score
+           |  FROM sc GROUP BY doc_id)
+           |SELECT rank, doc_id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           |           AS BIGINT) AS rank,
+           |         doc_id, score
+           |  FROM agg WHERE score > 0) r
+           |WHERE rank <= 20""".stripMargin
 
   def oracles: Map[String, String] = {
     val voteSql = (0 until 16).map { b =>
@@ -1777,42 +1876,8 @@ object TextQueries extends QueryPack {
            |  FROM sc WHERE score > 0) r
            |WHERE rank <= 20""".stripMargin
       },
-      "text_bm25_query" ->
-        s"""WITH terms AS (
-           |  SELECT unnest(['the', 'data', 'model', 'learning', 'neural'])
-           |    AS term),
-           |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-           |        unnest(toks) AS term FROM t),
-           |tf AS (
-           |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-           |  FROM d JOIN terms USING (term)
-           |  GROUP BY doc_id, dl, term),
-           |st AS (
-           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-           |         CAST(sum(len(toks)) AS DOUBLE) AS sum_dl
-           |  FROM t),
-           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
-           |       FROM tf GROUP BY term),
-           |sc AS (
-           |  SELECT doc_id,
-           |         CAST(round(round(
-           |             ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
-           |             * (CAST(tf AS DOUBLE) * 2.2)
-           |             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-           |                 * CAST(dl AS DOUBLE) / (sum_dl / n_docs))), 9)
-           |           * 1e6, 0) AS BIGINT) AS micro
-           |  FROM tf JOIN df USING (term) CROSS JOIN st),
-           |agg AS (
-           |  SELECT doc_id,
-           |         round(CAST(sum(micro) AS DOUBLE) / 1e6, 6) AS score
-           |  FROM sc GROUP BY doc_id)
-           |SELECT rank, doc_id, score FROM (
-           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
-           |           AS BIGINT) AS rank,
-           |         doc_id, score
-           |  FROM agg WHERE score > 0) r
-           |WHERE rank <= 20""".stripMargin,
+      "text_bm25_query" -> bm25QueryOracle,
+      "text_bm25_indexed" -> bm25QueryOracle,
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,

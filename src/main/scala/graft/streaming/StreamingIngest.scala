@@ -204,6 +204,23 @@ object StreamingIngest {
     } finally rows.unpersist()
   }
 
+  /** foreachBatch face of the persisted INVERTED index
+    * ([[graft.operators.InvertedIndex]]) — the lexical retrieval
+    * corpus ingested as a stream: each `(doc_id, text)` micro-batch
+    * appends its postings once (one tokenize + one keyed groupBy; the
+    * corpus is never re-read) and bumps the additive corpus stats
+    * (`n_docs`, `sum_dl`) BM25 serving reads. REPLAY-SAFE the same
+    * way every incremental index here is: `InvertedIndex.append`
+    * skips batches whose ids the `_stats` watermark already covers
+    * and fails loudly on partial overlaps; the stale-watermark
+    * double-append crash window is folded at read by `bm25Query`'s
+    * duplicate-row fold (identical rows, `max(tf)` — lossless). */
+  def incrementalBm25Batch(indexPath: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    graft.operators.InvertedIndex.append(batch.sparkSession, batch,
+      indexPath)
+  }
+
   /** Streaming ANN ingest — the foreachBatch body that keeps a
     * persisted SHARDED index continuously searchable while vectors
     * stream in. Per micro-batch: validate ids are a dense continuation

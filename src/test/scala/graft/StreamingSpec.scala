@@ -541,4 +541,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("streaming inverted-index ingest: BM25 from the index equals inline batch BM25") {
+    import graft.operators.InvertedIndex
+    import graft.queries.TextQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_stream_").toString
+    val idx = s"$dir/index"
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+    val b1 = d.filter(col("doc_id") <= half)
+      .as[(Long, String)].collect().toSeq
+    val b2 = d.filter(col("doc_id") > half)
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingIngest.incrementalBm25Batch(idx))
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // at-least-once redelivery of the last batch: skipped idempotently
+    val statsBefore = InvertedIndex.readStats(spark, idx)
+    StreamingIngest.incrementalBm25Batch(idx)(
+      b2.toDF("doc_id", "text"), 99L)
+    assert(InvertedIndex.readStats(spark, idx) === statsBefore,
+      "replayed batch changed the index stats")
+    val terms = Seq("the", "data", "model", "learning", "neural")
+    val fromIndex = InvertedIndex.bm25Query(spark, idx, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = TextQueries.bm25(d, terms.toDF("term"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromIndex === inline,
+      "index-served BM25 diverged from the inline computation")
+  }
 }
