@@ -71,8 +71,18 @@ object DiverseTopK {
           k: Int, lambda: Double = 0.5): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.vecCosine
+    // LEFT join + loud null check: an inner join would silently drop a
+    // candidate's pair rows when its vector is missing from `vecs`,
+    // leaving it selectable (via its rel row) but never penalized —
+    // a skewed greedy objective instead of a failure
     val withVec = cands.select(col("q_id"), col("d_id"), col("rel"))
-      .join(vecs.select(col("d_id"), col("d_vec")), Seq("d_id"))
+      .join(vecs.select(col("d_id"), col("d_vec")), Seq("d_id"),
+        "left_outer")
+      .select(col("q_id"), col("d_id"),
+        when(col("d_vec").isNull, raise_error(concat(
+          lit("mmr: candidate d_id="), col("d_id").cast("string"),
+          lit(" has no vector in vecs"))))
+          .otherwise(col("d_vec")).as("d_vec"))
     val a = withVec.select(col("q_id"), col("d_id").as("a_id"),
       col("d_vec").as("a_vec"))
     val b = withVec.select(col("q_id"), col("d_id").as("b_id"),
@@ -80,19 +90,23 @@ object DiverseTopK {
     val pairs = a.join(b, Seq("q_id"))
       .filter(col("a_id") < col("b_id"))
       .select(col("q_id"), col("a_id"), col("b_id"),
-        round(vecCosine(col("a_vec"), col("b_vec")), 9).as("sim"))
-    // rel rows ride along as (a_id, -1L) so one grouped pass sees both
+        round(vecCosine(col("a_vec"), col("b_vec")), 9).as("sim"),
+        lit(false).as("is_rel"))
+    // rel rows ride along under an explicit row-type flag (NOT an id
+    // sentinel — a corpus with a legitimate d_id equal to any sentinel
+    // value must not collide with the relevance channel)
     val relRows = cands.select(col("q_id"), col("d_id").as("a_id"),
-      lit(-1L).as("b_id"), col("rel").cast("double").as("sim"))
+      lit(0L).as("b_id"), col("rel").cast("double").as("sim"),
+      lit(true).as("is_rel"))
     relRows.unionAll(pairs)
-      .as[(Long, Long, Long, Double)]
+      .as[(Long, Long, Long, Double, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val rel = scala.collection.mutable.LongMap.empty[Double]
         val sim = scala.collection.mutable.HashMap
           .empty[(Long, Long), Double]
-        it.foreach { case (_, aId, bId, s) =>
-          if (bId == -1L) rel(aId) = s
+        it.foreach { case (_, aId, bId, s, isRel) =>
+          if (isRel) rel(aId) = s
           else sim((aId, bId)) = s
         }
         def simOf(x: Long, y: Long): Double =

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *    idempotent (same posture as [[Watermark]]).
   *
   * Crash window (same stale-low posture as [[Watermark]]): `_stats`
-  * writes AFTER the postings append, so a crash in between leaves the
-  * watermark low and a replayed batch re-appends byte-identical
-  * posting rows. [[bm25Query]] folds exact duplicates with
+  * writes AFTER the postings append (temp-write + swap, so the live
+  * sidecar is never truncated mid-write; a sidecar lost in the swap
+  * window is rebuilt from the postings on the next read), so a crash
+  * in between leaves the watermark low and a replayed batch re-appends
+  * byte-identical posting rows. [[bm25Query]] folds exact duplicates with
   * `max(tf)` per (doc_id, dl, term) — a doc lives in exactly one
   * batch, so duplicates are always identical rows and the fold is
   * lossless; stats were never double-added because the stats write
@@ -45,25 +47,58 @@ object InvertedIndex {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (watermark, n_docs, sum_dl) or None for an absent/empty index. */
+  /** (watermark, n_docs, sum_dl) or None for an absent/empty index.
+    * A missing or corrupt sidecar WITH live postings (crash inside
+    * [[writeStats]]'s swap window, or a legacy index) is RECOVERED by
+    * one aggregation over the postings — docs are distinct
+    * (doc_id, dl) rows (replay-duplicated postings fold away), the
+    * watermark is max(doc_id) — and the rebuilt sidecar is re-written
+    * so the recovery scan runs once, not per read. */
   def readStats(spark: SparkSession, path: String)
       : Option[(Long, Long, Long)] = {
     val p = new Path(path, "_stats")
     val f = fs(spark, path)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    try {
-      val parts = scala.io.Source.fromInputStream(in).mkString.trim
-        .split(",")
-      Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
-    } finally in.close()
+    val parsed: Option[(Long, Long, Long)] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val parts = scala.io.Source.fromInputStream(in).mkString.trim
+            .split(",")
+          Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally in.close()
+      }
+    parsed.orElse {
+      if (!f.exists(new Path(s"$path/postings"))) None
+      else {
+        val docs = spark.read.parquet(s"$path/postings")
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg(max(col("doc_id")), count(lit(1)), sum(col("dl"))).head()
+        if (docs.isNullAt(0)) None
+        else {
+          val rebuilt = (docs.getLong(0), docs.getLong(1), docs.getLong(2))
+          writeStats(spark, path, rebuilt._1, rebuilt._2, rebuilt._3)
+          Some(rebuilt)
+        }
+      }
+    }
   }
 
+  /** Temp-write + swap (the compactBandIndex posture): a crash never
+    * truncates the LIVE sidecar — either the old `_stats` survives, or
+    * the delete/rename window left none and [[readStats]] rebuilds from
+    * the postings. */
   private def writeStats(spark: SparkSession, path: String,
                          wm: Long, nDocs: Long, sumDl: Long): Unit = {
-    val out = fs(spark, path).create(new Path(path, "_stats"), true)
+    val f = fs(spark, path)
+    val tmp = new Path(path, "_stats.tmp")
+    val live = new Path(path, "_stats")
+    val out = f.create(tmp, true)
     try out.write(s"$wm,$nDocs,$sumDl".getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(live)) f.delete(live, false)
+    require(f.rename(tmp, live), s"cannot promote _stats sidecar at $path")
   }
 
   /** Append one batch of `(doc_id, text)` rows. Doc ids must be

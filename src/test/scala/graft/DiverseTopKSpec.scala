@@ -81,6 +81,35 @@ class DiverseTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr fails loudly when a candidate has no vector") {
+    import spark.implicits._
+    // d_id=2 is missing from vecs: a silent inner-join drop would leave
+    // it selectable but never diversity-penalized — must throw instead
+    val vecs = Seq((1L, Array(0.8f, 0.6f)), (3L, Array(0.8f, -0.6f)))
+      .toDF("d_id", "d_vec")
+    val cands = Seq((7L, 1L, 0.8), (7L, 2L, 0.8), (7L, 3L, 0.8))
+      .toDF("q_id", "d_id", "rel")
+    val e = intercept[Exception] {
+      DiverseTopK.mmr(spark, cands, vecs, k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("has no vector")), s"$e")
+  }
+
+  test("mmr: a legitimate d_id equal to an old sentinel value is handled") {
+    import spark.implicits._
+    // -1 used to be the rel-row sentinel; a real candidate with that id
+    // must flow through pairs + selection like any other
+    val vecs = Seq((-1L, Array(1.0f, 0.0f)), (5L, Array(0.0f, 1.0f)))
+      .toDF("d_id", "d_vec")
+    val cands = Seq((7L, -1L, 0.9), (7L, 5L, 0.5)).toDF("q_id", "d_id", "rel")
+    val got = DiverseTopK.mmr(spark, cands, vecs, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq === Seq((-1L, 0.9), (5L, 0.5)))
+  }
+
   test("topk_mmr emits k contiguous ranks per query with valid candidates") {
     val rows = VectorQueries.queries("topk_mmr")(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

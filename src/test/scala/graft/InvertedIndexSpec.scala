@@ -54,6 +54,32 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.readStats(spark, idx) === before)
   }
 
+  test("missing or corrupt _stats sidecar is rebuilt from the postings") {
+    val idx = freshIndex()
+    val statsPath = java.nio.file.Paths.get(idx, "_stats")
+    // corrupt in place (the crash-mid-write shape the temp+rename swap
+    // makes rare but a torn disk can still produce)
+    java.nio.file.Files.write(statsPath, "garbage,not".getBytes("UTF-8"))
+    // rebuild from postings: docs 1,2 have postings (dl=3 each); the
+    // zero-token doc 3 is invisible to postings, so the rebuilt stats
+    // are the documented stale-LOW recovery (wm 2 < true 3) — safe,
+    // because a stale-low watermark only re-admits an idempotent replay
+    assert(InvertedIndex.readStats(spark, idx) === Some((2L, 2L, 6L)))
+    // the rebuild re-wrote the sidecar: next read is sidecar-served
+    assert(new String(java.nio.file.Files.readAllBytes(statsPath), "UTF-8")
+      === "2,2,6")
+    // serving still works off the recovered stats
+    assert(InvertedIndex.bm25Query(spark, idx, Seq("bb"), k = 5)
+      .count() === 2L)
+    // a deleted sidecar recovers the same way
+    java.nio.file.Files.delete(statsPath)
+    assert(InvertedIndex.readStats(spark, idx) === Some((2L, 2L, 6L)))
+    // and the index keeps accepting appends after recovery
+    InvertedIndex.append(spark,
+      Seq((4L, "dd ee")).toDF("doc_id", "text"), idx)
+    assert(InvertedIndex.readStats(spark, idx) === Some((4L, 3L, 8L)))
+  }
+
   test("querying an absent index fails loudly") {
     val e = intercept[RuntimeException] {
       InvertedIndex.bm25Query(spark, "/tmp/graft_no_such_index",
