@@ -143,6 +143,55 @@ object ShardedIndex {
   private def deltaDir(ref: ShardedIndexRef, j: Int): String =
     s"${ref.path}/delta$j"
 
+  /** Shard count for `nRows` at a TARGET per-shard size — the
+    * scale-with-the-corpus knob (SWEEP_SF10's lesson): effective
+    * exploration = per-shard budget × shard count, so holding shard
+    * SIZE (not shard count) fixed keeps the recall frontier flat as
+    * the corpus grows, while per-shard memory stays bounded at
+    * target·bytes-per-row. */
+  def autoShards(nRows: Long, targetShardRows: Long): Int = {
+    require(targetShardRows > 0, "targetShardRows must be positive")
+    math.max(1L, (nRows + targetShardRows - 1) / targetShardRows).toInt
+  }
+
+  /** [[buildPersisted]] with [[autoShards]] sizing (one footer-cheap
+    * count over `emb`'s plan — callers that already know the row count
+    * can call buildPersisted directly). */
+  def buildPersistedAuto(spark: SparkSession, emb: DataFrame,
+                         params: BuildParams, path: String,
+                         targetShardRows: Long, minShards: Int = 1)
+      : ShardedIndexRef = {
+    val n = emb.count()
+    buildPersisted(spark, emb, params,
+      math.max(minShards, autoShards(n, targetShardRows)), path)
+  }
+
+  /** Re-discover a ref's DELTA shards from disk: `delta0..delta<j-1>`
+    * dirs present at the path (contiguous from 0 — the [[appendDelta]]
+    * layout). This is how a REGISTERED serving tier picks up deltas
+    * ingested after registration without re-registration: the ref is a
+    * value, but the index on disk is the truth. One directory listing —
+    * no data read. */
+  def discover(spark: SparkSession, ref: ShardedIndexRef): ShardedIndexRef = {
+    val p = new org.apache.hadoop.fs.Path(ref.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return ref
+    val deltas = fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("delta\\d+"))
+      // `ids` is written LAST by appendDelta, so its presence marks a
+      // COMPLETE delta; a crash mid-append leaves a partial dir that
+      // must not serve
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"${ref.path}/$d/ids")))
+      .map(_.stripPrefix("delta").toInt)
+      .toSet
+    // contiguous prefix only: a gap means the sequence is broken
+    var j = 0
+    while (deltas.contains(j)) j += 1
+    ref.copy(nDeltas = math.max(j, ref.nDeltas))
+  }
+
   /** Build one RoarGraph per strided shard of `emb` (vec_id, embedding),
     * persisting each shard to `path/shard<s>/{graph,vectors}` and
     * releasing it before the next build starts. Builds run sequentially
@@ -153,6 +202,7 @@ object ShardedIndex {
                      nShards: Int, path: String): ShardedIndexRef = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     evictPath(path) // a rebuild at a cached path must not serve stale shards
+    invalidateRows(path) // nor stale footer counts (budget policy)
     val ref = ShardedIndexRef(path, nShards, params.metric)
     (0 until nShards).foreach { s =>
       enterShard()
@@ -327,6 +377,22 @@ object ShardedIndex {
     }
     n
   }
+
+  // Footer-count cache for the per-query budget policy: shard/delta
+  // vector dirs are immutable once complete, so (path, nShards,
+  // nDeltas) pins the count. Invalidated on in-place rebuilds
+  // (buildPersisted at a cached path — the compact() path).
+  private val rowsCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), Long]
+  private[index] def invalidateRows(path: String): Unit =
+    rowsCache.filterInPlace { case ((p, _, _), _) => p != path }
+
+  /** [[totalRows]] through the footer-count cache — the budget policy
+    * calls this per query, and a repeated (path, layout) key must not
+    * re-read footers every time. */
+  def totalRowsCached(spark: SparkSession, ref: ShardedIndexRef): Long =
+    rowsCache.getOrElseUpdate((ref.path, ref.nShards, ref.nDeltas),
+      totalRows(spark, ref))
 
   /** Total indexed rows (base + deltas) — parquet-footer counts, no
     * data read and no Spark job. The ingest replay check and

@@ -168,7 +168,20 @@ object AnnIndexRegistry {
         * rescore bounds the answer). null (the default) = this tier
         * serves only literal-query statements; the relation route then
         * skips it. */
-      candidatesBatch: (SparkSession, Seq[(Long, Array[Float])], Int) => org.apache.spark.sql.DataFrame = null)
+      candidatesBatch: (SparkSession, Seq[(Long, Array[Float])], Int) => org.apache.spark.sql.DataFrame = null,
+      /** Optional FRESH re-read of the full-precision corpus for the
+        * rescoring join. `data` snapshots its file listing at
+        * registration (Spark's InMemoryFileIndex); a corpus that GROWS
+        * in place (delta-ingest) would silently drop post-registration
+        * rows from the rescore. null (the default) = rescore against
+        * the registration-time `data`. */
+      dataRefresh: () => org.apache.spark.sql.DataFrame = null) {
+    /** The relation to rescore against: refreshed when the registrant
+      * declared the corpus grow-in-place, else the registration
+      * snapshot. */
+    def liveData: org.apache.spark.sql.DataFrame =
+      if (dataRefresh != null) dataRefresh() else data
+  }
 
   /** All candidate tiers per (idCol, vecCol, metric), keyed by tier
     * name — MULTIPLE tiers may now serve one corpus (e.g. an IVF-PQ
@@ -225,12 +238,23 @@ object AnnIndexRegistry {
         import org.apache.spark.sql.functions.col
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
+        // `relation.exact=true` = the saturating certificate regime:
+        // probe EVERY cell and keep every row — a generator bounded by
+        // nProbe can never claim corpus saturation otherwise (the same
+        // reachability-vs-saturation distinction the filtered route
+        // enforces); g8_sql_ivfpq_saturated hash-proves this mode
+        val exact = s.conf.getOption("spark.graft.ann.relation.exact")
+          .getOrElse("false").toBoolean
+        val data = entry.data.select(col(entry.dataIdCol).as("d_id"),
+          col(entry.dataVecCol).as("d_vec"))
+        val (nProbe, fetch) =
+          if (exact) {
+            val n = math.min(data.count(), Int.MaxValue.toLong).toInt
+            (entry.centroids.length, n)
+          } else (entry.nProbe, math.max(entry.nCand, 4 * k))
         graft.operators.IvfPq.knnOverIndexBlocked(s, q, entry.path,
-            entry.data.select(col(entry.dataIdCol).as("d_id"),
-              col(entry.dataVecCol).as("d_vec")),
-            entry.centroids, entry.codebooks,
-            k = math.max(entry.nCand, 4 * k), nProbe = entry.nProbe,
-            nCand = math.max(entry.nCand, 4 * k))
+            data, entry.centroids, entry.codebooks,
+            k = fetch, nProbe = nProbe, nCand = fetch)
           .select(col("q_id"), col("d_id"))
       },
       // probed-cell fraction × PQ codes-vs-float compression: the
@@ -258,15 +282,47 @@ object AnnIndexRegistry {
     * caller states it (the rule's dim gate still applies). */
   def registerSharded(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                       vecCol: String, ref: graft.index.ShardedIndexRef,
-                      dim: Int, metricName: String, searchL: Int = 60): Unit =
+                      dim: Int, metricName: String, searchL: Int = 60,
+                      refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+    import graft.index.{BudgetPolicy, ShardedIndex}
+    // registration-time per-shard size — the baseline the budget policy
+    // scales from when the index grows without re-registration
+    val regPerShard = ShardedIndex.totalRowsCached(corpus.sparkSession, ref)
+      .toDouble / math.max(ref.nShards + ref.nDeltas, 1)
+    // (discovered live ref, effective per-shard budget, per-shard fetch
+    // count) for THIS query: deltas ingested after registration are
+    // found on disk (one dir listing), per-shard growth scales the
+    // registered beam budget (BudgetPolicy) — a month of delta-ingest
+    // neither disappears from answers nor silently erodes recall — and
+    // `spark.graft.ann.relation.exact=true` saturates every shard's
+    // beam (l = 2·rows, all hits returned), the same certificate
+    // regime as the graph tier's l = 2n (g8_sql_sharded_saturated
+    // hash-proves it end-to-end).
+    def liveState(s: SparkSession, k: Int)
+        : (graft.index.ShardedIndexRef, Int, Int) = {
+      val live = ShardedIndex.discover(s, ref)
+      val rows = ShardedIndex.totalRowsCached(s, live)
+      val exact = s.conf.getOption("spark.graft.ann.relation.exact")
+        .getOrElse("false").toBoolean
+      if (exact) {
+        val cap = math.min(rows, (Int.MaxValue / 2).toLong).toInt.max(1)
+        (live, 2 * cap, cap)
+      } else {
+        val perShard = rows.toDouble /
+          math.max(live.nShards + live.nDeltas, 1)
+        val effL = BudgetPolicy.scaledL(s, searchL, regPerShard, perShard)
+        (live, math.max(effL, 4 * k), 4 * k)
+      }
+    }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
       "sharded", corpus, idCol, vecCol, metricName, dim,
       (s, qv, k) => {
         import s.implicits._
         import org.apache.spark.sql.functions.col
         val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+        val (live, l, kc) = liveState(s, k)
         graft.index.ShardedIndex
-          .searchSingleDf(s, q, ref, l = math.max(searchL, 4 * k), k = 4 * k)
+          .searchSingleDf(s, q, live, l = l, k = kc)
           .select(col("d_id"))
       },
       // beam search touches O(searchL · degree) vectors per shard — a
@@ -280,10 +336,13 @@ object AnnIndexRegistry {
         import org.apache.spark.sql.functions.col
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
+        val (live, l, kc) = liveState(s, k)
         graft.index.ShardedIndex
-          .searchSingleDf(s, q, ref, l = math.max(searchL, 4 * k), k = 4 * k)
+          .searchSingleDf(s, q, live, l = l, k = kc)
           .select(col("q_id"), col("d_id"))
-      }))
+      },
+      dataRefresh = refresh))
+  }
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —
     * coarse dequantized scan over the 4×-compressed codes (see
@@ -1165,7 +1224,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     }
     // candidate ids under a reserved alias: a corpus whose id column is
     // itself named d_id would otherwise make the join condition ambiguous
-    val scored = entry.data
+    val scored = entry.liveData
       .join(broadcast(cands.select(col("d_id").as("__graft_cand_id"))),
         col(entry.dataIdCol) === col("__graft_cand_id"))
       .select(col(entry.dataIdCol).cast("long").as("id"),
@@ -1327,7 +1386,18 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
   * survivors exist. No k survivors → `c` quadruples and the round
   * repeats; when the tier SATURATES (the beam exhausted the reachable
   * set, or the generator returned fewer than asked) the answer is exact
-  * over everything the tier can reach and escalation stops. Cost model
+  * over everything the tier can reach and escalation stops. Tier
+  * REACHABILITY is not corpus coverage — a generator tier (IVF-PQ, SQ8)
+  * is bounded by its probe parameters and a graph beam by connectivity —
+  * so two backstops keep the route honest: (1) exact mode over a
+  * NON-graph tier skips the generator entirely and scores the full
+  * filtered scan (the pre-filter path — exact by construction, since a
+  * generator's saturating fetch proves nothing about unprobed cells);
+  * (2) when escalation ends with fewer than k survivors, the exec falls
+  * back to the same exhaustive filtered scan (conf
+  * `spark.graft.ann.filtered.fallbackExhaustive`, default true, metric
+  * `numExhaustiveFallback`) instead of silently under-returning rows
+  * the exhaustive plan would have found. Cost model
   * at scale: each round is one column-pruned, predicate+id-pushed scan
   * plus O(c) exact distances — the predicate's selectivity sets how many
   * rounds run (selective predicates escalate toward the saturating fetch,
@@ -1356,7 +1426,9 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
     "numSurvivors" -> SQLMetrics.createMetric(sparkContext,
       "rows in the answer"),
     "numPreFilterRows" -> SQLMetrics.createMetric(sparkContext,
-      "filtered rows scored exhaustively by the short-circuit"))
+      "filtered rows scored exhaustively by the short-circuit"),
+    "numExhaustiveFallback" -> SQLMetrics.createMetric(sparkContext,
+      "1 when <k survivors forced the exhaustive filtered fallback"))
 
   private def checkFingerprint(storedFp: String, what: String): Unit =
     if (node.fingerprint.nonEmpty && storedFp != node.fingerprint)
@@ -1451,8 +1523,12 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
     // anyway, plus the search) and EXACT by construction, the classic
     // brute-force-when-selective strategy every filtered-ANN system
     // runs. Default 2k; "0" disables the probe entirely.
-    val preFilterMax = conf("spark.graft.ann.filtered.preFilterMax",
-      (2L * node.k).toString).toLong
+    val preFilterMax = math.min(
+      conf("spark.graft.ann.filtered.preFilterMax",
+        (2L * node.k).toString).toLong,
+      Int.MaxValue.toLong - 1) // the probe limit below must fit an Int
+    val fallbackExhaustive =
+      conf("spark.graft.ann.filtered.fallbackExhaustive", "true").toBoolean
     val filtered = org.apache.spark.sql.GraftColumnBridge
       .ofRows(spark, node.filtered.plan)
     // the probe stops reading at preFilterMax+1 rows (LocalLimit
@@ -1464,9 +1540,14 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
         .limit((preFilterMax + 1).toInt).count()
     var rows: Array[(Long, Double)] = Array.empty
     var round = 0
-    if (probeCnt <= preFilterMax) {
+    if (probeCnt <= preFilterMax || (exact && node.tier != "graph")) {
+      // exact mode over a GENERATOR tier scores the full filtered scan:
+      // a generator's "returned fewer than asked" is probe-parameter
+      // exhaustion, not corpus saturation — only the graph beam's
+      // l >= 2n regime proves it explored everything reachable
       rows = topkRows(filtered, null, isinMax)
-      metrics("numPreFilterRows").add(probeCnt)
+      if (probeCnt <= preFilterMax) metrics("numPreFilterRows").add(probeCnt)
+      else metrics("numExhaustiveFallback").add(1)
     } else {
       val maxC = 1 << 26
       var c =
@@ -1481,6 +1562,14 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
         done = rows.length >= node.k || saturated || round >= maxRounds ||
           c >= maxC
         if (!done) c = math.min(c.toLong * 4, maxC.toLong).toInt
+      }
+      if (rows.length < node.k && fallbackExhaustive) {
+        // the tier ran out of reach (generator probe bound, graph
+        // connectivity, maxRounds) with fewer than k survivors — the
+        // exhaustive plan would keep scanning, so match it: one full
+        // filtered scan, still pushed-down and column-pruned
+        rows = topkRows(filtered, null, isinMax)
+        metrics("numExhaustiveFallback").add(1)
       }
     }
     metrics("numRounds").add(round)
@@ -1651,7 +1740,7 @@ case class SvJoinTopKExec(node: SvJoinTopKNode, child: SparkPlan)
               case "cos" => vecCosine(col("__graft_qvec"), col(entry.dataVecCol))
               case _ => vecDot(col("__graft_qvec"), col(entry.dataVecCol))
             }
-            entry.data
+            entry.liveData
               .join(broadcast(cands.select(col("q_id").as("__graft_qid"),
                   col("d_id").as("__graft_cand_id"))),
                 col(entry.dataIdCol) === col("__graft_cand_id"))

@@ -396,6 +396,163 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  // A STARVED generator registration (nProbe=1 of 16 cells): its
+  // reachability exhaustion is probe-parameter exhaustion, NOT corpus
+  // saturation — exactly the gap the exact-mode and <k-survivors
+  // backstops cover. Distinct column names keep it disjoint.
+  private lazy val starvedSetup: String = {
+    setup
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val dir = "target/tmp/ann_ivfpq_starved"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("svid"), col("embedding").as("svec"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("starved_corpus")
+    val d = corpus.select(col("svid").as("d_id"), col("svec").as("d_vec"))
+    val sample = IvfAnn.collectSample(d, 2000, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val idxPath = "target/tmp/ann_ivfpq_starved_index"
+    IvfPq.writeIndex(spark, d, idxPath, centroids, cbs)
+    AnnIndexRegistry.registerIvfPq(corpus, "svid", "svec",
+      AnnIndexRegistry.IvfPqEntry(idxPath, corpus, "svid", "svec",
+        centroids, cbs, "l2", nProbe = 1, nCand = 10))
+    corpus.filter(col("svid") === 7).select("svec").first().getSeq[Float](0)
+      .map(x => s"${x}F").mkString("array(", ", ", ")")
+  }
+
+  test("filtered route: generator-tier exact mode scores the full filtered scan") {
+    val q = starvedSetup
+    val pred = "svid % 3 = 0"
+    val fSql = s"""SELECT svid, graft_vec_l2sq(svec, $q) AS score
+                  |FROM starved_corpus WHERE $pred
+                  |ORDER BY score ASC LIMIT 10""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(fSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.filtered.exact", "true")
+    spark.conf.set("spark.graft.ann.filtered.preFilterMax", "0")
+    try {
+      val df = spark.sql(fSql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnFilteredTopKNode => n.tier
+      } === Seq("ivfpq"))
+      // a 1-of-16-cell probe "saturates" at a fraction of the corpus;
+      // exact mode must NOT trust it — the answer must still equal the
+      // exhaustive plan's, ids AND scores
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === exact, "generator-tier exact mode diverged from exhaustive")
+    } finally {
+      spark.conf.unset("spark.graft.ann.filtered.exact")
+      spark.conf.unset("spark.graft.ann.filtered.preFilterMax")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("filtered route: starved generator with <k survivors falls back to the exhaustive answer") {
+    val q = starvedSetup
+    // selective predicate × 1-cell probe: escalation cannot reach k=20
+    // survivors (the probe never leaves its cell), so without the
+    // fallback the route under-returns rows the exhaustive plan finds
+    val pred = "svid % 7 = 0"
+    val fSql = s"""SELECT svid, graft_vec_l2sq(svec, $q) AS score
+                  |FROM starved_corpus WHERE $pred
+                  |ORDER BY score ASC LIMIT 20""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exact = spark.sql(fSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact.length === 20)
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.filtered.preFilterMax", "0")
+    try {
+      val df = spark.sql(fSql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnFilteredTopKNode => n.tier
+      } === Seq("ivfpq"))
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === exact, "fallback did not recover the exhaustive answer")
+      val exec = df.queryExecution.executedPlan.collect {
+        case e: graft.plans.AnnFilteredTopKExec => e
+      }.head
+      assert(exec.metrics("numExhaustiveFallback").value === 1L,
+        "exhaustive fallback did not fire")
+      // fallback is opt-out: with it off, the route honestly
+      // under-returns (tier reachability is the answer's ceiling)
+      spark.conf.set("spark.graft.ann.filtered.fallbackExhaustive", "false")
+      assert(spark.sql(fSql).collect().length < 20,
+        "starved probe unexpectedly reached k survivors")
+    } finally {
+      spark.conf.unset("spark.graft.ann.filtered.preFilterMax")
+      spark.conf.unset("spark.graft.ann.filtered.fallbackExhaustive")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
+  test("sharded tier: delta-grown corpus is served with a grown budget, no re-registration") {
+    setup
+    import graft.index.{BudgetPolicy, ShardedIndex}
+    // corpus v1 = 100 rows on ONE shard; the delta (400 rows) is 4× the
+    // base — per-shard size grows 100 → 250, so the budget policy must
+    // scale the registered beam budget, and discovery must serve the
+    // delta rows, all WITHOUT re-registering the tier
+    val dir = "target/tmp/ann_sharded_grow_corpus"
+    val idxPath = "target/tmp/ann_sharded_grow_index"
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("gvid"), col("embedding").as("gvec"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("grow_corpus")
+    val ref = ShardedIndex.buildPersisted(spark,
+      emb.filter(col("vec_id") < 100).select(col("vec_id"),
+        col("embedding")), IndexQueries.FixtureParams, nShards = 1, idxPath)
+    AnnIndexRegistry.registerSharded(corpus, "gvid", "gvec", ref,
+      dim = 64, metricName = "cosine", searchL = 40,
+      refresh = () => spark.read.parquet(dir))
+    def topIdFor(vid: Long): Long = {
+      val q = emb.filter(col("vec_id") === vid)
+        .select("embedding").first().getSeq[Float](0)
+        .map(x => s"${x}F").mkString("array(", ", ", ")")
+      val df = spark.sql(
+        s"""SELECT gvid, graft_vec_cosine(gvec, $q) AS score
+           |FROM grow_corpus ORDER BY score DESC LIMIT 5""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnSearchNode => n.tier
+      } === Seq("sharded"), "not routed to the sharded tier")
+      df.collect().head.getLong(0)
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      assert(topIdFor(7L) === 7L) // baseline: v1 id answers (self top-1)
+      assert(BudgetPolicy.lastAppliedL === 40,
+        "ungrown index must keep the registered budget")
+      // grow: corpus files + index delta; the REGISTRATION is untouched
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+        .select(col("vec_id").as("gvid"), col("embedding").as("gvec"))
+        .write.mode("append").parquet(dir)
+      ShardedIndex.appendDelta(spark,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding")),
+        ref, IndexQueries.FixtureParams) // returned ref DISCARDED
+      // a delta-only row answers: discovery found delta0 on disk and
+      // the refreshed corpus read rescored it
+      assert(topIdFor(450L) === 450L,
+        "delta-ingested row unreachable without re-registration")
+      // and the budget grew with per-shard size: 250/100 × 40 = 100
+      assert(BudgetPolicy.lastAppliedL === 100,
+        s"budget did not scale (got ${BudgetPolicy.lastAppliedL})")
+      // flat policy restores the registration-time budget
+      spark.conf.set("spark.graft.ann.budget.policy", "flat")
+      topIdFor(7L)
+      assert(BudgetPolicy.lastAppliedL === 40)
+    } finally {
+      spark.conf.unset("spark.graft.ann.budget.policy")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("IVF-PQ tier: dot query routes via the ip entry with exact scores") {
     val q = ivfpqSetup
     val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score

@@ -359,6 +359,48 @@ class IndexSpec extends AnyFunSuite {
       IndexQueries.FixtureParams) === ref2)
   }
 
+  test("autoShards, delta discovery, and the budget policy math") {
+    import graft.index.BudgetPolicy
+    // shard count holds SIZE fixed (the scale-with-corpus knob)
+    assert(ShardedIndex.autoShards(2000, 25000) === 1)
+    assert(ShardedIndex.autoShards(25000, 25000) === 1)
+    assert(ShardedIndex.autoShards(25001, 25000) === 2)
+    assert(ShardedIndex.autoShards(200000, 25000) === 8)
+
+    // discovery: deltas appear from disk; a PARTIAL delta (no ids dir —
+    // crash mid-append) is invisible, and a gap truncates the sequence
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_discover_").toString
+    val ref0 = ShardedIndex.buildPersisted(spark,
+      emb.filter(col("vec_id") < 200), IndexQueries.FixtureParams,
+      nShards = 1, path)
+    assert(ShardedIndex.discover(spark, ref0).nDeltas === 0)
+    val ref1 = ShardedIndex.appendDelta(spark,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 300), ref0,
+      IndexQueries.FixtureParams)
+    // the caller's stale ref discovers the new delta from disk
+    assert(ShardedIndex.discover(spark, ref0).nDeltas === 1)
+    assert(ShardedIndex.totalRowsCached(spark,
+      ShardedIndex.discover(spark, ref0)) === 300L)
+    // a half-written delta1 (graph+vectors, no ids) must not serve
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/delta1/graph"))
+    assert(ShardedIndex.discover(spark, ref0).nDeltas === 1)
+    assert(ShardedIndex.discover(spark, ref1).nDeltas === 1)
+
+    // policy math: no growth / growth / ceiling / flat switch
+    assert(BudgetPolicy.scaledL(spark, 60, 100.0, 100.0) === 60)
+    assert(BudgetPolicy.scaledL(spark, 60, 100.0, 50.0) === 60,
+      "a shrunk corpus must keep the registered budget")
+    assert(BudgetPolicy.scaledL(spark, 60, 100.0, 250.0) === 150)
+    assert(BudgetPolicy.scaledL(spark, 60, 1.0, 1e9) === 60 * 64,
+      "maxScale ceiling must bound the growth ratio")
+    spark.conf.set("spark.graft.ann.budget.policy", "flat")
+    try assert(BudgetPolicy.scaledL(spark, 60, 100.0, 250.0) === 60)
+    finally spark.conf.unset("spark.graft.ann.budget.policy")
+  }
+
   test("flagship g9 routes through the sharded tier under the conf switch") {
     val conf = "spark.graft.index.shards"
     spark.conf.set(conf, "2")
@@ -463,10 +505,19 @@ class IndexSpec extends AnyFunSuite {
 
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded, sq8}
-    assert(rows.length === 14)
+    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded, sq8, nsg}
+    assert(rows.length === 16)
+    // the NSG-interop arm searches the SAME graph after an NSG-byte
+    // roundtrip through the shared kernel: rows must EQUAL roar's
+    // recall bit-for-bit (the format boundary must not change search)
+    for (b <- Seq(40, 160)) {
+      val roar = rows.find(r => r._1 == "roar" && r._2 == b).get
+      val nsg = rows.find(r => r._1 == "nsg" && r._2 == b).get
+      assert(nsg._3 === roar._3 && nsg._4 === roar._4,
+        s"NSG roundtrip arm diverged from roar at budget $b: $nsg vs $roar")
+    }
     for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded",
-        "sq8")) {
+        "sq8", "nsg")) {
       val armRows = rows.filter(_._1 == arm).sortBy(_._2)
       assert(armRows.length === 2, s"missing $arm rows: $rows")
       val lo = armRows.head._3
