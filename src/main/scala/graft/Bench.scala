@@ -45,6 +45,26 @@ object Bench {
     if (h.isNullAt(0)) 0L else h.getLong(0)
   }
 
+  /** CALIBRATION STAMP — one fixed, data-independent micro-workload
+    * (CPU: 24M codegen'd hashes; shuffle: 3M rows through a 256-key
+    * exchange) timed in the SAME JVM/session as the queries. Machine/VM
+    * speed drifts up to ~2× between benchmark sessions (r11 measured a
+    * uniform 1.19× elevation on untouched queries); dividing per-query
+    * ratios by the calib ratio of the two runs normalizes that drift
+    * MECHANICALLY instead of by-hand adjudication. Reported as the min
+    * of `reps` runs under `"calib_sec"` in the JSON. */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 24L * 1000 * 1000, 1, 32)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(bit_xor(col("h"))).collect()
+    spark.range(0, 3L * 1000 * 1000, 1, 32)
+      .groupBy(pmod(xxhash64(col("id")), lit(256)).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(bit_xor(xxhash64(col("k"), col("c")))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -92,8 +112,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toIndexedSeq
       .filter(n => only.forall(_.contains(n)))
+    // calibration stamp: once per pass (same decorrelation argument as
+    // the round-robin reps), min reported — ~1 s each, not billed to
+    // any query
+    val calibRaw = collection.mutable.ArrayBuffer.empty[Double]
     val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
-    for (_ <- 1 to reps; name <- names) {
+    for (_ <- 1 to reps) { calibRaw += calibrate(spark); for (name <- names) {
       val t0 = System.nanoTime()
       val ok =
         try { force(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -104,7 +128,7 @@ object Bench {
       val rec = (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       raw(name) = raw.getOrElse(name, Vector.empty) :+ rec
       dropLeakedBlocks(spark)
-    }
+    } }
     val results = names.map { name =>
       val rs = raw(name)
       val ok = rs.forall(_._2)
@@ -123,7 +147,9 @@ object Bench {
         .mkString("[", ",", "]")
       val failed = results.count { case (_, (_, ok, _)) => !ok }
       val total = results.collect { case (_, (sec, true, _)) => sec }.sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+      val calib = fmt(calibRaw.min)
+      val calibAll = calibRaw.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_sec":$calib,"calib_raw":$calibAll,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
     }
     // Full-precision copy goes to a file (survives any log-tail bound);
     // the printed line is 3-decimal so the whole line fits in a bounded

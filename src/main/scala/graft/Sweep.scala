@@ -34,9 +34,23 @@ import graft.sources.Sinks
   *  - `sharded` — the persisted graph tier (beyond reference parity):
   *    the SAME G9 adaptive search run per persisted shard through the
   *    resident-LRU lifecycle instead of one broadcast graph — the
-  *    past-the-broadcast-ceiling posture's curve (recall should track
-  *    `roar`: each shard's beam explores its sub-corpus with the full
-  *    budget)
+  *    past-the-broadcast-ceiling posture's curve. Shard count follows
+  *    [[graft.index.ShardedIndex.autoShards]] (target shard size
+  *    [[ShardTargetRows]], min 2): shard SIZE stays fixed as the corpus
+  *    grows, so effective exploration (= budget × shards) grows with
+  *    the data — the budget policy the 100× flat-budget recall droop
+  *    (SWEEP_SF10) demands.
+  *  - `nsg`  — the NSG-format interop arm (the reference's vendored
+  *    baseline, `tests/nsg/search_rerank_nsg.cpp`: search a prebuilt
+  *    NSG index, rerank, report): the built graph is exported to NSG
+  *    bytes ([[graft.index.CsrGraph.saveNsg]]), re-imported via
+  *    [[graft.index.CsrGraph.loadNsg]], and searched through the SAME
+  *    shared beam kernel — proof the byte-format boundary round-trips
+  *    into serving, not just through SourcesSpec.
+  *
+  * `SPARK_GRAFT_SWEEP_ARMS` (csv, default all) picks a subset of arms —
+  * offline halves (index builds, codebook training) run only for
+  * selected arms, so a targeted re-sweep never pays for the others.
   *
   * and the reference's second quality metric, relative distance error
   * (`ComputeRderr`, `test_search_roargraph.cpp:38-62`), rank-aligned on
@@ -58,6 +72,13 @@ import graft.sources.Sinks
 object Sweep {
   import VectorQueries.{C, NQ, K}
 
+  /** Target rows per shard for the sharded arm: sized so the sf0.1
+    * fixture (2k vectors) keeps its historical 2 shards while scaled
+    * corpora grow shard COUNT, not shard size (sf5/100k → 4, sf10/200k
+    * → 8) — exploration scales with the corpus at fixed per-shard
+    * memory. */
+  val ShardTargetRows = 25000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val budgets = args.lift(1).getOrElse("40,80,120,200")
@@ -69,6 +90,9 @@ object Sweep {
       case _ => IndexQueries.FixtureParams
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val arms = sys.env.get("SPARK_GRAFT_SWEEP_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllArms)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,7 +100,7 @@ object Sweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = run(spark, sfDir, budgets, params)
+    val rows = run(spark, sfDir, budgets, params, arms)
     println("arm\tbudget\trecall\trderr\tqps\tsearch_sec\trerank_frac")
     rows.foreach { case (arm, b, r, e, q, t, f) =>
       println(f"$arm\t$b\t$r%.4f\t$e%.5f\t$q%.1f\t$t%.3f\t$f%.3f") }
@@ -89,20 +113,38 @@ object Sweep {
     spark.stop()
   }
 
+  val AllArms: Set[String] =
+    Set("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded", "sq8", "nsg")
+
   /** One (arm, budget, Recall@K, rel-dist-err, QPS, search wall sec,
-    * rerank_frac) row per (arm × budget). */
+    * rerank_frac) row per (arm × budget); `arms` picks a subset (their
+    * offline halves are built lazily, so unselected arms cost
+    * nothing). */
   def run(spark: SparkSession, sfDir: String, budgets: Seq[Int],
-          params: graft.index.BuildParams = IndexQueries.FixtureParams)
+          params: graft.index.BuildParams = IndexQueries.FixtureParams,
+          arms: Set[String] = AllArms)
       : Seq[(String, Int, Double, Double, Double, Double, Double)] = {
     val emb = Tables.embeddings(spark, sfDir)
-    val idx = GraphBuild.build(spark, emb, emb, params)
-    val graphB = spark.sparkContext.broadcast(idx.graph)
-    val vecsB = spark.sparkContext.broadcast(idx.vecs)
+    lazy val idx = GraphBuild.build(spark, emb, emb, params)
+    lazy val graphB = spark.sparkContext.broadcast(idx.graph)
+    lazy val vecsB = spark.sparkContext.broadcast(idx.vecs)
     // HNSW arm SHARES the corpus broadcast (vecsB) — the index itself
     // carries only adjacency; reference knobs M=35, efC=500; the
     // deterministic batch-parallel build (same recall gate, all cores)
-    val hnswB = spark.sparkContext.broadcast(
+    lazy val hnswB = spark.sparkContext.broadcast(
       Hnsw.buildParallel(idx.vecs, idx.params.metric))
+    // NSG interop arm: the built graph exported to the reference's NSG
+    // byte format, re-imported, and served by the same kernel — the
+    // search_rerank_nsg.cpp baseline shape (the vendored NSG builder is
+    // not reimplemented; the FORMAT and serving path are the boundary)
+    lazy val nsgB = {
+      val f = java.nio.file.Files.createTempFile("graft_sweep_nsg_", ".nsg")
+      graft.index.CsrGraph.saveNsg(idx.graph, f.toString)
+      val g = graft.index.CsrGraph.loadNsg(f.toString)
+      java.nio.file.Files.delete(f)
+      require(g.n == idx.graph.n, "NSG roundtrip changed node count")
+      spark.sparkContext.broadcast(g)
+    }
     val querySets = emb.filter(col("vec_id") < NQ * C).select(
       (col("vec_id") / C).cast("long").as("qset_id"),
       (col("vec_id") % C).cast("int").as("q_sub"),
@@ -152,71 +194,83 @@ object Sweep {
     // by every budget row (the offline half of the tier)
     val corpus = emb.select(col("vec_id").as("d_id"),
       col("embedding").as("d_vec"))
-    val pqCbs = PqAnn.trainCodebooks(
+    lazy val pqCbs = PqAnn.trainCodebooks(
       IvfAnn.collectSample(corpus, 2000, 42L), nSub = 8, ncode = 32)
-    val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
+    lazy val pqEncoded = PqAnn.encode(corpus, pqCbs).localCheckpoint(true)
 
     // ivfpq arm offline half: coarse centroids + the codes-only
     // cell-partitioned index on disk, shared by every budget row
-    val ivfCentroids = IvfAnn.trainCentroids(
+    lazy val ivfCentroids = IvfAnn.trainCentroids(
       IvfAnn.collectSample(corpus, 2000, 42L), 16, seed = 42L)
-    val ivfPqPath = java.nio.file.Files
-      .createTempDirectory("graft_sweep_ivfpq_").toString
-    graft.operators.IvfPq.writeIndex(spark, corpus, ivfPqPath,
-      ivfCentroids, pqCbs)
+    lazy val ivfPqPath = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sweep_ivfpq_").toString
+      graft.operators.IvfPq.writeIndex(spark, corpus, p, ivfCentroids, pqCbs)
+      p
+    }
 
-    // sharded arm offline half: a 2-shard persisted build at a temp
-    // path, shared by every budget row (resident LRU sized by conf)
-    val shardedRef = graft.index.ShardedIndex.buildPersisted(spark, emb,
-      idx.params, nShards = 2, java.nio.file.Files
-        .createTempDirectory("graft_sweep_sharded_").toString)
+    // sharded arm offline half: an AUTO-SHARDED persisted build (shard
+    // size fixed at ShardTargetRows, min 2 shards — shard count, and
+    // with it total exploration, grows with the corpus), shared by
+    // every budget row (resident LRU sized by conf)
+    lazy val shardedRef = graft.index.ShardedIndex.buildPersistedAuto(
+      spark, emb, params, java.nio.file.Files
+        .createTempDirectory("graft_sweep_sharded_").toString,
+      targetShardRows = ShardTargetRows, minShards = 2)
 
     // sq8 arm offline half: per-dim bounds + one byte-encode pass,
     // shared by every budget row (4× smaller coarse scan than float32)
-    val sq8Bounds = graft.operators.Sq8Ann.trainBounds(corpus)
-    val sq8Encoded = graft.operators.Sq8Ann.encode(corpus, sq8Bounds)
+    lazy val sq8Bounds = graft.operators.Sq8Ann.trainBounds(corpus)
+    lazy val sq8Encoded = graft.operators.Sq8Ann.encode(corpus, sq8Bounds)
       .localCheckpoint(true)
 
     // randproj arm offline half: one seeded 64→16 projection of corpus
     // and queries, shared by every budget row
-    val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
-    val rpCorpus = RandomProjection.project(corpus, "d_id", "d_vec", rpSeeds)
+    lazy val rpSeeds = IvfAnn.seededCentroids(corpus, 16)
+    lazy val rpCorpus = RandomProjection.project(corpus, "d_id", "d_vec", rpSeeds)
       .select(col("d_id"), col("pvec").as("d_vec")).localCheckpoint(true)
-    val rpQueries = RandomProjection
+    lazy val rpQueries = RandomProjection
       .project(queryVecs, "q_id", "q_vec", rpSeeds)
       .select(col("q_id"), col("pvec").as("q_vec")).localCheckpoint(true)
 
     budgets.flatMap { budget =>
-      val roarCands = BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
-        idx.params.metric, minPq = math.min(10, budget / C),
-        maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
-        .select(col("qset_id"), col("d_id"))
       val ef = math.max(budget / C, 1)
-      val hnswCands = Hnsw.searchDf(spark, queryVecs, hnswB, vecsB, k = ef, ef = ef)
-        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
-      val pqCands = PqAnn.searchEncoded(queryVecs, pqEncoded, corpus, pqCbs,
-        k = ef, nCand = math.max(2 * ef, K))
-        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
-      val rpCands = KnnKernel.bruteForce(spark, rpQueries, rpCorpus, ef)
-        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
-      val ivfPqCands = graft.operators.IvfPq.knnOverIndexBlocked(spark,
-        queryVecs, ivfPqPath, corpus, ivfCentroids, pqCbs,
-        k = ef, nCand = math.max(2 * ef, K))
-        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
-      val shardedCands = graft.index.ShardedIndex.searchMultiDf(spark,
-        querySets, shardedRef, minPq = math.min(10, budget / C),
-        maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
-        .select(col("qset_id"), col("d_id"))
-      val sq8Cands = graft.operators.Sq8Ann.searchEncoded(queryVecs,
-        sq8Encoded, corpus, sq8Bounds, k = ef, nCand = math.max(2 * ef, K))
-        .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))
-      Seq(evalArm("roar", budget, roarCands),
-        evalArm("hnsw", budget, hnswCands),
-        evalArm("pq", budget, pqCands),
-        evalArm("randproj", budget, rpCands),
-        evalArm("ivfpq", budget, ivfPqCands),
-        evalArm("sharded", budget, shardedCands),
-        evalArm("sq8", budget, sq8Cands))
+      def multiCands(gB: org.apache.spark.broadcast.Broadcast[graft.index.CsrGraph]) =
+        BeamSearch.searchMultiDf(spark, querySets, gB, vecsB,
+          params.metric, minPq = math.min(10, budget / C),
+          maxPq = math.max(budget * 2, 32), budget = budget, adaptive = true)
+          .select(col("qset_id"), col("d_id"))
+      val armCands: Seq[(String, () => DataFrame)] = Seq(
+        "roar" -> (() => multiCands(graphB)),
+        "hnsw" -> (() =>
+          Hnsw.searchDf(spark, queryVecs, hnswB, vecsB, k = ef, ef = ef)
+            .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))),
+        "pq" -> (() =>
+          PqAnn.searchEncoded(queryVecs, pqEncoded, corpus, pqCbs,
+            k = ef, nCand = math.max(2 * ef, K))
+            .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))),
+        "randproj" -> (() =>
+          KnnKernel.bruteForce(spark, rpQueries, rpCorpus, ef)
+            .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))),
+        "ivfpq" -> (() =>
+          graft.operators.IvfPq.knnOverIndexBlocked(spark,
+            queryVecs, ivfPqPath, corpus, ivfCentroids, pqCbs,
+            k = ef, nCand = math.max(2 * ef, K))
+            .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))),
+        "sharded" -> (() =>
+          graft.index.ShardedIndex.searchMultiDf(spark,
+            querySets, shardedRef, minPq = math.min(10, budget / C),
+            maxPq = math.max(budget * 2, 32), budget = budget,
+            adaptive = true)
+            .select(col("qset_id"), col("d_id"))),
+        "sq8" -> (() =>
+          graft.operators.Sq8Ann.searchEncoded(queryVecs,
+            sq8Encoded, corpus, sq8Bounds, k = ef, nCand = math.max(2 * ef, K))
+            .select((col("q_id") / C).cast("long").as("qset_id"), col("d_id"))),
+        "nsg" -> (() => multiCands(nsgB)))
+      armCands.collect { case (arm, cands) if arms.contains(arm) =>
+        evalArm(arm, budget, cands())
+      }
     }
   }
 }
