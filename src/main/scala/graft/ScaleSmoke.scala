@@ -23,15 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Per-query budget: 10 × max(base, 0.3s) — the 0.3s floor keeps
   * fixed-overhead-dominated sub-second queries from tripping on noise.
-  * Exemptions (documented super-linear SEMANTICS, not plan defects):
+  * Exemption (documented super-linear SEMANTICS, not a plan defect):
   * dedup_embedding_cosine is an exact all-pairs top-N — compute is O(N²)
-  * by definition (its scale path is the thresholded LSH twin);
-  * semdedup's / semdedup_text's FIXTURE parameterizations pin nlist
-  * (16 / 8) so the DuckDB oracles are fixed SQL texts — per-cell pair
-  * scans are then O((N/nlist)²).
-  * Production callers scale nlist with the corpus ([[graft.operators
-  * .SemDedup.markSeeded]] takes it as a parameter; nlist ∝ √N balances
-  * assignment vs pair-scan at the classic IVF N^1.5).
+  * by definition (its scale path is the thresholded LSH twin).
+  * semdedup / semdedup_text run UNEXEMPT since round 12: they register
+  * [[graft.operators.SemDedup.markSeededAuto]] (nlist ≈ √N, the classic
+  * IVF N^1.5 balance — the DuckDB oracles compute the same nlist from
+  * the same count), so the production parameterization is both
+  * hash-checked and inside the tripwire.
   *
   * Usage: `runMain graft.ScaleSmoke [srcDir] [factor] [workDir]`;
   * reads BENCH_LOCAL.json (env SPARK_GRAFT_BASE_BENCH overrides), writes
@@ -64,7 +63,7 @@ object ScaleFixtures {
 
 object ScaleSmoke {
 
-  private val Exempt = Set("dedup_embedding_cosine", "semdedup", "semdedup_text")
+  private val Exempt = Set("dedup_embedding_cosine")
 
   /** Letters shifted by `r` within each case; digits/punct unchanged. */
   private def caesar(c: Column, r: Int): Column = {

@@ -40,10 +40,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c → dump + oracle just those queries
+    // (fast single-query oracle iteration, the Bench BENCH_ONLY twin);
+    // unset = the full surface, as the driver runs it. Subset runs
+    // should target a THROWAWAY outDir — a partial dump at the
+    // driver's dir would read as missing queries.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Per-query ok/fail is RECORDED (verify_status.json + a loud summary),
     // not just stderr-logged: a regressed query must read as a failure,
     // never as a silently-missing parquet.
-    val status = SparkEntry.queries.map { case (name, fn) =>
+    val status = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val ok =
         try {
           val df = fn(spark, sfDir)
@@ -79,6 +88,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

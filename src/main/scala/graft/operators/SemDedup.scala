@@ -252,4 +252,20 @@ object SemDedup {
     val d = corpus.select(col("id").as("d_id"), col("vec").as("d_vec"))
     mark(corpus, IvfAnn.seededCentroids(d, nlist), tau)
   }
+
+  /** nlist ≈ √N — the classic IVF balance point between the
+    * assignment pass (N·nlist cosines) and the cell-local pair scan
+    * (Σ cell² ≈ N²/nlist): both terms land at N^1.5, sub-quadratic
+    * without any tuning. ceil(sqrt) is IEEE-exact for any count that
+    * fits a double, so the DuckDB oracle computes the identical value
+    * from the same corpus. */
+  def autoNlist(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** [[markSeeded]] at the [[autoNlist]] default — the production
+    * parameterization: one count, then the deterministic pipeline.
+    * Callers with a known corpus size (or a tuned cell budget) use
+    * [[markSeeded]] directly. */
+  def markSeededAuto(corpus: DataFrame, tau: Double): DataFrame =
+    markSeeded(corpus, autoNlist(corpus.count()), tau)
 }

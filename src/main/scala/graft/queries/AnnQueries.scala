@@ -121,11 +121,15 @@ object AnnQueries extends QueryPack {
     // cosine≥τ dup marking, greedy-by-id survivors. Hash-checked
     // END-TO-END — the production path IS the oracle path (the seeded
     // centroid pick is the only "training", and it's deterministic).
+    // nlist auto-scales ≈ √N (SemDedup.autoNlist — assignment and pair
+    // scan balance at N^1.5), and the DuckDB oracle computes the SAME
+    // nlist from the same corpus count, so the production
+    // parameterization is the hash-checked one at every scale.
     "semdedup" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      graft.operators.SemDedup.markSeeded(plantNearDupsExact(base),
-        nlist = 16, tau = 0.9)
+      graft.operators.SemDedup.markSeededAuto(plantNearDupsExact(base),
+        tau = 0.9)
     }),
 
     // The COMPLETE text→vector→dedup composition in one declarative
@@ -157,9 +161,8 @@ object AnnQueries extends QueryPack {
             .as("vec"))
         .filter(aggregate(col("vec"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")) > 0)
-      graft.operators.SemDedup.markSeeded(
-        dense.select(col("doc_id").as("id"), col("vec")),
-        nlist = 8, tau = 0.95)
+      graft.operators.SemDedup.markSeededAuto(
+        dense.select(col("doc_id").as("id"), col("vec")), tau = 0.95)
     }),
 
     // IVF with a corpus-SEEDED (training-free) quantizer — the
@@ -1250,7 +1253,9 @@ object AnnQueries extends QueryPack {
     * lower-id dup marking — all on the same 9-decimal double
     * quantization as the Spark kernel. */
   private val semDedupOracle: String = {
-    val nlist = 16
+    // nlist = ceil(sqrt(N)) computed IN the statement from the same
+    // corpus — the SemDedup.autoNlist twin (IEEE sqrt/ceil, exact)
+    val nlist = "(SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM corpus)"
     val tau = 0.9
     s"""WITH $plantedCorpusCtes,
        |seeds AS (
@@ -1280,7 +1285,9 @@ object AnnQueries extends QueryPack {
     * vectors. Bucket sums are ±1 integers in double, exact in any
     * accumulation order. */
   private val semDedupTextOracle: String = {
-    val nlist = 8
+    // auto-nlist from the DENSE (zero-norm-dropped) corpus count — the
+    // same count markSeededAuto takes its sqrt over
+    val nlist = "(SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM corpus)"
     val tau = 0.95
     s"""WITH t AS (SELECT doc_id, unnest(${TextQueries.tokensSql}) AS tok
        |           FROM documents),
