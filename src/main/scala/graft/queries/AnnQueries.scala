@@ -354,6 +354,26 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The SAME saturating statement answered by the SHARDED tier
+    // (forced via spark.graft.ann.tier in a per-tier certificate
+    // session): every shard's beam runs at l = 2·rows with all hits
+    // kept, so the candidate set saturates and the routed answer must
+    // be HASH-IDENTICAL to the exhaustive ranking — the "every tier
+    // shape certified" closure for the past-the-broadcast-ceiling path.
+    "g8_sql_sharded_saturated" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "sharded")
+      rs.sql(svRelationSql(K))
+    }),
+
+    // And by the IVF-PQ tier: exact mode probes EVERY cell and keeps
+    // every row (probe-parameter exhaustion is NOT corpus saturation —
+    // the route saturates the generator itself), so the compressed
+    // tier's routed machinery carries the same hash-green certificate.
+    "g8_sql_ivfpq_saturated" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "ivfpq")
+      rs.sql(svRelationSql(K))
+    }),
+
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
     // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
     // QUERY-RELATION spelling: ONE statement for every query set (the
@@ -646,6 +666,60 @@ object AnnQueries extends QueryPack {
       child.conf.set("spark.graft.ann.relation.exact", "true")
       child
     })
+
+  /** Per-TIER certificate sessions (sharded / ivfpq): exact-mode child
+    * with the tier FORCED by conf, so the relation route answers from
+    * that tier's saturating batch generator (every shard's beam at
+    * l = 2·rows / every IVF cell probed) instead of the broadcast
+    * graph — the per-tier twins of [[exactFilteredSession]]. */
+  private val tierExactSessions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SparkSession]()
+
+  private def tierExactSession(s: SparkSession, tier: String): SparkSession =
+    tierExactSessions.computeIfAbsent((s, tier), _ => {
+      val child = s.newSession()
+      child.conf.set("spark.graft.ann.rewrite", "true")
+      child.conf.set("spark.graft.ann.relation.exact", "true")
+      child.conf.set("spark.graft.ann.tier", tier)
+      child
+    })
+
+  /** [[svSqlSetup]]'s candidate-tier twin: install the rule on the
+    * tier's certificate session, register the requested tier over the
+    * embeddings relation (fixture sharded index / IVF-PQ index — both
+    * cached per dir), (re)point the views. Idempotent per call. */
+  private def svTierSqlSetup(s: SparkSession, dir: String,
+                             tier: String): SparkSession = {
+    import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
+    val rs = tierExactSession(s, tier)
+    graft.functions.GraftFunctions.register(rs)
+    val cls = rs.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
+      cls.experimental.extraOptimizations =
+        cls.experimental.extraOptimizations :+ AnnTopKRule
+      cls.experimental.extraStrategies =
+        cls.experimental.extraStrategies :+ AnnStrategy
+    }
+    val emb = Tables.embeddings(rs, dir)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    tier match {
+      case "sharded" =>
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedHandles(rs, dir, 2), dim = dim,
+          metricName = "cosine", searchL = 80)
+      case "ivfpq" =>
+        val (path, centroids, cbs) = ivfPqIndex(rs, dir)
+        AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+          AnnIndexRegistry.IvfPqEntry(path, emb, "vec_id", "embedding",
+            centroids, cbs, "cosine", nProbe = 12, nCand = 250))
+      case other => sys.error(s"no certificate setup for tier '$other'")
+    }
+    emb.createOrReplaceTempView("graft_emb")
+    Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .createOrReplaceTempView("graft_emb_queries")
+    rs
+  }
 
   /** The filtered-ANN SQL spelling both knn_sql_filtered variants run:
     * metadata predicate + similarity order + limit, score rounded at the
@@ -1247,6 +1321,27 @@ object AnnQueries extends QueryPack {
        |       CAST(COALESCE(l.cluster_id, c.id) = c.id AS BIGINT) AS is_canonical
        |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.id""".stripMargin
 
+  /** Shared saturating-route oracle: exhaustive per-query cosine top-k
+    * over the fixture query relation — every saturated route (graph,
+    * sharded, ivfpq) must hash-match this exact ranking. */
+  private lazy val g8SaturatedOracle: String = {
+    import VectorQueries.{C, NQ, K}
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |scored AS (
+       |  SELECT q.q_id, d.vec_id,
+       |         ${dotSqlAB("q.q_vec", "d.embedding")} /
+       |           (${normSqlExpr("q.q_vec")} * ${normSqlExpr("d.embedding")}) AS score
+       |  FROM q CROSS JOIN embeddings d),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS d_id, round(score, 6) AS score FROM ranked
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** semdedup oracle — the complete SemDeDup pipeline in SQL: planted
     * corpus, md5-ranked seeded centroids, argmax-cosine cell assignment
     * (the [[ivfSeededOracle]] CTE shape), cell-local pair scan, greedy
@@ -1440,24 +1535,13 @@ object AnnQueries extends QueryPack {
          |  FROM scored)
          |SELECT vec_id, round(score, 6) AS score FROM ranked
          |WHERE rnk <= ${2 * K}""".stripMargin,
-    // g8_sql_saturated: exhaustive per-query cosine top-k over the
-    // same query relation — raw-score ranking with id tiebreak, the
-    // exact mirror of the routed window (round-6 only at the boundary)
-    "g8_sql_saturated" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
-         |           FROM embeddings WHERE vec_id < ${NQ * C}),
-         |scored AS (
-         |  SELECT q.q_id, d.vec_id,
-         |         ${dotSqlAB("q.q_vec", "d.embedding")} /
-         |           (${normSqlExpr("q.q_vec")} * ${normSqlExpr("d.embedding")}) AS score
-         |  FROM q CROSS JOIN embeddings d),
-         |ranked AS (
-         |  SELECT q_id, vec_id, score,
-         |         row_number() OVER (PARTITION BY q_id
-         |           ORDER BY score DESC, vec_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT q_id, vec_id AS d_id, round(score, 6) AS score FROM ranked
-         |WHERE rnk <= $K""".stripMargin,
+    // g8_sql_saturated (+ the sharded / ivfpq tier certificates, same
+    // statement, same oracle): exhaustive per-query cosine top-k over
+    // the same query relation — raw-score ranking with id tiebreak,
+    // the exact mirror of the routed window (round-6 at the boundary)
+    "g8_sql_saturated" -> g8SaturatedOracle,
+    "g8_sql_sharded_saturated" -> g8SaturatedOracle,
+    "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,

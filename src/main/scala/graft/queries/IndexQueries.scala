@@ -66,8 +66,8 @@ object IndexQueries extends QueryPack {
   private val shardedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardedIndexRef]()
 
-  private def shardedHandles(s: SparkSession, dir: String,
-                             nShards: Int): ShardedIndexRef =
+  private[queries] def shardedHandles(s: SparkSession, dir: String,
+                                      nShards: Int): ShardedIndexRef =
     shardedCache.computeIfAbsent((dir, nShards), _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_sharded_").toString
