@@ -125,10 +125,12 @@ object VectorQueries extends QueryPack {
     // λ-balanced re-rank of each query's top-50 cosine candidates —
     // next = argmax λ·rel − (1−λ)·max sim-to-selected. Candidate pairs
     // and the greedy loop stay keyed by query in the executors
-    // (mapGroups over nCand² bounded rows). Rows-only: the greedy
-    // objective is order-sensitive by design; DiverseTopKSpec holds the
-    // λ=1 ≡ plain-top-k equality, the hand-computed fixture order, and
-    // the duplicate-suppression property.
+    // (mapGroups over nCand² bounded rows). HASH-CHECKED since r12: the
+    // greedy selection is deterministic (9-quantized inputs, smaller-id
+    // ties), so the DuckDB oracle replays it step by step (k unrolled
+    // CTE stages — topkMmrOracle); DiverseTopKSpec additionally holds
+    // the λ=1 ≡ plain-top-k equality, the hand-computed fixture order,
+    // and the duplicate-suppression property.
     "topk_mmr" -> ((s, dir) => {
       val cands = KnnKernel.bruteForce(s, queryVecs(s, dir),
           dataVecs(s, dir), 50, excludeSelf = true)
@@ -254,6 +256,68 @@ object VectorQueries extends QueryPack {
        |  FROM scored)
        |SELECT q_id, rank, d_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** topk_mmr oracle — the GREEDY MMR selection replayed in SQL by
+    * unrolling the k selection steps as chained CTEs (k is a fixture
+    * constant, so the unrolled text is a fixed statement; a recursive
+    * CTE would need aggregation in the recursive term, which SQL
+    * forbids). Stage i computes every remaining candidate's
+    * max-sim-to-selected via the precomputed candidate-pair sims and
+    * picks argmax(λ·rel − (1−λ)·maxsim) with the smaller-id tie rule —
+    * exactly [[graft.operators.DiverseTopK.mmr]]'s executor loop on
+    * the same 9-quantized inputs and the same IEEE double arithmetic;
+    * `round_even` mirrors the kernel's `math.rint` output grid. */
+  private lazy val topkMmrOracle: String = {
+    val nCand = 50
+    val stages = (2 to K).map { i =>
+      s"""pen$i AS (
+         |  SELECT c.q_id, c.d_id, c.rel, max(s.sim) AS ms
+         |  FROM cands c
+         |  JOIN picked${i - 1} p ON p.q_id = c.q_id
+         |  JOIN sims s ON s.q_id = c.q_id
+         |    AND s.a_id = LEAST(c.d_id, p.d_id)
+         |    AND s.b_id = GREATEST(c.d_id, p.d_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM picked${i - 1} pp
+         |                    WHERE pp.q_id = c.q_id AND pp.d_id = c.d_id)
+         |  GROUP BY c.q_id, c.d_id, c.rel),
+         |sel$i AS (
+         |  SELECT q_id, d_id, rel, v FROM (
+         |    SELECT q_id, d_id, rel, 0.5 * rel - 0.5 * ms AS v,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY 0.5 * rel - 0.5 * ms DESC, d_id ASC) AS rn
+         |    FROM pen$i) t WHERE rn = 1),
+         |picked$i AS MATERIALIZED (SELECT * FROM picked${i - 1} UNION ALL
+         |             SELECT q_id, d_id, rel, v, $i AS rank FROM sel$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+       |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+       |scored AS (
+       |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
+       |  FROM q CROSS JOIN d WHERE q.q_id <> d.d_id),
+       |cands AS MATERIALIZED (
+       |  SELECT q_id, d_id, score AS rel FROM (
+       |    SELECT q_id, d_id, score,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY score DESC, d_id ASC) AS rn
+       |    FROM scored) t WHERE rn <= $nCand),
+       |cv AS (SELECT c.q_id, c.d_id, e.embedding
+       |       FROM cands c JOIN d e ON e.d_id = c.d_id),
+       |sims AS MATERIALIZED (
+       |  SELECT a.q_id, a.d_id AS a_id, b.d_id AS b_id,
+       |         round(${cosineSql("a", "b")}, 9) AS sim
+       |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.d_id < b.d_id),
+       |sel1 AS (
+       |  SELECT q_id, d_id, rel, v FROM (
+       |    SELECT q_id, d_id, rel, 0.5 * rel AS v,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY 0.5 * rel DESC, d_id ASC) AS rn
+       |    FROM cands) t WHERE rn = 1),
+       |picked1 AS (SELECT q_id, d_id, rel, v, 1 AS rank FROM sel1)$stages
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, d_id,
+       |       round(round_even(v * 1000000, 0) / 1000000, 6) AS mmr_score,
+       |       round(round_even(rel * 1000000, 0) / 1000000, 6) AS rel
+       |FROM picked$K""".stripMargin
+  }
+
   /** Shared CTE: cosine sim triples between query sets and all data. */
   private val simTriplesCte =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < ${NQ * C}),
@@ -333,6 +397,7 @@ object VectorQueries extends QueryPack {
          |  FROM surv)
          |SELECT q_id, rank, d_id, "group", round(score, 6) AS score
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    "topk_mmr" -> topkMmrOracle,
     "j1_knn_cosine" -> j1OracleSql,
     // identical semantics, kernel-tier execution — same oracle
     "j1_knn_block" -> j1OracleSql,
