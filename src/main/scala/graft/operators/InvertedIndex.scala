@@ -127,6 +127,60 @@ object InvertedIndex {
     writeStats(spark, path, maxId, n0 + cnt, s0 + sumDl)
   }
 
+  /** Fold append-accumulated small files — and any replay-duplicated
+    * rows (stale-watermark re-appends) — back into ONE sorted file per
+    * bucket, keeping the bucket-partitioned layout so queries stay
+    * partition-pruned. After compaction the read-time `max(tf)` fold
+    * in [[bm25Query]] is a no-op and small-file pressure is gone; at
+    * 100 TB this is the standard background postings merge. Each
+    * bucket's rows hash to one task (`repartition(bucket)`), so
+    * `partitionBy` writes a single sorted file per bucket dir.
+    *
+    * Staging-swap with the [[graft.operators.SemDedup.compactCellIndex]]
+    * crash posture: staging written first, two renames, old dropped
+    * last; [[recoverCompact]] (called here and cheap from any startup
+    * path) restores a stranded old dir or drops a stale one. Requires
+    * QUIESCENCE — no concurrent query or append during the swap. The
+    * `_stats` sidecar is untouched: compaction changes no doc, so the
+    * corpus constants and watermark remain exact. */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    recoverCompact(spark, path)
+    val f = fs(spark, path)
+    val live = new Path(s"$path/postings")
+    if (!f.exists(live)) return
+    val staging = new Path(s"$path/postings__compact_staging")
+    spark.read.parquet(live.toString)
+      .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
+      .agg(max(col("tf")).as("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(staging.toString)
+    val old = new Path(s"$path/postings__compact_old")
+    require(f.rename(live, old), s"compact: cannot move $live aside")
+    require(f.rename(staging, live),
+      s"compact: cannot promote staging for $live")
+    f.delete(old, true)
+  }
+
+  /** Recover a [[compactPostings]] that crashed between its renames:
+    * stranded old with no live postings → restore; both present (crash
+    * after promote) → drop old; stranded staging → drop (never live). */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val live = new Path(s"$path/postings")
+    val old = new Path(s"$path/postings__compact_old")
+    if (f.exists(old)) {
+      if (!f.exists(live))
+        require(f.rename(old, live), s"recover: cannot restore $live")
+      else f.delete(old, true)
+    }
+    val staging = new Path(s"$path/postings__compact_staging")
+    if (f.exists(staging)) f.delete(staging, true)
+  }
+
   /** BM25 top-k for `terms` served FROM the index: the postings scan
     * prunes to the terms' buckets (partition pruning) and pushes the
     * term filter; corpus constants come from `_stats`; scoring is the

@@ -1232,6 +1232,9 @@ object TextQueries extends QueryPack {
       InvertedIndex.append(s, d.filter(col("doc_id") <= half), idx)
       InvertedIndex.append(s, d.filter(col("doc_id") > half), idx)
       InvertedIndex.append(s, d.filter(col("doc_id") > half), idx) // replay
+      // background postings merge (one sorted file per bucket, replay
+      // dups folded away) — serving must be unchanged post-compaction
+      InvertedIndex.compactPostings(s, idx)
       InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
     }),
 

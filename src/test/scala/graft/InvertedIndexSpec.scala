@@ -80,6 +80,60 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.readStats(spark, idx) === Some((4L, 3L, 8L)))
   }
 
+  test("compactPostings: one sorted file per bucket, replay dups folded, serving unchanged") {
+    val idx = freshIndex()
+    // replay append: watermark covers it, skipped — force raw dup rows
+    // instead by appending a later batch twice around a wiped sidecar
+    InvertedIndex.append(spark,
+      Seq((4L, "bb ee"), (5L, "ee ff")).toDF("doc_id", "text"), idx)
+    // simulate the stale-watermark crash: sidecar says 3, rows for 4-5
+    // are already on disk, so the replayed batch re-appends them.
+    // (Drop Hadoop's .crc sidecar too — a direct java.nio write would
+    // otherwise fail checksum on read and route into stats RECOVERY,
+    // which reads the true watermark from the postings.)
+    val statsPath = java.nio.file.Paths.get(idx, "_stats")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx, "._stats.crc"))
+    java.nio.file.Files.write(statsPath, "3,3,6".getBytes("UTF-8"))
+    InvertedIndex.append(spark,
+      Seq((4L, "bb ee"), (5L, "ee ff")).toDF("doc_id", "text"), idx)
+    // byte-identical dup rows present; read-time fold hides them
+    val before = InvertedIndex.bm25Query(spark, idx, Seq("bb", "ee"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(spark.read.parquet(s"$idx/postings")
+      .groupBy("doc_id", "term").count().filter(col("count") > 1)
+      .count() > 0, "test setup failed to produce replay duplicates")
+    InvertedIndex.compactPostings(spark, idx)
+    // physical shape: exactly one parquet file per bucket dir
+    val bucketDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(idx, "postings")).iterator()
+    bucketDirs.forEachRemaining { p =>
+      if (java.nio.file.Files.isDirectory(p)) {
+        val files = java.nio.file.Files.list(p).iterator()
+        var n = 0
+        files.forEachRemaining(f =>
+          if (f.toString.endsWith(".parquet")) n += 1)
+        assert(n === 1, s"bucket ${p.getFileName} has $n files")
+      }
+    }
+    // logical shape: dups gone, serving identical, stats untouched
+    assert(spark.read.parquet(s"$idx/postings")
+      .groupBy("doc_id", "term").count().filter(col("count") > 1)
+      .count() === 0L)
+    val after = InvertedIndex.bm25Query(spark, idx, Seq("bb", "ee"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(after.toSeq === before.toSeq, "compaction changed serving")
+    assert(InvertedIndex.readStats(spark, idx) === Some((5L, 5L, 10L)))
+    // crash recovery: a stranded old dir with no live postings restores
+    val f = new org.apache.hadoop.fs.Path(s"$idx/postings")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.rename(new org.apache.hadoop.fs.Path(s"$idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings__compact_old")))
+    InvertedIndex.recoverCompact(spark, idx)
+    assert(InvertedIndex.bm25Query(spark, idx, Seq("bb"), k = 10)
+      .count() === 3L) // bb lives in docs 1, 2, 4
+  }
+
   test("querying an absent index fails loudly") {
     val e = intercept[RuntimeException] {
       InvertedIndex.bm25Query(spark, "/tmp/graft_no_such_index",
