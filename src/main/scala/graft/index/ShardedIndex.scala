@@ -203,6 +203,18 @@ object ShardedIndex {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     evictPath(path) // a rebuild at a cached path must not serve stale shards
     invalidateRows(path) // nor stale footer counts (budget policy)
+    // nor stale DELTA dirs: a rebuild replaces the WHOLE index, and
+    // discovery ([[discover]]) would otherwise resurrect deltas whose
+    // global ids may no longer be valid against the new base
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.matches("delta\\d+"))
+            fs.delete(st.getPath, true)
+        }
+    }
     val ref = ShardedIndexRef(path, nShards, params.metric)
     (0 until nShards).foreach { s =>
       enterShard()

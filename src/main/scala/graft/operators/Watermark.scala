@@ -29,27 +29,40 @@ object Watermark {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Read the watermark. `None` = no index at `path` (or an empty one).
-    * An index written before the sidecar existed (legacy) falls back to
-    * one full column-pruned `max(idCol)` scan, then self-heals on the
-    * next append or compact. */
+    * An index written before the sidecar existed (legacy), or whose
+    * sidecar a crash left truncated/corrupt, falls back to one full
+    * column-pruned `max(idCol)` scan, then self-heals on the next
+    * append or compact. */
   def read(spark: SparkSession, path: String, idCol: String): Option[Long] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
     val wp = new org.apache.hadoop.fs.Path(path, FileName)
-    if (fs.exists(wp)) {
-      val in = fs.open(wp)
-      try Some(in.readLong()) finally in.close()
-    } else {
+    val fromSidecar: Option[Long] =
+      if (!fs.exists(wp)) None
+      else {
+        val in = fs.open(wp)
+        try Some(in.readLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+        finally in.close()
+      }
+    fromSidecar.orElse {
       val m = spark.read.parquet(path).agg(max(col(idCol))).first()
       if (m.isNullAt(0)) None else Some(m.getLong(0))
     }
   }
 
-  /** Overwrite the sidecar with `maxId`. */
+  /** Overwrite the sidecar with `maxId` — temp-write + rename swap, so
+    * a crash mid-write can never leave a truncated LIVE sidecar (the
+    * delete/rename window leaves none, which [[read]] treats as the
+    * recoverable legacy case). */
   def write(spark: SparkSession, path: String, maxId: Long): Unit = {
     val fs = fsFor(spark, path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, FileName), true)
+    val tmp = new org.apache.hadoop.fs.Path(path, FileName + ".tmp")
+    val live = new org.apache.hadoop.fs.Path(path, FileName)
+    val out = fs.create(tmp, true)
     try out.writeLong(maxId) finally out.close()
+    if (fs.exists(live)) fs.delete(live, false)
+    require(fs.rename(tmp, live), s"cannot promote watermark sidecar at $path")
   }
 
   /** Advance the sidecar to at least `batchMax` (append path). */
