@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Drift-normalized comparison of two graft.Bench JSON artifacts.
+
+Mechanizes the README's normalization rule: every Bench run stamps
+`calib_sec` (a fixed CPU+shuffle micro-workload timed in the same JVM),
+so machine/VM speed drift between two runs shows up in the calib ratio
+and can be divided out of the per-query ratios. Only residuals above the
+normalized baseline are real regressions.
+
+Usage:
+  python3 tools/bench_compare.py OLD.json NEW.json [--fail-over R]
+
+Prints per-query normalized ratios for the common surface, a summary
+(sum/geomean raw + normalized, added/removed queries), and the worst
+offenders. With --fail-over R, exits 1 if any common query's NORMALIZED
+ratio exceeds R (the mechanical stand-in for the hand-adjudicated
+"~2x noise band" of rounds 9-11).
+"""
+import argparse
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d:
+        sys.exit(f"{path}: not a graft.Bench artifact (no 'queries' key)")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--fail-over", type=float, default=None, metavar="R",
+                    help="exit 1 if any normalized per-query ratio > R")
+    ap.add_argument("--top", type=int, default=10,
+                    help="how many worst offenders to list (default 10)")
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    co, cn = old.get("calib_sec"), new.get("calib_sec")
+    if co and cn:
+        calib_ratio = cn / co
+        calib_note = f"calib {co:.3f}s -> {cn:.3f}s (machine ratio {calib_ratio:.3f})"
+    else:
+        calib_ratio = 1.0
+        missing = [p for p, c in ((args.old, co), (args.new, cn)) if not c]
+        calib_note = ("no calib stamp in " + ", ".join(missing)
+                      + " — ratios reported UNNORMALIZED")
+
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    added = sorted(set(qn) - set(qo))
+    removed = sorted(set(qo) - set(qn))
+    if not common:
+        sys.exit("no common queries between the two artifacts")
+
+    rows = []
+    for q in common:
+        raw = qn[q] / qo[q] if qo[q] > 0 else float("inf")
+        rows.append((q, qo[q], qn[q], raw, raw / calib_ratio))
+
+    sum_o = sum(r[1] for r in rows)
+    sum_n = sum(r[2] for r in rows)
+    geomean_norm = math.exp(sum(math.log(r[4]) for r in rows) / len(rows))
+    geomean_raw = math.exp(sum(math.log(r[3]) for r in rows) / len(rows))
+
+    print(calib_note)
+    print(f"common queries: {len(common)}  added: {len(added)}  removed: {len(removed)}")
+    if added:
+        print("  added:   " + ", ".join(added))
+    if removed:
+        print("  removed: " + ", ".join(removed))
+    print(f"sum (common): {sum_o:.1f}s -> {sum_n:.1f}s  "
+          f"raw {sum_n / sum_o:.3f}x  normalized {sum_n / sum_o / calib_ratio:.3f}x")
+    print(f"geomean per-query: raw {geomean_raw:.3f}x  normalized {geomean_norm:.3f}x")
+
+    worst = sorted(rows, key=lambda r: -r[4])[:args.top]
+    print(f"\nworst {len(worst)} by normalized ratio:")
+    print(f"  {'query':<36} {'old_s':>8} {'new_s':>8} {'raw':>6} {'norm':>6}")
+    for q, o, n, raw, norm in worst:
+        print(f"  {q:<36} {o:8.3f} {n:8.3f} {raw:6.2f} {norm:6.2f}")
+
+    if args.fail_over is not None:
+        over = [(q, norm) for q, _, _, _, norm in rows if norm > args.fail_over]
+        if over:
+            print(f"\nFAIL: {len(over)} queries above {args.fail_over}x normalized: "
+                  + ", ".join(f"{q} ({r:.2f}x)" for q, r in over))
+            sys.exit(1)
+        print(f"\nOK: no query above {args.fail_over}x normalized")
+
+
+if __name__ == "__main__":
+    main()
