@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *     base shards, or a corpus rebuilt denser at the same shard
   *     count — the registered beam budget is scaled by the per-shard
   *     growth ratio, so a registration keeps its recall posture
-  *     without re-registration.
+  *     without re-registration. The IVF-PQ tier has the same erosion
+  *     shape with different words — `appendIndex` growth makes every
+  *     probed cell denser while nlist stays fixed — so its registered
+  *     ADC fetch (`nCand`) scales through this same function
+  *     ([[graft.plans.AnnIndexRegistry.registerIvfPq]]).
   *
   * Reference behavior generalized: the reference adapts beam
   * allocation WITHIN a query (`/root/reference/src/index_bipartite.cpp`

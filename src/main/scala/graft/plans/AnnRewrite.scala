@@ -223,16 +223,41 @@ object AnnIndexRegistry {
 
   /** [[registerTier]] with the built-in IVF-PQ generator: candidates by
     * partition-pruned probe + ADC over a
-    * [[graft.operators.IvfPq.writeIndex]] directory. */
+    * [[graft.operators.IvfPq.writeIndex]] directory. Growth-aware like
+    * [[registerSharded]]: post-registration [[graft.operators.IvfPq
+    * .appendIndex]] growth is observed via footer counts and the ADC
+    * fetch is scaled by [[graft.index.BudgetPolicy]] (same
+    * `spark.graft.ann.budget.*` confs), and a non-null `refresh` lets
+    * the rescoring join and the exact-mode scan follow a grow-in-place
+    * corpus (the registration `data` snapshots its file listing). */
   def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
-                    vecCol: String, entry: IvfPqEntry): Unit =
+                    vecCol: String, entry: IvfPqEntry,
+                    refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+    import graft.index.BudgetPolicy
+    import graft.operators.IvfPq
+    // registration-time index size (parquet footers, no job) — the
+    // baseline the budget policy scales from. With nlist FIXED at build
+    // time, appendIndex growth makes every probed cell denser while a
+    // flat nCand keeps returning the same candidate count — the exact
+    // silent-recall-erosion shape the sharded tier's per-shard budget
+    // fixes, so the same policy (and confs) governs the ADC fetch here.
+    val regRows = IvfPq.indexRows(corpus.sparkSession, entry.path)
+    def scaledFetch(s: SparkSession, k: Int): Int =
+      BudgetPolicy.scaledL(s, math.max(entry.nCand, 4 * k),
+        regRows.toDouble, IvfPq.indexRows(s, entry.path).toDouble)
+    def liveData(s: SparkSession) = {
+      import org.apache.spark.sql.functions.col
+      (if (refresh != null) refresh() else entry.data)
+        .select(col(entry.dataIdCol).as("d_id"),
+          col(entry.dataVecCol).as("d_vec"))
+    }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
       "ivfpq", entry.data, entry.dataIdCol, entry.dataVecCol,
       entry.metricName,
       if (entry.centroids.isEmpty) -1 else entry.centroids(0).length,
       (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,
         entry.centroids, entry.codebooks, entry.nProbe,
-        math.max(entry.nCand, 4 * k)),
+        scaledFetch(s, k)),
       candidatesBatch = (s, qs, k) => {
         import s.implicits._
         import org.apache.spark.sql.functions.col
@@ -245,13 +270,12 @@ object AnnIndexRegistry {
         // enforces); g8_sql_ivfpq_saturated hash-proves this mode
         val exact = s.conf.getOption("spark.graft.ann.relation.exact")
           .getOrElse("false").toBoolean
-        val data = entry.data.select(col(entry.dataIdCol).as("d_id"),
-          col(entry.dataVecCol).as("d_vec"))
+        val data = liveData(s)
         val (nProbe, fetch) =
           if (exact) {
             val n = math.min(data.count(), Int.MaxValue.toLong).toInt
             (entry.centroids.length, n)
-          } else (entry.nProbe, math.max(entry.nCand, 4 * k))
+          } else (entry.nProbe, scaledFetch(s, k))
         graft.operators.IvfPq.knnOverIndexBlocked(s, q, entry.path,
             data, entry.centroids, entry.codebooks,
             k = fetch, nProbe = nProbe, nCand = fetch)
@@ -265,7 +289,9 @@ object AnnIndexRegistry {
         val nlist = math.max(entry.centroids.length, 1)
         (entry.nProbe.toDouble / nlist) *
           (entry.codebooks.length.toDouble / (4.0 * dim))
-      }))
+      },
+      dataRefresh = refresh))
+  }
 
   /** Constructor payload for [[registerIvfPq]]. */
   case class IvfPqEntry(path: String, data: org.apache.spark.sql.DataFrame,

@@ -553,6 +553,79 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq tier: append-grown index is served with a grown fetch, no re-registration") {
+    setup
+    import graft.index.BudgetPolicy
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    // corpus v1 = 100 rows; the append (400 rows) grows every cell 5×
+    // at the build-time nlist, so the budget policy must scale the
+    // registered ADC fetch, and the refreshed corpus read must rescore
+    // the delta rows, all WITHOUT re-registering the tier
+    val dir = "target/tmp/ann_ivfpq_grow_corpus"
+    val idxPath = "target/tmp/ann_ivfpq_grow_index"
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("pvid"), col("embedding").as("pvec"))
+      .write.mode("overwrite").parquet(dir)
+    // a stale overwrite from a previous run would make the delta append
+    // double-count: rebuild the index dir from scratch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("ivfpq_grow_corpus")
+    val d0 = corpus.select(col("pvid").as("d_id"), col("pvec").as("d_vec"))
+    val sample = IvfAnn.collectSample(d0, 100, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 4, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 16, seed = 42L)
+    IvfPq.writeIndex(spark, d0, idxPath, centroids, cbs)
+    AnnIndexRegistry.registerIvfPq(corpus, "pvid", "pvec",
+      AnnIndexRegistry.IvfPqEntry(idxPath, corpus, "pvid", "pvec",
+        centroids, cbs, "l2", nProbe = 4, nCand = 50),
+      refresh = () => spark.read.parquet(dir))
+    def topIdFor(vid: Long): Long = {
+      val q = emb.filter(col("vec_id") === vid)
+        .select("embedding").first().getSeq[Float](0)
+        .map(x => s"${x}F").mkString("array(", ", ", ")")
+      val df = spark.sql(
+        s"""SELECT pvid, graft_vec_l2sq(pvec, $q) AS score
+           |FROM ivfpq_grow_corpus ORDER BY score ASC LIMIT 5""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnSearchNode => n.tier
+      } === Seq("ivfpq"), "not routed to the ivfpq tier")
+      df.collect().head.getLong(0)
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      assert(topIdFor(7L) === 7L) // baseline: v1 id answers (self top-1)
+      assert(BudgetPolicy.lastAppliedL === 50,
+        "ungrown index must keep the registered fetch")
+      // grow: corpus files + index append against the BUILD-TIME
+      // quantizers; the registration is untouched
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+        .select(col("vec_id").as("pvid"), col("embedding").as("pvec"))
+        .write.mode("append").parquet(dir)
+      IvfPq.appendIndex(spark,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+          .select(col("vec_id").as("d_id"), col("embedding").as("d_vec")),
+        idxPath, centroids, cbs)
+      // a delta-only row answers: footer counts saw the growth and the
+      // refreshed corpus read rescored it
+      assert(topIdFor(450L) === 450L,
+        "append-ingested row unreachable without re-registration")
+      // and the fetch grew with the index: 500/100 × 50 = 250
+      assert(BudgetPolicy.lastAppliedL === 250,
+        s"fetch did not scale (got ${BudgetPolicy.lastAppliedL})")
+      // flat policy restores the registration-time fetch
+      spark.conf.set("spark.graft.ann.budget.policy", "flat")
+      topIdFor(7L)
+      assert(BudgetPolicy.lastAppliedL === 50)
+    } finally {
+      spark.conf.unset("spark.graft.ann.budget.policy")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("IVF-PQ tier: dot query routes via the ip entry with exact scores") {
     val q = ivfpqSetup
     val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
