@@ -22,48 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  // (path, listing signature) → footer-row total. The signature — file
-  // count, total bytes, max mtime over the recursive .parquet listing —
-  // changes on every appendIndex, so growth invalidates the cached
-  // count while steady-state queries pay one directory walk and zero
-  // footer reads.
-  private val rowsCache =
-    new scala.collection.concurrent.TrieMap[(String, (Long, Long, Long)), Long]
-
   /** Total indexed rows across every cell partition — parquet-footer
-    * counts off the recursive file listing, no data read and no Spark
-    * job (the [[graft.index.ShardedIndex.totalRows]] posture). This is
-    * what lets a REGISTERED tier observe post-registration
-    * [[appendIndex]] growth: the serving-time row count against the
-    * registration-time snapshot is the budget policy's scale ratio. */
-  def indexRows(spark: SparkSession, path: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0L
-    val files = {
-      val it = fs.listFiles(root, true)
-      val b = scala.collection.mutable.ArrayBuffer.empty[
-        org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
-      }
-      b
-    }
-    val sig = (files.size.toLong, files.map(_.getLen).sum,
-      if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
-    rowsCache.getOrElseUpdate((path, sig), {
-      var n = 0L
-      files.foreach { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try n += r.getRecordCount finally r.close()
-      }
-      n
-    })
-  }
+    * counts off the recursive file listing
+    * ([[graft.index.ParquetMeta.rowsCached]]), no data read and no
+    * Spark job. This is what lets a REGISTERED tier observe
+    * post-registration [[appendIndex]] growth: the serving-time row
+    * count against the registration-time snapshot is the budget
+    * policy's scale ratio. */
+  def indexRows(spark: SparkSession, path: String): Long =
+    graft.index.ParquetMeta.rowsCached(spark, path)
 
   /** Write the IVF-PQ index at `path`: (d_id, codes) partitioned by
     * `cell` — CODES ONLY, no vectors. The base table keeps the

@@ -377,18 +377,43 @@ object AnnIndexRegistry {
     * output (persist it for a serving deployment); coarse geometry
     * follows `metricName` ("l2" ranks by dequantized L2², otherwise
     * dequantized cosine). */
+  /** Register the SQ8 byte-code tier. Growth-aware when `indexPath`
+    * names a [[graft.operators.Sq8Ann.writeIndex]] layout: the coarse
+    * scan re-reads `indexPath/codes` per query (a registration-time
+    * `encoded` snapshots its file listing, so
+    * [[graft.operators.Sq8Ann.appendIndex]] rows would be invisible)
+    * and the candidate window scales with footer-counted growth under
+    * the same `spark.graft.ann.budget.*` confs — a byte-quantized
+    * top-nCand window admits linearly more near-ties as the corpus
+    * grows, the same erosion shape as the other tiers, just via score
+    * density instead of a structural probe bound. `refresh` follows a
+    * grow-in-place corpus for the rescoring join. */
   def registerSq8(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                   vecCol: String, encoded: org.apache.spark.sql.DataFrame,
                   bounds: graft.operators.Sq8Ann.Bounds,
-                  metricName: String, nCand: Int = 60): Unit =
+                  metricName: String, nCand: Int = 60,
+                  indexPath: String = null,
+                  refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+    import graft.index.{BudgetPolicy, ParquetMeta}
+    val regRows =
+      if (indexPath == null) -1L
+      else ParquetMeta.rowsCached(corpus.sparkSession, s"$indexPath/codes")
+    def liveEncoded(s: SparkSession) =
+      if (indexPath == null) encoded else s.read.parquet(s"$indexPath/codes")
+    def fetch(s: SparkSession, k: Int): Int = {
+      val base = math.max(nCand, 4 * k)
+      if (regRows <= 0) base
+      else BudgetPolicy.scaledL(s, base, regRows.toDouble,
+        ParquetMeta.rowsCached(s, s"$indexPath/codes").toDouble)
+    }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
       "sq8", corpus, idCol, vecCol, metricName, bounds.dim,
       (s, qv, k) => {
         import s.implicits._
         import org.apache.spark.sql.functions.col
         val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
-        graft.operators.Sq8Ann.coarseCandidates(q, encoded, bounds,
-          math.max(nCand, 4 * k), excludeSelf = false,
+        graft.operators.Sq8Ann.coarseCandidates(q, liveEncoded(s), bounds,
+          fetch(s, k), excludeSelf = false,
           byL2 = metricName == "l2")
           .select(col("d_id"))
       },
@@ -397,13 +422,15 @@ object AnnIndexRegistry {
         import org.apache.spark.sql.functions.col
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
-        graft.operators.Sq8Ann.coarseCandidates(q, encoded, bounds,
-          math.max(nCand, 4 * k), excludeSelf = false,
+        graft.operators.Sq8Ann.coarseCandidates(q, liveEncoded(s), bounds,
+          fetch(s, k), excludeSelf = false,
           byL2 = metricName == "l2")
           .select(col("q_id"), col("d_id"))
       },
       // full coarse scan over byte codes = 1/4 of the float bytes
-      costHint = 0.25))
+      costHint = 0.25,
+      dataRefresh = refresh))
+  }
 
   def lookupTier(idCol: String, vecCol: String, kind: String,
                  preferred: Option[String] = None): Option[CandidateTierEntry] =

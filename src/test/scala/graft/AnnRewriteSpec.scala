@@ -626,6 +626,72 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 tier: append-grown index is served with a grown window, no re-registration") {
+    setup
+    import graft.index.BudgetPolicy
+    import graft.operators.Sq8Ann
+    // same contract as the ivfpq/sharded growth tests, for the
+    // full-scan byte tier: a path-backed registration re-reads the
+    // codes layout per query, so Sq8Ann.appendIndex rows serve without
+    // re-registration, and the candidate window scales with the
+    // footer-counted growth
+    val dir = "target/tmp/ann_sq8_grow_corpus"
+    val idxPath = "target/tmp/ann_sq8_grow_index"
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("gvid8"), col("embedding").as("gvec8"))
+      .write.mode("overwrite").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("sq8_grow_corpus")
+    val d0 = corpus.select(col("gvid8").as("d_id"), col("gvec8").as("d_vec"))
+    val bounds = Sq8Ann.writeIndex(d0, idxPath)
+    AnnIndexRegistry.registerSq8(corpus, "gvid8", "gvec8",
+      encoded = null, bounds = bounds, metricName = "cosine", nCand = 50,
+      indexPath = idxPath, refresh = () => spark.read.parquet(dir))
+    def topIdFor(vid: Long): Long = {
+      val q = emb.filter(col("vec_id") === vid)
+        .select("embedding").first().getSeq[Float](0)
+        .map(x => s"${x}F").mkString("array(", ", ", ")")
+      val df = spark.sql(
+        s"""SELECT gvid8, graft_vec_cosine(gvec8, $q) AS score
+           |FROM sq8_grow_corpus ORDER BY score DESC LIMIT 5""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnSearchNode => n.tier
+      } === Seq("sq8"), "not routed to the sq8 tier")
+      df.collect().head.getLong(0)
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      assert(topIdFor(7L) === 7L) // baseline: v1 id answers (self top-1)
+      assert(BudgetPolicy.lastAppliedL === 50,
+        "ungrown index must keep the registered window")
+      // grow: corpus files + codes appended under the FROZEN bounds
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+        .select(col("vec_id").as("gvid8"), col("embedding").as("gvec8"))
+        .write.mode("append").parquet(dir)
+      Sq8Ann.appendIndex(spark, idxPath,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+          .select(col("vec_id").as("d_id"), col("embedding").as("d_vec")))
+      // a delta-only row answers: the per-query codes read saw the
+      // appended files and the refreshed corpus read rescored it
+      assert(topIdFor(450L) === 450L,
+        "append-ingested row unreachable without re-registration")
+      // and the window grew with the index: 500/100 × 50 = 250
+      assert(BudgetPolicy.lastAppliedL === 250,
+        s"window did not scale (got ${BudgetPolicy.lastAppliedL})")
+      // flat policy restores the registration-time window
+      spark.conf.set("spark.graft.ann.budget.policy", "flat")
+      topIdFor(7L)
+      assert(BudgetPolicy.lastAppliedL === 50)
+    } finally {
+      spark.conf.unset("spark.graft.ann.budget.policy")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("IVF-PQ tier: dot query routes via the ip entry with exact scores") {
     val q = ivfpqSetup
     val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
