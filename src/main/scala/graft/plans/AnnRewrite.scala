@@ -501,7 +501,17 @@ object AnnIndexRegistry {
         * DataFrame with (`qset_id`, `dset_id`) — at least the k best
         * candidate sets per query set (more is fine, the rescore
         * bounds the answer). */
-      candidatesBatch: (SparkSession, Seq[(Long, Array[Array[Float]])], Int) => org.apache.spark.sql.DataFrame)
+      candidatesBatch: (SparkSession, Seq[(Long, Array[Array[Float]])], Int) => org.apache.spark.sql.DataFrame,
+      /** Optional FRESH re-read of the set corpus for the rescoring
+        * join — same contract as [[CandidateTierEntry.dataRefresh]]:
+        * a grow-in-place set relation needs it or post-registration
+        * sets never rescore. */
+      dataRefresh: () => org.apache.spark.sql.DataFrame = null) {
+    /** The relation to rescore against (see
+      * [[CandidateTierEntry.liveData]]). */
+    def liveData: org.apache.spark.sql.DataFrame =
+      if (dataRefresh != null) dataRefresh() else data
+  }
 
   // keyed by (idCol, vecCol, corpus fingerprint): several set relations
   // (e.g. the standard route and a saturating-budget twin over a second
@@ -562,12 +572,24 @@ object AnnIndexRegistry {
     * adaptive multivector search runs per shard through the
     * resident-LRU lifecycle (delta shards included), and the chamfer
     * rescore stays the route's own. One registration call swaps the
-    * flagship's physical engine with zero SQL change. */
+    * flagship's physical engine with zero SQL change. Growth-aware
+    * like [[registerSharded]]: post-registration deltas are discovered
+    * per query, the adaptive budget scales with per-shard growth
+    * (`spark.graft.ann.budget.*`), and a non-null `refresh` lets the
+    * set-level rescore follow a grow-in-place corpus. */
   def registerMvSharded(corpusSets: org.apache.spark.sql.DataFrame,
                         idCol: String, vecCol: String,
                         ref: graft.index.ShardedIndexRef, c: Int, dim: Int,
                         budget: Int = 120,
-                        name: String = "mv_sharded"): Unit = {
+                        name: String = "mv_sharded",
+                        refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+    import graft.index.{BudgetPolicy, ShardedIndex}
+    // same growth posture as registerSharded: deltas ingested after
+    // registration are discovered on disk per query, and the adaptive
+    // budget scales with per-shard growth — the flagship's set-level
+    // recall survives a month of delta-ingest without re-registration
+    val regPerShard = ShardedIndex.totalRowsCached(corpusSets.sparkSession,
+      ref).toDouble / math.max(ref.nShards + ref.nDeltas, 1)
     def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
               k: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
@@ -575,9 +597,13 @@ object AnnIndexRegistry {
       val qdf = qsets.flatMap { case (qid, vs) =>
         vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
       }.toDF("qset_id", "q_sub", "q_vec")
-      graft.index.ShardedIndex.searchMultiDf(s, qdf, ref,
-          minPq = math.max(10, budget / math.max(c, 1)),
-          maxPq = math.max(200, budget * 2), budget = budget,
+      val live = ShardedIndex.discover(s, ref)
+      val perShard = ShardedIndex.totalRowsCached(s, live).toDouble /
+        math.max(live.nShards + live.nDeltas, 1)
+      val effBudget = BudgetPolicy.scaledL(s, budget, regPerShard, perShard)
+      graft.index.ShardedIndex.searchMultiDf(s, qdf, live,
+          minPq = math.max(10, effBudget / math.max(c, 1)),
+          maxPq = math.max(200, effBudget * 2), budget = effBudget,
           adaptive = true)
         .select(col("qset_id"),
           (col("d_id") / c).cast("long").as("dset_id"))
@@ -589,7 +615,8 @@ object AnnIndexRegistry {
         import org.apache.spark.sql.functions.col
         batch(s, Seq((0L, qset)), k).select(col("dset_id"))
       },
-      batch))
+      batch,
+      dataRefresh = refresh))
   }
 
   def lookupMvFor(idCol: String, vecCol: String,
@@ -1216,7 +1243,7 @@ case class MvJoinTopKExec(node: MvJoinTopKNode, child: SparkPlan)
         val cands = entry.candidatesBatch(spark, qsets, node.k)
         val qdf = qsets.map { case (id, vs) => (id, vs.map(_.toSeq).toSeq) }
           .toDF("__graft_qid", "__graft_qset")
-        val scored = entry.data
+        val scored = entry.liveData
           .join(broadcast(cands.select(col("qset_id").as("__graft_qid"),
               col("dset_id").as("__graft_cand_id"))),
             col(entry.dataIdCol) === col("__graft_cand_id"))
@@ -1305,7 +1332,7 @@ case class AnnSearchExec(node: AnnSearchNode) extends LeafExecNode {
     val score =
       if (node.mvScore == "maxsim") maxSimScore(qLit, col(entry.dataVecCol))
       else chamferScore(qLit, col(entry.dataVecCol))
-    val scored = entry.data
+    val scored = entry.liveData
       .join(broadcast(cands.select(col("dset_id").as("__graft_cand_id"))),
         col(entry.dataIdCol) === col("__graft_cand_id"))
       .select(col(entry.dataIdCol).cast("long").as("id"),

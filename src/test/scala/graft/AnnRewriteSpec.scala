@@ -692,6 +692,80 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("mv_sharded tier: delta-grown set corpus is served with a grown budget, no re-registration") {
+    setup
+    import graft.index.{BudgetPolicy, ShardedIndex}
+    // the FLAGSHIP's growth contract: sets ingested after registration
+    // (corpus file append + index delta, ids following the dset·C+sub
+    // convention) answer the same chamfer SQL, with the adaptive
+    // budget scaled by per-shard growth
+    val C = 4
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    def setsOf(filter: org.apache.spark.sql.Column) =
+      e.filter(filter)
+        .select((col("vec_id") / C).cast("long").as("mgid"),
+          (col("vec_id") % C).cast("int").as("m_sub"), col("embedding"))
+        .groupBy("mgid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("m_sub"), col("embedding")))),
+          x => x.getField("embedding")).as("mgset"))
+    val dir = "target/tmp/ann_mv_grow_corpus"
+    val idxPath = "target/tmp/ann_mv_grow_index"
+    setsOf(col("vec_id") < 100).write.mode("overwrite").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("mv_grow_sets")
+    val ref = ShardedIndex.buildPersisted(spark,
+      e.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
+      IndexQueries.FixtureParams, nShards = 1, idxPath)
+    AnnIndexRegistry.registerMvSharded(corpus, "mgid", "mgset", ref,
+      C, dim, budget = 60, name = "mv_sharded_grow",
+      refresh = () => spark.read.parquet(dir))
+    def topSetFor(dset: Long): Long = {
+      val qLit = e.filter(col("vec_id") >= dset * C &&
+          col("vec_id") < (dset + 1) * C)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(x => s"${x}F")
+          .mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
+      val df = spark.sql(
+        s"""SELECT mgid, graft_chamfer_score($qLit, mgset) AS score
+           |FROM mv_grow_sets ORDER BY score DESC LIMIT 5""".stripMargin)
+      assert(routedTier(df) === Seq("mv_sharded_grow"),
+        "not routed to the grown mv_sharded tier")
+      df.collect().head.getLong(0)
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      assert(topSetFor(1L) === 1L) // baseline: v1 set answers (self top)
+      assert(BudgetPolicy.lastAppliedL === 60,
+        "ungrown index must keep the registered budget")
+      // grow: set corpus file + index delta; registration untouched
+      setsOf(col("vec_id") >= 100 && col("vec_id") < 500)
+        .write.mode("append").parquet(dir)
+      ShardedIndex.appendDelta(spark,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding")),
+        ref, IndexQueries.FixtureParams) // returned ref DISCARDED
+      // a delta-only SET answers: discovery + refreshed set rescore
+      assert(topSetFor(100L) === 100L,
+        "delta-ingested set unreachable without re-registration")
+      // budget grew with per-shard size (the delta dir counts as a
+      // shard): 500 rows / 2 dirs = 250 per shard; 250/100 × 60 = 150
+      assert(BudgetPolicy.lastAppliedL === 150,
+        s"budget did not scale (got ${BudgetPolicy.lastAppliedL})")
+      spark.conf.set("spark.graft.ann.budget.policy", "flat")
+      topSetFor(1L)
+      assert(BudgetPolicy.lastAppliedL === 60)
+    } finally {
+      spark.conf.unset("spark.graft.ann.budget.policy")
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("IVF-PQ tier: dot query routes via the ip entry with exact scores") {
     val q = ivfpqSetup
     val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
