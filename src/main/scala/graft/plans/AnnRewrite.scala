@@ -232,7 +232,8 @@ object AnnIndexRegistry {
     * corpus (the registration `data` snapshots its file listing). */
   def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                     vecCol: String, entry: IvfPqEntry,
-                    refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+                    refresh: () => org.apache.spark.sql.DataFrame = null,
+                    name: String = "ivfpq"): Unit = {
     import graft.index.BudgetPolicy
     import graft.operators.IvfPq
     // registration-time index size (parquet footers, no job) — the
@@ -252,7 +253,7 @@ object AnnIndexRegistry {
           col(entry.dataVecCol).as("d_vec"))
     }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
-      "ivfpq", entry.data, entry.dataIdCol, entry.dataVecCol,
+      name, entry.data, entry.dataIdCol, entry.dataVecCol,
       entry.metricName,
       if (entry.centroids.isEmpty) -1 else entry.centroids(0).length,
       (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,

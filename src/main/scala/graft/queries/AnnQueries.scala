@@ -374,6 +374,20 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The GROWTH certificate: the same saturating statement served by
+    // an IVF-PQ index that was REGISTERED at half the corpus and then
+    // grown to full size by appendIndex under the frozen build-time
+    // quantizers — incremental index maintenance (IvfPq.appendIndex)
+    // and the registration's growth observation proven hash-identical
+    // to the exhaustive ranking THROUGH the routed SQL machinery, not
+    // just operator-level parity. Reference analog: the reference
+    // rebuilds (index_bipartite.cpp has no delta path); this certifies
+    // the delta path a 100 TB deployment actually runs.
+    "g8_sql_ivfpq_grown_saturated" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "ivfpq_grown")
+      rs.sql(svRelationSql(K))
+    }),
+
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
     // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
     // QUERY-RELATION spelling: ONE statement for every query set (the
@@ -712,6 +726,16 @@ object AnnQueries extends QueryPack {
         AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
           AnnIndexRegistry.IvfPqEntry(path, emb, "vec_id", "embedding",
             centroids, cbs, "cosine", nProbe = 12, nCand = 250))
+      case "ivfpq_grown" =>
+        // register over the HALF-built index, THEN append the second
+        // half — the serving path reads build+append output, and the
+        // registration predates the growth (the growth-contract order)
+        val (path, centroids, cbs, half) = ivfPqGrownIndex(rs, dir)
+        AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+          AnnIndexRegistry.IvfPqEntry(path, emb, "vec_id", "embedding",
+            centroids, cbs, "cosine", nProbe = 12, nCand = 250),
+          name = "ivfpq_grown")
+        ivfPqGrownAppend(rs, dir, path, centroids, cbs, half)
       case other => sys.error(s"no certificate setup for tier '$other'")
     }
     emb.createOrReplaceTempView("graft_emb")
@@ -901,6 +925,50 @@ object AnnQueries extends QueryPack {
       IvfPq.writeIndex(s, d, path, centroids, cbs)
       (path, centroids, cbs)
     })
+
+  /** The GROWN IVF-PQ index per fixture dir: built single-shot on the
+    * FIRST HALF of the corpus only (same quantizer training as
+    * [[ivfPqIndex]] — quantizers are frozen at build, growth is in the
+    * index CONTENTS). [[ivfPqGrownAppend]] appends the second half
+    * AFTER the tier registration, so the certificate query's serving
+    * path reads an index produced by build+append — incremental index
+    * maintenance proven through the routed SQL machinery. */
+  private val ivfPqGrownCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks, Long)]()
+  private val ivfPqGrownAppended =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ivfPqGrownIndex(s: SparkSession, dir: String)
+      : (String, Array[Array[Float]], graft.operators.PqAnn.Codebooks, Long) =
+    ivfPqGrownCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val half = d.count() / 2
+      val sample = IvfAnn.collectSample(d, 2000, 42L)
+      val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+      val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_grown_")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val path = tmp.toString
+      IvfPq.writeIndex(s, d.filter(col("d_id") < half), path, centroids, cbs)
+      (path, centroids, cbs, half)
+    })
+
+  private def ivfPqGrownAppend(s: SparkSession, dir: String, path: String,
+      centroids: Array[Array[Float]], cbs: graft.operators.PqAnn.Codebooks,
+      half: Long): Unit =
+    if (ivfPqGrownAppended.add(s"$dir@$path")) {
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      graft.operators.IvfPq.appendIndex(s, d.filter(col("d_id") >= half),
+        path, centroids, cbs)
+    }
 
   /** One SEEDED IVF-PQ index per fixture dir — the [[ivfPqIndex]]
     * lifecycle with both quantizers training-free (md5-ranked seeds):
@@ -1542,6 +1610,7 @@ object AnnQueries extends QueryPack {
     "g8_sql_saturated" -> g8SaturatedOracle,
     "g8_sql_sharded_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
+    "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,
