@@ -17,37 +17,66 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
+  // one entry PER PATH (signature + count) — an append supersedes the
+  // previous signature in place, so a serving JVM with ongoing
+  // delta-ingest stays bounded at one cached count per index path
   private val cache =
-    new scala.collection.concurrent.TrieMap[(String, (Long, Long, Long)), Long]
+    new scala.collection.concurrent.TrieMap[String, ((Long, Long, Long), Long)]
 
-  /** Total rows across every `.parquet` file under `path` (recursive,
-    * so cell-partitioned layouts count whole). 0 for a missing dir. */
+  /** True when any path component below `root` is a work/metadata name
+    * (`_temporary`, `_SUCCESS`, `.hidden`, Hadoop `.crc` twins) — the
+    * same visibility rule Spark's own file index applies. An in-flight
+    * or aborted append MUST be invisible here: a half-written part
+    * file has no footer (the open would throw), and a complete but
+    * uncommitted task file is not part of the corpus. */
+  private def isHidden(root: org.apache.hadoop.fs.Path,
+                       p: org.apache.hadoop.fs.Path): Boolean = {
+    var cur = p
+    while (cur != null && cur != root) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Total rows across every COMMITTED `.parquet` file under `path`
+    * (recursive, so cell-partitioned layouts count whole; hidden/work
+    * directories skipped). 0 for a missing dir. */
   def rowsCached(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0L
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(conf)
+    if (!fs.exists(raw)) return 0L
+    // listFiles returns fully-qualified paths; qualify the root so the
+    // hidden-ancestor walk terminates AT the index root (a hidden-named
+    // ancestor of the root itself must not blank the listing)
+    val root = fs.makeQualified(raw)
     val files = {
       val it = fs.listFiles(root, true)
       val b = scala.collection.mutable.ArrayBuffer.empty[
         org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !isHidden(root, st.getPath)) b += st
       }
       b
     }
     val sig = (files.size.toLong, files.map(_.getLen).sum,
       if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
-    cache.getOrElseUpdate((path, sig), {
-      var n = 0L
-      files.foreach { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try n += r.getRecordCount finally r.close()
-      }
-      n
-    })
+    cache.get(path) match {
+      case Some((s, n)) if s == sig => n
+      case _ =>
+        var n = 0L
+        files.foreach { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try n += r.getRecordCount finally r.close()
+        }
+        cache.put(path, (sig, n))
+        n
+    }
   }
 }

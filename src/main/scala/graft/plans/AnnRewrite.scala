@@ -377,8 +377,7 @@ object AnnIndexRegistry {
     * is the route's own. `encoded` is [[graft.operators.Sq8Ann.encode]]
     * output (persist it for a serving deployment); coarse geometry
     * follows `metricName` ("l2" ranks by dequantized L2², otherwise
-    * dequantized cosine). */
-  /** Register the SQ8 byte-code tier. Growth-aware when `indexPath`
+    * dequantized cosine). Growth-aware when `indexPath`
     * names a [[graft.operators.Sq8Ann.writeIndex]] layout: the coarse
     * scan re-reads `indexPath/codes` per query (a registration-time
     * `encoded` snapshots its file listing, so

@@ -945,7 +945,12 @@ object AnnQueries extends QueryPack {
       val d = Tables.embeddings(s, dir)
         .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
       val half = d.count() / 2
-      val sample = IvfAnn.collectSample(d, 2000, 42L)
+      // quantizers trained on the FIRST HALF only — a real delta-ingest
+      // deployment cannot train on future data, and the certificate's
+      // "registration predates the growth" story must hold for the
+      // quantizers too (exact mode saturates regardless, so the hash
+      // stays green under half-trained codebooks)
+      val sample = IvfAnn.collectSample(d.filter(col("d_id") < half), 2000, 42L)
       val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
       val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_grown_")

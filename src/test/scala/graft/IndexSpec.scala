@@ -578,4 +578,31 @@ class IndexSpec extends AnyFunSuite {
       assert(dists.toSeq === dists.sorted.toSeq)
     }
   }
+
+  test("ParquetMeta.rowsCached counts committed files only and tracks appends") {
+    import graft.index.ParquetMeta
+    import spark.implicits._
+    val dir = "target/tmp/parquet_meta_count"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (1 to 10).toDF("x").write.mode("overwrite").parquet(dir)
+    assert(ParquetMeta.rowsCached(spark, dir) === 10L)
+    // a committed append supersedes the cached signature in place
+    (1 to 5).toDF("x").write.mode("append").parquet(dir)
+    assert(ParquetMeta.rowsCached(spark, dir) === 15L)
+    // an in-flight/aborted write leaves _temporary (and dot-named) work
+    // files with no footer — the count must SKIP them, not crash on the
+    // missing magic or include their rows. (Planted AFTER the Spark
+    // writes: a live append job owns $dir/_temporary while running.)
+    def plant(rel: String): Unit = {
+      val f = new java.io.File(s"$dir/$rel")
+      f.getParentFile.mkdirs()
+      val w = new java.io.FileOutputStream(f)
+      try w.write("not a parquet file".getBytes) finally w.close()
+    }
+    plant("_temporary/part-99999.snappy.parquet")
+    plant(".staging/part-99998.snappy.parquet")
+    assert(ParquetMeta.rowsCached(spark, dir) === 15L,
+      "uncommitted work files must be invisible")
+    assert(ParquetMeta.rowsCached(spark, "target/tmp/no_such_dir_xyz") === 0L)
+  }
 }

@@ -59,9 +59,18 @@ def main():
         sys.exit("no common queries between the two artifacts")
 
     rows = []
+    degenerate = []
     for q in common:
-        raw = qn[q] / qo[q] if qo[q] > 0 else float("inf")
+        if qo[q] <= 0 or qn[q] <= 0:
+            degenerate.append(q)
+            continue
+        raw = qn[q] / qo[q]
         rows.append((q, qo[q], qn[q], raw, raw / calib_ratio))
+    if degenerate:
+        print(f"WARNING: {len(degenerate)} queries with non-positive timings "
+              "excluded from ratios: " + ", ".join(degenerate))
+    if not rows:
+        sys.exit("no comparable queries (all timings non-positive)")
 
     sum_o = sum(r[1] for r in rows)
     sum_n = sum(r[2] for r in rows)
