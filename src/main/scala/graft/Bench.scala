@@ -117,7 +117,15 @@ object Bench {
     // any query
     val calibRaw = collection.mutable.ArrayBuffer.empty[Double]
     val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
-    for (_ <- 1 to reps) { calibRaw += calibrate(spark); for (name <- names) {
+    for (_ <- 1 to reps) {
+      // a transient calibration failure must not abort the run and
+      // discard every completed query timing — queries get the same
+      // catch-and-continue treatment below
+      try calibRaw += calibrate(spark)
+      catch { case t: Throwable =>
+        System.err.println(s"CALIB FAIL: ${t.getClass.getName}: ${t.getMessage}")
+      }
+      for (name <- names) {
       val t0 = System.nanoTime()
       val ok =
         try { force(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -147,7 +155,9 @@ object Bench {
         .mkString("[", ",", "]")
       val failed = results.count { case (_, (_, ok, _)) => !ok }
       val total = results.collect { case (_, (sec, true, _)) => sec }.sum
-      val calib = fmt(calibRaw.min)
+      // -1 = every calibration attempt failed (bench_compare treats
+      // non-positive as "no stamp")
+      val calib = fmt(if (calibRaw.isEmpty) -1.0 else calibRaw.min)
       val calibAll = calibRaw.map(fmt).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_sec":$calib,"calib_raw":$calibAll,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
     }

@@ -93,6 +93,10 @@ object Sweep {
     val arms = sys.env.get("SPARK_GRAFT_SWEEP_ARMS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllArms)
+    // a typo'd arm name must fail here, not silently produce an empty
+    // sweep TSV that downstream reads as "no regression data"
+    require(arms.subsetOf(AllArms),
+      s"unknown sweep arm(s) ${arms -- AllArms}; valid: ${AllArms.toSeq.sorted.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

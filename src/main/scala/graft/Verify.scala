@@ -29,7 +29,7 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDirArg) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -39,14 +39,26 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=a,b,c → dump + oracle just those queries
     // (fast single-query oracle iteration, the Bench BENCH_ONLY twin);
-    // unset = the full surface, as the driver runs it. Subset runs
-    // should target a THROWAWAY outDir — a partial dump at the
-    // driver's dir would read as missing queries.
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    // unset = the full surface, as the driver runs it. Subset runs are
+    // auto-redirected to <outDir>_only — a partial dump at the
+    // requested dir would overwrite a full verify_status.json/
+    // oracle_sql.json and read as silently-missing queries on the
+    // driver's compare pass (the same guard Bench applies to
+    // BENCH_ONLY runs).
+    val onlyRaw = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outDir = onlyRaw match {
+      case Some(_) =>
+        val redirected = s"${outDirArg}_only"
+        System.err.println(
+          s"[verify] VERIFY_ONLY set: writing subset to $redirected")
+        redirected
+      case None => outDirArg
+    }
+    val only = onlyRaw
+    new java.io.File(outDir).mkdirs()
     // Per-query ok/fail is RECORDED (verify_status.json + a loud summary),
     // not just stderr-logged: a regressed query must read as a failure,
     // never as a silently-missing parquet.
@@ -67,6 +79,9 @@ object Verify {
           System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
+      // operators may persist intermediates (e.g. SemDedup's corpus
+      // cache) — release them between queries, as Bench/ScaleSmoke do
+      Bench.dropLeakedBlocks(spark)
       name -> ok
     }
     val statusJson = status.map { case (k, ok) => s""""$k": $ok""" }

@@ -143,6 +143,11 @@ object ShardedIndex {
   private def deltaDir(ref: ShardedIndexRef, j: Int): String =
     s"${ref.path}/delta$j"
 
+  // the ONE matcher for delta dir names — [[discover]]'s listing and
+  // [[buildPersisted]]'s stale-delta cleanup must never drift apart on
+  // what counts as a delta dir
+  private val DeltaDirName = "delta\\d+"
+
   /** Shard count for `nRows` at a TARGET per-shard size — the
     * scale-with-the-corpus knob (SWEEP_SF10's lesson): effective
     * exploration = per-shard budget × shard count, so holding shard
@@ -179,7 +184,7 @@ object ShardedIndex {
     val deltas = fs.listStatus(p).iterator
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(_.matches("delta\\d+"))
+      .filter(_.matches(DeltaDirName))
       // `ids` is written LAST by appendDelta, so its presence marks a
       // COMPLETE delta; a crash mid-append leaves a partial dir that
       // must not serve
@@ -189,7 +194,12 @@ object ShardedIndex {
     // contiguous prefix only: a gap means the sequence is broken
     var j = 0
     while (deltas.contains(j)) j += 1
-    ref.copy(nDeltas = math.max(j, ref.nDeltas))
+    // the DISK is authoritative in both directions: more deltas than
+    // the ref = post-registration ingest to serve; FEWER = compact()
+    // folded them into the base and deleted the dirs — clamping up to
+    // ref.nDeltas here would footer-read deleted directories and fail
+    // every query on a registration that outlived a compaction
+    ref.copy(nDeltas = j)
   }
 
   /** Build one RoarGraph per strided shard of `emb` (vec_id, embedding),
@@ -211,7 +221,7 @@ object ShardedIndex {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
         fs.listStatus(p).foreach { st =>
-          if (st.isDirectory && st.getPath.getName.matches("delta\\d+"))
+          if (st.isDirectory && st.getPath.getName.matches(DeltaDirName))
             fs.delete(st.getPath, true)
         }
     }

@@ -90,16 +90,10 @@ object InvertedIndex {
     * the delete/rename window left none and [[readStats]] rebuilds from
     * the postings. */
   private def writeStats(spark: SparkSession, path: String,
-                         wm: Long, nDocs: Long, sumDl: Long): Unit = {
-    val f = fs(spark, path)
-    val tmp = new Path(path, "_stats.tmp")
-    val live = new Path(path, "_stats")
-    val out = f.create(tmp, true)
-    try out.write(s"$wm,$nDocs,$sumDl".getBytes("UTF-8"))
-    finally out.close()
-    if (f.exists(live)) f.delete(live, false)
-    require(f.rename(tmp, live), s"cannot promote _stats sidecar at $path")
-  }
+                         wm: Long, nDocs: Long, sumDl: Long): Unit =
+    Watermark.promoteSidecar(fs(spark, path),
+      new Path(path, "_stats.tmp"), new Path(path, "_stats"))(
+      _.write(s"$wm,$nDocs,$sumDl".getBytes("UTF-8")))
 
   /** Append one batch of `(doc_id, text)` rows. Doc ids must be
     * MONOTONE across batches (the ingest contract every incremental
@@ -155,7 +149,12 @@ object InvertedIndex {
       .select(col("doc_id"), col("dl"), col("term"), col("tf"),
         col("bucket"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("term", "doc_id")
+      // bucket must LEAD the sort: the dynamic-partition writer
+      // requires ordering by the partition column and would insert its
+      // own Sort(bucket) over a (term, doc_id)-only ordering,
+      // destroying the term clustering this compaction exists to
+      // produce; with the prefix satisfied the writer keeps our order
+      .sortWithinPartitions("bucket", "term", "doc_id")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
     val old = new Path(s"$path/postings__compact_old")

@@ -264,8 +264,16 @@ object SemDedup {
 
   /** [[markSeeded]] at the [[autoNlist]] default — the production
     * parameterization: one count, then the deterministic pipeline.
+    * The corpus is persisted first: the count plus the pipeline's own
+    * scans (seeded-centroid pick, assignment, cell-local pairs) would
+    * otherwise re-execute the upstream derivation (tokenize → embed →
+    * …) once per scan. The caller's post-query cleanup releases the
+    * blocks (`Bench.dropLeakedBlocks` unpersists all persistent RDDs).
     * Callers with a known corpus size (or a tuned cell budget) use
     * [[markSeeded]] directly. */
-  def markSeededAuto(corpus: DataFrame, tau: Double): DataFrame =
-    markSeeded(corpus, autoNlist(corpus.count()), tau)
+  def markSeededAuto(corpus: DataFrame, tau: Double): DataFrame = {
+    val cached = corpus.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    markSeeded(cached, autoNlist(cached.count()), tau)
+  }
 }

@@ -51,19 +51,28 @@ object Watermark {
     }
   }
 
-  /** Overwrite the sidecar with `maxId` — temp-write + rename swap, so
-    * a crash mid-write can never leave a truncated LIVE sidecar (the
-    * delete/rename window leaves none, which [[read]] treats as the
-    * recoverable legacy case). */
-  def write(spark: SparkSession, path: String, maxId: Long): Unit = {
-    val fs = fsFor(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path, FileName + ".tmp")
-    val live = new org.apache.hadoop.fs.Path(path, FileName)
+  /** The ONE copy of the tmp-write + delete + rename sidecar swap
+    * (shared with the inverted index's `_stats`): a crash mid-write
+    * can never leave a truncated LIVE sidecar — before the delete the
+    * old one serves, inside the delete/rename window there is none
+    * (the recoverable "legacy" case for every reader here), after the
+    * rename the new one serves. Any future change to the swap window
+    * (fsync posture, object-store rename semantics) lands in one
+    * place. */
+  private[graft] def promoteSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, live: org.apache.hadoop.fs.Path)(
+      writeBody: org.apache.hadoop.fs.FSDataOutputStream => Unit): Unit = {
     val out = fs.create(tmp, true)
-    try out.writeLong(maxId) finally out.close()
+    try writeBody(out) finally out.close()
     if (fs.exists(live)) fs.delete(live, false)
-    require(fs.rename(tmp, live), s"cannot promote watermark sidecar at $path")
+    require(fs.rename(tmp, live), s"cannot promote sidecar at $live")
   }
+
+  /** Overwrite the sidecar with `maxId` via [[promoteSidecar]]. */
+  def write(spark: SparkSession, path: String, maxId: Long): Unit =
+    promoteSidecar(fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path, FileName + ".tmp"),
+      new org.apache.hadoop.fs.Path(path, FileName))(_.writeLong(maxId))
 
   /** Advance the sidecar to at least `batchMax` (append path). */
   def advance(spark: SparkSession, path: String, idCol: String,

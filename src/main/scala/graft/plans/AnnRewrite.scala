@@ -274,7 +274,11 @@ object AnnIndexRegistry {
         val data = liveData(s)
         val (nProbe, fetch) =
           if (exact) {
-            val n = math.min(data.count(), Int.MaxValue.toLong).toInt
+            // saturate against the LARGER of corpus and index counts: a
+            // grown index behind a stale (refresh-less) corpus snapshot
+            // must still keep every candidate it generates
+            val n = math.min(math.max(data.count(),
+              IvfPq.indexRows(s, entry.path)), Int.MaxValue.toLong).toInt
             (entry.centroids.length, n)
           } else (entry.nProbe, scaledFetch(s, k))
         graft.operators.IvfPq.knnOverIndexBlocked(s, q, entry.path,
@@ -325,9 +329,21 @@ object AnnIndexRegistry {
     // beam (l = 2·rows, all hits returned), the same certificate
     // regime as the graph tier's l = 2n (g8_sql_sharded_saturated
     // hash-proves it end-to-end).
+    val warnedNoRefresh = new java.util.concurrent.atomic.AtomicBoolean(false)
     def liveState(s: SparkSession, k: Int)
         : (graft.index.ShardedIndexRef, Int, Int) = {
       val live = ShardedIndex.discover(s, ref)
+      // growth without a refresh thunk is HALF a contract: the index
+      // serves the delta candidates but the rescore join against the
+      // registration-snapshot corpus drops their rows — say so loudly
+      // once instead of letting delta docs vanish silently
+      if (live.nDeltas > ref.nDeltas && refresh == null &&
+          warnedNoRefresh.compareAndSet(false, true))
+        System.err.println(
+          s"graft WARN: sharded registration ($idCol,$vecCol) discovered " +
+          s"${live.nDeltas - ref.nDeltas} post-registration delta(s) but " +
+          "has no refresh thunk — delta rows will be searched but " +
+          "dropped by the rescore join; pass refresh= to registerSharded")
       val rows = ShardedIndex.totalRowsCached(s, live)
       val exact = s.conf.getOption("spark.graft.ann.relation.exact")
         .getOrElse("false").toBoolean
@@ -590,6 +606,7 @@ object AnnIndexRegistry {
     // recall survives a month of delta-ingest without re-registration
     val regPerShard = ShardedIndex.totalRowsCached(corpusSets.sparkSession,
       ref).toDouble / math.max(ref.nShards + ref.nDeltas, 1)
+    val warnedNoRefresh = new java.util.concurrent.atomic.AtomicBoolean(false)
     def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
               k: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
@@ -598,6 +615,14 @@ object AnnIndexRegistry {
         vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
       }.toDF("qset_id", "q_sub", "q_vec")
       val live = ShardedIndex.discover(s, ref)
+      if (live.nDeltas > ref.nDeltas && refresh == null &&
+          warnedNoRefresh.compareAndSet(false, true))
+        System.err.println(
+          s"graft WARN: mv_sharded registration ($idCol,$vecCol) " +
+          s"discovered ${live.nDeltas - ref.nDeltas} post-registration " +
+          "delta(s) but has no refresh thunk — delta sets will be " +
+          "searched but dropped by the rescore join; pass refresh= to " +
+          "registerMvSharded")
       val perShard = ShardedIndex.totalRowsCached(s, live).toDouble /
         math.max(live.nShards + live.nDeltas, 1)
       val effBudget = BudgetPolicy.scaledL(s, budget, regPerShard, perShard)

@@ -132,9 +132,19 @@ object VectorQueries extends QueryPack {
     // the λ=1 ≡ plain-top-k equality, the hand-computed fixture order,
     // and the duplicate-suppression property.
     "topk_mmr" -> ((s, dir) => {
-      val cands = KnnKernel.bruteForce(s, queryVecs(s, dir),
-          dataVecs(s, dir), 50, excludeSelf = true)
+      // candidate pool ranked on the ROUNDED score with the d_id tie
+      // rule — the oracle's exact ordering. The kernel's raw-score
+      // top-60 is a strict superset of the rounded top-50 (equal
+      // rounded values differ by < 1e-9 raw), so the rank-50 boundary
+      // cannot diverge between kernel and oracle on a raw-vs-rounded
+      // near-tie.
+      val pool = KnnKernel.bruteForce(s, queryVecs(s, dir),
+          dataVecs(s, dir), 60, excludeSelf = true)
         .select(col("q_id"), col("d_id"), round(col("score"), 9).as("rel"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("d_id").asc)
+      val cands = pool.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 50).drop("__rn")
       graft.operators.DiverseTopK.mmr(s, cands,
           dataVecs(s, dir).select(col("d_id"), col("d_vec")), k = K)
         .select(col("q_id"), col("rank"), col("d_id"),

@@ -357,6 +357,17 @@ class IndexSpec extends AnyFunSuite {
     // below-threshold deltas stay: maybeCompact is a no-op at frac 0
     assert(ShardedIndex.maybeCompact(spark, ref2,
       IndexQueries.FixtureParams) === ref2)
+    // a REGISTRATION that outlived the compaction holds the stale
+    // pre-compact ref (nDeltas=1); discovery must follow the DISK down
+    // to 0 — resurrecting the deleted delta dirs would fail every
+    // subsequent query on that registration
+    val rediscovered = ShardedIndex.discover(spark, ref)
+    assert(rediscovered.nDeltas === 0,
+      s"discover resurrected deleted deltas: ${rediscovered.nDeltas}")
+    assert(ShardedIndex.totalRowsCached(spark, rediscovered) === 500L)
+    val staleServed = recallOf(rediscovered)
+    assert(staleServed >= 0.9,
+      s"stale-ref post-compact Recall@10 = $staleServed")
   }
 
   test("autoShards, delta discovery, and the budget policy math") {

@@ -110,10 +110,20 @@ class InvertedIndexSpec extends AnyFunSuite {
     bucketDirs.forEachRemaining { p =>
       if (java.nio.file.Files.isDirectory(p)) {
         val files = java.nio.file.Files.list(p).iterator()
+        var one: java.nio.file.Path = null
         var n = 0
-        files.forEachRemaining(f =>
-          if (f.toString.endsWith(".parquet")) n += 1)
+        files.forEachRemaining { f =>
+          if (f.toString.endsWith(".parquet")) { n += 1; one = f }
+        }
         assert(n === 1, s"bucket ${p.getFileName} has $n files")
+        // and the file IS (term, doc_id)-sorted — the dynamic-partition
+        // writer would silently destroy a sort that does not lead with
+        // the partition column, so assert the physical row order
+        val rows = spark.read.parquet(one.toString)
+          .select("term", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(rows === rows.sorted,
+          s"bucket ${p.getFileName} rows not (term, doc_id)-sorted: $rows")
       }
     }
     // logical shape: dups gone, serving identical, stats untouched

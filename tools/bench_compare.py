@@ -42,6 +42,8 @@ def main():
 
     old, new = load(args.old), load(args.new)
     co, cn = old.get("calib_sec"), new.get("calib_sec")
+    co = co if co and co > 0 else None   # -1 = stamp failed in that run
+    cn = cn if cn and cn > 0 else None
     if co and cn:
         calib_ratio = cn / co
         calib_note = f"calib {co:.3f}s -> {cn:.3f}s (machine ratio {calib_ratio:.3f})"
