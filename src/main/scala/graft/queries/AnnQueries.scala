@@ -420,6 +420,19 @@ object AnnQueries extends QueryPack {
       rs.sql(mvRelationSql("graft_mv_sets_sat", K))
     }),
 
+    // The flagship relation statement answered by the SHARDED mv tier
+    // at per-shard saturating budget — the mv × sharded cell of the
+    // certificate grid: every shard's beam explores its whole
+    // sub-corpus (budget ≥ 2× total rows is handed to each shard), the
+    // candidate union covers every set, and the routed answer must be
+    // HASH-IDENTICAL to the same fullscan chamfer oracle. The
+    // past-the-broadcast-ceiling flagship path, certified rather than
+    // recall-gated.
+    "g9_sql_sharded_saturated" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets_satsh", K))
+    }),
+
     // The A2 scorer (ColBERT MaxSim) through the SAME relation route —
     // `graft_maxsim_score` in the rank window instead of chamfer: the
     // matched function selects the rescorer, the candidate beam search
@@ -828,7 +841,7 @@ object AnnQueries extends QueryPack {
     * Cache invariant as [[ivfPqCache]]: paths and broadcasts only.
     * Returns the routed session statements should run in. */
   private val mvSqlCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String,
+    String, (String, String, String,
       org.apache.spark.broadcast.Broadcast[graft.index.CsrGraph],
       org.apache.spark.broadcast.Broadcast[graft.index.VectorStore],
       String, Int)]()
@@ -844,7 +857,7 @@ object AnnQueries extends QueryPack {
       cls.experimental.extraStrategies =
         cls.experimental.extraStrategies :+ AnnStrategy
     }
-    val (path, satPath, graphB, vecsB, metric, dim) =
+    val (path, satPath, satShPath, graphB, vecsB, metric, dim) =
       mvSqlCache.computeIfAbsent(dir, _ => {
         val e = Tables.embeddings(rs, dir)
         val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
@@ -855,18 +868,21 @@ object AnnQueries extends QueryPack {
             x => x.getField("embedding")).as("vec_set"))
         val tmp = java.nio.file.Files.createTempDirectory("graft_mv_sets_")
         val sat = java.nio.file.Files.createTempDirectory("graft_mv_sat_")
+        val satSh = java.nio.file.Files.createTempDirectory("graft_mv_satsh_")
         sys.addShutdownHook {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          Seq(tmp, sat).foreach(d =>
+          Seq(tmp, sat, satSh).foreach(d =>
             Files.walk(d).sorted(Comparator.reverseOrder[Path]())
               .forEach(p => Files.deleteIfExists(p)))
         }
         sets.write.mode("overwrite").parquet(tmp.toString)
         sets.write.mode("overwrite").parquet(sat.toString)
+        sets.write.mode("overwrite").parquet(satSh.toString)
         val idx = graft.index.GraphBuild.build(rs, e, e,
           IndexQueries.FixtureParams)
-        (tmp.toString, sat.toString, rs.sparkContext.broadcast(idx.graph),
+        (tmp.toString, sat.toString, satSh.toString,
+          rs.sparkContext.broadcast(idx.graph),
           rs.sparkContext.broadcast(idx.vecs), idx.params.metric,
           idx.vecs.dim)
       })
@@ -882,6 +898,19 @@ object AnnQueries extends QueryPack {
     AnnIndexRegistry.registerMvRoar(satSets, "dset_id", "vec_set",
       graphB, vecsB, metric, C, dim,
       budget = 2 * vecsB.value.n, name = "mv_roar_sat")
+    // saturating SHARDED twin — the mv × sharded cell of the
+    // certificate grid: the same budget ≥ 2× the sub-vector corpus is
+    // handed to EVERY shard's beam (searchMultiDf passes the budget
+    // per shard, and per-shard rows ≤ total), so each shard's
+    // sub-corpus saturates, the candidate union covers every set, and
+    // the routed answer must equal the fullscan chamfer ranking — the
+    // flagship's past-the-broadcast-ceiling path hash-certified, not
+    // just recall-gated
+    val satShSets = rs.read.parquet(satShPath)
+    satShSets.createOrReplaceTempView("graft_mv_sets_satsh")
+    AnnIndexRegistry.registerMvSharded(satShSets, "dset_id", "vec_set",
+      IndexQueries.shardedHandles(rs, dir, 2), C, dim,
+      budget = 2 * vecsB.value.n, name = "mv_sharded_sat")
     // the query-set relation: the fixture's NQ query sets, grouped in
     // sub order — any subplan works on the query side (no fingerprint)
     Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)

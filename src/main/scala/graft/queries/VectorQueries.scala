@@ -453,6 +453,12 @@ object VectorQueries extends QueryPack {
     // minus the rank column (the routed statement doesn't emit it)
     "g9_sql_saturated" ->
       s"""$chamferRankedCtes
+         |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    // g9_sql_sharded_saturated (defined in AnnQueries): the same
+    // statement answered by the SHARDED mv tier at per-shard
+    // saturating budget — same exhaustive oracle
+    "g9_sql_sharded_saturated" ->
+      s"""$chamferRankedCtes
          |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
   )
 
