@@ -43,6 +43,7 @@ object PlanDump {
       "w1_topk_diverse" -> "cap-diversified top-k: bounded heap per (query, label), window over the <= labels*m survivors per query",
       "topk_mmr" -> "MMR re-rank: bounded candidate-pair fan-out keyed by query, greedy selection in mapGroups (executors, not driver)",
       "g8_sql_sharded_saturated" -> "sharded tier through the relation route at saturation: per-shard beams via the resident-LRU lifecycle, broadcast-candidates rescore, rank window — the certificate plan",
+      "g9_sql_sharded_saturated" -> "the FLAGSHIP from the sharded mv tier at per-shard saturating budget: every shard's beam saturates its sub-corpus, broadcast candidate union, exact chamfer rescore — the past-the-broadcast-ceiling certificate plan",
       "g8_sql_ivfpq_saturated" -> "IVF-PQ tier through the relation route at saturation: every cell probed (partition-pruned scan degenerates to full), ADC candidates, exact rescore join",
       "text_bm25_indexed" -> "index-served BM25 after postings compaction: bucket-pruned postings scan (PartitionFilters), stats from the sidecar, shared bm25Rank tail")
     val sb = new StringBuilder
