@@ -454,6 +454,17 @@ object AnnQueries extends QueryPack {
       rs.sql(mvRelationSql("graft_mv_sets_sat", K, fn = "graft_maxsim_score"))
     }),
 
+    // MaxSim from the SHARDED mv tier at per-shard saturating budget —
+    // completes the {chamfer, maxsim} × {graph, sharded} certificate
+    // grid: the matched function selects the rescorer, the saturating
+    // per-shard beams are shared with g9_sql_sharded_saturated, and
+    // the routed answer must equal the exhaustive summed-max ranking.
+    "a2_sql_sharded_saturated" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets_satsh", K,
+        fn = "graft_maxsim_score"))
+    }),
+
     // The FLAGSHIP multivector query shape (G9: per-sub-vector candidate
     // generation → smooth-Chamfer rerank → top-k sets) served by the
     // COMPRESSED tier instead of a graph: SQ8 coarse scan proposes each

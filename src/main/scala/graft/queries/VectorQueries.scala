@@ -441,6 +441,22 @@ object VectorQueries extends QueryPack {
          |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
          |  FROM scored)
          |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    // a2_sql_sharded_saturated (defined in AnnQueries): the same
+    // MaxSim statement answered by the SHARDED mv tier at per-shard
+    // saturating budget — same exhaustive oracle
+    "a2_sql_sharded_saturated" ->
+      s"""$simTriplesCte,
+         |per_i AS (
+         |  SELECT qset_id, dset_id, q_sub, max(sim) AS max_sim
+         |  FROM sims GROUP BY qset_id, dset_id, q_sub),
+         |scored AS (
+         |  SELECT qset_id, dset_id, round(sum(max_sim), 9) AS score
+         |  FROM per_i GROUP BY qset_id, dset_id),
+         |ranked AS (
+         |  SELECT qset_id, dset_id, score,
+         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
     "a1_smooth_chamfer_topk" ->
       s"""$chamferRankedCtes
          |SELECT qset_id, rank, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
