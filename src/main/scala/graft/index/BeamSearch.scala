@@ -32,12 +32,24 @@ object BeamSearch {
 
   /** G14 — per-thread visited-set pool (`include/visited_list_pool.h:8-74`).
     * Spark task = thread, so a ThreadLocal replaces the mutex'd pool;
-    * epoch-tagging makes reuse free across queries. */
+    * epoch-tagging makes reuse free across queries. Retention is
+    * BOUNDED per thread ([[MaxPooledSizes]] distinct graph sizes, LRU):
+    * a VisitedSet pins O(n) ints, and a long-lived executor thread that
+    * has served several graphs of distinct size (multiple sharded
+    * tiers, a corpus re-registered after growth) would otherwise
+    * accumulate dead tag arrays forever — GBs pinned after the
+    * corresponding broadcasts are destroyed. */
+  private val MaxPooledSizes = 4
   private object VisitedPools {
-    private val tl: ThreadLocal[scala.collection.mutable.HashMap[Int, ArrayBuffer[VisitedSet]]] =
-      ThreadLocal.withInitial(() => scala.collection.mutable.HashMap.empty)
+    private val tl: ThreadLocal[
+        scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[VisitedSet]]] =
+      ThreadLocal.withInitial(() =>
+        scala.collection.mutable.LinkedHashMap.empty)
     def get(n: Int, c: Int): Array[VisitedSet] = {
-      val buf = tl.get().getOrElseUpdate(n, ArrayBuffer.empty)
+      val m = tl.get()
+      val buf = m.remove(n).getOrElse(ArrayBuffer.empty)
+      m.put(n, buf) // LRU touch: insertion order doubles as recency
+      while (m.size > MaxPooledSizes) m.remove(m.head._1)
       while (buf.length < c) buf += new VisitedSet(n)
       buf.take(c).toArray
     }
@@ -51,7 +63,8 @@ object BeamSearch {
   private def expandLoop(graph: CsrGraph, vecs: VectorStore, metric: VectorMetric,
                          q: Array[Float], queue: BeamQueue, l: Int,
                          visited: VisitedSet,
-                         visitLog: ArrayBuffer[Int] = null): (Int, Int) = {
+                         visitLog: ArrayBuffer[Int] = null,
+                         scoreLog: ArrayBuffer[(Int, Float)] = null): (Int, Int) = {
     var cmps = 0
     var hops = 0
     val dim = vecs.dim
@@ -68,6 +81,7 @@ object BeamSearch {
           if (visitLog != null) visitLog += nbr
           val d = metric.dist(vecs.data, vecs.offset(nbr), q, 0, dim)
           cmps += 1
+          if (scoreLog != null) scoreLog += ((nbr, d))
           queue.insert(nbr, d)
         }
         o += 1
@@ -163,30 +177,12 @@ object BeamSearch {
     if (scored != null) scored += ((ep, d0))
     var cmps = 1
     var hops = 0
-    if (scored == null) {
-      val (c, h) = expandLoop(graph, vecs, metric, query, queue, l, visited)
-      cmps += c; hops += h
-    } else {
-      // instrumented variant: record every scored candidate
-      while (queue.hasUnexpandedInK(l)) {
-        val idx = queue.closestUnexpanded()
-        val node = queue.id(idx)
-        hops += 1
-        var o = graph.nbrStart(node)
-        val end = graph.nbrEnd(node)
-        while (o < end) {
-          val nbr = graph.nbrs(o)
-          if (!visited.visited(nbr)) {
-            visited.visit(nbr)
-            val d = metric.dist(vecs.data, vecs.offset(nbr), query, 0, vecs.dim)
-            cmps += 1
-            scored += ((nbr, d))
-            queue.insert(nbr, d)
-          }
-          o += 1
-        }
-      }
-    }
+    // ONE expansion loop for plain and instrumented searches — the
+    // scoreLog hook replaces what used to be a full duplicate of the
+    // loop body (a fix to the expansion semantics must land once)
+    val (c, h) = expandLoop(graph, vecs, metric, query, queue, l, visited,
+      scoreLog = scored)
+    cmps += c; hops += h
     (queue, cmps, hops)
   }
 

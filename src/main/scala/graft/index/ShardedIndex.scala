@@ -70,10 +70,14 @@ object ShardedIndex {
     liveShards.set(0); peakShards.set(0)
   }
 
-  /** Loaded shard state held by the resident cache. */
-  private final case class Resident(
-      g: org.apache.spark.broadcast.Broadcast[CsrGraph],
-      v: org.apache.spark.broadcast.Broadcast[VectorStore])
+  /** Loaded shard state held by the resident cache. `pins` counts
+    * in-flight [[withShard]] bodies using the broadcasts — eviction
+    * skips pinned entries so a concurrent query can never have its
+    * shard destroy()ed mid-checkpoint. */
+  private final class Resident(
+      val g: org.apache.spark.broadcast.Broadcast[CsrGraph],
+      val v: org.apache.spark.broadcast.Broadcast[VectorStore],
+      var pins: Int = 0)
 
   // Resident-shard LRU, keyed by shard DIRECTORY (base `shard<s>` and
   // delta `delta<j>` dirs flow through the same cache and the same
@@ -109,19 +113,29 @@ object ShardedIndex {
     }
   }
 
-  /** Load a shard dir through the resident cache: hit = touch + reuse,
-    * miss = evict-to-capacity (oldest first) then load. */
+  /** Load a shard dir through the resident cache: hit = touch + pin +
+    * reuse, miss = evict-to-capacity (oldest UNPINNED first) then load.
+    * The returned entry is PINNED — callers pair with
+    * [[releaseShard]] ([[withShard]] does) so a concurrent query's
+    * eviction can never destroy broadcasts a checkpoint job is still
+    * reading. When every resident entry is pinned the cache may
+    * transiently exceed the cap by the number of concurrent queries —
+    * bounded, and strictly better than destroying in-use state. */
   private def acquireShard(spark: SparkSession, metric: String,
                            dir: String): Resident = resident.synchronized {
     resident.remove(dir) match {
       case Some(r) =>
         resident.put(dir, r) // LRU touch
+        r.pins += 1
         r
       case None =>
         val cap = residentCap(spark)
-        while (resident.size >= cap) {
-          val (k, old) = resident.head
-          resident.remove(k)
+        var evictable = resident.iterator.filter(_._2.pins == 0).map(_._1)
+          .toList
+        while (resident.size >= cap && evictable.nonEmpty) {
+          val k = evictable.head
+          evictable = evictable.tail
+          val old = resident.remove(k).get
           old.g.destroy(); old.v.destroy(); exitShard()
         }
         enterShard()
@@ -130,11 +144,15 @@ object ShardedIndex {
         val vecs = VectorStore.fromDf(
           spark.read.parquet(s"$dir/vectors"),
           "vec_id", "embedding", Metrics(metric))
-        val r = Resident(spark.sparkContext.broadcast(g),
-          spark.sparkContext.broadcast(vecs))
+        val r = new Resident(spark.sparkContext.broadcast(g),
+          spark.sparkContext.broadcast(vecs), pins = 1)
         resident.put(dir, r)
         r
     }
+  }
+
+  private def releaseShard(dir: String): Unit = resident.synchronized {
+    resident.get(dir).foreach(r => r.pins = math.max(0, r.pins - 1))
   }
 
   private def shardDir(ref: ShardedIndexRef, s: Int): String =
@@ -185,10 +203,14 @@ object ShardedIndex {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.matches(DeltaDirName))
-      // `ids` is written LAST by appendDelta, so its presence marks a
-      // COMPLETE delta; a crash mid-append leaves a partial dir that
-      // must not serve
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"${ref.path}/$d/ids")))
+      // `ids` is written LAST by appendDelta, so its COMMITTED presence
+      // marks a COMPLETE delta; a crash mid-append leaves a partial dir
+      // that must not serve. The marker is ids/_SUCCESS, not the bare
+      // directory — Spark's output committer creates the directory at
+      // job SETUP, so a crash mid-ids-write leaves an ids dir with only
+      // _temporary inside, which must read as incomplete
+      .filter(d => fs.exists(
+        new org.apache.hadoop.fs.Path(s"${ref.path}/$d/ids/_SUCCESS")))
       .map(_.stripPrefix("delta").toInt)
       .toSet
     // contiguous prefix only: a gap means the sequence is broken
@@ -226,11 +248,29 @@ object ShardedIndex {
         }
     }
     val ref = ShardedIndexRef(path, nShards, params.metric)
+    // ONE corpus pass: stage the shard-partitioned layout up front,
+    // then build each shard from its PRUNED partition. Filtering the
+    // input once per shard instead would re-scan (and re-compute) the
+    // full upstream plan nShards times — O(corpus × nShards) read,
+    // quadratic in corpus size once autoShards holds shard SIZE fixed —
+    // and GraphBuild's own multiple passes over the shard would each
+    // re-run the upstream plan too; the staged parquet makes every
+    // pass a pruned columnar read.
+    val staging = s"$path/build_staging"
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("shard", (col("vec_id") % nShards).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
     (0 until nShards).foreach { s =>
       enterShard()
       try {
-        val shardDf = emb.filter(col("vec_id") % nShards === s)
-          .select((col("vec_id") / nShards).cast("long").as("vec_id"),
+        // `div` (integral divide), NOT `/`: Column./ is a double
+        // Divide, which loses integer precision past 2^53 — two
+        // distinct global ids could collapse onto one local id and
+        // silently corrupt the dense VectorStore contract at the very
+        // scale this tier exists for
+        val shardDf = spark.read.parquet(staging)
+          .filter(col("shard") === s)
+          .select(expr(s"vec_id div $nShards").as("vec_id"),
             col("embedding"))
         val idx = GraphBuild.build(spark, shardDf, shardDf, params)
         CsrGraph.save(spark, idx.graph, s"${shardDir(ref, s)}/graph",
@@ -242,6 +282,7 @@ object ShardedIndex {
       // idx goes out of scope here; GraphBuild.build destroyed its own
       // broadcasts, so the next iteration starts from a clean slate
     }
+    deleteDir(spark, staging)
     ref
   }
 
@@ -256,8 +297,9 @@ object ShardedIndex {
   private def withShard(spark: SparkSession, metric: String, dir: String)(
       body: (org.apache.spark.broadcast.Broadcast[CsrGraph],
              org.apache.spark.broadcast.Broadcast[VectorStore]) => DataFrame): DataFrame = {
-    val r = acquireShard(spark, metric, dir)
-    body(r.g, r.v).localCheckpoint(true)
+    val r = acquireShard(spark, metric, dir) // pinned until the
+    try body(r.g, r.v).localCheckpoint(true) // EAGER checkpoint returns
+    finally releaseShard(dir)
   }
 
   /** G9 multivector adaptive search across all shards: per-shard

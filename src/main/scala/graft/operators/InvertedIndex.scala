@@ -98,27 +98,41 @@ object InvertedIndex {
   /** Append one batch of `(doc_id, text)` rows. Doc ids must be
     * MONOTONE across batches (the ingest contract every incremental
     * index here shares); a batch whose ids the watermark already
-    * covers is a REPLAY and is skipped idempotently; a partial overlap
-    * fails loudly. Each batch costs one tokenize + one keyed groupBy —
-    * the corpus is never re-read. */
+    * covers is a REPLAY and is skipped idempotently; a watermark
+    * landing INSIDE the batch range (a crash between the postings
+    * write and the sidecar promote, or a stats rebuild that
+    * undercounted trailing zero-token docs — invisible to postings)
+    * appends only the uncovered SUFFIX, converging idempotently
+    * instead of wedging the ingest. Each batch costs ONE tokenize pass
+    * (persisted projection serves the stats aggregate and the postings
+    * write) — the corpus is never re-read. */
   def append(spark: SparkSession, docsDf: DataFrame, path: String): Unit = {
     import graft.queries.TextQueries
-    val (cnt, sumDl, minId, maxId) = TextQueries.corpusStatsOf(docsDf)
-    if (cnt == 0) return // empty batch: nothing to append
-    val prior = readStats(spark, path)
-    prior.foreach { case (wm, _, _) =>
-      require(wm < minId || wm >= maxId,
-        s"inverted-index append needs monotone doc ids: watermark $wm " +
-          s"lands inside the batch range [$minId, $maxId] — not a " +
-          "replay, not an append")
-    }
-    if (prior.exists(_._1 >= maxId)) return // replay: already indexed
-    TextQueries.postingsOf(docsDf)
-      .withColumn("bucket", pmod(crc32(col("term")), lit(NumBuckets.toLong)))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
-    writeStats(spark, path, maxId, n0 + cnt, s0 + sumDl)
+    val toks = TextQueries.tokenizedOf(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (cnt, sumDl, minId, maxId) =
+        TextQueries.corpusStatsOfTokenized(toks)
+      if (cnt == 0) return // empty batch: nothing to append
+      val prior = readStats(spark, path)
+      if (prior.exists(_._1 >= maxId)) return // replay: already indexed
+      val (batch, bCnt, bSum) = prior.map(_._1) match {
+        case Some(wm) if wm >= minId =>
+          // partial coverage: append the ids the watermark missed
+          val suffix = toks.filter(col("doc_id") > wm)
+          val (c2, s2, _, _) = TextQueries.corpusStatsOfTokenized(suffix)
+          (suffix, c2, s2)
+        case _ => (toks, cnt, sumDl)
+      }
+      if (bCnt > 0)
+        TextQueries.postingsOfTokenized(batch)
+          .withColumn("bucket",
+            pmod(crc32(col("term")), lit(NumBuckets.toLong)))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$path/postings")
+      val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
+      writeStats(spark, path, maxId, n0 + bCnt, s0 + bSum)
+    } finally toks.unpersist(false)
   }
 
   /** Fold append-accumulated small files — and any replay-duplicated

@@ -32,6 +32,13 @@ object MinHashLsh {
   def bandKeys(sh: DataFrame, numHashes: Int = 8,
                rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    // each split-hash slice reads 4 hex chars of the 32-char md5 —
+    // beyond 8 hashes the substring runs off the end and every doc's
+    // tail signatures degenerate to min("") = "", making the affected
+    // bands one global all-pairs bucket (O(N²) join on one reducer)
+    require(numHashes * 4 <= 32,
+      s"numHashes=$numHashes exceeds the md5 split-hash budget (max 8); " +
+        "use a second hash column for wider signatures")
     val numBands = numHashes / rowsPerBand
     val sigs = (1 to numHashes).map(r =>
       min(substring(col("h"), (r - 1) * 4 + 1, 4)).as(s"sig$r"))
@@ -51,12 +58,19 @@ object MinHashLsh {
   def bandedPairs(sh: DataFrame, numHashes: Int = 8,
                   rowsPerBand: Int = 2): DataFrame = {
     val banded = bandKeys(sh, numHashes, rowsPerBand)
-    banded.as("x").join(banded.as("y"),
+    pairsOf(banded)
+  }
+
+  /** The ONE copy of the certified pair arithmetic (its n_shared_bands
+    * is oracle-checked): band-key equi-self-join, doc_a < doc_b, count
+    * of shared bands. [[bandedPairs]] and [[cappedPairs]] both consume
+    * it — the capped path differs only in WHICH keys survive. */
+  private def pairsOf(keys: DataFrame): DataFrame =
+    keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
 
   /** Per-bucket population of the banded key space: (band, key,
     * n_docs). Map-side-combinable groupBy on the same (band, key) the
@@ -91,11 +105,7 @@ object MinHashLsh {
       bucketSizes(keys).filter(col("n_docs") <= maxBucket)
         .select("band", "key"),
       Seq("band", "key"))
-    surviving.as("x").join(surviving.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    pairsOf(surviving)
   }
 
   /** Persist a corpus's band keys as the resident DEDUP INDEX — the

@@ -247,7 +247,7 @@ object AnnIndexRegistry {
       BudgetPolicy.scaledL(s, math.max(entry.nCand, 4 * k),
         regRows.toDouble, IvfPq.indexRows(s, entry.path).toDouble)
     def liveData(s: SparkSession) = {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
       (if (refresh != null) refresh() else entry.data)
         .select(col(entry.dataIdCol).as("d_id"),
           col(entry.dataVecCol).as("d_vec"))
@@ -261,7 +261,7 @@ object AnnIndexRegistry {
         scaledFetch(s, k)),
       candidatesBatch = (s, qs, k) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
         // `relation.exact=true` = the saturating certificate regime:
@@ -361,7 +361,7 @@ object AnnIndexRegistry {
       "sharded", corpus, idCol, vecCol, metricName, dim,
       (s, qv, k) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
         val (live, l, kc) = liveState(s, k)
         graft.index.ShardedIndex
@@ -376,7 +376,7 @@ object AnnIndexRegistry {
       // every collected query vector
       candidatesBatch = (s, qs, k) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
         val (live, l, kc) = liveState(s, k)
@@ -426,7 +426,7 @@ object AnnIndexRegistry {
       "sq8", corpus, idCol, vecCol, metricName, bounds.dim,
       (s, qv, k) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val q = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
         graft.operators.Sq8Ann.coarseCandidates(q, liveEncoded(s), bounds,
           fetch(s, k), excludeSelf = false,
@@ -435,7 +435,7 @@ object AnnIndexRegistry {
       },
       candidatesBatch = (s, qs, k) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val q = qs.map { case (id, v) => (id, v.toSeq) }
           .toDF("q_id", "q_vec")
         graft.operators.Sq8Ann.coarseCandidates(q, liveEncoded(s), bounds,
@@ -562,7 +562,7 @@ object AnnIndexRegistry {
     def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
               k: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
       val qdf = qsets.flatMap { case (qid, vs) =>
         vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
       }.toDF("qset_id", "q_sub", "q_vec")
@@ -571,13 +571,13 @@ object AnnIndexRegistry {
           maxPq = math.max(200, budget * 2), budget = budget,
           adaptive = true)
         .select(col("qset_id"),
-          (col("d_id") / c).cast("long").as("dset_id"))
+          expr(s"d_id div $c").as("dset_id"))
         .distinct()
     }
     registerMv(corpusSets, idCol, vecCol, MvEntry(
       name, corpusSets, idCol, vecCol, dim,
       (s, qset, k) => {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         batch(s, Seq((0L, qset)), k).select(col("dset_id"))
       },
       batch))
@@ -610,7 +610,7 @@ object AnnIndexRegistry {
     def batch(s: SparkSession, qsets: Seq[(Long, Array[Array[Float]])],
               k: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
       val qdf = qsets.flatMap { case (qid, vs) =>
         vs.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
       }.toDF("qset_id", "q_sub", "q_vec")
@@ -631,13 +631,13 @@ object AnnIndexRegistry {
           maxPq = math.max(200, effBudget * 2), budget = effBudget,
           adaptive = true)
         .select(col("qset_id"),
-          (col("d_id") / c).cast("long").as("dset_id"))
+          expr(s"d_id div $c").as("dset_id"))
         .distinct()
     }
     registerMv(corpusSets, idCol, vecCol, MvEntry(
       name, corpusSets, idCol, vecCol, dim,
       (s, qset, k) => {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         batch(s, Seq((0L, qset)), k).select(col("dset_id"))
       },
       batch,
@@ -1575,7 +1575,7 @@ case class AnnFilteredTopKExec(node: AnnFilteredTopKNode) extends LeafExecNode {
       checkFingerprint(fp, "candidate tier")
       val s = entry.data.sparkSession
       import s.implicits._
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
       val ids = entry.candidates(s, node.queryVec, c)
         .select(col("d_id").cast("long")).distinct().as[Long].collect()
       (ids, ids.length < c)

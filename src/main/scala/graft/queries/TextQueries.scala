@@ -210,24 +210,34 @@ object TextQueries extends QueryPack {
 
   /** Tokenized postings `(doc_id, dl, term, tf)` + 1-row batch stats —
     * the append-side input of the persisted inverted index. */
-  private[graft] def postingsOf(docsDf: DataFrame): DataFrame = {
-    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+  /** (doc_id, toks, dl) — the tokenized projection both the postings
+    * shape and the corpus stats derive from. Callers that need both
+    * (the inverted-index append) persist THIS so the tokenizer — the
+    * dominant batch cost — runs once, not once per consumer. */
+  private[graft] def tokenizedOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), tokensCol.as("toks"))
       .withColumn("dl",
         org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+
+  private[graft] def postingsOf(docsDf: DataFrame): DataFrame =
+    postingsOfTokenized(tokenizedOf(docsDf))
+
+  private[graft] def postingsOfTokenized(t: DataFrame): DataFrame =
     t.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-  }
 
   /** (n_docs, sum_dl, min_id, max_id) of a docs frame — one aggregate,
     * zero-token docs included (they carry dl=0 into the corpus stats
     * exactly as the inline bm25 counts them). */
   private[graft] def corpusStatsOf(docsDf: DataFrame)
+      : (Long, Long, Long, Long) =
+    corpusStatsOfTokenized(tokenizedOf(docsDf))
+
+  private[graft] def corpusStatsOfTokenized(t: DataFrame)
       : (Long, Long, Long, Long) = {
-    val r = docsDf.select(col("doc_id"), tokensCol.as("toks"))
-      .agg(count(lit(1)).cast("long"),
-        sum(org.apache.spark.sql.functions.size(col("toks")).cast("long")),
-        min(col("doc_id")), max(col("doc_id"))).first()
+    val r = t.agg(count(lit(1)).cast("long"), sum(col("dl")),
+      min(col("doc_id")), max(col("doc_id"))).first()
     if (r.isNullAt(2)) (0L, 0L, -1L, -1L)
     else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }

@@ -399,6 +399,12 @@ class IndexSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$path/delta1/graph"))
     assert(ShardedIndex.discover(spark, ref0).nDeltas === 1)
     assert(ShardedIndex.discover(spark, ref1).nDeltas === 1)
+    // and a crash MID-ids-write (dir created by the committer at job
+    // setup, no committed files yet → no _SUCCESS) must not serve either
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/delta1/ids/_temporary"))
+    assert(ShardedIndex.discover(spark, ref0).nDeltas === 1,
+      "an uncommitted ids dir must read as an incomplete delta")
 
     // policy math: no growth / growth / ceiling / flat switch
     assert(BudgetPolicy.scaledL(spark, 60, 100.0, 100.0) === 60)

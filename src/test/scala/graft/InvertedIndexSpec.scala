@@ -39,19 +39,50 @@ class InvertedIndexSpec extends AnyFunSuite {
       .filter(col("doc_id") === 3L).count() === 0L)
   }
 
-  test("monotone-id contract: interleaved batch fails loudly, replay is skipped") {
-    val idx = freshIndex()
-    val e = intercept[IllegalArgumentException] {
-      InvertedIndex.append(spark,
-        Seq((2L, "xx yy"), (9L, "yy zz")).toDF("doc_id", "text"), idx)
-    }
-    assert(e.getMessage.contains("monotone"))
-    // exact replay of the indexed range: skipped, stats unchanged
+  test("watermark-inside-batch appends the uncovered suffix; replay is skipped") {
+    val idx = freshIndex() // wm=3, n=3, sum_dl=6
+    // a batch straddling the watermark (the shape a crash between the
+    // postings write and the sidecar promote — or a zero-token-tail
+    // stats rebuild — leaves behind on replay): covered ids are
+    // skipped (first write wins), the uncovered suffix appends, and
+    // the ingest CONVERGES instead of wedging on an all-or-nothing
+    // contract check
+    InvertedIndex.append(spark,
+      Seq((2L, "xx yy"), (9L, "yy zz")).toDF("doc_id", "text"), idx)
+    assert(InvertedIndex.readStats(spark, idx) === Some((9L, 4L, 8L)))
+    // doc 2's already-indexed content stands; its replayed variant was
+    // not re-indexed
+    assert(InvertedIndex.bm25Query(spark, idx, Seq("xx"), k = 5)
+      .count() === 0L)
+    assert(InvertedIndex.bm25Query(spark, idx, Seq("zz"), k = 5)
+      .count() === 1L)
+    // exact replay of an indexed range: skipped, stats unchanged
     val before = InvertedIndex.readStats(spark, idx)
     InvertedIndex.append(spark,
       Seq((1L, "aa bb cc"), (2L, "bb cc dd"), (3L, ""))
         .toDF("doc_id", "text"), idx)
     assert(InvertedIndex.readStats(spark, idx) === before)
+  }
+
+  test("zero-token-tail rebuild converges on replay instead of wedging") {
+    val idx = freshIndex() // true stats (3, 3, 6); doc 3 is zero-token
+    // lose the sidecar: the rebuild from postings is stale-LOW
+    // (doc 3 invisible) — wm 2 inside the original batch range
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_stats"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx, "._stats.crc"))
+    assert(InvertedIndex.readStats(spark, idx) === Some((2L, 2L, 6L)))
+    // the at-least-once replay of the ORIGINAL batch must converge the
+    // stats back to truth (append the wm<id suffix: just zero-token
+    // doc 3), not throw
+    InvertedIndex.append(spark,
+      Seq((1L, "aa bb cc"), (2L, "bb cc dd"), (3L, ""))
+        .toDF("doc_id", "text"), idx)
+    assert(InvertedIndex.readStats(spark, idx) === Some((3L, 3L, 6L)))
+    // no duplicate postings rows were appended for docs 1-2
+    assert(spark.read.parquet(s"$idx/postings")
+      .groupBy("doc_id", "term").count().filter(col("count") > 1)
+      .count() === 0L)
   }
 
   test("missing or corrupt _stats sidecar is rebuilt from the postings") {
