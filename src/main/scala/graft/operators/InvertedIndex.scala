@@ -17,11 +17,34 @@ import org.apache.spark.sql.functions._
   *    pushdown), so serving cost scales with the matched postings, not
   *    the corpus. At 100 TB the postings relation is the standard
   *    sharded inverted file; nothing here is resident.
+  *  - `doclens/` — parquet `(doc_id, dl)` partitioned by
+  *    `dbucket = doc_id % 64`: the corpus doc-length table (16 B/doc;
+  *    at 100 TB this is corpus metadata, ~0.01% of the postings). It
+  *    serves two jobs the postings cannot: O(delete-batch) dl lookups
+  *    for [[deleteDocs]] (partition-pruned by the ids' dbuckets — the
+  *    postings are term-partitioned, so the same lookup there is a
+  *    full scan), and an EXACT `_stats` rebuild (zero-token docs write
+  *    no postings rows but do write a dl=0 doclens row).
+  *  - `tombstones/` — parquet `(doc_id, dl)` partitioned by `dbucket`,
+  *    append-only: the DELETED doc set (takedowns, license
+  *    revocations, GDPR erasure). Deletion is a pure tombstone append
+  *    — no other file changes — so there is NO cross-file invariant to
+  *    crash-break: serving derives live constants by subtracting the
+  *    (distinct) tombstone set from the gross `_stats`, and hides
+  *    tombstoned docs with an anti-join. [[compactPostings]] erases
+  *    the dead docs' CONTENT physically (postings + doclens rows
+  *    dropped); the tombstones themselves persist — 16 B/doc of
+  *    id+length, no content — because the gross `_stats` is never
+  *    rewritten. Update semantics compose from the two primitives:
+  *    delete the old doc id, append the revision under a fresh
+  *    monotone id.
   *  - `_stats` — one tiny text file `watermark,n_docs,sum_dl`:
-  *    the corpus-level BM25 constants (maintained additively per
-  *    batch — at scale this pair is corpus metadata, never recomputed)
-  *    plus the max-doc-id watermark that makes at-least-once replays
-  *    idempotent (same posture as [[Watermark]]).
+  *    the GROSS (ingested, pre-deletion) corpus-level BM25 constants
+  *    (maintained additively per batch — at scale this pair is corpus
+  *    metadata, never recomputed) plus the max-doc-id watermark that
+  *    makes at-least-once replays idempotent (same posture as
+  *    [[Watermark]]). Deletions never touch it; live constants are
+  *    gross minus tombstones, exact in every crash state.
   *
   * Crash window (same stale-low posture as [[Watermark]]): `_stats`
   * writes AFTER the postings append (temp-write + swap, so the live
@@ -47,13 +70,18 @@ object InvertedIndex {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (watermark, n_docs, sum_dl) or None for an absent/empty index.
-    * A missing or corrupt sidecar WITH live postings (crash inside
+  /** (watermark, GROSS n_docs, GROSS sum_dl) or None for an absent/
+    * empty index. A missing or corrupt sidecar (crash inside
     * [[writeStats]]'s swap window, or a legacy index) is RECOVERED by
-    * one aggregation over the postings — docs are distinct
-    * (doc_id, dl) rows (replay-duplicated postings fold away), the
-    * watermark is max(doc_id) — and the rebuilt sidecar is re-written
-    * so the recovery scan runs once, not per read. */
+    * one aggregation over distinct `(doc_id, dl)` rows of
+    * doclens ∪ tombstones when doclens exists (EXACT gross stats —
+    * doclens carries zero-token docs, and the tombstone union restores
+    * docs a compaction already erased from doclens; the distinct folds
+    * the pre-compaction overlap), else of postings ∪ tombstones (the
+    * legacy path — zero-token LIVE docs are invisible to postings, so
+    * this rebuild is the documented stale-LOW recovery). The rebuilt
+    * sidecar is re-written so the recovery scan runs once, not per
+    * read. */
   def readStats(spark: SparkSession, path: String)
       : Option[(Long, Long, Long)] = {
     val p = new Path(path, "_stats")
@@ -70,10 +98,19 @@ object InvertedIndex {
         finally in.close()
       }
     parsed.orElse {
-      if (!f.exists(new Path(s"$path/postings"))) None
-      else {
-        val docs = spark.read.parquet(s"$path/postings")
-          .select(col("doc_id"), col("dl")).distinct()
+      val base =
+        if (f.exists(new Path(s"$path/doclens")))
+          Some(spark.read.parquet(s"$path/doclens")
+            .select(col("doc_id"), col("dl")))
+        else if (f.exists(new Path(s"$path/postings")))
+          Some(spark.read.parquet(s"$path/postings")
+            .select(col("doc_id"), col("dl")))
+        else None
+      base.flatMap { b =>
+        val gross = tombstonesOf(spark, path)
+          .map(t => b.union(t.select(col("doc_id"), col("dl"))))
+          .getOrElse(b).distinct()
+        val docs = gross
           .agg(max(col("doc_id")), count(lit(1)), sum(col("dl"))).head()
         if (docs.isNullAt(0)) None
         else {
@@ -124,15 +161,119 @@ object InvertedIndex {
           (suffix, c2, s2)
         case _ => (toks, cnt, sumDl)
       }
-      if (bCnt > 0)
+      if (bCnt > 0) {
         TextQueries.postingsOfTokenized(batch)
           .withColumn("bucket",
             pmod(crc32(col("term")), lit(NumBuckets.toLong)))
           .write.mode("append").partitionBy("bucket")
           .parquet(s"$path/postings")
+        // the doc-length sidecar rides the same batch (and the same
+        // replay convergence: a crash before the sidecar promote
+        // re-appends both, and reads fold the duplicates)
+        batch.select(col("doc_id"), col("dl"))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
+          .write.mode("append").partitionBy("dbucket")
+          .parquet(s"$path/doclens")
+      }
       val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
       writeStats(spark, path, maxId, n0 + bCnt, s0 + bSum)
     } finally toks.unpersist(false)
+  }
+
+  /** Distinct `(doc_id, dl)` tombstone set, or None when nothing was
+    * ever deleted. The distinct folds crash-replayed duplicate rows;
+    * rows are `(id, length)` only — no content — so keeping them for
+    * the index lifetime costs 16 B per deleted doc and preserves the
+    * no-cross-file-invariant crash posture (gross `_stats` minus this
+    * set is exact in EVERY intermediate state). */
+  private def tombstonesOf(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    if (!fs(spark, path).exists(new Path(s"$path/tombstones"))) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id"), col("dl")).distinct())
+
+  /** Backfill `doclens/` for a legacy index from the postings (distinct
+    * `(doc_id, dl)` — replay dups fold). Zero-token docs write no
+    * postings, so a backfilled table misses them: deleting such a doc
+    * is then a no-op (stats keep counting it) — the same documented
+    * stale bound as the legacy `_stats` rebuild. Indexes appended by
+    * this version never hit this path. */
+  private def ensureDoclens(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    if (f.exists(new Path(s"$path/doclens")) ||
+        !f.exists(new Path(s"$path/postings"))) return
+    spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("dl")).distinct()
+      .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/doclens")
+  }
+
+  /** Delete documents from the index (takedown / license revocation /
+    * GDPR erasure): a pure append of `(doc_id, dl)` tombstone rows for
+    * the ids that are LIVE (ingested, not already tombstoned) —
+    * nothing else changes, so the operation is idempotent by
+    * construction (a replayed or overlapping delete finds its ids
+    * already tombstoned and appends nothing; a crash mid-append
+    * re-runs to convergence, and reads fold any partial-write
+    * duplicates). Serving hides the docs immediately
+    * ([[bm25Query]] anti-join + exact constant subtraction);
+    * [[compactPostings]] erases their content physically. Ids never
+    * ingested are ignored. Returns the count of newly deleted docs.
+    *
+    * Scale: the dl lookup prunes to the ids' `dbucket` partitions of
+    * the doclens table, so a B-doc takedown reads O(B/64 · corpus/64)
+    * metadata rows, never the postings. Id lists past
+    * [[InPruneMaxIds]] route through the [[DataFrame]] overload
+    * (a semi-join instead of an IN filter). */
+  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else if (ids.size > InPruneMaxIds) {
+      import spark.implicits._
+      deleteDocs(spark, path, ids.distinct.toDF("doc_id"))
+    }
+    else {
+      val dbuckets = ids.map(i =>
+        java.lang.Math.floorMod(i, NumBuckets.toLong).toInt).distinct
+      deleteCore(spark, path, df => df
+        .filter(col("dbucket").isInCollection(dbuckets) &&
+          col("doc_id").isInCollection(ids.distinct)))
+    }
+
+  /** [[deleteDocs]] for an id RELATION (`doc_id` column) — the shape a
+    * takedown feed or a dedup-keep-list join produces; no partition
+    * pruning (the id set is data, not literals), one semi-join against
+    * the doclens table instead. */
+  def deleteDocs(spark: SparkSession, path: String,
+                 idsDf: DataFrame): Long =
+    deleteCore(spark, path, df => df.join(
+      idsDf.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+
+  /** Max literal-IN size for the pruned [[deleteDocs]] fast path. */
+  val InPruneMaxIds = 1000
+
+  private def deleteCore(spark: SparkSession, path: String,
+                         restrict: DataFrame => DataFrame): Long = {
+    recoverCompact(spark, path)
+    ensureDoclens(spark, path)
+    val f = fs(spark, path)
+    if (!f.exists(new Path(s"$path/doclens"))) return 0L // empty index
+    val live = restrict(spark.read.parquet(s"$path/doclens"))
+      .select(col("doc_id"), col("dl")).distinct()
+    val tombP = new Path(s"$path/tombstones")
+    val newDead = (if (!f.exists(tombP)) live
+      else live.join(restrict(spark.read.parquet(tombP.toString))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0)
+        newDead
+          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
+          .write.mode("append").partitionBy("dbucket")
+          .parquet(tombP.toString)
+      n
+    } finally newDead.unpersist(false)
   }
 
   /** Fold append-accumulated small files — and any replay-duplicated
@@ -144,77 +285,139 @@ object InvertedIndex {
     * bucket's rows hash to one task (`repartition(bucket)`), so
     * `partitionBy` writes a single sorted file per bucket dir.
     *
+    * Tombstoned docs are ERASED PHYSICALLY here (their postings and
+    * doclens rows are dropped — the GDPR "content gone on the next
+    * merge" posture); the tombstone rows themselves fold to one
+    * distinct sorted file per dbucket and persist, because the gross
+    * `_stats` is never rewritten and live constants subtract them
+    * forever (16 B of id+length per deleted doc, no content).
+    *
     * Staging-swap with the [[graft.operators.SemDedup.compactCellIndex]]
     * crash posture: staging written first, two renames, old dropped
     * last; [[recoverCompact]] (called here and cheap from any startup
-    * path) restores a stranded old dir or drops a stale one. Requires
-    * QUIESCENCE — no concurrent query or append during the swap. The
-    * `_stats` sidecar is untouched: compaction changes no doc, so the
-    * corpus constants and watermark remain exact. */
+    * path) restores a stranded old dir or drops a stale one. Each of
+    * the three dirs swaps INDEPENDENTLY — serving derives constants by
+    * subtraction, so every mixed pre/post-swap state reads exactly
+    * (the doclens ∪ tombstones distinct union in [[readStats]] is what
+    * keeps the rebuild gross-exact on either side of the doclens
+    * swap). Requires QUIESCENCE — no concurrent query or append during
+    * the swap. The `_stats` sidecar is untouched: compaction changes
+    * no doc's membership, so the gross constants and watermark remain
+    * exact. */
   def compactPostings(spark: SparkSession, path: String): Unit = {
     recoverCompact(spark, path)
     val f = fs(spark, path)
+    val tombIds = tombstonesOf(spark, path).map(_.select(col("doc_id")))
+    def dropDead(df: DataFrame): DataFrame =
+      tombIds.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
     val live = new Path(s"$path/postings")
-    if (!f.exists(live)) return
-    val staging = new Path(s"$path/postings__compact_staging")
-    spark.read.parquet(live.toString)
-      .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
-      .agg(max(col("tf")).as("tf"))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
-        col("bucket"))
-      .repartition(col("bucket"))
-      // bucket must LEAD the sort: the dynamic-partition writer
-      // requires ordering by the partition column and would insert its
-      // own Sort(bucket) over a (term, doc_id)-only ordering,
-      // destroying the term clustering this compaction exists to
-      // produce; with the prefix satisfied the writer keeps our order
-      .sortWithinPartitions("bucket", "term", "doc_id")
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(staging.toString)
-    val old = new Path(s"$path/postings__compact_old")
+    if (f.exists(live))
+      swapDir(spark, path, "postings") { staging =>
+        dropDead(spark.read.parquet(live.toString))
+          .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
+          .agg(max(col("tf")).as("tf"))
+          .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+            col("bucket"))
+          .repartition(col("bucket"))
+          // bucket must LEAD the sort: the dynamic-partition writer
+          // requires ordering by the partition column and would insert
+          // its own Sort(bucket) over a (term, doc_id)-only ordering,
+          // destroying the term clustering this compaction exists to
+          // produce; with the prefix satisfied the writer keeps our
+          // order
+          .sortWithinPartitions("bucket", "term", "doc_id")
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(staging.toString)
+      }
+    if (f.exists(new Path(s"$path/doclens")))
+      swapDir(spark, path, "doclens") { staging =>
+        dropDead(spark.read.parquet(s"$path/doclens")
+            .select(col("doc_id"), col("dl")).distinct())
+          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
+          .repartition(col("dbucket"))
+          .sortWithinPartitions("dbucket", "doc_id")
+          .write.partitionBy("dbucket").mode("overwrite")
+          .parquet(staging.toString)
+      }
+    if (f.exists(new Path(s"$path/tombstones")))
+      swapDir(spark, path, "tombstones") { staging =>
+        spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id"), col("dl")).distinct()
+          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
+          .repartition(col("dbucket"))
+          .sortWithinPartitions("dbucket", "doc_id")
+          .write.partitionBy("dbucket").mode("overwrite")
+          .parquet(staging.toString)
+      }
+  }
+
+  /** One staging-swap: write `<sub>__compact_staging`, move live
+    * aside, promote staging, drop old. */
+  private def swapDir(spark: SparkSession, path: String, sub: String)(
+      write: Path => Unit): Unit = {
+    val f = fs(spark, path)
+    val live = new Path(s"$path/$sub")
+    val staging = new Path(s"$path/${sub}__compact_staging")
+    write(staging)
+    val old = new Path(s"$path/${sub}__compact_old")
     require(f.rename(live, old), s"compact: cannot move $live aside")
     require(f.rename(staging, live),
       s"compact: cannot promote staging for $live")
     f.delete(old, true)
   }
 
-  /** Recover a [[compactPostings]] that crashed between its renames:
-    * stranded old with no live postings → restore; both present (crash
-    * after promote) → drop old; stranded staging → drop (never live). */
+  /** Recover a [[compactPostings]] that crashed between the renames of
+    * any of its three dirs: stranded old with no live dir → restore;
+    * both present (crash after promote) → drop old; stranded staging →
+    * drop (never live). */
   def recoverCompact(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
-    val live = new Path(s"$path/postings")
-    val old = new Path(s"$path/postings__compact_old")
-    if (f.exists(old)) {
-      if (!f.exists(live))
-        require(f.rename(old, live), s"recover: cannot restore $live")
-      else f.delete(old, true)
+    Seq("postings", "doclens", "tombstones").foreach { sub =>
+      val live = new Path(s"$path/$sub")
+      val old = new Path(s"$path/${sub}__compact_old")
+      if (f.exists(old)) {
+        if (!f.exists(live))
+          require(f.rename(old, live), s"recover: cannot restore $live")
+        else f.delete(old, true)
+      }
+      val staging = new Path(s"$path/${sub}__compact_staging")
+      if (f.exists(staging)) f.delete(staging, true)
     }
-    val staging = new Path(s"$path/postings__compact_staging")
-    if (f.exists(staging)) f.delete(staging, true)
   }
 
   /** BM25 top-k for `terms` served FROM the index: the postings scan
     * prunes to the terms' buckets (partition pruning) and pushes the
-    * term filter; corpus constants come from `_stats`; scoring is the
-    * shared hash-green `bm25Rank` tail. */
+    * term filter; corpus constants come from `_stats` minus the
+    * tombstone set (EXACT live constants in every crash state — the
+    * tombstone dir is the single source of deletion truth); tombstoned
+    * docs whose postings a compaction has not yet erased are hidden by
+    * an anti-join (AQE broadcasts the small tombstone side); scoring
+    * is the shared hash-green `bm25Rank` tail. */
   def bm25Query(spark: SparkSession, path: String, terms: Seq[String],
                 k: Int = 20): DataFrame = {
     import graft.queries.TextQueries
-    val (_, nDocs, sumDl) = readStats(spark, path).getOrElse(
+    val (_, nGross, sumGross) = readStats(spark, path).getOrElse(
       sys.error(s"no inverted index at $path"))
     val crc = new java.util.zip.CRC32
     val buckets = terms.map { t =>
       crc.reset(); crc.update(t.getBytes("UTF-8"))
       (crc.getValue % NumBuckets).toString
     }.distinct
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf0 = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(buckets) &&
         col("term").isInCollection(terms))
       // fold byte-identical rows from a stale-watermark replay
       // re-append (see the crash-window note above)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(max(col("tf")).as("tf"))
+    val (nDocs, sumDl, tf) = tombstonesOf(spark, path) match {
+      case None => (nGross, sumGross, tf0)
+      case Some(tomb) =>
+        val dead = tomb.agg(count(lit(1)),
+          coalesce(sum(col("dl")), lit(0L))).head()
+        (nGross - dead.getLong(0), sumGross - dead.getLong(1),
+          tf0.join(tomb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }
     val stats = spark.range(1).select(
       lit(nDocs).cast("double").as("n_docs"),
       lit(sumDl).cast("double").as("sum_dl"))

@@ -127,6 +127,64 @@ object MinHashLsh {
       .foreach(Watermark.write(keys.sparkSession, path, _))
   }
 
+  /** The canonical index loader: resident band keys minus the
+    * tombstoned docs. Every probe path reads through this, so a
+    * takedown is invisible to candidate generation the moment
+    * [[deleteFromBandIndex]] returns — the deleted doc can no longer
+    * seed pairs — while the physical rows wait for the next
+    * [[compactBandIndex]] to be erased. The tombstone side is tiny
+    * (ids only), so AQE broadcasts the anti-join; with no tombstones
+    * the plan is the bare scan. */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb)) base
+    else base.join(
+      spark.read.parquet(tomb.toString).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** `_`-prefixed so the parquet reader of the index dir ignores it —
+    * the [[Watermark]] sidecar convention. */
+  private val TombstoneDir = "_tombstones"
+
+  /** Delete docs from the resident dedup index (takedown / GDPR
+    * erasure): a pure append of id rows to the `_tombstones` sidecar
+    * dir — nothing else changes, so a crashed or replayed delete just
+    * re-runs to convergence (already-tombstoned ids are skipped; a
+    * duplicate row from a crash mid-append is folded by the readers'
+    * distinct). Unlike the inverted index there are no corpus
+    * constants to maintain — pair generation is membership-shaped —
+    * so tombstones need no dl payload and die with the next
+    * compaction's physical erase. Ids never indexed are harmless
+    * no-ops. Returns the count of newly tombstoned ids. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idsDf: DataFrame): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = idsDf.select(col("doc_id")).distinct()
+    val newDead = (if (!f.exists(tomb)) ids
+      else ids.join(spark.read.parquet(tomb.toString).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      n
+    } finally newDead.unpersist(false)
+  }
+
+  /** [[deleteFromBandIndex]] for a literal takedown list. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteFromBandIndex(spark, path, ids.distinct.toDF("doc_id"))
+    }
+
   /** Append a batch's band keys to the resident index (delta-only write;
     * resident files untouched — same lifecycle posture as
     * [[graft.index.ShardedIndex.appendDelta]]), then advance the max-id
@@ -154,6 +212,16 @@ object MinHashLsh {
     * emits one row per (doc, band)), so compaction is the repair step
     * for replay double-appends.
     *
+    * Tombstoned docs ([[deleteFromBandIndex]]) are ERASED PHYSICALLY
+    * here: the staging read goes through [[readBandIndex]], so the
+    * promoted layout has no dead rows — and the `_tombstones` sidecar
+    * is intentionally DROPPED with the old dir (it rides the
+    * path→old rename): once the rows are gone the tombstones have
+    * nothing left to mask, and the watermark stays gross (max id ever
+    * ingested), so replay detection is unaffected. A crash between
+    * the renames restores old — tombstones included — so no state
+    * loses its mask early.
+    *
     * Concurrency contract: compaction requires QUIESCENCE — no
     * concurrent probe or ingest; the two-rename swap has a window with
     * no live index at `path`. A compact that crashed between its
@@ -166,7 +234,7 @@ object MinHashLsh {
             else spark.sparkContext.defaultParallelism
     val staging = s"${path}__compact_staging"
     val wm = Watermark.read(spark, path, "doc_id")
-    spark.read.parquet(path)
+    readBandIndex(spark, path)
       .dropDuplicates("doc_id", "band", "key")
       .repartitionByRange(n, col("key"), col("band"))
       .sortWithinPartitions("key", "band")

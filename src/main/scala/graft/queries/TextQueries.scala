@@ -548,7 +548,7 @@ object TextQueries extends QueryPack {
         MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 =!= 0),
           NumHashes, RowsPerBand), idx)
       MinHashLsh.incrementalPairs(
-        s.read.parquet(idx),
+        MinHashLsh.readBandIndex(s, idx),
         MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 === 0),
           NumHashes, RowsPerBand))
     }),
@@ -575,7 +575,36 @@ object TextQueries extends QueryPack {
       MinHashLsh.appendBandIndex(keysOf(col("doc_id") % 4 === 3), idx)
       MinHashLsh.compactBandIndex(s, idx)
       MinHashLsh.incrementalPairs(
-        s.read.parquet(idx), keysOf(col("doc_id") % 4 === 0))
+        MinHashLsh.readBandIndex(s, idx), keysOf(col("doc_id") % 4 === 0))
+    }),
+
+    // The DELETION lifecycle of the resident dedup index: tranche 1
+    // (doc_id % 9 = 0 among residents) is tombstoned, REPLAYED
+    // idempotently, physically erased by compaction; tranche 2 (% 11)
+    // is tombstoned after the compact and served through the live
+    // anti-join. The probe must hash-equal the banded pairs of the
+    // SURVIVING union corpus that touch the batch — i.e. a taken-down
+    // doc generates no candidate pairs the moment the delete returns,
+    // and none after the physical erase either.
+    "dedup_incremental_deleted" -> ((s, dir) => {
+      import graft.operators.MinHashLsh
+      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bandidx_del_").toString
+      def keysOf(pred: org.apache.spark.sql.Column) =
+        MinHashLsh.bandKeys(sh.filter(pred), NumHashes, RowsPerBand)
+      MinHashLsh.writeBandIndex(keysOf(col("doc_id") % 4 =!= 0), idx)
+      val t1 = docs(s, dir)
+        .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 9 === 0)
+        .select("doc_id")
+      MinHashLsh.deleteFromBandIndex(s, idx, t1)
+      MinHashLsh.deleteFromBandIndex(s, idx, t1) // replayed: no-op
+      MinHashLsh.compactBandIndex(s, idx) // tranche 1 physically gone
+      MinHashLsh.deleteFromBandIndex(s, idx, docs(s, dir)
+        .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 11 === 0)
+        .select("doc_id"))
+      MinHashLsh.incrementalPairs(
+        MinHashLsh.readBandIndex(s, idx), keysOf(col("doc_id") % 4 === 0))
     }),
 
     // Duplicate-CLUSTER resolution — the step every real pipeline runs
@@ -1248,6 +1277,32 @@ object TextQueries extends QueryPack {
       InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
     }),
 
+    // The DELETION lifecycle of the same index (takedown / GDPR
+    // shape): tranche 1 (doc_id % 13 = 0) is tombstoned, REPLAYED
+    // idempotently, then physically erased by the postings merge;
+    // tranche 2 (% 17) is tombstoned after the merge and served
+    // through the live anti-join + constant-subtraction path. The
+    // result must hash-equal BM25 recomputed from scratch over only
+    // the surviving docs — corpus constants (n_docs, avgdl) shift
+    // with every deletion, so the parity certifies the exact-constants
+    // bookkeeping, not just the id filtering.
+    "text_bm25_deleted" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_invidx_del_").toString
+      val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+      InvertedIndex.append(s, d.filter(col("doc_id") <= half), idx)
+      InvertedIndex.append(s, d.filter(col("doc_id") > half), idx)
+      val t1 = d.filter(col("doc_id") % 13 === 0).select("doc_id")
+      InvertedIndex.deleteDocs(s, idx, t1)
+      InvertedIndex.deleteDocs(s, idx, t1) // replayed takedown: no-op
+      InvertedIndex.compactPostings(s, idx) // tranche 1 physically gone
+      InvertedIndex.deleteDocs(s, idx,
+        d.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
+    }),
+
     // Temperature-weighted mixture (the multilingual-LLM sampling rule,
     // e.g. mC4/XLM-R: p_i ∝ n_i^α with α<1 upweighting small sources):
     // per-source token counts → α=0.5 weights → expected token draw
@@ -1427,11 +1482,21 @@ object TextQueries extends QueryPack {
   /** Shared by text_bm25_query and its index-served twin
     * text_bm25_indexed (same terms, same k, same corpus => identical
     * expected result). */
-  private lazy val bm25QueryOracle: String =
+  private lazy val bm25QueryOracle: String = bm25QueryOracleOver("documents")
+
+  /** text_bm25_deleted's oracle: BM25 recomputed from scratch over
+    * ONLY the surviving docs — the index must serve this exactly after
+    * tombstoning the two takedown tranches (constants shift with the
+    * deletion, so a stale-n_docs implementation hash-misses even where
+    * the ranked ids happen to agree). */
+  private lazy val bm25DeletedOracle: String = bm25QueryOracleOver(
+    "documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0")
+
+  private def bm25QueryOracleOver(corpus: String): String =
         s"""WITH terms AS (
            |  SELECT unnest(['the', 'data', 'model', 'learning', 'neural'])
            |    AS term),
-           |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+           |t AS (SELECT doc_id, $tokensSql AS toks FROM $corpus),
            |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
            |        unnest(toks) AS term FROM t),
            |tf AS (
@@ -1479,8 +1544,9 @@ object TextQueries extends QueryPack {
       val parts = (1 to RowsPerBand).map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sigs"
     }.mkString("\n|  UNION ALL\n|  ")
-    val incrementalOracleSql =
-      s"""WITH sh AS ($trigramsSql),
+    def incrementalOracleSqlOver(docFilter: String) =
+      s"""WITH sh AS (
+         |  SELECT * FROM ($trigramsSql) tri $docFilter),
          |sigs AS (
          |  SELECT doc_id,
          |         $sigExprs
@@ -1491,6 +1557,11 @@ object TextQueries extends QueryPack {
          |FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
          |WHERE x.doc_id < y.doc_id AND (x.doc_id % 4 = 0 OR y.doc_id % 4 = 0)
          |GROUP BY x.doc_id, y.doc_id""".stripMargin
+    val incrementalOracleSql = incrementalOracleSqlOver("")
+    // the survivors after the two takedown tranches: a deleted doc
+    // contributes to NO pair, exactly as if it had never been indexed
+    val incrementalDeletedOracleSql = incrementalOracleSqlOver(
+      "WHERE NOT (doc_id % 4 <> 0 AND (doc_id % 9 = 0 OR doc_id % 11 = 0))")
     Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
@@ -1694,6 +1765,7 @@ object TextQueries extends QueryPack {
       // replay + compact must produce the same pair set.
       "dedup_incremental" -> incrementalOracleSql,
       "dedup_incremental_compacted" -> incrementalOracleSql,
+      "dedup_incremental_deleted" -> incrementalDeletedOracleSql,
       // Same pair set as dedup_minhash_pairs, then components via a
       // recursive transitive-closure CTE (UNION dedupes, so cycles
       // terminate) labeled with the component minimum — the min-id
@@ -1891,6 +1963,7 @@ object TextQueries extends QueryPack {
       },
       "text_bm25_query" -> bm25QueryOracle,
       "text_bm25_indexed" -> bm25QueryOracle,
+      "text_bm25_deleted" -> bm25DeletedOracle,
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,

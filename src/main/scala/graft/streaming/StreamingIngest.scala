@@ -149,7 +149,9 @@ object StreamingIngest {
         val isReplay = wm.exists(_ >= mm.getLong(1))
         val resident =
           if (wm.isDefined)
-            spark.read.parquet(indexPath)
+            // readBandIndex, not a bare scan: tombstoned (taken-down)
+            // docs must not seed pairs against new batches
+            MinHashLsh.readBandIndex(spark, indexPath)
               .filter(col("doc_id") < mm.getLong(0))
           else keys.limit(0) // bootstrap: empty resident, within-batch only
         MinHashLsh.incrementalPairs(resident, keys)

@@ -45,7 +45,8 @@ object PlanDump {
       "g8_sql_sharded_saturated" -> "sharded tier through the relation route at saturation: per-shard beams via the resident-LRU lifecycle, broadcast-candidates rescore, rank window — the certificate plan",
       "g9_sql_sharded_saturated" -> "the FLAGSHIP from the sharded mv tier at per-shard saturating budget: every shard's beam saturates its sub-corpus, broadcast candidate union, exact chamfer rescore — the past-the-broadcast-ceiling certificate plan",
       "g8_sql_ivfpq_saturated" -> "IVF-PQ tier through the relation route at saturation: every cell probed (partition-pruned scan degenerates to full), ADC candidates, exact rescore join",
-      "text_bm25_indexed" -> "index-served BM25 after postings compaction: bucket-pruned postings scan (PartitionFilters), stats from the sidecar, shared bm25Rank tail")
+      "text_bm25_indexed" -> "index-served BM25 after postings compaction: bucket-pruned postings scan (PartitionFilters), stats from the sidecar, shared bm25Rank tail",
+      "text_bm25_deleted" -> "deletion lifecycle serving: bucket-pruned postings scan, broadcast tombstone anti-join, gross-stats-minus-tombstones constants, shared bm25Rank tail")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.PlanDump at sf0.01)\n")
     picks.foreach { case (name, note) =>

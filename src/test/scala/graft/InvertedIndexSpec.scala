@@ -64,10 +64,29 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.readStats(spark, idx) === before)
   }
 
+  /** Strip the doclens sidecar so the index takes the LEGACY (postings
+    * -only) recovery paths the pre-doclens format forced. */
+  private def dropDoclens(idx: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/doclens")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("doclens-backed rebuild is EXACT, zero-token docs included") {
+    val idx = freshIndex() // true stats (3, 3, 6); doc 3 is zero-token
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_stats"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx, "._stats.crc"))
+    // the doc-length sidecar sees doc 3's dl=0 row, so the rebuild is
+    // no longer the stale-low postings recovery — it is exact
+    assert(InvertedIndex.readStats(spark, idx) === Some((3L, 3L, 6L)))
+  }
+
   test("zero-token-tail rebuild converges on replay instead of wedging") {
     val idx = freshIndex() // true stats (3, 3, 6); doc 3 is zero-token
-    // lose the sidecar: the rebuild from postings is stale-LOW
-    // (doc 3 invisible) — wm 2 inside the original batch range
+    // legacy index shape: no doclens — the rebuild falls back to the
+    // postings and is stale-LOW (doc 3 invisible) — wm 2 inside the
+    // original batch range
+    dropDoclens(idx)
     java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_stats"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(idx, "._stats.crc"))
@@ -87,6 +106,7 @@ class InvertedIndexSpec extends AnyFunSuite {
 
   test("missing or corrupt _stats sidecar is rebuilt from the postings") {
     val idx = freshIndex()
+    dropDoclens(idx) // legacy index shape: postings-only recovery
     val statsPath = java.nio.file.Paths.get(idx, "_stats")
     // corrupt in place (the crash-mid-write shape the temp+rename swap
     // makes rare but a torn disk can still produce)
@@ -181,5 +201,128 @@ class InvertedIndexSpec extends AnyFunSuite {
         Seq("aa"), k = 5)
     }
     assert(e.getMessage.contains("no inverted index"))
+  }
+
+  /** Deletion oracle: the index after deleteDocs must serve EXACTLY
+    * what an inline recompute over the surviving docs serves — same
+    * constants, same scores, same ranks. */
+  private def inlineBm25(docs: Seq[(Long, String)], terms: Seq[String],
+                         k: Int = 10): Seq[(Long, Long, Double)] = {
+    import graft.queries.TextQueries
+    TextQueries.bm25(docs.toDF("doc_id", "text"),
+        terms.toDF("term"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._2)
+  }
+
+  private def served(idx: String, terms: Seq[String], k: Int = 10)
+      : Seq[(Long, Long, Double)] =
+    InvertedIndex.bm25Query(spark, idx, terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._2)
+
+  private val DelDocs = Seq(
+    (1L, "aa bb cc"), (2L, "bb cc dd"), (3L, ""),
+    (4L, "aa aa ee"), (5L, "cc dd ee ff"))
+
+  test("deleteDocs hides docs immediately and serves the exact surviving-corpus scores") {
+    val idx = freshIndex() // docs 1-3
+    InvertedIndex.append(spark,
+      Seq((4L, "aa aa ee"), (5L, "cc dd ee ff")).toDF("doc_id", "text"), idx)
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L, 4L)) === 2L)
+    // BM25 recomputed inline over ONLY the survivors — constants
+    // (n_docs, avgdl) shifted by the deletion — must match the served
+    // result exactly, pre-compaction (the anti-join + subtraction path)
+    val expect = inlineBm25(DelDocs.filterNot(d => Set(2L, 4L)(d._1)),
+      Seq("aa", "cc", "ee"))
+    assert(served(idx, Seq("aa", "cc", "ee")) === expect)
+    // gross stats untouched (deletion never rewrites _stats)
+    assert(InvertedIndex.readStats(spark, idx) === Some((5L, 5L, 13L)))
+  }
+
+  test("deleteDocs is idempotent: replays, overlaps, and unknown ids append nothing") {
+    val idx = freshIndex()
+    InvertedIndex.append(spark,
+      Seq((4L, "aa aa ee"), (5L, "cc dd ee ff")).toDF("doc_id", "text"), idx)
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L)) === 1L)
+    val once = served(idx, Seq("aa", "cc", "ee"))
+    // exact replay: no new tombstones, serving unchanged
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L)) === 0L)
+    // overlap: only the new id lands
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L, 4L)) === 1L)
+    // never-ingested ids (beyond the watermark, holes): no-ops
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(99L, -7L)) === 0L)
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L, 99L)) === 0L)
+    // the id-relation overload agrees with the literal-list fast path
+    assert(InvertedIndex.deleteDocs(spark, idx,
+      Seq(2L, 4L, 99L).toDF("doc_id")) === 0L)
+    assert(served(idx, Seq("aa", "cc", "ee")) ===
+      inlineBm25(DelDocs.filterNot(d => Set(2L, 4L)(d._1)),
+        Seq("aa", "cc", "ee")))
+    assert(once.nonEmpty)
+  }
+
+  test("deleting a zero-token doc adjusts n_docs (and nothing else)") {
+    val idx = freshIndex() // doc 3 is zero-token: dl=0, no postings
+    val before = served(idx, Seq("bb"))
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(3L)) === 1L)
+    // n_docs 3→2 shifts idf/avgdl, so scores must equal the 2-doc
+    // inline recompute — NOT the pre-delete serving
+    val expect = inlineBm25(DelDocs.take(2), Seq("bb"))
+    assert(served(idx, Seq("bb")) === expect)
+    assert(served(idx, Seq("bb")) !== before)
+  }
+
+  test("compaction erases deleted content physically; serving is unchanged") {
+    val idx = freshIndex()
+    InvertedIndex.append(spark,
+      Seq((4L, "aa aa ee"), (5L, "cc dd ee ff")).toDF("doc_id", "text"), idx)
+    InvertedIndex.deleteDocs(spark, idx, Seq(2L, 3L))
+    val before = served(idx, Seq("aa", "cc", "ee"))
+    InvertedIndex.compactPostings(spark, idx)
+    // GDPR posture: the dead docs' content rows are GONE from disk —
+    // postings and doclens both — not merely filtered at read
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id").isin(2L, 3L)).count() === 0L)
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id").isin(2L, 3L)).count() === 0L)
+    // tombstones persist (id+length only) and keep the constants exact
+    assert(spark.read.parquet(s"$idx/tombstones").count() === 2L)
+    assert(served(idx, Seq("aa", "cc", "ee")) === before)
+    // post-compaction deletes still work (doclens rewritten, live)
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(5L)) === 1L)
+    assert(served(idx, Seq("aa", "cc", "ee")) ===
+      inlineBm25(Seq(DelDocs.head, DelDocs(3)), Seq("aa", "cc", "ee")))
+  }
+
+  test("stats rebuild after delete+compact recovers the GROSS corpus (tombstone union)") {
+    val idx = freshIndex()
+    InvertedIndex.append(spark,
+      Seq((4L, "aa aa ee"), (5L, "cc dd ee ff")).toDF("doc_id", "text"), idx)
+    InvertedIndex.deleteDocs(spark, idx, Seq(4L, 5L))
+    InvertedIndex.compactPostings(spark, idx) // doclens rows for 4,5 erased
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_stats"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx, "._stats.crc"))
+    // gross stats (wm 5, 5 docs, sum_dl 13) must come back even though
+    // the deleted docs now live ONLY in the tombstones — a doclens-only
+    // rebuild would undercount and the serving subtraction would then
+    // double-delete
+    assert(InvertedIndex.readStats(spark, idx) === Some((5L, 5L, 13L)))
+    assert(served(idx, Seq("aa", "cc")) ===
+      inlineBm25(DelDocs.take(3), Seq("aa", "cc")))
+  }
+
+  test("legacy index (no doclens) gets a postings backfill on first delete") {
+    val idx = freshIndex()
+    dropDoclens(idx)
+    // doc 1 has postings, so the backfilled doclens can resolve it
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(1L)) === 1L)
+    // the legacy caveat, honestly: zero-token doc 3 never wrote
+    // postings, so a backfilled doclens cannot see it — deleting it is
+    // a no-op (stats keep counting it), the documented stale bound
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(3L)) === 0L)
+    assert(served(idx, Seq("bb", "cc")) ===
+      inlineBm25(DelDocs.slice(1, 3), Seq("bb", "cc")))
   }
 }

@@ -305,6 +305,60 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "lifecycle fixture produced no batch-2 pairs")
   }
 
+  test("band-index deletion: tombstoned docs seed no pairs; compaction erases them physically") {
+    import graft.operators.MinHashLsh
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    def shingles(pred: org.apache.spark.sql.Column) =
+      TextQueries.shingleHashes(docs.filter(pred))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bandidx_del_t_").toString
+    MinHashLsh.writeBandIndex(
+      MinHashLsh.bandKeys(shingles(col("doc_id") % 3 =!= 0), 8, 2), idx)
+    val victims = docs
+      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty, "fixture has no victims")
+    assert(MinHashLsh.deleteFromBandIndex(spark, idx, victims)
+      === victims.size.toLong)
+    // replayed takedown: converged, nothing new
+    assert(MinHashLsh.deleteFromBandIndex(spark, idx, victims) === 0L)
+    val batch = MinHashLsh.bandKeys(shingles(col("doc_id") % 3 === 0), 8, 2)
+    def probe() = MinHashLsh
+      .incrementalPairs(MinHashLsh.readBandIndex(spark, idx), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: banded pairs of the SURVIVING corpus touching the batch
+    val expected = MinHashLsh.bandedPairs(
+        TextQueries.shingleHashes(
+          docs.filter(!(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))),
+        8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 % 3 == 0 || t._2 % 3 == 0).toSet
+    val masked = probe()
+    assert(masked === expected, "tombstone mask did not hide the victims")
+    // and the mask MATTERS on this fixture: the undeleted probe differs
+    val unmasked = MinHashLsh
+      .incrementalPairs(spark.read.parquet(idx), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unmasked !== expected,
+      "fixture victims never paired — deletion untested")
+    MinHashLsh.compactBandIndex(spark, idx)
+    // physical erase: no victim rows in the promoted layout, and the
+    // tombstone sidecar died with the old dir (nothing left to mask)
+    assert(spark.read.parquet(idx)
+      .filter(col("doc_id").isInCollection(victims)).count() === 0L)
+    assert(!new org.apache.hadoop.fs.Path(s"$idx/_tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
+    assert(probe() === expected, "compaction changed the probe answer")
+    // post-compact deletes still mask through the live anti-join
+    val second = docs
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 =!= 0)
+      .select("doc_id").limit(1).collect().map(_.getLong(0)).toSeq
+    assert(MinHashLsh.deleteFromBandIndex(spark, idx, second) === 1L)
+    assert(MinHashLsh.readBandIndex(spark, idx)
+      .filter(col("doc_id").isInCollection(second)).count() === 0L)
+  }
+
   test("media features are deterministic and well-formed") {
     val run1 = AnnQueries.queries("mm_media_features")(spark, sfDir)
       .orderBy("media_id").collect()
