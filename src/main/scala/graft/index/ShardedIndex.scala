@@ -247,6 +247,11 @@ object ShardedIndex {
             fs.delete(st.getPath, true)
         }
     }
+    // nor stale tombstones: a rebuild is a NEW corpus, and a gid mask
+    // from the old one would hide arbitrary new rows. ([[compact]]
+    // preserves ITS tombstones across this call by parking them under
+    // a non-matching name and restoring them after.)
+    deleteDir(spark, s"$path/$TombstoneDir")
     val ref = ShardedIndexRef(path, nShards, params.metric)
     // ONE corpus pass: stage the shard-partitioned layout up front,
     // then build each shard from its PRUNED partition. Filtering the
@@ -326,7 +331,7 @@ object ShardedIndex {
           .select(col("qset_id"), col("gid").as("d_id"))
       }
     }
-    (base ++ deltas).reduce(_ unionAll _)
+    dropDeleted(spark, ref.path, (base ++ deltas).reduce(_ unionAll _))
   }
 
   /** G8 single-vector twin: per-shard beam search, global ids, union;
@@ -350,7 +355,7 @@ object ShardedIndex {
           .select(col("q_id"), col("gid").as("d_id"), col("sim").as("score"))
       }
     }
-    (base ++ deltas).reduce(_ unionAll _)
+    dropDeleted(spark, ref.path, (base ++ deltas).reduce(_ unionAll _))
   }
 
   /** A delta shard's (local d_id → global gid) mapping — delta-sized, so
@@ -358,6 +363,93 @@ object ShardedIndex {
   private def deltaIds(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/ids")
       .select(col("vec_id").as("d_id"), col("gid"))
+
+  /** `_`-prefixed by the sidecar convention (it sits beside the
+    * shard/delta dirs, which are each their own parquet roots). */
+  private val TombstoneDir = "_tombstones"
+
+  /** Distinct tombstoned global ids, or None when nothing was ever
+    * deleted. Disk is the truth (read per search, like [[discover]]):
+    * a registration made before a takedown serves the takedown
+    * correctly without re-registration. */
+  private def tombstonesDf(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.parquet(p.toString).select(col("gid")).distinct())
+  }
+
+  /** Hide tombstoned ids from a candidate union (both search faces call
+    * this once, after global-id mapping): broadcast anti-join on the
+    * (tiny) tombstone set. With no tombstones the plan is untouched. */
+  private def dropDeleted(spark: SparkSession, path: String,
+                          results: DataFrame): DataFrame =
+    tombstonesDf(spark, path) match {
+      case None => results
+      case Some(t) =>
+        // re-select the caller's column order: a USING join leads with
+        // the join key, and the search faces' output shape is a
+        // contract (consumers exist that bind positionally)
+        results.join(
+            broadcast(t.select(col("gid").as("d_id"))),
+            Seq("d_id"), "left_anti")
+          .select(results.columns.map(col).toIndexedSeq: _*)
+    }
+
+  /** Delete vectors from the index by GLOBAL id (takedown / GDPR
+    * erasure) — the hnswlib `markDelete` posture, persisted: a pure
+    * append of gid rows to the `_tombstones` sidecar. Search excludes
+    * the ids from every result immediately (candidate anti-join after
+    * the shard union); the graph NODES remain as routing stubs — the
+    * strided layout's dense-id contract cannot absorb holes without a
+    * renumber, and marked nodes keep beam navigation intact, exactly
+    * as hnswlib keeps marked elements traversable. [[compact]] erases
+    * the CONTENT physically (embedding payload zeroed); the id slots
+    * and tombstones persist for the index lifetime (8 B/deleted id).
+    * Idempotent by construction: already-tombstoned or never-indexed
+    * ids append nothing / are harmless. Returns the newly tombstoned
+    * count.
+    *
+    * Recall note: deleted ids still occupy per-shard beam slots until
+    * the nodes' zeroed payloads push them out of every beam
+    * (post-compact, a zeroed vector scores -1/far against any query);
+    * a corpus with a large deleted fraction should compact — the same
+    * trigger discipline as [[deltaFraction]]. */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      idsDf: DataFrame): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = idsDf.select(col("gid")).distinct()
+    val newDead = (if (!f.exists(tomb)) ids
+      else ids.join(spark.read.parquet(tomb.toString).select(col("gid")),
+        Seq("gid"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      n
+    } finally newDead.unpersist(false)
+  }
+
+  /** [[deleteFromIndex]] for a literal takedown list. */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      gids: Seq[Long]): Long =
+    if (gids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteFromIndex(spark, path, gids.distinct.toDF("gid"))
+    }
+
+  /** Deleted ids as a fraction of indexed rows — the compact trigger
+    * on the deletion side (footer count + one tiny scan). */
+  def deletedFraction(spark: SparkSession, ref: ShardedIndexRef): Double =
+    tombstonesDf(spark, ref.path) match {
+      case None => 0.0
+      case Some(t) =>
+        val total = totalRows(spark, ref)
+        if (total == 0) 0.0 else t.count().toDouble / total
+    }
 
   /** Delta-ingest — the daily-append half of the tier's lifecycle,
     * mirroring [[graft.operators.IvfPq.appendIndex]]'s posture: build a
@@ -489,18 +581,31 @@ object ShardedIndex {
     * only when [[deltaFraction]] crosses its threshold ([[maybeCompact]])
     * — one rebuild amortized over many appends.
     *
+    * Tombstoned ids ([[deleteFromIndex]]) have their embedding payload
+    * ZEROED in the staged union — the physical content erasure (a
+    * zeroed row carries no information about the deleted document,
+    * and scores 0/far against every query, so the routing stub stops
+    * occupying beam slots too). The id slots stay (the dense strided
+    * contract cannot absorb holes without renumbering the corpus),
+    * and the tombstone sidecar is parked aside during the internal
+    * rebuild and restored after, so the result anti-join keeps
+    * guaranteeing the ids never surface.
+    *
     * Crash posture: the staged union is written FIRST and deleted
     * LAST, so no vector is ever lost — a crash mid-rebuild leaves the
-    * complete corpus at `<path>/compact_staging`, and recovery is
-    * re-running [[buildPersisted]] from that staging dir (then
-    * dropping staging + deltas). Like the band/cell index compactions,
-    * the rebuild-in-place requires QUIESCENCE: no concurrent search
-    * may run while shard dirs are being overwritten. */
+    * complete corpus at `<path>/compact_staging` (tombstones, if any,
+    * at `<path>/compact_tombstones_keep`), and recovery is re-running
+    * [[buildPersisted]] from that staging dir (then dropping staging +
+    * deltas and renaming the parked tombstones back). Like the
+    * band/cell index compactions, the rebuild-in-place requires
+    * QUIESCENCE: no concurrent search may run while shard dirs are
+    * being overwritten. */
   def compact(spark: SparkSession, ref: ShardedIndexRef,
               params: BuildParams): ShardedIndexRef = {
     require(params.metric == ref.metric,
       s"compact metric ${params.metric} != index metric ${ref.metric}")
-    if (ref.nDeltas == 0) return ref
+    val tomb = tombstonesDf(spark, ref.path)
+    if (ref.nDeltas == 0 && tomb.isEmpty) return ref
     val base = (0 until ref.nShards).map { s =>
       spark.read.parquet(s"${shardDir(ref, s)}/vectors")
         .select((col("vec_id") * ref.nShards + s).as("vec_id"),
@@ -512,11 +617,36 @@ object ShardedIndex {
         .join(spark.read.parquet(s"$dir/ids"), Seq("vec_id"))
         .select(col("gid").as("vec_id"), col("embedding"))
     }
+    val union = (base ++ deltas).reduce(_ unionAll _)
+    val erased = tomb match {
+      case None => union
+      case Some(t) =>
+        union.join(
+            broadcast(t.select(col("gid").as("vec_id"),
+              lit(true).as("_dead"))),
+            Seq("vec_id"), "left_outer")
+          .select(col("vec_id"),
+            when(col("_dead"),
+              transform(col("embedding"), _ => lit(0.0f)))
+              .otherwise(col("embedding")).as("embedding"))
+    }
     val staging = s"${ref.path}/compact_staging"
-    (base ++ deltas).reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(staging)
+    erased.write.mode("overwrite").parquet(staging)
+    // park the tombstones where buildPersisted's fresh-corpus clear
+    // won't see them, then restore: the mask must outlive the rebuild
+    val keep = new org.apache.hadoop.fs.Path(
+      s"${ref.path}/compact_tombstones_keep")
+    val fs = keep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tomb.isDefined)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"${ref.path}/$TombstoneDir"), keep),
+        s"compact: cannot park tombstones at $keep")
     val rebuilt = buildPersisted(spark, spark.read.parquet(staging), params,
       ref.nShards, ref.path)
+    if (tomb.isDefined)
+      require(fs.rename(keep,
+        new org.apache.hadoop.fs.Path(s"${ref.path}/$TombstoneDir")),
+        s"compact: cannot restore tombstones from $keep")
     deleteDir(spark, staging)
     (0 until ref.nDeltas).foreach(j => deleteDir(spark, deltaDir(ref, j)))
     rebuilt

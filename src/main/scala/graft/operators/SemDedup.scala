@@ -131,13 +131,70 @@ object SemDedup {
     }
   }
 
+  /** `_`-prefixed so partition discovery over the cell layout ignores
+    * it — the [[Watermark]] sidecar convention. */
+  private val TombstoneDir = "_tombstones"
+
+  /** The canonical cell-index loader: resident (id, vec, cell) rows
+    * minus the tombstoned ids. Probes read through this, so a deleted
+    * doc stops marking batch rows as duplicates the moment
+    * [[deleteFromCellIndex]] returns; the physical embedding rows wait
+    * for [[compactCellIndex]] to be erased. No tombstones → the bare
+    * (partition-prunable) scan. */
+  def readCellIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    if (!fsFor(spark, path).exists(tomb)) base
+    else base.join(
+      spark.read.parquet(tomb.toString).select(col("id")).distinct(),
+      Seq("id"), "left_anti")
+  }
+
+  /** Delete docs from the resident cell index (takedown / GDPR
+    * erasure): a pure append of id rows to the `_tombstones` sidecar —
+    * the [[MinHashLsh.deleteFromBandIndex]] posture on the embedding
+    * side. Idempotent by construction (already-tombstoned ids are
+    * skipped; crash-replay duplicates fold at read); the dup rule is
+    * an EXISTS over same-cell ids, so membership is the only state and
+    * tombstones need no payload. Returns the newly tombstoned count. */
+  def deleteFromCellIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idsDf: DataFrame): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val f = fsFor(spark, path)
+    val ids = idsDf.select(col("id")).distinct()
+    val newDead = (if (!f.exists(tomb)) ids
+      else ids.join(spark.read.parquet(tomb.toString).select(col("id")),
+        Seq("id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      n
+    } finally newDead.unpersist(false)
+  }
+
+  /** [[deleteFromCellIndex]] for a literal takedown list. */
+  def deleteFromCellIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteFromCellIndex(spark, path, ids.distinct.toDF("id"))
+    }
+
   /** Fold append-accumulated small files back into one file per cell
     * (each cell's rows hash to one task, so `partitionBy` writes a
     * single file per cell directory), keeping the cell-partitioned
     * layout — probes stay partition-pruned. Also drops duplicate `id`
     * rows (identical by construction — the only way one arises is an
     * at-least-once replayed append), so compaction is the repair step
-    * for replay double-appends.
+    * for replay double-appends. Tombstoned ids ([[deleteFromCellIndex]])
+    * are ERASED PHYSICALLY (the staging read goes through
+    * [[readCellIndex]]); the `_tombstones` sidecar rides the path→old
+    * rename and is dropped with it — once the embedding rows are gone
+    * there is nothing left to mask, and the watermark stays gross, so
+    * replay detection is unaffected.
     *
     * Concurrency contract: compaction requires QUIESCENCE — no
     * concurrent probe or ingest. The two-rename swap has a window where
@@ -152,7 +209,7 @@ object SemDedup {
     recoverCompact(spark, path)
     val staging = s"${path}__compact_staging"
     val wm = readWatermark(spark, path)
-    spark.read.parquet(path)
+    readCellIndex(spark, path)
       .dropDuplicates("id")
       .repartition(col("cell"))
       .sortWithinPartitions("id")
@@ -224,8 +281,10 @@ object SemDedup {
         s"[$minBatch, $maxBatch] — not a replay, not an append")
     // wm >= maxBatch is an exact at-least-once replay: the batch's own
     // rows are already resident; excluding them (id < minBatch)
-    // reproduces the original delivery's marks byte-for-byte
-    val resident = spark.read.parquet(path)
+    // reproduces the original delivery's marks byte-for-byte.
+    // readCellIndex, not a bare scan: a taken-down resident doc must
+    // not mark new batch rows as its duplicates
+    val resident = readCellIndex(spark, path)
       .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
       .filter(col("id") < minBatch)
       .select(col("cell").cast("int").as("cell"), col("id").as("a_id"),

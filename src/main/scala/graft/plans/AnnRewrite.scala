@@ -314,7 +314,8 @@ object AnnIndexRegistry {
   def registerSharded(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                       vecCol: String, ref: graft.index.ShardedIndexRef,
                       dim: Int, metricName: String, searchL: Int = 60,
-                      refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+                      refresh: () => org.apache.spark.sql.DataFrame = null,
+                      name: String = "sharded"): Unit = {
     import graft.index.{BudgetPolicy, ShardedIndex}
     // registration-time per-shard size — the baseline the budget policy
     // scales from when the index grows without re-registration
@@ -358,7 +359,7 @@ object AnnIndexRegistry {
       }
     }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
-      "sharded", corpus, idCol, vecCol, metricName, dim,
+      name, corpus, idCol, vecCol, metricName, dim,
       (s, qv, k) => {
         import s.implicits._
         import org.apache.spark.sql.functions.{col, expr}

@@ -365,6 +365,20 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The DELETION certificate: the same saturating statement served
+    // by a sharded index with a takedown tranche (vec_id % 13 = 0)
+    // tombstoned after the build — deleted twice (the replay
+    // converges), never rebuilt, never re-registered. At saturation
+    // the candidate set is every LIVE row, so the routed answer must
+    // be HASH-IDENTICAL to the exhaustive ranking over the SURVIVORS —
+    // certifying the mark-deleted masking through the full SQL route
+    // (rule match → per-shard beams → tombstone anti-join → exact
+    // rescore → rank window), not just the operator face.
+    "g8_sql_sharded_deleted" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "sharded_deleted")
+      rs.sql(svRelationSql(K))
+    }),
+
     // And by the IVF-PQ tier: exact mode probes EVERY cell and keeps
     // every row (probe-parameter exhaustion is NOT corpus saturation —
     // the route saturates the generator itself), so the compressed
@@ -745,6 +759,15 @@ object AnnQueries extends QueryPack {
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedHandles(rs, dir, 2), dim = dim,
           metricName = "cosine", searchL = 80)
+      case "sharded_deleted" =>
+        // a FRESH index (the shared fixture handle serves the other
+        // certificates and must never see these tombstones), takedown
+        // tranche deleted twice (replay converges), then registered —
+        // the serving path must mask the tranche through the routed
+        // SQL machinery without re-registration
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedDeletedHandles(rs, dir), dim = dim,
+          metricName = "cosine", searchL = 80, name = "sharded_deleted")
       case "ivfpq" =>
         val (path, centroids, cbs) = ivfPqIndex(rs, dir)
         AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
@@ -1437,15 +1460,24 @@ object AnnQueries extends QueryPack {
   /** Shared saturating-route oracle: exhaustive per-query cosine top-k
     * over the fixture query relation — every saturated route (graph,
     * sharded, ivfpq) must hash-match this exact ranking. */
-  private lazy val g8SaturatedOracle: String = {
+  private lazy val g8SaturatedOracle: String = g8SaturatedOracleOver("")
+
+  /** g8_sql_sharded_deleted's oracle: the SAME exhaustive ranking
+    * restricted to the surviving documents — the query side is
+    * untouched (deletion hides documents, never queriers). */
+  private lazy val g8DeletedOracle: String =
+    g8SaturatedOracleOver("WHERE vec_id % 13 <> 0")
+
+  private def g8SaturatedOracleOver(docWhere: String): String = {
     import VectorQueries.{C, NQ, K}
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
        |           FROM embeddings WHERE vec_id < ${NQ * C}),
+       |docs AS (SELECT * FROM embeddings $docWhere),
        |scored AS (
        |  SELECT q.q_id, d.vec_id,
        |         ${dotSqlAB("q.q_vec", "d.embedding")} /
        |           (${normSqlExpr("q.q_vec")} * ${normSqlExpr("d.embedding")}) AS score
-       |  FROM q CROSS JOIN embeddings d),
+       |  FROM q CROSS JOIN docs d),
        |ranked AS (
        |  SELECT q_id, vec_id, score,
        |         row_number() OVER (PARTITION BY q_id
@@ -1654,6 +1686,7 @@ object AnnQueries extends QueryPack {
     // the exact mirror of the routed window (round-6 at the boundary)
     "g8_sql_saturated" -> g8SaturatedOracle,
     "g8_sql_sharded_saturated" -> g8SaturatedOracle,
+    "g8_sql_sharded_deleted" -> g8DeletedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
     "mm_media_features" -> mmOracle,

@@ -75,6 +75,32 @@ object IndexQueries extends QueryPack {
         FixtureParams, nShards, path)
     })
 
+  /** One takedown-TRANCHE-deleted sharded index per dir — the full
+    * corpus built fresh (never the shared [[shardedHandles]] fixture:
+    * its tombstones must not leak into the other certificates), then
+    * `vec_id % 13 = 0` deleted via [[ShardedIndex.deleteFromIndex]]
+    * with an idempotent replay. Serves g8_sql_sharded_deleted: at
+    * saturating budget the routed answer must hash-equal the exact
+    * ranking over the SURVIVORS. */
+  private val shardedDeletedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardedIndexRef]()
+
+  private[queries] def shardedDeletedHandles(s: SparkSession,
+                                             dir: String): ShardedIndexRef =
+    shardedDeletedCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_deleted_").toString
+      val emb = Tables.embeddings(s, dir)
+      val ref = ShardedIndex.buildPersisted(s, emb, FixtureParams, 2, path)
+      val tranche = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("gid"))
+      require(ShardedIndex.deleteFromIndex(s, path, tranche) > 0,
+        "deleted-certificate fixture produced an empty tranche")
+      require(ShardedIndex.deleteFromIndex(s, path, tranche) == 0,
+        "replayed takedown was not idempotent")
+      ref
+    })
+
   /** One delta-GROWN sharded index per dir — base built on the first 80%
     * of the corpus, the rest appended via [[ShardedIndex.appendDelta]]:
     * the daily-ingest lifecycle as a first-class query path. Same

@@ -370,6 +370,80 @@ class IndexSpec extends AnyFunSuite {
       s"stale-ref post-compact Recall@10 = $staleServed")
   }
 
+  test("sharded deletion: tombstoned ids vanish from results; compact zeroes their payload") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sharded_del_").toString
+    ShardedIndex.resetResidencyTracking()
+    val ref0 = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    val ref = ShardedIndex.appendDelta(spark, delta, ref0,
+      IndexQueries.FixtureParams)
+    val victims = Seq(7L, 123L, 450L) // two base gids + one delta gid
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // exhaustive ground truth with victim headroom: survivor top-10 =
+    // exact top-13 minus the victims, truncated
+    val vecsB = spark.sparkContext.broadcast(
+      VectorStore.fromDf(emb, "vec_id", "embedding", Metrics("cosine")))
+    val exact = GraphBuild.exactKnn(spark, q, 13, vecsB, "cosine",
+      excludeSelf = false).as[(Long, Seq[Long])].collect().toMap
+    def top10(r: ShardedIndexRef): Map[Long, Seq[Long]] =
+      ShardedIndex.searchSingleDf(spark, q, r, l = 600, k = 16)
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+        .toMap
+    // saturating budget pre-delete: the tier is EXACT on this fixture
+    assert(top10(ref) === exact.map { case (k2, v) => k2 -> v.take(10) },
+      "fixture not exact at saturating budget — deletion oracle invalid")
+    assert(ShardedIndex.deleteFromIndex(spark, path, victims) === 3L)
+    assert(ShardedIndex.deleteFromIndex(spark, path, victims) === 0L) // replay
+    assert(ShardedIndex.deleteFromIndex(spark, path, Seq(99999L)) === 1L,
+      "never-indexed gid tombstones harmlessly") // harmless, documented
+    val survivorTruth = exact.map { case (qid, gt) =>
+      qid -> gt.filterNot(victims.contains).take(10)
+    }
+    assert(top10(ref) === survivorTruth,
+      "post-delete results are not the exact survivor top-10")
+    // a victim as a QUERY still gets answers — deletion hides docs,
+    // never queriers
+    val vq = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(ShardedIndex.searchSingleDf(spark, vq, ref, l = 60, k = 5)
+      .count() > 0)
+    assert(ShardedIndex.deletedFraction(spark, ref) > 0.0)
+    // compact: deltas folded AND victim payloads physically zeroed;
+    // tombstones survive the internal rebuild; serving unchanged
+    val ref2 = ShardedIndex.compact(spark, ref, IndexQueries.FixtureParams)
+    assert(ref2.nDeltas === 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_tombstones")),
+      "tombstones did not survive the compact rebuild")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_tombstones_keep")))
+    val zeroed = (0 until 2).flatMap { s =>
+      spark.read.parquet(s"$path/shard$s/vectors")
+        .select((col("vec_id") * 2 + s).as("gid"), col("embedding"))
+        .filter(col("gid").isInCollection(victims))
+        .as[(Long, Seq[Float])].collect()
+    }
+    assert(zeroed.map(_._1).toSet === victims.toSet,
+      "victim id slots missing from the compacted layout")
+    assert(zeroed.forall(_._2.forall(_ == 0.0f)),
+      "victim embedding payload survived the compact erase")
+    assert(top10(ref2) === survivorTruth,
+      "compaction changed the survivor results")
+    // deletion keeps working post-compact
+    assert(ShardedIndex.deleteFromIndex(spark, path, Seq(9L)) === 1L)
+    assert(top10(ref2) === exact.map { case (qid, gt) =>
+      qid -> gt.filterNot((victims :+ 9L).contains).take(10)
+    }, "post-compact delete did not mask")
+  }
+
   test("autoShards, delta discovery, and the budget policy math") {
     import graft.index.BudgetPolicy
     // shard count holds SIZE fixed (the scale-with-corpus knob)

@@ -468,6 +468,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === want, "replayed marks diverged")
   }
 
+  test("cell-index deletion: tombstoned residents stop marking; compaction erases them physically") {
+    import graft.operators.{IvfAnn, SemDedup}
+    import graft.queries.AnnQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_del_").toString
+    val idxA = s"$dir/cellsA"
+    val idxB = s"$dir/cellsB"
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = AnnQueries.plantNearDupsExact(base).cache()
+    val cents = IvfAnn.seededCentroids(
+      corpus.select(col("id").as("d_id"), col("vec").as("d_vec")), 8)
+    val tau = 0.9
+    val w1 = corpus.filter(col("id") < 1000000L)   // resident bases
+    val w2 = corpus.filter(col("id") >= 1000000L)  // planted copies
+    SemDedup.writeCellIndex(w1, cents, idxA)
+    def marksOf(path: String): Map[Long, (Long, Long)] =
+      SemDedup.incrementalMark(spark, path, cents, w2, tau)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val unmasked = marksOf(idxA)
+    // victims: bases whose planted copy the resident probe marked dup —
+    // deleting them MUST flip (or re-attribute) those marks
+    val victims = unmasked.collect { case (id, (_, 1L)) => id - 1000000L }
+      .toSeq.sorted.take(3)
+    assert(victims.nonEmpty, "fixture probe produced no resident dups")
+    assert(SemDedup.deleteFromCellIndex(spark, idxA, victims)
+      === victims.size.toLong)
+    // replayed takedown: converged, nothing new
+    assert(SemDedup.deleteFromCellIndex(spark, idxA, victims) === 0L)
+    // ground truth: an index the victims were NEVER written to
+    SemDedup.writeCellIndex(
+      w1.filter(!col("id").isInCollection(victims)), cents, idxB)
+    val masked = marksOf(idxA)
+    assert(masked === marksOf(idxB),
+      "tombstone mask diverged from the never-indexed truth")
+    assert(masked !== unmasked,
+      "victims never influenced a mark — deletion untested")
+    SemDedup.compactCellIndex(spark, idxA)
+    // physical erase: no victim embedding rows, no tombstone sidecar
+    assert(spark.read.parquet(idxA)
+      .filter(col("id").isInCollection(victims)).count() === 0L)
+    val tombP = new org.apache.hadoop.fs.Path(s"$idxA/_tombstones")
+    assert(!tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(tombP))
+    assert(marksOf(idxA) === masked, "compaction changed the probe")
+  }
+
   test("streaming token chunking matches the batch chunking row-for-row") {
     import graft.queries.TextQueries
     val d = Tables.documents(spark, sfDir)
