@@ -57,6 +57,87 @@ object IvfPq {
                   codebooks: PqAnn.Codebooks): Unit =
     writeRows(spark, delta, path, centroids, codebooks, "append")
 
+  /** `_`-prefixed so the partitioned read of the index dir ignores it —
+    * the [[Watermark]] sidecar convention. */
+  private val TombstoneDir = "_tombstones"
+
+  /** The canonical encoded-index loader: (d_id, codes, cell) minus the
+    * tombstoned ids. Every probe reads through this, so a takedown is
+    * masked before the ADC scan (the dead codes are never candidates)
+    * the moment [[deleteFromIndex]] returns; [[compactIndex]] erases
+    * the rows physically. The anti-join rides ABOVE the caller's cell
+    * filter — Catalyst pushes the partition filter through it, so
+    * probe pruning is unchanged. */
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb)) base
+    else base.join(
+      spark.read.parquet(tomb.toString).select(col("d_id")).distinct(),
+      Seq("d_id"), "left_anti")
+  }
+
+  /** Delete docs from the encoded index (takedown / GDPR erasure): a
+    * pure append of d_id rows to the `_tombstones` sidecar — the
+    * [[graft.index.ShardedIndex.deleteFromIndex]] posture for the
+    * codes tier, but with PHYSICAL DROP at compaction (no dense-id
+    * contract here: the rerank joins the base table by id, so holes
+    * are free). Idempotent by construction; never-indexed ids are
+    * harmless. Returns the newly tombstoned count. */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      idsDf: DataFrame): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = idsDf.select(col("d_id")).distinct()
+    val newDead = (if (!f.exists(tomb)) ids
+      else ids.join(spark.read.parquet(tomb.toString).select(col("d_id")),
+        Seq("d_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      n
+    } finally newDead.unpersist(false)
+  }
+
+  /** [[deleteFromIndex]] for a literal takedown list. */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteFromIndex(spark, path, ids.distinct.toDF("d_id"))
+    }
+
+  /** Fold append-accumulated small files back into one sorted file per
+    * cell — the background codes merge [[appendIndex]] earns after
+    * months of daily deltas (same posture as
+    * [[SemDedup.compactCellIndex]]; replay-duplicated rows fold via
+    * dropDuplicates) — and ERASE tombstoned rows physically (the
+    * staging read goes through [[readIndex]]). The `_tombstones`
+    * sidecar rides the path→old rename and dies with it: the codes
+    * tier has no corpus constants, so once the rows are gone the
+    * tombstones have nothing left to mask. Requires QUIESCENCE; a
+    * crash between the renames is recovered by
+    * [[SemDedup.recoverCompact]] at the next compact entry. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    SemDedup.recoverCompact(spark, path)
+    val staging = s"${path}__compact_staging"
+    readIndex(spark, path)
+      .dropDuplicates("d_id")
+      .repartition(col("cell"))
+      .sortWithinPartitions("d_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__compact_old")
+    require(fs.rename(hp, old), s"compact: cannot move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
+      s"compact: cannot promote staging for $path")
+    fs.delete(old, true)
+  }
+
   /** assign + encode fused into ONE corpus pass: encoding off the
     * assigned rows directly — a join to re-attach the cell column would
     * scan and centroid-assign the corpus twice plus pay a corpus-wide
@@ -94,7 +175,7 @@ object IvfPq {
       id -> IvfAnn.nearestCells(v, centroids, nProbe)
     }.toMap
     val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
-    val encoded = spark.read.parquet(path)
+    val encoded = readIndex(spark, path)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     PqAnn.searchEncoded(queries, encoded, data, codebooks, k, nCand,
       excludeSelf, Some(probes))
@@ -159,7 +240,7 @@ object IvfPq {
       id -> IvfAnn.seededTopCells(v, seeds, nProbe)
     }.toMap
     val probedCells = probes.values.flatten.toSet.toIndexedSeq.sorted
-    val encoded = spark.read.parquet(path)
+    val encoded = readIndex(spark, path)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     PqAnn.searchEncoded(queries, encoded, data, codebooks, k, nCand,
       excludeSelf, Some(probes))
@@ -178,7 +259,7 @@ object IvfPq {
                    nCand: Int): DataFrame = {
     import spark.implicits._
     val probes = IvfAnn.nearestCells(qv, centroids, nProbe)
-    val encoded = spark.read.parquet(path)
+    val encoded = readIndex(spark, path)
       .filter(col("cell").isin(probes.map(Int.box): _*))
     val q = Seq((0L, qv)).toDF("q_id", "q_vec")
     val partial = PqAnn.adcCandidates(q, encoded, codebooks, nCand,

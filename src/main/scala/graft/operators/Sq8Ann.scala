@@ -266,15 +266,85 @@ object Sq8Ann {
     bounds
   }
 
-  /** Load a [[writeIndex]] layout → (encoded codes DF, bounds). */
+  /** Load a [[writeIndex]] layout → (encoded codes DF, bounds). The
+    * codes side reads through [[readCodes]], so tombstoned rows are
+    * masked for any consumer of the loaded index. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, Bounds) = {
     val rows = spark.read.parquet(s"$path/bounds").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(rows.nonEmpty, s"empty SQ8 bounds sidecar at $path/bounds")
-    (spark.read.parquet(s"$path/codes"),
-      Bounds(rows.map(_._2), rows.map(_._3)))
+    (readCodes(spark, path), Bounds(rows.map(_._2), rows.map(_._3)))
+  }
+
+  /** The canonical codes loader: `path/codes` minus the tombstoned ids
+    * — the [[IvfPq.readIndex]] posture for the byte-code tier. */
+  def readCodes(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/codes")
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb)) base
+    else base.join(
+      spark.read.parquet(tomb.toString).select(col("d_id")).distinct(),
+      Seq("d_id"), "left_anti")
+  }
+
+  /** Delete rows from the codes index (takedown / GDPR erasure):
+    * append-only d_id tombstones beside the codes dir — masked by
+    * [[readCodes]] immediately, erased physically by [[compactCodes]].
+    * Idempotent by construction; returns the newly tombstoned count. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idsDf: DataFrame): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = idsDf.select(col("d_id")).distinct()
+    val newDead = (if (!f.exists(tomb)) ids
+      else ids.join(spark.read.parquet(tomb.toString).select(col("d_id")),
+        Seq("d_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newDead.count()
+      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      n
+    } finally newDead.unpersist(false)
+  }
+
+  /** [[deleteFromIndex]] for a literal takedown list. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteFromIndex(spark, path, ids.distinct.toDF("d_id"))
+    }
+
+  /** Fold append-accumulated codes files and ERASE tombstoned rows
+    * physically (the staging read goes through [[readCodes]]); the
+    * tombstone sidecar dies with the old codes dir — no constants to
+    * maintain, so nothing is left to mask once the rows are gone.
+    * Requires QUIESCENCE; crash recovery via
+    * [[SemDedup.recoverCompact]] on the codes dir at entry. */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val codes = s"$path/codes"
+    SemDedup.recoverCompact(spark, codes)
+    val staging = s"${codes}__compact_staging"
+    readCodes(spark, path)
+      .dropDuplicates("d_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .sortWithinPartitions("d_id")
+      .write.mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(codes)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${codes}__compact_old")
+    require(fs.rename(hp, old), s"compact: cannot move $codes aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), hp),
+      s"compact: cannot promote staging for $codes")
+    fs.delete(old, true)
+    val tombP = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fs.exists(tombP)) fs.delete(tombP, true)
   }
 
   /** Incremental append: encode ONLY the delta rows with the frozen

@@ -416,7 +416,10 @@ object AnnIndexRegistry {
       if (indexPath == null) -1L
       else ParquetMeta.rowsCached(corpus.sparkSession, s"$indexPath/codes")
     def liveEncoded(s: SparkSession) =
-      if (indexPath == null) encoded else s.read.parquet(s"$indexPath/codes")
+      if (indexPath == null) encoded
+      // readCodes, not a bare scan: tombstoned (taken-down) rows must
+      // not surface as candidates from a path-backed registration
+      else graft.operators.Sq8Ann.readCodes(s, indexPath)
     def fetch(s: SparkSession, k: Int): Int = {
       val base = math.max(nCand, 4 * k)
       if (regRows <= 0) base

@@ -1017,6 +1017,90 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(searchKey(incr) === searchKey(full))
   }
 
+  test("ivf-pq deletion: masked immediately, erased at compaction, equals the never-indexed twin") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = d.count().toInt
+    val centroids = IvfAnn.seededCentroids(d, 16)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_ivfpq_$tag").toString
+    val full = tmp("del_")
+    IvfPq.writeIndexSeeded(spark, d, full, centroids, cbs)
+    // saturating nCand + every cell probed => the search is EXACT, so
+    // deletion must reproduce the never-indexed twin bit-for-bit
+    def searchKey(p: String) =
+      IvfPq.knnSeededOverIndex(spark, q, p, d, centroids, cbs,
+          k = 10, nProbe = 16, nCand = 2 * n, excludeSelf = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+    // victims that actually appear in answers — the mask must matter
+    val victims = searchKey(full).map(_._3).distinct.take(3)
+    val twin = tmp("twin_")
+    IvfPq.writeIndexSeeded(spark,
+      d.filter(!col("d_id").isInCollection(victims)), twin, centroids, cbs)
+    assert(IvfPq.deleteFromIndex(spark, full, victims)
+      === victims.size.toLong)
+    assert(IvfPq.deleteFromIndex(spark, full, victims) === 0L) // replay
+    assert(searchKey(full) === searchKey(twin),
+      "tombstone mask diverged from the never-indexed twin")
+    IvfPq.compactIndex(spark, full)
+    // physical erase: no victim codes on disk, no tombstone sidecar,
+    // and the append-accumulated layout folded to one file per cell
+    assert(spark.read.parquet(full)
+      .filter(col("d_id").isInCollection(victims)).count() === 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$full/_tombstones")))
+    assert(searchKey(full) === searchKey(twin),
+      "compaction changed the answer")
+    // deletion keeps working on the compacted layout
+    val more = searchKey(full).map(_._3).distinct
+      .filterNot(victims.contains).take(1)
+    assert(IvfPq.deleteFromIndex(spark, full, more) === 1L)
+    assert(!searchKey(full).exists(r => more.contains(r._3)))
+  }
+
+  test("sq8 deletion: masked immediately, erased by compactCodes, frozen-bounds twin parity") {
+    import graft.operators.Sq8Ann
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val n = d.count().toInt
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sq8_del_").toString
+    val bounds = Sq8Ann.writeIndex(d, path)
+    def searchKey(codes: org.apache.spark.sql.DataFrame) =
+      Sq8Ann.searchEncodedBlocked(q, codes, d, bounds, k = 10,
+          nCand = 2 * n, excludeSelf = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+    val before = searchKey(Sq8Ann.readCodes(spark, path))
+    val victims = before.map(_._3).distinct.take(3)
+    assert(Sq8Ann.deleteFromIndex(spark, path, victims)
+      === victims.size.toLong)
+    assert(Sq8Ann.deleteFromIndex(spark, path, victims) === 0L) // replay
+    // oracle: the surviving rows encoded with the SAME frozen bounds
+    val twin = searchKey(Sq8Ann.encode(
+      d.filter(!col("d_id").isInCollection(victims)), bounds))
+    assert(searchKey(Sq8Ann.readCodes(spark, path)) === twin,
+      "tombstone mask diverged from the frozen-bounds twin")
+    // loadIndex serves the mask too (the re-registration path)
+    assert(searchKey(Sq8Ann.loadIndex(spark, path)._1) === twin)
+    Sq8Ann.compactCodes(spark, path)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("d_id").isInCollection(victims)).count() === 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_tombstones")))
+    assert(searchKey(Sq8Ann.readCodes(spark, path)) === twin,
+      "compaction changed the answer")
+  }
+
   test("ivf-pq seeded blocked query passes equal the single-pass result") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val e = Tables.embeddings(spark, sfDir)
