@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   *    pushdown), so serving cost scales with the matched postings, not
   *    the corpus. At 100 TB the postings relation is the standard
   *    sharded inverted file; nothing here is resident.
-  *  - `doclens/` — parquet `(doc_id, dl)` partitioned by
-  *    `dbucket = doc_id % 64`: the corpus doc-length table (16 B/doc;
-  *    at 100 TB this is corpus metadata, ~0.01% of the postings). It
-  *    serves two jobs the postings cannot: O(delete-batch) dl lookups
-  *    for [[deleteDocs]] (partition-pruned by the ids' dbuckets — the
-  *    postings are term-partitioned, so the same lookup there is a
-  *    full scan), and an EXACT `_stats` rebuild (zero-token docs write
-  *    no postings rows but do write a dl=0 doclens row).
-  *  - `tombstones/` — parquet `(doc_id, dl)` partitioned by `dbucket`,
+  *  - `doclens/` — flat parquet `(doc_id, dl)`, one file per append
+  *    batch: the corpus doc-length table (16 B/doc; at 100 TB this is
+  *    corpus metadata, ~0.01% of the postings). It serves two jobs
+  *    the postings cannot: O(delete-batch) dl lookups for
+  *    [[deleteDocs]] (ids are MONOTONE, so each batch file covers a
+  *    contiguous id range and parquet row-group min/max stats prune
+  *    the id probe to the touched files — the postings are
+  *    term-partitioned, so the same lookup there is a full scan), and
+  *    an EXACT `_stats` rebuild (zero-token docs write no postings
+  *    rows but do write a dl=0 doclens row).
+  *  - `tombstones/` — flat parquet `(doc_id, dl)`,
   *    append-only: the DELETED doc set (takedowns, license
   *    revocations, GDPR erasure). Deletion is a pure tombstone append
   *    — no other file changes — so there is NO cross-file invariant to
@@ -169,11 +171,13 @@ object InvertedIndex {
           .parquet(s"$path/postings")
         // the doc-length sidecar rides the same batch (and the same
         // replay convergence: a crash before the sidecar promote
-        // re-appends both, and reads fold the duplicates)
-        batch.select(col("doc_id"), col("dl"))
-          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
-          .write.mode("append").partitionBy("dbucket")
-          .parquet(s"$path/doclens")
+        // re-appends both, and reads fold the duplicates). coalesce(1)
+        // — ONE flat file per batch of 16-byte rows: ids are monotone,
+        // so the file's row-group min/max on doc_id makes later id
+        // probes prune to the touched batches, cheaper than (and
+        // without) a 64-dir partitionBy commit per append
+        batch.select(col("doc_id"), col("dl")).coalesce(1)
+          .write.mode("append").parquet(s"$path/doclens")
       }
       val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
       writeStats(spark, path, maxId, n0 + bCnt, s0 + bSum)
@@ -204,9 +208,7 @@ object InvertedIndex {
         !f.exists(new Path(s"$path/postings"))) return
     spark.read.parquet(s"$path/postings")
       .select(col("doc_id"), col("dl")).distinct()
-      .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("dbucket")
-      .parquet(s"$path/doclens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/doclens")
   }
 
   /** Delete documents from the index (takedown / license revocation /
@@ -221,9 +223,10 @@ object InvertedIndex {
     * [[compactPostings]] erases their content physically. Ids never
     * ingested are ignored. Returns the count of newly deleted docs.
     *
-    * Scale: the dl lookup prunes to the ids' `dbucket` partitions of
-    * the doclens table, so a B-doc takedown reads O(B/64 · corpus/64)
-    * metadata rows, never the postings. Id lists past
+    * Scale: the dl lookup pushes the id set into the doclens scan,
+    * where monotone-append row-group stats prune it to the touched
+    * batch files — a B-doc takedown reads O(B-covering batches) of
+    * 16-byte rows, never the postings. Id lists past
     * [[InPruneMaxIds]] route through the [[DataFrame]] overload
     * (a semi-join instead of an IN filter). */
   def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Long =
@@ -232,13 +235,8 @@ object InvertedIndex {
       import spark.implicits._
       deleteDocs(spark, path, ids.distinct.toDF("doc_id"))
     }
-    else {
-      val dbuckets = ids.map(i =>
-        java.lang.Math.floorMod(i, NumBuckets.toLong).toInt).distinct
-      deleteCore(spark, path, df => df
-        .filter(col("dbucket").isInCollection(dbuckets) &&
-          col("doc_id").isInCollection(ids.distinct)))
-    }
+    else deleteCore(spark, path,
+      df => df.filter(col("doc_id").isInCollection(ids.distinct)))
 
   /** [[deleteDocs]] for an id RELATION (`doc_id` column) — the shape a
     * takedown feed or a dedup-keep-list join produces; no partition
@@ -267,11 +265,8 @@ object InvertedIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = newDead.count()
-      if (n > 0)
-        newDead
-          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
-          .write.mode("append").partitionBy("dbucket")
-          .parquet(tombP.toString)
+      if (n > 0) // one flat file per takedown batch
+        newDead.coalesce(1).write.mode("append").parquet(tombP.toString)
       n
     } finally newDead.unpersist(false)
   }
@@ -288,7 +283,7 @@ object InvertedIndex {
     * Tombstoned docs are ERASED PHYSICALLY here (their postings and
     * doclens rows are dropped — the GDPR "content gone on the next
     * merge" posture); the tombstone rows themselves fold to one
-    * distinct sorted file per dbucket and persist, because the gross
+    * single distinct sorted file and persist, because the gross
     * `_stats` is never rewritten and live constants subtract them
     * forever (16 B of id+length per deleted doc, no content).
     *
@@ -329,25 +324,26 @@ object InvertedIndex {
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(staging.toString)
       }
-    if (f.exists(new Path(s"$path/doclens")))
+    val doclens = new Path(s"$path/doclens")
+    // the doclens fold exists to erase dead rows and bound file count;
+    // with nothing to erase and the per-batch files still few, a
+    // rewrite would be a pure no-op job
+    def doclensFiles() = f.listStatus(doclens)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (f.exists(doclens) && (tombIds.isDefined || doclensFiles() > 16))
       swapDir(spark, path, "doclens") { staging =>
-        dropDead(spark.read.parquet(s"$path/doclens")
+        dropDead(spark.read.parquet(doclens.toString)
             .select(col("doc_id"), col("dl")).distinct())
-          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
-          .repartition(col("dbucket"))
-          .sortWithinPartitions("dbucket", "doc_id")
-          .write.partitionBy("dbucket").mode("overwrite")
-          .parquet(staging.toString)
+          .repartitionByRange(col("doc_id")) // keep range-prunable stats
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(staging.toString)
       }
     if (f.exists(new Path(s"$path/tombstones")))
       swapDir(spark, path, "tombstones") { staging =>
         spark.read.parquet(s"$path/tombstones")
           .select(col("doc_id"), col("dl")).distinct()
-          .withColumn("dbucket", pmod(col("doc_id"), lit(NumBuckets.toLong)))
-          .repartition(col("dbucket"))
-          .sortWithinPartitions("dbucket", "doc_id")
-          .write.partitionBy("dbucket").mode("overwrite")
-          .parquet(staging.toString)
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(staging.toString)
       }
   }
 

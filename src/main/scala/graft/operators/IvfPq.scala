@@ -96,7 +96,8 @@ object IvfPq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = newDead.count()
-      if (n > 0) newDead.write.mode("append").parquet(tomb.toString)
+      if (n > 0) // one file per takedown batch, not one per partition
+        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
       n
     } finally newDead.unpersist(false)
   }
