@@ -262,6 +262,53 @@ object StreamingIngest {
     else (appended, "append")
   }
 
+  /** Streaming TAKEDOWN face — the foreachBatch body a deployment
+    * points at its deletion feed (DSAR queue, license-revocation
+    * topic): each micro-batch of doc ids is applied to every index the
+    * corpus serves through, in one call. Deletion is idempotent BY
+    * CONSTRUCTION on every index (append-only tombstones; already-
+    * tombstoned ids append nothing), so foreachBatch's at-least-once
+    * replay needs no watermark here at all — a replayed batch
+    * converges to the same tombstone set and reports zero new
+    * deletions. Pass only the paths the deployment actually maintains;
+    * masks are live on the next query against each index with no
+    * re-registration (disk is the truth). Returns the per-face newly-
+    * deleted counts (a replayed batch returns all zeros), for the
+    * caller's audit sink. */
+  def takedownBatch(invertedIndexPath: Option[String] = None,
+                    bandIndexPath: Option[String] = None,
+                    cellIndexPath: Option[String] = None,
+                    shardedIndexPath: Option[String] = None,
+                    ivfPqIndexPath: Option[String] = None,
+                    sq8IndexPath: Option[String] = None)
+      : (DataFrame, Long) => Map[String, Long] = { (ids, _) =>
+    val spark = ids.sparkSession
+    // one stable id relation for all faces (each face renames to its
+    // own id column); persist so six anti-join probes don't re-execute
+    // the upstream (e.g. a Kafka-source projection) six times
+    val docIds = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def as(name: String) = docIds.select(col("id").as(name))
+      Seq(
+        invertedIndexPath.map(p => "inverted" ->
+          graft.operators.InvertedIndex.deleteDocs(spark, p, as("doc_id"))),
+        bandIndexPath.map(p => "band" ->
+          graft.operators.MinHashLsh.deleteFromBandIndex(spark, p,
+            as("doc_id"))),
+        cellIndexPath.map(p => "cell" ->
+          graft.operators.SemDedup.deleteFromCellIndex(spark, p, as("id"))),
+        shardedIndexPath.map(p => "sharded" ->
+          graft.index.ShardedIndex.deleteFromIndex(spark, p, as("gid"))),
+        ivfPqIndexPath.map(p => "ivfpq" ->
+          graft.operators.IvfPq.deleteFromIndex(spark, p, as("d_id"))),
+        sq8IndexPath.map(p => "sq8" ->
+          graft.operators.Sq8Ann.deleteFromIndex(spark, p, as("d_id")))
+      ).flatten.toMap
+    } finally docIds.unpersist(false)
+  }
+
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */
   def runningTypeStats(ds: Dataset[EventIn]): Dataset[TypeStats] = {

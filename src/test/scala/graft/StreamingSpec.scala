@@ -516,6 +516,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(marksOf(idxA) === masked, "compaction changed the probe")
   }
 
+  test("streaming takedown face: one deletion feed masks every index; replays converge to zero") {
+    import graft.operators.{InvertedIndex, MinHashLsh}
+    import graft.queries.TextQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_takedown_stream_").toString
+    val inv = s"$dir/inv"
+    val band = s"$dir/band"
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+      .select("doc_id", "text")
+    InvertedIndex.append(spark, docs, inv)
+    MinHashLsh.writeBandIndex(
+      MinHashLsh.bandKeys(TextQueries.shingleHashes(docs), 8, 2), band)
+    val victims = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(victims.nonEmpty)
+    val body = StreamingIngest.takedownBatch(
+      invertedIndexPath = Some(inv), bandIndexPath = Some(band))
+    val reports = scala.collection.mutable.Buffer.empty[Map[String, Long]]
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF().writeStream.outputMode("append")
+      .foreachBatch((ids: org.apache.spark.sql.DataFrame, bid: Long) =>
+        { reports += body(ids, bid); () })
+      .start()
+    try {
+      input.addData(victims)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.last === Map(
+      "inverted" -> victims.size.toLong, "band" -> victims.size.toLong))
+    // masks are live on both faces with no further plumbing
+    assert(InvertedIndex.bm25Query(spark, inv,
+        Seq("the", "data", "model"), k = 200)
+      .filter(col("doc_id").isInCollection(victims)).count() === 0L)
+    assert(MinHashLsh.readBandIndex(spark, band)
+      .filter(col("doc_id").isInCollection(victims)).count() === 0L)
+    // the at-least-once replay: same feed again, zero new deletions
+    import spark.implicits._
+    assert(body(victims.toDF("value"), 1L) ===
+      Map("inverted" -> 0L, "band" -> 0L))
+  }
+
   test("streaming token chunking matches the batch chunking row-for-row") {
     import graft.queries.TextQueries
     val d = Tables.documents(spark, sfDir)
