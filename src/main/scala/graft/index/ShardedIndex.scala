@@ -368,15 +368,40 @@ object ShardedIndex {
     * shard/delta dirs, which are each their own parquet roots). */
   private val TombstoneDir = "_tombstones"
 
+  /** Restore tombstones a crashed [[compact]] left parked at
+    * `compact_tombstones_keep`: without this, a crash after the park
+    * rename would silently DROP the deletion mask (queries would serve
+    * the taken-down ids again). Both dirs present = a delete ran
+    * during a compact — a quiescence-contract violation that must not
+    * be silently merged away. */
+  private def recoverTombstones(spark: SparkSession, path: String): Unit = {
+    val keep = new org.apache.hadoop.fs.Path(
+      s"$path/compact_tombstones_keep")
+    val live = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val fs = keep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(keep)) {
+      require(!fs.exists(live),
+        s"both $live and $keep exist — a delete ran during a compact " +
+          "(quiescence contract violated); resolve manually")
+      require(fs.rename(keep, live),
+        s"recover: cannot restore parked tombstones from $keep")
+    }
+  }
+
   /** Distinct tombstoned global ids, or None when nothing was ever
     * deleted. Disk is the truth (read per search, like [[discover]]):
     * a registration made before a takedown serves the takedown
-    * correctly without re-registration. */
+    * correctly without re-registration. The committed-write marker
+    * (`_SUCCESS`), not the bare directory, decides existence — a
+    * crashed FIRST delete leaves an uncommitted dir (only
+    * `_temporary` inside) that must read as "no tombstones", not
+    * hard-fail every query on the index. */
   private def tombstonesDf(spark: SparkSession, path: String)
       : Option[DataFrame] = {
+    recoverTombstones(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) None
     else Some(spark.read.parquet(p.toString).select(col("gid")).distinct())
   }
 
@@ -418,10 +443,13 @@ object ShardedIndex {
     * trigger discipline as [[deltaFraction]]. */
   def deleteFromIndex(spark: SparkSession, path: String,
                       idsDf: DataFrame): Long = {
+    recoverTombstones(spark, path)
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
     val ids = idsDf.select(col("gid")).distinct()
-    val newDead = (if (!f.exists(tomb)) ids
+    val newDead = (if (!committed) ids
       else ids.join(spark.read.parquet(tomb.toString).select(col("gid")),
         Seq("gid"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -101,7 +101,7 @@ object InvertedIndex {
       }
     parsed.orElse {
       val base =
-        if (f.exists(new Path(s"$path/doclens")))
+        if (f.exists(new Path(s"$path/doclens/_SUCCESS")))
           Some(spark.read.parquet(s"$path/doclens")
             .select(col("doc_id"), col("dl")))
         else if (f.exists(new Path(s"$path/postings")))
@@ -192,7 +192,10 @@ object InvertedIndex {
     * set is exact in EVERY intermediate state). */
   private def tombstonesOf(spark: SparkSession, path: String)
       : Option[DataFrame] =
-    if (!fs(spark, path).exists(new Path(s"$path/tombstones"))) None
+    // committed-write marker, not the bare dir: a crashed FIRST delete
+    // leaves an uncommitted dir that must read as "no tombstones"
+    if (!fs(spark, path).exists(
+        new Path(s"$path/tombstones/_SUCCESS"))) None
     else Some(spark.read.parquet(s"$path/tombstones")
       .select(col("doc_id"), col("dl")).distinct())
 
@@ -204,7 +207,9 @@ object InvertedIndex {
     * this version never hit this path. */
   private def ensureDoclens(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
-    if (f.exists(new Path(s"$path/doclens")) ||
+    // marker check: a crashed backfill leaves an uncommitted dir that
+    // must be re-run (the overwrite cleans it), not trusted
+    if (f.exists(new Path(s"$path/doclens/_SUCCESS")) ||
         !f.exists(new Path(s"$path/postings"))) return
     spark.read.parquet(s"$path/postings")
       .select(col("doc_id"), col("dl")).distinct()
@@ -255,11 +260,13 @@ object InvertedIndex {
     recoverCompact(spark, path)
     ensureDoclens(spark, path)
     val f = fs(spark, path)
-    if (!f.exists(new Path(s"$path/doclens"))) return 0L // empty index
+    if (!f.exists(new Path(s"$path/doclens/_SUCCESS")))
+      return 0L // empty index
     val live = restrict(spark.read.parquet(s"$path/doclens"))
       .select(col("doc_id"), col("dl")).distinct()
     val tombP = new Path(s"$path/tombstones")
-    val newDead = (if (!f.exists(tombP)) live
+    val committed = f.exists(new Path(tombP, "_SUCCESS"))
+    val newDead = (if (!committed) live
       else live.join(restrict(spark.read.parquet(tombP.toString))
         .select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -330,7 +337,8 @@ object InvertedIndex {
     // rewrite would be a pure no-op job
     def doclensFiles() = f.listStatus(doclens)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (f.exists(doclens) && (tombIds.isDefined || doclensFiles() > 16))
+    if (f.exists(new Path(doclens, "_SUCCESS")) &&
+        (tombIds.isDefined || doclensFiles() > 16))
       swapDir(spark, path, "doclens") { staging =>
         dropDead(spark.read.parquet(doclens.toString)
             .select(col("doc_id"), col("dl")).distinct())
@@ -338,7 +346,7 @@ object InvertedIndex {
           .sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(staging.toString)
       }
-    if (f.exists(new Path(s"$path/tombstones")))
+    if (f.exists(new Path(s"$path/tombstones/_SUCCESS")))
       swapDir(spark, path, "tombstones") { staging =>
         spark.read.parquet(s"$path/tombstones")
           .select(col("doc_id"), col("dl")).distinct()

@@ -70,9 +70,11 @@ object IvfPq {
     * probe pruning is unchanged. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(path)
+    // committed-write marker, not the bare dir: a crashed FIRST delete
+    // leaves an uncommitted dir that must read as "no tombstones"
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tomb)) base
+        .exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
     else base.join(
       spark.read.parquet(tomb.toString).select(col("d_id")).distinct(),
       Seq("d_id"), "left_anti")
@@ -89,8 +91,10 @@ object IvfPq {
                       idsDf: DataFrame): Long = {
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
     val ids = idsDf.select(col("d_id")).distinct()
-    val newDead = (if (!f.exists(tomb)) ids
+    val newDead = (if (!committed) ids
       else ids.join(spark.read.parquet(tomb.toString).select(col("d_id")),
         Seq("d_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -138,9 +138,11 @@ object MinHashLsh {
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val base = spark.read.parquet(path)
+    // committed-write marker, not the bare dir: a crashed FIRST delete
+    // leaves an uncommitted dir that must read as "no tombstones"
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tomb)) base
+        .exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
     else base.join(
       spark.read.parquet(tomb.toString).select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
@@ -164,8 +166,10 @@ object MinHashLsh {
                           path: String, idsDf: DataFrame): Long = {
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
     val ids = idsDf.select(col("doc_id")).distinct()
-    val newDead = (if (!f.exists(tomb)) ids
+    val newDead = (if (!committed) ids
       else ids.join(spark.read.parquet(tomb.toString).select(col("doc_id")),
         Seq("doc_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -144,8 +144,11 @@ object SemDedup {
   def readCellIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val base = spark.read.parquet(path)
+    // committed-write marker, not the bare dir: a crashed FIRST delete
+    // leaves an uncommitted dir that must read as "no tombstones"
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    if (!fsFor(spark, path).exists(tomb)) base
+    if (!fsFor(spark, path).exists(
+        new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
     else base.join(
       spark.read.parquet(tomb.toString).select(col("id")).distinct(),
       Seq("id"), "left_anti")
@@ -162,8 +165,10 @@ object SemDedup {
                           path: String, idsDf: DataFrame): Long = {
     val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
     val f = fsFor(spark, path)
+    val committed =
+      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
     val ids = idsDf.select(col("id")).distinct()
-    val newDead = (if (!f.exists(tomb)) ids
+    val newDead = (if (!committed) ids
       else ids.join(spark.read.parquet(tomb.toString).select(col("id")),
         Seq("id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -442,6 +442,32 @@ class IndexSpec extends AnyFunSuite {
     assert(top10(ref2) === exact.map { case (qid, gt) =>
       qid -> gt.filterNot((victims :+ 9L).contains).take(10)
     }, "post-compact delete did not mask")
+    val after = top10(ref2)
+    // crash window: tombstones parked by a compact that died before the
+    // restore rename — the NEXT read must bring the mask back, not
+    // silently serve the taken-down ids
+    val fsh = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsh.rename(
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones"),
+      new org.apache.hadoop.fs.Path(s"$path/compact_tombstones_keep")))
+    assert(top10(ref2) === after, "parked tombstones were not recovered")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_tombstones")))
+    // crash window: a FIRST delete that died before its job committed
+    // leaves an uncommitted dir (only _temporary) — reads must treat it
+    // as "no tombstones", not fail; a re-run delete then commits
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_sharded_del2_").toString
+    val ref3 = ShardedIndex.buildPersisted(spark,
+      emb.filter(col("vec_id") < 100), IndexQueries.FixtureParams, 2, path2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path2/_tombstones/_temporary"))
+    assert(ShardedIndex.searchSingleDf(spark, vq, ref3, l = 60, k = 5)
+      .count() > 0, "uncommitted tombstone dir broke the search")
+    assert(ShardedIndex.deleteFromIndex(spark, path2, Seq(7L)) === 1L)
+    assert(ShardedIndex.searchSingleDf(spark, vq, ref3, l = 600, k = 16)
+      .filter(col("d_id") === 7L).count() === 0L)
   }
 
   test("autoShards, delta discovery, and the budget policy math") {

@@ -313,6 +313,29 @@ class InvertedIndexSpec extends AnyFunSuite {
       inlineBm25(DelDocs.take(3), Seq("aa", "cc")))
   }
 
+  test("uncommitted tombstone/doclens dirs (crashed first write) read as absent") {
+    val idx = freshIndex()
+    // a FIRST deleteDocs that died before its job committed leaves a
+    // tombstones dir holding only _temporary — serving must treat it
+    // as "no deletions", not throw schema inference errors
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "tombstones", "_temporary"))
+    assert(InvertedIndex.bm25Query(spark, idx, Seq("bb"), k = 5)
+      .count() === 2L)
+    // and a re-run delete commits over the debris
+    assert(InvertedIndex.deleteDocs(spark, idx, Seq(2L)) === 1L)
+    assert(served(idx, Seq("bb")) === inlineBm25(
+      Seq(DelDocs.head, DelDocs(2)), Seq("bb")))
+    // same for a crashed doclens BACKFILL: uncommitted dir is re-run
+    val idx2 = freshIndex()
+    dropDoclens(idx2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx2, "doclens", "_temporary"))
+    assert(InvertedIndex.deleteDocs(spark, idx2, Seq(1L)) === 1L)
+    assert(served(idx2, Seq("bb", "cc")) ===
+      inlineBm25(DelDocs.slice(1, 3), Seq("bb", "cc")))
+  }
+
   test("legacy index (no doclens) gets a postings backfill on first delete") {
     val idx = freshIndex()
     dropDoclens(idx)
