@@ -250,8 +250,10 @@ object ShardedIndex {
     // nor stale tombstones: a rebuild is a NEW corpus, and a gid mask
     // from the old one would hide arbitrary new rows. ([[compact]]
     // preserves ITS tombstones across this call by parking them under
-    // a non-matching name and restoring them after.)
+    // a non-matching name and restoring them after.) The erased-count
+    // sidecar goes with them.
     deleteDir(spark, s"$path/$TombstoneDir")
+    deleteDir(spark, s"$path/_tombstones_erased")
     val ref = ShardedIndexRef(path, nShards, params.metric)
     // ONE corpus pass: stage the shard-partitioned layout up front,
     // then build each shard from its PRUNED partition. Filtering the
@@ -470,15 +472,47 @@ object ShardedIndex {
       deleteFromIndex(spark, path, gids.distinct.toDF("gid"))
     }
 
-  /** Deleted ids as a fraction of indexed rows — the compact trigger
-    * on the deletion side (footer count + one tiny scan). */
+  /** UN-ERASED deleted ids as a fraction of indexed rows — the compact
+    * trigger on the deletion side (footer count + one tiny scan).
+    * Tombstones persist for the index lifetime (the anti-join mask),
+    * so the raw tombstone count would keep re-triggering compaction
+    * forever after the first purge; the `_tombstones_erased` sidecar
+    * (written by [[compact]], crash = stale-LOW = at worst one
+    * harmless extra compact) records how many the last purge already
+    * zeroed, and only the excess counts toward the trigger. */
   def deletedFraction(spark: SparkSession, ref: ShardedIndexRef): Double =
     tombstonesDf(spark, ref.path) match {
       case None => 0.0
       case Some(t) =>
         val total = totalRows(spark, ref)
-        if (total == 0) 0.0 else t.count().toDouble / total
+        if (total == 0) 0.0
+        else math.max(0L, t.count() - erasedCount(spark, ref.path))
+          .toDouble / total
     }
+
+  private def erasedPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_tombstones_erased")
+
+  private def erasedCount(spark: SparkSession, path: String): Long = {
+    val p = erasedPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try in.readLong()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+      finally in.close()
+    }
+  }
+
+  private def writeErasedCount(spark: SparkSession, path: String,
+                               n: Long): Unit = {
+    val p = erasedPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Watermark.promoteSidecar(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones_erased.tmp"), p)(
+      _.writeLong(n))
+  }
 
   /** Delta-ingest — the daily-append half of the tier's lifecycle,
     * mirroring [[graft.operators.IvfPq.appendIndex]]'s posture: build a
@@ -672,20 +706,32 @@ object ShardedIndex {
         s"compact: cannot park tombstones at $keep")
     val rebuilt = buildPersisted(spark, spark.read.parquet(staging), params,
       ref.nShards, ref.path)
-    if (tomb.isDefined)
+    if (tomb.isDefined) {
       require(fs.rename(keep,
         new org.apache.hadoop.fs.Path(s"${ref.path}/$TombstoneDir")),
         s"compact: cannot restore tombstones from $keep")
+      // record how many this purge zeroed, so deletedFraction counts
+      // only FUTURE deletions toward the next trigger (crash before
+      // this write = stale-low = one harmless extra compact)
+      writeErasedCount(spark, ref.path, tomb.get.count())
+    }
     deleteDir(spark, staging)
     (0 until ref.nDeltas).foreach(j => deleteDir(spark, deltaDir(ref, j)))
     rebuilt
   }
 
-  /** [[compact]] iff the deltas have outgrown `maxDeltaFrac` of the base. */
+  /** [[compact]] iff the deltas have outgrown `maxDeltaFrac` of the
+    * base, OR the tombstoned fraction has crossed `maxDeletedFrac` —
+    * the purge trigger: past that point the dead routing stubs waste a
+    * noticeable share of every beam (and the un-erased payloads are
+    * still on disk), so the amortize-appends argument flips the same
+    * way it does for deltas. */
   def maybeCompact(spark: SparkSession, ref: ShardedIndexRef,
                    params: BuildParams,
-                   maxDeltaFrac: Double = 0.2): ShardedIndexRef =
-    if (ref.nDeltas > 0 && deltaFraction(spark, ref) > maxDeltaFrac)
+                   maxDeltaFrac: Double = 0.2,
+                   maxDeletedFrac: Double = 0.2): ShardedIndexRef =
+    if ((ref.nDeltas > 0 && deltaFraction(spark, ref) > maxDeltaFrac) ||
+        deletedFraction(spark, ref) > maxDeletedFrac)
       compact(spark, ref, params)
     else ref
 

@@ -1303,6 +1303,32 @@ object TextQueries extends QueryPack {
       InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
     }),
 
+    // The UPDATE recipe, certified end-to-end: an index has no
+    // in-place rewrite — a document REVISION is `delete old id +
+    // append the new text under a fresh monotone id` (the posture
+    // every log-structured store shares). Here tranche doc_id % 13
+    // is revised to its text doubled ("text text"), the old ids are
+    // tombstoned, the revisions append past the watermark, and the
+    // merge erases the stale content. Serving must hash-equal BM25
+    // recomputed from scratch over the post-update corpus — old ids
+    // absent, revised ids present with doubled tf/dl, constants
+    // shifted by both.
+    "text_bm25_updated" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val d = docs(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_invidx_upd_").toString
+      InvertedIndex.append(s, d, idx)
+      val off = d.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val old = d.filter(col("doc_id") % 13 === 0)
+      InvertedIndex.deleteDocs(s, idx, old.select("doc_id"))
+      InvertedIndex.append(s, old.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")), idx)
+      InvertedIndex.compactPostings(s, idx)
+      InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
+    }),
+
     // Temperature-weighted mixture (the multilingual-LLM sampling rule,
     // e.g. mC4/XLM-R: p_i ∝ n_i^α with α<1 upweighting small sources):
     // per-source token counts → α=0.5 weights → expected token draw
@@ -1491,6 +1517,16 @@ object TextQueries extends QueryPack {
     * the ranked ids happen to agree). */
   private lazy val bm25DeletedOracle: String = bm25QueryOracleOver(
     "documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0")
+
+  /** text_bm25_updated's oracle: BM25 from scratch over the
+    * POST-UPDATE corpus — survivors verbatim, the revised tranche
+    * under offset ids with doubled text. */
+  private lazy val bm25UpdatedOracle: String = bm25QueryOracleOver(
+    """(SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+      | UNION ALL
+      | SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+      |        text || ' ' || text
+      | FROM documents WHERE doc_id % 13 = 0) u""".stripMargin)
 
   private def bm25QueryOracleOver(corpus: String): String =
         s"""WITH terms AS (
@@ -1964,6 +2000,7 @@ object TextQueries extends QueryPack {
       "text_bm25_query" -> bm25QueryOracle,
       "text_bm25_indexed" -> bm25QueryOracle,
       "text_bm25_deleted" -> bm25DeletedOracle,
+      "text_bm25_updated" -> bm25UpdatedOracle,
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,

@@ -437,8 +437,19 @@ class IndexSpec extends AnyFunSuite {
       "victim embedding payload survived the compact erase")
     assert(top10(ref2) === survivorTruth,
       "compaction changed the survivor results")
+    // the purge made deletedFraction count only FUTURE deletions — the
+    // raw tombstone count persists, so without the erased-count
+    // sidecar every maybeCompact would re-trigger forever
+    assert(ShardedIndex.deletedFraction(spark, ref2) === 0.0,
+      "erased tombstones still count toward the purge trigger")
     // deletion keeps working post-compact
     assert(ShardedIndex.deleteFromIndex(spark, path, Seq(9L)) === 1L)
+    assert(ShardedIndex.deletedFraction(spark, ref2) > 0.0)
+    // ...and the deleted-fraction trigger purges it
+    val ref2b = ShardedIndex.maybeCompact(spark, ref2,
+      IndexQueries.FixtureParams, maxDeletedFrac = 0.0001)
+    assert(ShardedIndex.deletedFraction(spark, ref2b) === 0.0,
+      "maybeCompact did not purge on the deleted-fraction trigger")
     assert(top10(ref2) === exact.map { case (qid, gt) =>
       qid -> gt.filterNot((victims :+ 9L).contains).take(10)
     }, "post-compact delete did not mask")
