@@ -231,7 +231,18 @@ object ShardedIndex {
     * count is a layout knob, not a parallelism knob. Returns a data-free
     * descriptor — nothing of the corpus stays resident. */
   def buildPersisted(spark: SparkSession, emb: DataFrame, params: BuildParams,
-                     nShards: Int, path: String): ShardedIndexRef = {
+                     nShards: Int, path: String): ShardedIndexRef =
+    buildPersistedImpl(spark, emb, params, nShards, path,
+      clearTombstones = true)
+
+  /** `clearTombstones = false` is [[compact]]'s private regime: its
+    * rebuild re-stripes the SAME corpus (same gids), so the deletion
+    * mask must survive in place — no parking rename whose crash window
+    * could strand or resurrect it. Every true rebuild clears. */
+  private def buildPersistedImpl(spark: SparkSession, emb: DataFrame,
+                                 params: BuildParams, nShards: Int,
+                                 path: String,
+                                 clearTombstones: Boolean): ShardedIndexRef = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     evictPath(path) // a rebuild at a cached path must not serve stale shards
     invalidateRows(path) // nor stale footer counts (budget policy)
@@ -249,11 +260,14 @@ object ShardedIndex {
     }
     // nor stale tombstones: a rebuild is a NEW corpus, and a gid mask
     // from the old one would hide arbitrary new rows. ([[compact]]
-    // preserves ITS tombstones across this call by parking them under
-    // a non-matching name and restoring them after.) The erased-count
-    // sidecar goes with them.
-    deleteDir(spark, s"$path/$TombstoneDir")
-    deleteDir(spark, s"$path/_tombstones_erased")
+    // passes clearTombstones=false — its re-stripe keeps the gids, so
+    // the mask must survive in place.) The erased-count sidecar and
+    // any legacy parked dir go with them.
+    if (clearTombstones) {
+      deleteDir(spark, s"$path/$TombstoneDir")
+      deleteDir(spark, s"$path/_tombstones_erased")
+      deleteDir(spark, s"$path/compact_tombstones_keep")
+    }
     val ref = ShardedIndexRef(path, nShards, params.metric)
     // ONE corpus pass: stage the shard-partitioned layout up front,
     // then build each shard from its PRUNED partition. Filtering the
@@ -370,42 +384,15 @@ object ShardedIndex {
     * shard/delta dirs, which are each their own parquet roots). */
   private val TombstoneDir = "_tombstones"
 
-  /** Restore tombstones a crashed [[compact]] left parked at
-    * `compact_tombstones_keep`: without this, a crash after the park
-    * rename would silently DROP the deletion mask (queries would serve
-    * the taken-down ids again). Both dirs present = a delete ran
-    * during a compact — a quiescence-contract violation that must not
-    * be silently merged away. */
-  private def recoverTombstones(spark: SparkSession, path: String): Unit = {
-    val keep = new org.apache.hadoop.fs.Path(
-      s"$path/compact_tombstones_keep")
-    val live = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val fs = keep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(keep)) {
-      require(!fs.exists(live),
-        s"both $live and $keep exist — a delete ran during a compact " +
-          "(quiescence contract violated); resolve manually")
-      require(fs.rename(keep, live),
-        s"recover: cannot restore parked tombstones from $keep")
-    }
-  }
-
   /** Distinct tombstoned global ids, or None when nothing was ever
     * deleted. Disk is the truth (read per search, like [[discover]]):
     * a registration made before a takedown serves the takedown
-    * correctly without re-registration. The committed-write marker
-    * (`_SUCCESS`), not the bare directory, decides existence — a
-    * crashed FIRST delete leaves an uncommitted dir (only
-    * `_temporary` inside) that must read as "no tombstones", not
-    * hard-fail every query on the index. */
+    * correctly without re-registration. Committed-marker semantics and
+    * the rest of the shared mechanics live in
+    * [[graft.operators.Tombstones]]. */
   private def tombstonesDf(spark: SparkSession, path: String)
-      : Option[DataFrame] = {
-    recoverTombstones(spark, path)
-    val p = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) None
-    else Some(spark.read.parquet(p.toString).select(col("gid")).distinct())
-  }
+      : Option[DataFrame] =
+    graft.operators.Tombstones.idsOf(spark, s"$path/$TombstoneDir", "gid")
 
   /** Hide tombstoned ids from a candidate union (both search faces call
     * this once, after global-id mapping): broadcast anti-join on the
@@ -424,6 +411,20 @@ object ShardedIndex {
           .select(results.columns.map(col).toIndexedSeq: _*)
     }
 
+  /** Indexed rows discovered from the DIRECTORY, for callers holding
+    * only a path (deletes don't carry a ref): shard dirs counted by
+    * listing, committed deltas via the [[discover]] rule. */
+  private def liveRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return 0L
+    val nShards = f.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.matches("shard\\d+"))
+    if (nShards == 0) return 0L
+    totalRows(spark,
+      discover(spark, ShardedIndexRef(path, nShards, "cosine")))
+  }
+
   /** Delete vectors from the index by GLOBAL id (takedown / GDPR
     * erasure) — the hnswlib `markDelete` posture, persisted: a pure
     * append of gid rows to the `_tombstones` sidecar. Search excludes
@@ -434,9 +435,11 @@ object ShardedIndex {
     * as hnswlib keeps marked elements traversable. [[compact]] erases
     * the CONTENT physically (embedding payload zeroed); the id slots
     * and tombstones persist for the index lifetime (8 B/deleted id).
-    * Idempotent by construction: already-tombstoned or never-indexed
-    * ids append nothing / are harmless. Returns the newly tombstoned
-    * count.
+    * Idempotent by construction: already-tombstoned ids append
+    * nothing; ids OUTSIDE the indexed dense range [0, rows) are
+    * ignored entirely (a bogus feed must not inflate the tombstone
+    * set, the audit counts, or [[deletedFraction]]'s purge trigger).
+    * Returns the newly tombstoned count.
     *
     * Recall note: deleted ids still occupy per-shard beam slots until
     * the nodes' zeroed payloads push them out of every beam
@@ -445,22 +448,11 @@ object ShardedIndex {
     * trigger discipline as [[deltaFraction]]. */
   def deleteFromIndex(spark: SparkSession, path: String,
                       idsDf: DataFrame): Long = {
-    recoverTombstones(spark, path)
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
-    val ids = idsDf.select(col("gid")).distinct()
-    val newDead = (if (!committed) ids
-      else ids.join(spark.read.parquet(tomb.toString).select(col("gid")),
-        Seq("gid"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one file per takedown batch, not one per partition
-        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
-      n
-    } finally newDead.unpersist(false)
+    val rows = liveRowCount(spark, path)
+    if (rows == 0) return 0L
+    graft.operators.Tombstones.appendNew(spark, s"$path/$TombstoneDir",
+      "gid", idsDf.select(col("gid"))
+        .filter(col("gid") >= 0 && col("gid") < rows))
   }
 
   /** [[deleteFromIndex]] for a literal takedown list. */
@@ -650,16 +642,16 @@ object ShardedIndex {
     * and scores 0/far against every query, so the routing stub stops
     * occupying beam slots too). The id slots stay (the dense strided
     * contract cannot absorb holes without renumbering the corpus),
-    * and the tombstone sidecar is parked aside during the internal
-    * rebuild and restored after, so the result anti-join keeps
-    * guaranteeing the ids never surface.
+    * and the tombstone sidecar stays IN PLACE through the internal
+    * rebuild (the re-stripe keeps the gids, so the mask stays valid —
+    * no parking rename whose crash window could strand or resurrect
+    * it), so the result anti-join keeps guaranteeing the ids never
+    * surface in ANY intermediate state.
     *
     * Crash posture: the staged union is written FIRST and deleted
     * LAST, so no vector is ever lost — a crash mid-rebuild leaves the
-    * complete corpus at `<path>/compact_staging` (tombstones, if any,
-    * at `<path>/compact_tombstones_keep`), and recovery is re-running
-    * [[buildPersisted]] from that staging dir (then dropping staging +
-    * deltas and renaming the parked tombstones back). Like the
+    * complete corpus at `<path>/compact_staging`, and recovery is
+    * re-running [[compact]] (the tombstones never moved). Like the
     * band/cell index compactions, the rebuild-in-place requires
     * QUIESCENCE: no concurrent search may run while shard dirs are
     * being overwritten. */
@@ -669,6 +661,11 @@ object ShardedIndex {
       s"compact metric ${params.metric} != index metric ${ref.metric}")
     val tomb = tombstonesDf(spark, ref.path)
     if (ref.nDeltas == 0 && tomb.isEmpty) return ref
+    // materialize the erased count BEFORE the rebuild: a (contract-
+    // violating) delete landing mid-compact then stays un-erased in
+    // the ledger and re-triggers the next purge instead of being
+    // silently marked done
+    val erasedN = tomb.map(_.count())
     val base = (0 until ref.nShards).map { s =>
       spark.read.parquet(s"${shardDir(ref, s)}/vectors")
         .select((col("vec_id") * ref.nShards + s).as("vec_id"),
@@ -695,26 +692,12 @@ object ShardedIndex {
     }
     val staging = s"${ref.path}/compact_staging"
     erased.write.mode("overwrite").parquet(staging)
-    // park the tombstones where buildPersisted's fresh-corpus clear
-    // won't see them, then restore: the mask must outlive the rebuild
-    val keep = new org.apache.hadoop.fs.Path(
-      s"${ref.path}/compact_tombstones_keep")
-    val fs = keep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tomb.isDefined)
-      require(fs.rename(
-        new org.apache.hadoop.fs.Path(s"${ref.path}/$TombstoneDir"), keep),
-        s"compact: cannot park tombstones at $keep")
-    val rebuilt = buildPersisted(spark, spark.read.parquet(staging), params,
-      ref.nShards, ref.path)
-    if (tomb.isDefined) {
-      require(fs.rename(keep,
-        new org.apache.hadoop.fs.Path(s"${ref.path}/$TombstoneDir")),
-        s"compact: cannot restore tombstones from $keep")
-      // record how many this purge zeroed, so deletedFraction counts
-      // only FUTURE deletions toward the next trigger (crash before
-      // this write = stale-low = one harmless extra compact)
-      writeErasedCount(spark, ref.path, tomb.get.count())
-    }
+    val rebuilt = buildPersistedImpl(spark, spark.read.parquet(staging),
+      params, ref.nShards, ref.path, clearTombstones = false)
+    // record how many this purge zeroed, so deletedFraction counts
+    // only FUTURE deletions toward the next trigger (crash before
+    // this write = stale-low = one harmless extra compact)
+    erasedN.foreach(writeErasedCount(spark, ref.path, _))
     deleteDir(spark, staging)
     (0 until ref.nDeltas).foreach(j => deleteDir(spark, deltaDir(ref, j)))
     rebuilt

@@ -146,6 +146,12 @@ object InvertedIndex {
     * (persisted projection serves the stats aggregate and the postings
     * write) — the corpus is never re-read. */
   def append(spark: SparkSession, docsDf: DataFrame, path: String): Unit = {
+    // recover a half-done compact BEFORE writing: appending into the
+    // crash window (old dir stranded, live dir missing) would recreate
+    // a live dir holding only this batch, and the NEXT recovery would
+    // misread both-present as crash-after-promote and delete the
+    // stranded old — the full historical table
+    recoverCompact(spark, path)
     import graft.queries.TextQueries
     val toks = TextQueries.tokenizedOf(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,12 +198,8 @@ object InvertedIndex {
     * set is exact in EVERY intermediate state). */
   private def tombstonesOf(spark: SparkSession, path: String)
       : Option[DataFrame] =
-    // committed-write marker, not the bare dir: a crashed FIRST delete
-    // leaves an uncommitted dir that must read as "no tombstones"
-    if (!fs(spark, path).exists(
-        new Path(s"$path/tombstones/_SUCCESS"))) None
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .select(col("doc_id"), col("dl")).distinct())
+    Tombstones.rowsOf(spark, s"$path/tombstones")
+      .map(_.select(col("doc_id"), col("dl")))
 
   /** Backfill `doclens/` for a legacy index from the postings (distinct
     * `(doc_id, dl)` — replay dups fold). Zero-token docs write no
@@ -262,20 +264,12 @@ object InvertedIndex {
     val f = fs(spark, path)
     if (!f.exists(new Path(s"$path/doclens/_SUCCESS")))
       return 0L // empty index
+    // live (ingested) rows only — a never-ingested id must not land a
+    // tombstone (it would skew the subtracted constants); the shared
+    // core handles the already-tombstoned anti-join and the write
     val live = restrict(spark.read.parquet(s"$path/doclens"))
-      .select(col("doc_id"), col("dl")).distinct()
-    val tombP = new Path(s"$path/tombstones")
-    val committed = f.exists(new Path(tombP, "_SUCCESS"))
-    val newDead = (if (!committed) live
-      else live.join(restrict(spark.read.parquet(tombP.toString))
-        .select(col("doc_id")), Seq("doc_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one flat file per takedown batch
-        newDead.coalesce(1).write.mode("append").parquet(tombP.toString)
-      n
-    } finally newDead.unpersist(false)
+      .select(col("doc_id"), col("dl"))
+    Tombstones.appendNew(spark, s"$path/tombstones", "doc_id", live)
   }
 
   /** Fold append-accumulated small files — and any replay-duplicated
@@ -340,11 +334,21 @@ object InvertedIndex {
     if (f.exists(new Path(doclens, "_SUCCESS")) &&
         (tombIds.isDefined || doclensFiles() > 16))
       swapDir(spark, path, "doclens") { staging =>
-        dropDead(spark.read.parquet(doclens.toString)
+        val folded = dropDead(spark.read.parquet(doclens.toString)
             .select(col("doc_id"), col("dl")).distinct())
-          .repartitionByRange(col("doc_id")) // keep range-prunable stats
-          .sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(staging.toString)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // output file count sized by ROWS (~8M 16-byte rows per
+          // file), not spark.sql.shuffle.partitions: a default-width
+          // fold would write >16 files and permanently re-trigger the
+          // files-guard above on every later compact
+          val parts = math.max(1L,
+            (folded.count() + (8L << 20) - 1) / (8L << 20)).toInt
+          folded
+            .repartitionByRange(parts, col("doc_id")) // range-prunable
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(staging.toString)
+        } finally folded.unpersist(false)
       }
     if (f.exists(new Path(s"$path/tombstones/_SUCCESS")))
       swapDir(spark, path, "tombstones") { staging =>
@@ -400,6 +404,10 @@ object InvertedIndex {
   def bm25Query(spark: SparkSession, path: String, terms: Seq[String],
                 k: Int = 20): DataFrame = {
     import graft.queries.TextQueries
+    // a compact crash between the tombstones swap's renames would
+    // otherwise read as "no tombstones" and silently UNMASK every
+    // deleted doc until some delete or compact happened to recover it
+    recoverCompact(spark, path)
     val (_, nGross, sumGross) = readStats(spark, path).getOrElse(
       sys.error(s"no inverted index at $path"))
     val crc = new java.util.zip.CRC32

@@ -69,15 +69,15 @@ object IvfPq {
     * filter — Catalyst pushes the partition filter through it, so
     * probe pruning is unchanged. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    // committed-write marker, not the bare dir: a crashed FIRST delete
-    // leaves an uncommitted dir that must read as "no tombstones"
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
-    else base.join(
-      spark.read.parquet(tomb.toString).select(col("d_id")).distinct(),
-      Seq("d_id"), "left_anti")
+    // recover a compact that crashed between its renames BEFORE
+    // reading: a stranded __compact_old with no live dir must be
+    // restored here, not first noticed by the next compact — by then
+    // an append may have recreated the live dir and the recovery
+    // would misread the state as crash-after-promote and delete the
+    // full historical index
+    SemDedup.recoverCompact(spark, path)
+    Tombstones.mask(spark, s"$path/$TombstoneDir", "d_id",
+      spark.read.parquet(path))
   }
 
   /** Delete docs from the encoded index (takedown / GDPR erasure): a
@@ -89,21 +89,9 @@ object IvfPq {
     * harmless. Returns the newly tombstoned count. */
   def deleteFromIndex(spark: SparkSession, path: String,
                       idsDf: DataFrame): Long = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
-    val ids = idsDf.select(col("d_id")).distinct()
-    val newDead = (if (!committed) ids
-      else ids.join(spark.read.parquet(tomb.toString).select(col("d_id")),
-        Seq("d_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one file per takedown batch, not one per partition
-        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
-      n
-    } finally newDead.unpersist(false)
+    SemDedup.recoverCompact(spark, path)
+    Tombstones.appendNew(spark, s"$path/$TombstoneDir", "d_id",
+      idsDf.select(col("d_id")))
   }
 
   /** [[deleteFromIndex]] for a literal takedown list. */
@@ -150,6 +138,11 @@ object IvfPq {
   private def writeRows(spark: SparkSession, data: DataFrame, path: String,
                         centroids: Array[Array[Float]],
                         codebooks: PqAnn.Codebooks, mode: String): Unit = {
+    // an append into the crash window of a half-done compact would
+    // recreate the live dir and make the NEXT compact's recovery
+    // delete the stranded old (= the whole pre-crash index); restore
+    // first, so the append lands on the restored history
+    SemDedup.recoverCompact(spark, path)
     import spark.implicits._
     val cbB = spark.sparkContext.broadcast(codebooks)
     IvfAnn.assign(spark, data, "d_id", "d_vec", centroids)
@@ -210,6 +203,7 @@ object IvfPq {
                               path: String, centroids: Array[Array[Float]],
                               codebooks: PqAnn.Codebooks,
                               mode: String): Unit = {
+    SemDedup.recoverCompact(spark, path) // see writeRows
     import spark.implicits._
     val sB = spark.sparkContext.broadcast(IvfAnn.seedNorms(centroids))
     val cbB = spark.sparkContext.broadcast(codebooks)

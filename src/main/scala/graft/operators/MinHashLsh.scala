@@ -136,17 +136,9 @@ object MinHashLsh {
     * (ids only), so AQE broadcasts the anti-join; with no tombstones
     * the plan is the bare scan. */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    // committed-write marker, not the bare dir: a crashed FIRST delete
-    // leaves an uncommitted dir that must read as "no tombstones"
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
-    else base.join(
-      spark.read.parquet(tomb.toString).select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-  }
+                    path: String): DataFrame =
+    Tombstones.mask(spark, s"$path/$TombstoneDir", "doc_id",
+      spark.read.parquet(path))
 
   /** `_`-prefixed so the parquet reader of the index dir ignores it —
     * the [[Watermark]] sidecar convention. */
@@ -163,23 +155,9 @@ object MinHashLsh {
     * compaction's physical erase. Ids never indexed are harmless
     * no-ops. Returns the count of newly tombstoned ids. */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, idsDf: DataFrame): Long = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
-    val ids = idsDf.select(col("doc_id")).distinct()
-    val newDead = (if (!committed) ids
-      else ids.join(spark.read.parquet(tomb.toString).select(col("doc_id")),
-        Seq("doc_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one file per takedown batch, not one per partition
-        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
-      n
-    } finally newDead.unpersist(false)
-  }
+                          path: String, idsDf: DataFrame): Long =
+    Tombstones.appendNew(spark, s"$path/$TombstoneDir", "doc_id",
+      idsDf.select(col("doc_id")))
 
   /** [[deleteFromBandIndex]] for a literal takedown list. */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,

@@ -142,17 +142,9 @@ object SemDedup {
     * for [[compactCellIndex]] to be erased. No tombstones → the bare
     * (partition-prunable) scan. */
   def readCellIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    // committed-write marker, not the bare dir: a crashed FIRST delete
-    // leaves an uncommitted dir that must read as "no tombstones"
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    if (!fsFor(spark, path).exists(
-        new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
-    else base.join(
-      spark.read.parquet(tomb.toString).select(col("id")).distinct(),
-      Seq("id"), "left_anti")
-  }
+                    path: String): DataFrame =
+    Tombstones.mask(spark, s"$path/$TombstoneDir", "id",
+      spark.read.parquet(path))
 
   /** Delete docs from the resident cell index (takedown / GDPR
     * erasure): a pure append of id rows to the `_tombstones` sidecar —
@@ -162,23 +154,9 @@ object SemDedup {
     * an EXISTS over same-cell ids, so membership is the only state and
     * tombstones need no payload. Returns the newly tombstoned count. */
   def deleteFromCellIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, idsDf: DataFrame): Long = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val f = fsFor(spark, path)
-    val committed =
-      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
-    val ids = idsDf.select(col("id")).distinct()
-    val newDead = (if (!committed) ids
-      else ids.join(spark.read.parquet(tomb.toString).select(col("id")),
-        Seq("id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one file per takedown batch, not one per partition
-        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
-      n
-    } finally newDead.unpersist(false)
-  }
+                          path: String, idsDf: DataFrame): Long =
+    Tombstones.appendNew(spark, s"$path/$TombstoneDir", "id",
+      idsDf.select(col("id")))
 
   /** [[deleteFromCellIndex]] for a literal takedown list. */
   def deleteFromCellIndex(spark: org.apache.spark.sql.SparkSession,

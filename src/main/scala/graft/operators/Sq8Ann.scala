@@ -282,15 +282,12 @@ object Sq8Ann {
     * — the [[IvfPq.readIndex]] posture for the byte-code tier. */
   def readCodes(spark: org.apache.spark.sql.SparkSession,
                 path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/codes")
-    // committed-write marker, not the bare dir: a crashed FIRST delete
-    // leaves an uncommitted dir that must read as "no tombstones"
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))) base
-    else base.join(
-      spark.read.parquet(tomb.toString).select(col("d_id")).distinct(),
-      Seq("d_id"), "left_anti")
+    // restore a compact that crashed between its renames before
+    // reading (the codes dir would otherwise be missing until the
+    // next compactCodes ran)
+    SemDedup.recoverCompact(spark, s"$path/codes")
+    Tombstones.mask(spark, s"$path/_tombstones", "d_id",
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Delete rows from the codes index (takedown / GDPR erasure):
@@ -299,21 +296,9 @@ object Sq8Ann {
     * Idempotent by construction; returns the newly tombstoned count. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, idsDf: DataFrame): Long = {
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      f.exists(new org.apache.hadoop.fs.Path(tomb, "_SUCCESS"))
-    val ids = idsDf.select(col("d_id")).distinct()
-    val newDead = (if (!committed) ids
-      else ids.join(spark.read.parquet(tomb.toString).select(col("d_id")),
-        Seq("d_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newDead.count()
-      if (n > 0) // one file per takedown batch, not one per partition
-        newDead.coalesce(1).write.mode("append").parquet(tomb.toString)
-      n
-    } finally newDead.unpersist(false)
+    SemDedup.recoverCompact(spark, s"$path/codes")
+    Tombstones.appendNew(spark, s"$path/_tombstones", "d_id",
+      idsDf.select(col("d_id")))
   }
 
   /** [[deleteFromIndex]] for a literal takedown list. */

@@ -175,7 +175,12 @@ object AnnIndexRegistry {
         * in place (delta-ingest) would silently drop post-registration
         * rows from the rescore. null (the default) = rescore against
         * the registration-time `data`. */
-      dataRefresh: () => org.apache.spark.sql.DataFrame = null) {
+      dataRefresh: () => org.apache.spark.sql.DataFrame = null,
+      /** True for certificate fixtures registered under a nonstandard
+        * name (deleted / grown twins): reachable only by explicit
+        * `spark.graft.ann.tier` preference, never by the cost race —
+        * see [[chooseTier]]. */
+      certificateOnly: Boolean = false) {
     /** The relation to rescore against: refreshed when the registrant
       * declared the corpus grow-in-place, else the registration
       * snapshot. */
@@ -217,8 +222,15 @@ object AnnIndexRegistry {
     preferred match {
       case Some(name) => m.get(name)
       case None =>
-        if (m.isEmpty) None
-        else Some(m.minBy { case (name, (_, e)) => (e.costHint, name) }._2)
+        // certificate registrations (nonstandard names — deleted /
+        // grown fixtures) are reachable ONLY by explicit
+        // spark.graft.ann.tier preference: the registry is
+        // process-global, so letting a masked certificate tier win the
+        // cost race would silently apply its deletions/fixture state
+        // to unrelated queries
+        val open = m.filterNot(_._2._2.certificateOnly)
+        if (open.isEmpty) None
+        else Some(open.minBy { case (name, (_, e)) => (e.costHint, name) }._2)
     }
 
   /** [[registerTier]] with the built-in IVF-PQ generator: candidates by
@@ -295,7 +307,8 @@ object AnnIndexRegistry {
         (entry.nProbe.toDouble / nlist) *
           (entry.codebooks.length.toDouble / (4.0 * dim))
       },
-      dataRefresh = refresh))
+      dataRefresh = refresh,
+      certificateOnly = name != "ivfpq"))
   }
 
   /** Constructor payload for [[registerIvfPq]]. */
@@ -385,7 +398,8 @@ object AnnIndexRegistry {
           .searchSingleDf(s, q, live, l = l, k = kc)
           .select(col("q_id"), col("d_id"))
       },
-      dataRefresh = refresh))
+      dataRefresh = refresh,
+      certificateOnly = name != "sharded"))
   }
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —

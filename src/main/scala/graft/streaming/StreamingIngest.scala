@@ -283,6 +283,12 @@ object StreamingIngest {
                     sq8IndexPath: Option[String] = None)
       : (DataFrame, Long) => Map[String, Long] = { (ids, _) =>
     val spark = ids.sparkSession
+    // EXACTLY one column, by contract: silently picking columns.head
+    // of a wider feed (e.g. a Kafka projection's (ts, doc_id)) would
+    // tombstone epoch values across every index — fail loudly instead
+    require(ids.columns.length == 1,
+      s"takedownBatch expects a single-id-column batch, got " +
+        s"(${ids.columns.mkString(", ")}) — select the id column first")
     // one stable id relation for all faces (each face renames to its
     // own id column); persist so six anti-join probes don't re-execute
     // the upstream (e.g. a Kafka-source projection) six times
