@@ -553,6 +553,68 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered route on the sharded tier, deletion-masked: the past-the-ceiling filtered shape") {
+    setup
+    import graft.index.ShardedIndex
+    // the composition a 100 TB deployment actually runs: a metadata
+    // predicate + similarity top-k, candidates from the SHARDED tier
+    // (the corpus outgrew the broadcast graph), against an index with
+    // live takedowns — all through ONE SQL statement
+    val dir = "target/tmp/ann_sharded_filtered_corpus"
+    val idxPath = "target/tmp/ann_sharded_filtered_index"
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select(col("vec_id").as("fvid"), col("embedding").as("fvec"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("filtered_sharded_corpus")
+    val ref = ShardedIndex.buildPersisted(spark,
+      emb.select(col("vec_id"), col("embedding")),
+      IndexQueries.FixtureParams, nShards = 2, idxPath)
+    AnnIndexRegistry.registerSharded(corpus, "fvid", "fvec", ref,
+      dim = 64, metricName = "cosine", searchL = 60)
+    val q = queryLit
+    def fsql(pred: String, k: Int) =
+      s"""SELECT fvid, graft_vec_cosine(fvec, $q) AS score
+         |FROM filtered_sharded_corpus WHERE $pred
+         |ORDER BY score DESC LIMIT $k""".stripMargin
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val exhaustive = spark.sql(fsql("fvid % 3 = 0", 12)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // victims = the exhaustive filtered top-2: the mask MUST matter
+    val victims = exhaustive.take(2).map(_._1).toSeq
+    assert(ShardedIndex.deleteFromIndex(spark, idxPath, victims) === 2L)
+    val truth = exhaustive.filterNot(r => victims.contains(r._1)).take(10)
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.tier", "sharded")
+    spark.conf.set("spark.graft.ann.filtered.preFilterMax", "0") // no short-circuit
+    try {
+      val df = spark.sql(fsql("fvid % 3 = 0", 10))
+      assert(df.queryExecution.optimizedPlan.collect {
+        case n: graft.plans.AnnFilteredTopKNode => n.tier
+      } === Seq("sharded"), "filtered query not routed to the sharded tier")
+      val loads0 = ShardedIndex.shardLoadCount
+      val approx = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(ShardedIndex.shardLoadCount > loads0,
+        "sharded tier never loaded a shard — candidates came from elsewhere")
+      assert(approx.length === 10)
+      // the takedown holds through the whole composition
+      assert(!approx.exists(r => victims.contains(r._1)),
+        "deleted ids surfaced through the filtered route")
+      // scores exact (the route rescores with the query's own expression)
+      val truthById = truth.toMap
+      approx.foreach { case (id, s) =>
+        truthById.get(id).foreach(es => assert(es === s, s"score drift for $id"))
+      }
+      val recall = approx.map(_._1).toSet
+        .intersect(truth.map(_._1).toSet).size / 10.0
+      assert(recall >= 0.9, s"filtered+sharded+deleted recall $recall")
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      spark.conf.unset("spark.graft.ann.tier")
+      spark.conf.unset("spark.graft.ann.filtered.preFilterMax")
+    }
+  }
+
   test("ivfpq tier: append-grown index is served with a grown fetch, no re-registration") {
     setup
     import graft.index.BudgetPolicy
