@@ -332,6 +332,21 @@ object AnnQueries extends QueryPack {
       rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
     }),
 
+    // The SAME filtered statement served by the SHARDED tier — the
+    // past-the-broadcast-ceiling filtered composition (metadata
+    // predicate + escalating per-shard beam candidates + pushdown
+    // re-execution), the shape a 100 TB corpus actually runs once it
+    // outgrows the broadcast graph. The pre-filter short-circuit is
+    // disabled in this session so the tier genuinely serves.
+    // Rows-only: below saturation the candidate set is approximate by
+    // design; AnnRewriteSpec's "filtered route on the sharded tier"
+    // test holds the >=0.9 recall, tier-routing, shard-load, and
+    // deletion-mask gates.
+    "knn_sql_filtered_sharded" -> ((s, dir) => {
+      val rs = svFilteredShardedSetup(s, dir)
+      rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
+    }),
+
     // The G8 single-vector harness question FROM SQL at real
     // multiplicity — per-query top-k over a query RELATION (one
     // statement for all NQ·C query vectors), the rank-window shape
@@ -735,6 +750,40 @@ object AnnQueries extends QueryPack {
       child.conf.set("spark.graft.ann.tier", tier)
       child
     })
+
+  private val filteredShardedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** knn_sql_filtered_sharded's session: rewrite on, sharded tier
+    * FORCED, pre-filter short-circuit OFF (the tier must serve), exact
+    * mode OFF — the production overfetch/escalation regime, unlike the
+    * [[tierExactSession]] certificates. */
+  private def svFilteredShardedSetup(s: SparkSession,
+                                     dir: String): SparkSession = {
+    import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
+    val rs = filteredShardedSessions.computeIfAbsent(s, _ => {
+      val child = s.newSession()
+      child.conf.set("spark.graft.ann.rewrite", "true")
+      child.conf.set("spark.graft.ann.tier", "sharded")
+      child.conf.set("spark.graft.ann.filtered.preFilterMax", "0")
+      child
+    })
+    graft.functions.GraftFunctions.register(rs)
+    val cls = rs.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(AnnTopKRule)) {
+      cls.experimental.extraOptimizations =
+        cls.experimental.extraOptimizations :+ AnnTopKRule
+      cls.experimental.extraStrategies =
+        cls.experimental.extraStrategies :+ AnnStrategy
+    }
+    val emb = Tables.embeddings(rs, dir)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+      IndexQueries.shardedHandles(rs, dir, 2), dim = dim,
+      metricName = "cosine", searchL = 80)
+    emb.createOrReplaceTempView("graft_emb")
+    rs
+  }
 
   /** [[svSqlSetup]]'s candidate-tier twin: install the rule on the
     * tier's certificate session, register the requested tier over the
