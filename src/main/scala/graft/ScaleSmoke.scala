@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *  - dims (region/nation/customer/supplier/part): copied once — the
   *    fact:dim ratio grows like a real SF bump.
   *
-  * Per-query budget: 10 × max(base, 0.3s) — the 0.3s floor keeps
-  * fixed-overhead-dominated sub-second queries from tripping on noise.
+  * Per-query budget: factor^exp × max(base, 0.3s) — the 0.3s floor keeps
+  * fixed-overhead-dominated sub-second queries from tripping on noise,
+  * and exp is 1.0 except for queries whose documented growth law is
+  * super-linear ([[ScaleSmoke.BudgetExponent]]: the semdedup pair's
+  * balanced-IVF N^1.5 gets factor^1.5).
   * Exemption (documented super-linear SEMANTICS, not a plan defect):
   * dedup_embedding_cosine is an exact all-pairs top-N — compute is O(N²)
   * by definition (its scale path is the thresholded LSH twin).
@@ -64,6 +67,19 @@ object ScaleFixtures {
 object ScaleSmoke {
 
   private val Exempt = Set("dedup_embedding_cosine")
+
+  /** Documented super-linear queries get a budget that matches their
+    * OWN growth law instead of the uniform linear bound: the semdedup
+    * pair runs the balanced-IVF parameterization (nlist ≈ √N → N^1.5
+    * total work), so at scale factor F its honest budget is F^1.5 ×
+    * base. At the default F=10 the fixed overheads still dominate and
+    * both pass the linear bound today — but the linear bound would
+    * start flaking exactly when the N^1.5 term takes over (bigger
+    * factors or bigger bases), turning a documented growth law into a
+    * false alarm. Queries not listed here scale with exponent 1.0. */
+  private val BudgetExponent = Map(
+    "semdedup" -> 1.5,
+    "semdedup_text" -> 1.5)
 
   /** Letters shifted by `r` within each case; digits/punct unchanged. */
   private def caesar(c: Column, r: Int): Column = {
@@ -194,10 +210,15 @@ object ScaleSmoke {
       name -> (if (ok) rs.map(_._1).min else -1.0, ok)
     }
 
-    def limitOf(b: Double): Double = 10.0 * math.max(b, 0.3)
+    // budget = factor^exponent × max(base, 0.3): linear queries get the
+    // plain factor bound; documented super-linear queries (BudgetExponent)
+    // get their own growth law, so the tripwire tests the PLAN, not the
+    // declared complexity class
+    def limitOf(name: String, b: Double): Double =
+      math.pow(factor, BudgetExponent.getOrElse(name, 1.0)) * math.max(b, 0.3)
     val violations = results.collect {
       case (name, (sec, true))
-        if !Exempt(name) && base.get(name).exists(b => sec > limitOf(b)) =>
+        if !Exempt(name) && base.get(name).exists(b => sec > limitOf(name, b)) =>
         name
     }.toSeq
     val failed = results.collect { case (n, (_, false)) => n }.toSeq

@@ -279,25 +279,42 @@ object BeamSearch {
   }
 
   /** DataFrame wrapper for G8: `queries` = (q_id long, q_vec array<float>).
-    * Output: (q_id, rank, d_id, sim, cmps, hops), sim = −dist. */
+    * Output: (q_id, rank, d_id, sim, cmps, hops), sim = −dist.
+    *
+    * `deadB` (optional) is the hnswlib-markDelete posture at the kernel
+    * boundary: ids set in the bitset stay fully TRAVERSABLE (they ride
+    * the beam and route expansion exactly like live nodes — removing
+    * them from the queue would sever the paths that run through them)
+    * but are skipped at RESULT EMISSION, so an erased node can never
+    * leave the search face even when its zeroed payload's mid-range
+    * score (dist 0 under cosine/dot) lands it inside the top k. Ranks
+    * are renumbered over the emitted survivors. */
   def searchSingleDf(spark: SparkSession, queries: DataFrame,
                      graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
-                     metricName: String, l: Int, k: Int): DataFrame = {
+                     metricName: String, l: Int, k: Int,
+                     deadB: Broadcast[java.util.BitSet] = null): DataFrame = {
     import spark.implicits._
     val ds = queries.select(col("q_id"), col("q_vec"))
       .as[(Long, Array[Float])]
     ds.mapPartitions { it =>
       val graph = graphB.value
       val vecs = vecsB.value
+      val dead = if (deadB == null) null else deadB.value
       val metric = Metrics(metricName)
       val visited = new VisitedSet(graph.n)
       it.flatMap { case (qid, qraw) =>
         val q = if (metric.normalizeAtLoad) VectorStore.normalized(qraw) else qraw
         val (queue, cmps, hops) = searchSingle(graph, vecs, metric, q, l, visited)
-        val m = math.min(k, queue.size)
-        (0 until m).map { r =>
-          SearchHit(qid, r + 1, queue.id(r).toLong, -queue.dist(r).toDouble, cmps, hops)
+        val out = new ArrayBuffer[SearchHit](math.min(k, queue.size))
+        var r = 0
+        while (r < queue.size && out.length < k) {
+          val id = queue.id(r)
+          if (dead == null || !dead.get(id))
+            out += SearchHit(qid, out.length + 1, id.toLong,
+              -queue.dist(r).toDouble, cmps, hops)
+          r += 1
         }
+        out
       }
     }.toDF()
   }
@@ -445,17 +462,21 @@ object BeamSearch {
 
   /** DataFrame wrapper for G9: `querySets` = (qset_id, q_sub, q_vec).
     * Groups each set's subvectors into one kernel call. Output:
-    * (qset_id, q_sub, d_id, sim, cmps, hops) — all beam contents. */
+    * (qset_id, q_sub, d_id, sim, cmps, hops) — all beam contents.
+    * `deadB` as in [[searchSingleDf]]: erased ids stay traversable but
+    * never appear among the emitted beam contents. */
   def searchMultiDf(spark: SparkSession, querySets: DataFrame,
                     graphB: Broadcast[CsrGraph], vecsB: Broadcast[VectorStore],
                     metricName: String, minPq: Int, maxPq: Int, budget: Int,
-                    adaptive: Boolean): DataFrame = {
+                    adaptive: Boolean,
+                    deadB: Broadcast[java.util.BitSet] = null): DataFrame = {
     import spark.implicits._
     val ds = querySets.select(col("qset_id"), col("q_sub"), col("q_vec"))
       .as[(Long, Int, Array[Float])]
     ds.groupByKey(_._1).flatMapGroups { (qsetId, rows) =>
       val graph = graphB.value
       val vecs = vecsB.value
+      val dead = if (deadB == null) null else deadB.value
       val metric = Metrics(metricName)
       val subs = rows.toArray.sortBy(_._2)
       val qs = subs.map { case (_, _, v) =>
@@ -466,9 +487,11 @@ object BeamSearch {
         adaptive, visitedPool)
       res.iterator.zipWithIndex.flatMap { case ((ids, dists, cmps, hops), si) =>
         val qSub = subs(si)._2
-        ids.indices.map { r =>
-          MultiHit(qsetId, qSub, ids(r).toLong, -dists(r).toDouble, cmps, hops)
-        }
+        ids.indices.iterator
+          .filter(r => dead == null || !dead.get(ids(r)))
+          .map { r =>
+            MultiHit(qsetId, qSub, ids(r).toLong, -dists(r).toDouble, cmps, hops)
+          }
       }
     }.toDF()
   }

@@ -73,10 +73,15 @@ object ShardedIndex {
   /** Loaded shard state held by the resident cache. `pins` counts
     * in-flight [[withShard]] bodies using the broadcasts — eviction
     * skips pinned entries so a concurrent query can never have its
-    * shard destroy()ed mid-checkpoint. */
+    * shard destroy()ed mid-checkpoint. `dead` (nullable) is the
+    * shard's erased-id bitset, loaded from the `dead` sidecar
+    * [[compact]] writes: local ids whose payload the last purge
+    * zeroed, filtered out of RESULT emission by the beam kernels
+    * (traversal untouched — the hnswlib-markDelete posture). */
   private final class Resident(
       val g: org.apache.spark.broadcast.Broadcast[CsrGraph],
       val v: org.apache.spark.broadcast.Broadcast[VectorStore],
+      val dead: org.apache.spark.broadcast.Broadcast[java.util.BitSet],
       var pins: Int = 0)
 
   // Resident-shard LRU, keyed by shard DIRECTORY (base `shard<s>` and
@@ -100,17 +105,20 @@ object ShardedIndex {
 
   /** Evict + destroy every resident shard (rebuilds at a cached path,
     * tests, shutdown). */
+  private def destroyResident(r: Resident): Unit = {
+    r.g.destroy(); r.v.destroy()
+    if (r.dead != null) r.dead.destroy()
+    exitShard()
+  }
+
   private[graft] def evictAll(): Unit = resident.synchronized {
-    resident.values.foreach { r => r.g.destroy(); r.v.destroy(); exitShard() }
+    resident.values.foreach(destroyResident)
     resident.clear()
   }
 
   private def evictPath(path: String): Unit = resident.synchronized {
     val keys = resident.keys.filter(_.startsWith(path + "/")).toSeq
-    keys.foreach { k =>
-      val r = resident.remove(k).get
-      r.g.destroy(); r.v.destroy(); exitShard()
-    }
+    keys.foreach(k => destroyResident(resident.remove(k).get))
   }
 
   /** Load a shard dir through the resident cache: hit = touch + pin +
@@ -135,8 +143,7 @@ object ShardedIndex {
         while (resident.size >= cap && evictable.nonEmpty) {
           val k = evictable.head
           evictable = evictable.tail
-          val old = resident.remove(k).get
-          old.g.destroy(); old.v.destroy(); exitShard()
+          destroyResident(resident.remove(k).get)
         }
         enterShard()
         shardLoads.incrementAndGet()
@@ -144,8 +151,27 @@ object ShardedIndex {
         val vecs = VectorStore.fromDf(
           spark.read.parquet(s"$dir/vectors"),
           "vec_id", "embedding", Metrics(metric))
+        // the erased-id sidecar rides the shard load (bounded by the
+        // shard's lifetime deletions, amortized by the resident LRU) —
+        // per-QUERY masking only ever pays for the UN-erased tombstones
+        val deadB = {
+          val dp = new org.apache.hadoop.fs.Path(s"$dir/dead/_SUCCESS")
+          val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!dfs.exists(dp)) null
+          else {
+            val bs = new java.util.BitSet(g.n)
+            spark.read.parquet(s"$dir/dead").select(col("vec_id"))
+              .collect().foreach { row =>
+                val local = row.getLong(0)
+                require(local >= 0 && local < g.n,
+                  s"dead sidecar id $local outside shard range [0, ${g.n})")
+                bs.set(local.toInt)
+              }
+            spark.sparkContext.broadcast(bs)
+          }
+        }
         val r = new Resident(spark.sparkContext.broadcast(g),
-          spark.sparkContext.broadcast(vecs), pins = 1)
+          spark.sparkContext.broadcast(vecs), deadB, pins = 1)
         resident.put(dir, r)
         r
     }
@@ -261,12 +287,30 @@ object ShardedIndex {
     // nor stale tombstones: a rebuild is a NEW corpus, and a gid mask
     // from the old one would hide arbitrary new rows. ([[compact]]
     // passes clearTombstones=false — its re-stripe keeps the gids, so
-    // the mask must survive in place.) The erased-count sidecar and
-    // any legacy parked dir go with them.
+    // the mask AND the shards' erased-id (`dead`) sidecars must
+    // survive in place.) Swap leftovers, per-shard dead sidecars, and
+    // the legacy parked/ledger dirs go with them; stale shard dirs
+    // BEYOND the new count go too (a narrower re-layout must not leave
+    // old shards for liveRowCount/discovery to miscount).
     if (clearTombstones) {
       deleteDir(spark, s"$path/$TombstoneDir")
+      deleteDir(spark, tombOld(path))
+      deleteDir(spark, tombStaging(path))
       deleteDir(spark, s"$path/_tombstones_erased")
       deleteDir(spark, s"$path/compact_tombstones_keep")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isDirectory && nm.matches("shard\\d+")) {
+            if (nm.stripPrefix("shard").toInt >= nShards)
+              fs.delete(st.getPath, true)
+            else
+              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "dead"),
+                true)
+          }
+        }
     }
     val ref = ShardedIndexRef(path, nShards, params.metric)
     // ONE corpus pass: stage the shard-partitioned layout up front,
@@ -317,9 +361,10 @@ object ShardedIndex {
     * block manager; the lifecycle is the same. */
   private def withShard(spark: SparkSession, metric: String, dir: String)(
       body: (org.apache.spark.broadcast.Broadcast[CsrGraph],
-             org.apache.spark.broadcast.Broadcast[VectorStore]) => DataFrame): DataFrame = {
+             org.apache.spark.broadcast.Broadcast[VectorStore],
+             org.apache.spark.broadcast.Broadcast[java.util.BitSet]) => DataFrame): DataFrame = {
     val r = acquireShard(spark, metric, dir) // pinned until the
-    try body(r.g, r.v).localCheckpoint(true) // EAGER checkpoint returns
+    try body(r.g, r.v, r.dead).localCheckpoint(true) // EAGER checkpoint returns
     finally releaseShard(dir)
   }
 
@@ -331,18 +376,18 @@ object ShardedIndex {
                     ref: ShardedIndexRef, minPq: Int, maxPq: Int,
                     budget: Int, adaptive: Boolean): DataFrame = {
     val base = (0 until ref.nShards).map { s =>
-      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB) =>
+      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB, deadB) =>
         BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
-          minPq, maxPq, budget, adaptive)
+          minPq, maxPq, budget, adaptive, deadB)
           .select(col("qset_id"),
             (col("d_id") * ref.nShards + s).as("d_id"))
       }
     }
     val deltas = (0 until ref.nDeltas).map { j =>
       val dir = deltaDir(ref, j)
-      withShard(spark, ref.metric, dir) { (gB, vB) =>
+      withShard(spark, ref.metric, dir) { (gB, vB, deadB) =>
         BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
-          minPq, maxPq, budget, adaptive)
+          minPq, maxPq, budget, adaptive, deadB)
           .join(broadcast(deltaIds(spark, dir)), Seq("d_id"))
           .select(col("qset_id"), col("gid").as("d_id"))
       }
@@ -356,8 +401,9 @@ object ShardedIndex {
   def searchSingleDf(spark: SparkSession, queries: DataFrame,
                      ref: ShardedIndexRef, l: Int, k: Int): DataFrame = {
     val base = (0 until ref.nShards).map { s =>
-      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB) =>
-        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k)
+      withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB, deadB) =>
+        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k,
+            deadB)
           .select(col("q_id"),
             (col("d_id") * ref.nShards + s).as("d_id"),
             col("sim").as("score"))
@@ -365,8 +411,9 @@ object ShardedIndex {
     }
     val deltas = (0 until ref.nDeltas).map { j =>
       val dir = deltaDir(ref, j)
-      withShard(spark, ref.metric, dir) { (gB, vB) =>
-        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k)
+      withShard(spark, ref.metric, dir) { (gB, vB, deadB) =>
+        BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k,
+            deadB)
           .join(broadcast(deltaIds(spark, dir)), Seq("d_id"))
           .select(col("q_id"), col("gid").as("d_id"), col("sim").as("score"))
       }
@@ -384,15 +431,48 @@ object ShardedIndex {
     * shard/delta dirs, which are each their own parquet roots). */
   private val TombstoneDir = "_tombstones"
 
-  /** Distinct tombstoned global ids, or None when nothing was ever
-    * deleted. Disk is the truth (read per search, like [[discover]]):
-    * a registration made before a takedown serves the takedown
-    * correctly without re-registration. Committed-marker semantics and
-    * the rest of the shared mechanics live in
-    * [[graft.operators.Tombstones]]. */
+  private def tombLive(path: String) = s"$path/$TombstoneDir"
+  private def tombOld(path: String) = s"$path/${TombstoneDir}__compact_old"
+  private def tombStaging(path: String) =
+    s"$path/${TombstoneDir}__compact_staging"
+
+  /** Recover a tombstone-retirement swap ([[compact]]) that crashed
+    * between its renames — called from every tombstone READ and from
+    * [[deleteFromIndex]] (a delete landing on the stranded state would
+    * otherwise start a fresh sidecar that the eventual recovery then
+    * clobbers). Same posture as
+    * [[graft.operators.InvertedIndex.recoverCompact]], including the
+    * lost-race tolerance between two concurrent recoverers. */
+  private def recoverTombstoneSwap(spark: SparkSession,
+                                   path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(tombLive(path))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(tombOld(path))
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live))
+          require(fs.exists(live),
+            s"recover: cannot restore ${live.toString}")
+      } else fs.delete(old, true)
+    }
+    val staging = new org.apache.hadoop.fs.Path(tombStaging(path))
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  /** Distinct UN-ERASED tombstoned global ids (the per-query mask), or
+    * None when none are pending. Disk is the truth (read per search,
+    * like [[discover]]): a registration made before a takedown serves
+    * the takedown correctly without re-registration. [[compact]]
+    * RETIRES erased ids from this set (into the per-shard `dead`
+    * sidecars), so the mask — and with it the per-query anti-join —
+    * stays bounded by the deletions since the last purge, not by the
+    * index's lifetime churn. Committed-marker semantics and the rest
+    * of the shared mechanics live in [[graft.operators.Tombstones]]. */
   private def tombstonesDf(spark: SparkSession, path: String)
-      : Option[DataFrame] =
-    graft.operators.Tombstones.idsOf(spark, s"$path/$TombstoneDir", "gid")
+      : Option[DataFrame] = {
+    recoverTombstoneSwap(spark, path)
+    graft.operators.Tombstones.idsOf(spark, tombLive(path), "gid")
+  }
 
   /** Hide tombstoned ids from a candidate union (both search faces call
     * this once, after global-id mapping): broadcast anti-join on the
@@ -433,24 +513,39 @@ object ShardedIndex {
     * strided layout's dense-id contract cannot absorb holes without a
     * renumber, and marked nodes keep beam navigation intact, exactly
     * as hnswlib keeps marked elements traversable. [[compact]] erases
-    * the CONTENT physically (embedding payload zeroed); the id slots
-    * and tombstones persist for the index lifetime (8 B/deleted id).
-    * Idempotent by construction: already-tombstoned ids append
-    * nothing; ids OUTSIDE the indexed dense range [0, rows) are
-    * ignored entirely (a bogus feed must not inflate the tombstone
-    * set, the audit counts, or [[deletedFraction]]'s purge trigger).
+    * the CONTENT physically (embedding payload zeroed), moves the
+    * erased ids out of `_tombstones` into the per-shard `dead`
+    * sidecars (result-emission filters at the kernel), and so keeps
+    * the per-query mask bounded by the UN-erased deletions; only the
+    * id slots persist for the index lifetime.
+    * Idempotent by construction UNTIL the next purge: already-
+    * tombstoned ids append nothing, and ids OUTSIDE the indexed dense
+    * range [0, rows) are ignored entirely (a bogus feed must not
+    * inflate the tombstone set, the audit counts, or
+    * [[deletedFraction]]'s purge trigger). Re-deleting an id a past
+    * compact already ERASED re-tombstones it (the retired sidecar is
+    * no longer consulted by the append) — harmless: the id was
+    * already invisible, the extra row is re-retired at the next
+    * purge, so replays converge; only the "replay reports 0" audit
+    * property is scoped to the compaction interval.
     * Returns the newly tombstoned count.
     *
-    * Recall note: deleted ids still occupy per-shard beam slots until
-    * the nodes' zeroed payloads push them out of every beam
-    * (post-compact, a zeroed vector scores -1/far against any query);
-    * a corpus with a large deleted fraction should compact — the same
-    * trigger discipline as [[deltaFraction]]. */
+    * Recall note: deleted ids still occupy per-shard BEAM slots — a
+    * zeroed payload scores similarity 0 (mid-range under cosine/dot;
+    * the kernels keep erased nodes traversable by design, and the
+    * `dead` filter reclaims only RESULT slots) — so a corpus with a
+    * large deleted fraction should compact, and a corpus that stays
+    * heavily deleted after compaction should re-shard; the measured
+    * curve is SWEEP_DELETION.tsv, the trigger discipline the same as
+    * [[deltaFraction]]. */
   def deleteFromIndex(spark: SparkSession, path: String,
                       idsDf: DataFrame): Long = {
     val rows = liveRowCount(spark, path)
     if (rows == 0) return 0L
-    graft.operators.Tombstones.appendNew(spark, s"$path/$TombstoneDir",
+    // a delete landing between a crashed retirement swap's renames
+    // must not seed a FRESH sidecar the recovery would then clobber
+    recoverTombstoneSwap(spark, path)
+    graft.operators.Tombstones.appendNew(spark, tombLive(path),
       "gid", idsDf.select(col("gid"))
         .filter(col("gid") >= 0 && col("gid") < rows))
   }
@@ -466,45 +561,19 @@ object ShardedIndex {
 
   /** UN-ERASED deleted ids as a fraction of indexed rows — the compact
     * trigger on the deletion side (footer count + one tiny scan).
-    * Tombstones persist for the index lifetime (the anti-join mask),
-    * so the raw tombstone count would keep re-triggering compaction
-    * forever after the first purge; the `_tombstones_erased` sidecar
-    * (written by [[compact]], crash = stale-LOW = at worst one
-    * harmless extra compact) records how many the last purge already
-    * zeroed, and only the excess counts toward the trigger. */
+    * `_tombstones` holds ONLY the un-erased deletions ([[compact]]
+    * retires what it zeroes into the per-shard `dead` sidecars), so
+    * the raw count IS the trigger — no ledger arithmetic. A crash
+    * before the retirement swap leaves the erased ids in the set
+    * (stale-HIGH), which at worst re-triggers one harmless compact
+    * that re-retires them. */
   def deletedFraction(spark: SparkSession, ref: ShardedIndexRef): Double =
     tombstonesDf(spark, ref.path) match {
       case None => 0.0
       case Some(t) =>
         val total = totalRows(spark, ref)
-        if (total == 0) 0.0
-        else math.max(0L, t.count() - erasedCount(spark, ref.path))
-          .toDouble / total
+        if (total == 0) 0.0 else t.count().toDouble / total
     }
-
-  private def erasedPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_tombstones_erased")
-
-  private def erasedCount(spark: SparkSession, path: String): Long = {
-    val p = erasedPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      try in.readLong()
-      catch { case scala.util.control.NonFatal(_) => 0L }
-      finally in.close()
-    }
-  }
-
-  private def writeErasedCount(spark: SparkSession, path: String,
-                               n: Long): Unit = {
-    val p = erasedPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.Watermark.promoteSidecar(fs,
-      new org.apache.hadoop.fs.Path(s"$path/_tombstones_erased.tmp"), p)(
-      _.writeLong(n))
-  }
 
   /** Delta-ingest — the daily-append half of the tier's lifecycle,
     * mirroring [[graft.operators.IvfPq.appendIndex]]'s posture: build a
@@ -629,79 +698,162 @@ object ShardedIndex {
 
   /** Fold every delta back into the strided base layout: stage the union
     * of base + delta vectors (with their ORIGINAL global ids) to disk,
-    * rebuild via [[buildPersisted]] at the same path, drop the delta and
-    * staging dirs. Disk-to-disk — the union is never resident; per-shard
-    * build residency is [[buildPersisted]]'s proven one-shard peak. The
+    * rebuild via [[buildPersisted]] at the same path, drop the staging
+    * dirs (delta dirs fall at rebuild ENTRY — see crash posture).
+    * Disk-to-disk — the union is never resident; per-shard build
+    * residency is [[buildPersisted]]'s proven one-shard peak. The
     * merge-when-small policy: appends are cheap, so a caller compacts
     * only when [[deltaFraction]] crosses its threshold ([[maybeCompact]])
     * — one rebuild amortized over many appends.
     *
     * Tombstoned ids ([[deleteFromIndex]]) have their embedding payload
     * ZEROED in the staged union — the physical content erasure (a
-    * zeroed row carries no information about the deleted document,
-    * and scores 0/far against every query, so the routing stub stops
-    * occupying beam slots too). The id slots stay (the dense strided
-    * contract cannot absorb holes without renumbering the corpus),
-    * and the tombstone sidecar stays IN PLACE through the internal
-    * rebuild (the re-stripe keeps the gids, so the mask stays valid —
-    * no parking rename whose crash window could strand or resurrect
-    * it), so the result anti-join keeps guaranteeing the ids never
-    * surface in ANY intermediate state.
+    * zeroed row carries no information about the deleted document; it
+    * still scores similarity 0 — MID-range, not far — against every
+    * query, so the stub keeps occupying beam slots; what reclaims the
+    * RESULT slots is the per-shard `dead` sidecar this purge writes,
+    * which the kernels filter at emission). The id slots stay (the
+    * dense strided contract cannot absorb holes without renumbering
+    * the corpus). The erased ids are then RETIRED from `_tombstones`
+    * (staging-swap, recovered at every read), so the per-query
+    * anti-join mask stays bounded by the deletions since the last
+    * purge; at every intermediate state an erased id is covered by the
+    * mask, the sidecar, or both — it never surfaces.
     *
-    * Crash posture: the staged union is written FIRST and deleted
-    * LAST, so no vector is ever lost — a crash mid-rebuild leaves the
-    * complete corpus at `<path>/compact_staging`, and recovery is
-    * re-running [[compact]] (the tombstones never moved). Like the
-    * band/cell index compactions, the rebuild-in-place requires
-    * QUIESCENCE: no concurrent search may run while shard dirs are
-    * being overwritten. */
+    * Crash posture: the tombstone SNAPSHOT (`compact_staging_tomb`)
+    * and the staged union (`compact_staging`) are written FIRST;
+    * [[buildPersistedImpl]] then deletes the delta dirs at rebuild
+    * ENTRY (stale deltas must never be re-discovered against
+    * half-rebuilt base shards), so from that point the staging is the
+    * ONLY complete copy of the corpus. Recovery is re-running
+    * [[compact]]: a COMPLETE staging short-circuits the union
+    * derivation and resumes the rebuild from the staged corpus —
+    * re-deriving from the (possibly partially overwritten, already
+    * delta-less) shard dirs would lose the delta rows and then
+    * overwrite the staging with the damage. Deletes that land between
+    * the snapshot and the recovery stay un-erased in the mask and ride
+    * to the next purge. Like the band/cell index compactions, the
+    * rebuild-in-place requires QUIESCENCE (single writer, no
+    * concurrent search/append/delete — [[graft.operators.Tombstones]]
+    * states the shared contract). */
   def compact(spark: SparkSession, ref: ShardedIndexRef,
               params: BuildParams): ShardedIndexRef = {
     require(params.metric == ref.metric,
       s"compact metric ${params.metric} != index metric ${ref.metric}")
-    val tomb = tombstonesDf(spark, ref.path)
-    if (ref.nDeltas == 0 && tomb.isEmpty) return ref
-    // materialize the erased count BEFORE the rebuild: a (contract-
-    // violating) delete landing mid-compact then stays un-erased in
-    // the ledger and re-triggers the next purge instead of being
-    // silently marked done
-    val erasedN = tomb.map(_.count())
-    val base = (0 until ref.nShards).map { s =>
-      spark.read.parquet(s"${shardDir(ref, s)}/vectors")
-        .select((col("vec_id") * ref.nShards + s).as("vec_id"),
-          col("embedding"))
-    }
-    val deltas = (0 until ref.nDeltas).map { j =>
-      val dir = deltaDir(ref, j)
-      spark.read.parquet(s"$dir/vectors")
-        .join(spark.read.parquet(s"$dir/ids"), Seq("vec_id"))
-        .select(col("gid").as("vec_id"), col("embedding"))
-    }
-    val union = (base ++ deltas).reduce(_ unionAll _)
-    val erased = tomb match {
-      case None => union
-      case Some(t) =>
-        union.join(
-            broadcast(t.select(col("gid").as("vec_id"),
-              lit(true).as("_dead"))),
+    val stagingPath = s"${ref.path}/compact_staging"
+    val snapPath = s"${ref.path}/compact_staging_tomb"
+    val p = new org.apache.hadoop.fs.Path(ref.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(dir: String) = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    if (!committed(stagingPath)) {
+      val tomb = tombstonesDf(spark, ref.path)
+      if (ref.nDeltas == 0 && tomb.isEmpty) return ref
+      // SNAPSHOT the set this purge will erase, committed BEFORE the
+      // corpus staging: the sidecar writes and the retirement swap
+      // must use exactly the ids the staged corpus zeroed, across a
+      // crash — a delete landing after this point stays un-erased
+      deleteDir(spark, snapPath)
+      tomb.foreach(_.select(col("gid"))
+        .coalesce(1).write.mode("overwrite").parquet(snapPath))
+      val base = (0 until ref.nShards).map { s =>
+        spark.read.parquet(s"${shardDir(ref, s)}/vectors")
+          .select((col("vec_id") * ref.nShards + s).as("vec_id"),
+            col("embedding"))
+      }
+      val deltas = (0 until ref.nDeltas).map { j =>
+        val dir = deltaDir(ref, j)
+        spark.read.parquet(s"$dir/vectors")
+          .join(spark.read.parquet(s"$dir/ids"), Seq("vec_id"))
+          .select(col("gid").as("vec_id"), col("embedding"))
+      }
+      val union = (base ++ deltas).reduce(_ unionAll _)
+      val erased =
+        if (!committed(snapPath)) union
+        else union.join(
+            broadcast(spark.read.parquet(snapPath)
+              .select(col("gid").as("vec_id"), lit(true).as("_dead"))),
             Seq("vec_id"), "left_outer")
           .select(col("vec_id"),
             when(col("_dead"),
               transform(col("embedding"), _ => lit(0.0f)))
               .otherwise(col("embedding")).as("embedding"))
+      erased.write.mode("overwrite").parquet(stagingPath)
     }
-    val staging = s"${ref.path}/compact_staging"
-    erased.write.mode("overwrite").parquet(staging)
-    val rebuilt = buildPersistedImpl(spark, spark.read.parquet(staging),
+    // fresh run and crash recovery share everything from here on: the
+    // staged corpus is the input, the committed snapshot the erased set
+    val rebuilt = buildPersistedImpl(spark, spark.read.parquet(stagingPath),
       params, ref.nShards, ref.path, clearTombstones = false)
-    // record how many this purge zeroed, so deletedFraction counts
-    // only FUTURE deletions toward the next trigger (crash before
-    // this write = stale-low = one harmless extra compact)
-    erasedN.foreach(writeErasedCount(spark, ref.path, _))
-    deleteDir(spark, staging)
-    (0 until ref.nDeltas).foreach(j => deleteDir(spark, deltaDir(ref, j)))
+    if (committed(snapPath)) {
+      val snap = spark.read.parquet(snapPath)
+      writeDeadSidecars(spark, rebuilt, snap)
+      // a (contract-violating) concurrent query between the rebuild
+      // and the sidecar writes could have cached shard state without
+      // the dead sets — evict so the next load sees them
+      evictPath(ref.path)
+      retireErased(spark, ref.path, snap)
+    }
+    deleteDir(spark, stagingPath)
+    deleteDir(spark, snapPath)
     rebuilt
   }
+
+  /** Merge this purge's erased gids into each shard's `dead` sidecar
+    * (LOCAL id space — the kernels' emission filter). Previous purges'
+    * sidecars stay valid across [[compact]]'s re-stripe (same gids,
+    * same nShards), so the merge is a union. Driver-side by design:
+    * the set is broadcast-small by the same contract that lets every
+    * query anti-join it. */
+  private def writeDeadSidecars(spark: SparkSession, ref: ShardedIndexRef,
+                                snap: DataFrame): Unit = {
+    import spark.implicits._
+    val snapIds = snap.select(col("gid")).distinct().as[Long].collect()
+    if (snapIds.isEmpty) return
+    (0 until ref.nShards).foreach { s =>
+      val dir = s"${shardDir(ref, s)}/dead"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old: Array[Long] =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+          spark.read.parquet(dir).select(col("vec_id")).as[Long].collect()
+        else Array.empty[Long]
+      val merged = (old ++ snapIds.iterator
+          .filter(_ % ref.nShards == s).map(_ / ref.nShards))
+        .distinct.sorted
+      if (merged.nonEmpty)
+        merged.toSeq.toDF("vec_id").coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Retire the erased snapshot from the per-query mask: swap
+    * `_tombstones` for (current − snapshot) — deletes that landed
+    * mid-compact survive — or drop the dir outright on a full purge.
+    * Crash between the renames is recovered by
+    * [[recoverTombstoneSwap]] at the next read/delete/compact. */
+  private def retireErased(spark: SparkSession, path: String,
+                           snap: DataFrame): Unit =
+    tombstonesDf(spark, path).foreach { t =>
+      val rest = t.join(broadcast(snap.select(col("gid"))),
+          Seq("gid"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (rest.count() == 0) deleteDir(spark, tombLive(path))
+        else {
+          rest.coalesce(1).write.mode("overwrite")
+            .parquet(tombStaging(path))
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tombLive(path)),
+            new org.apache.hadoop.fs.Path(tombOld(path))),
+            s"retire: cannot move ${tombLive(path)} aside")
+          require(fs.rename(new org.apache.hadoop.fs.Path(tombStaging(path)),
+            new org.apache.hadoop.fs.Path(tombLive(path))),
+            s"retire: cannot promote staging for ${tombLive(path)}")
+          fs.delete(new org.apache.hadoop.fs.Path(tombOld(path)), true)
+        }
+      } finally rest.unpersist(false)
+    }
 
   /** [[compact]] iff the deltas have outgrown `maxDeltaFrac` of the
     * base, OR the tombstoned fraction has crossed `maxDeletedFrac` —

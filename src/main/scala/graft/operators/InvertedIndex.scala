@@ -377,16 +377,23 @@ object InvertedIndex {
   /** Recover a [[compactPostings]] that crashed between the renames of
     * any of its three dirs: stranded old with no live dir → restore;
     * both present (crash after promote) → drop old; stranded staging →
-    * drop (never live). */
+    * drop (never live). Runs on every query/delete/append entry, so two
+    * CONCURRENT readers can both observe the stranded state and race
+    * the restoring rename — the loser must tolerate the lost race (the
+    * winner already restored `live`), not fail its query on an index
+    * that is in fact healthy. */
   def recoverCompact(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     Seq("postings", "doclens", "tombstones").foreach { sub =>
       val live = new Path(s"$path/$sub")
       val old = new Path(s"$path/${sub}__compact_old")
       if (f.exists(old)) {
-        if (!f.exists(live))
-          require(f.rename(old, live), s"recover: cannot restore $live")
-        else f.delete(old, true)
+        if (!f.exists(live)) {
+          // rename is atomic, so a failure here means a concurrent
+          // recoverer consumed `old` first — correct iff live now exists
+          if (!f.rename(old, live))
+            require(f.exists(live), s"recover: cannot restore $live")
+        } else f.delete(old, true)
       }
       val staging = new Path(s"$path/${sub}__compact_staging")
       if (f.exists(staging)) f.delete(staging, true)

@@ -167,8 +167,9 @@ object IvfPq {
                    excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     require(nCand >= k, s"nCand $nCand < k $k")
-    val qRows = queries.select(col("q_id"), col("q_vec"))
-      .as[(Long, Array[Float])].collect()
+    // bounded collect (see QueryBatchGuard): the direct API must fail
+    // loudly on an unbounded query batch, not OOM the driver
+    val qRows = QueryBatchGuard.collectBounded(queries)
     val probes: Map[Long, Array[Int]] = qRows.map { case (id, v) =>
       id -> IvfAnn.nearestCells(v, centroids, nProbe)
     }.toMap
@@ -233,8 +234,8 @@ object IvfPq {
     import spark.implicits._
     require(nCand >= k, s"nCand $nCand < k $k")
     val seeds = IvfAnn.seedNorms(centroids)
-    val qRows = queries.select(col("q_id"), col("q_vec"))
-      .as[(Long, Array[Float])].collect()
+    // bounded collect (see QueryBatchGuard), like knnOverIndex
+    val qRows = QueryBatchGuard.collectBounded(queries)
     val probes: Map[Long, Array[Int]] = qRows.map { case (id, v) =>
       id -> IvfAnn.seededTopCells(v, seeds, nProbe)
     }.toMap

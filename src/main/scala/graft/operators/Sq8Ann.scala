@@ -155,8 +155,10 @@ object Sq8Ann {
       excludeSelf: Boolean, byL2: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col("q_id"), col("q_vec"))
-      .as[(Long, Array[Float])].collect()
+    // bounded collect (see QueryBatchGuard): the direct API must fail
+    // loudly on an unbounded query batch, not OOM the driver — the
+    // blocked driver (searchEncodedBlocked) is the unbounded-batch path
+    val qRows = QueryBatchGuard.collectBounded(queries)
     val qIds = qRows.map(_._1)
     val qVecs = qRows.map(_._2.map(_.toDouble))
     val qNorms = qVecs.map(v => math.sqrt(v.map(x => x * x).sum))

@@ -24,7 +24,24 @@ import org.apache.spark.sql.functions.col
   * are deletable (the inverted index restricts to live doclens rows;
   * the sharded tier to the dense gid range), what payload rides the
   * row (the inverted index carries `dl` for exact constants), and
-  * when/whether compaction retires the sidecar. */
+  * when/whether compaction retires the sidecar.
+  *
+  * ==The compaction concurrency contract (all six faces)==
+  * Every compaction here is SINGLE-WRITER and requires QUIESCENCE:
+  * exactly one process may compact a given index path at a time, and
+  * no query, append, or delete may run against that path while its
+  * compaction's staging-swap renames are in flight — a reader that
+  * lists the live dir between rename(live→old) and
+  * rename(staging→live) sees a missing path and fails. Writer-side
+  * crash recovery is complete (each face recovers a crashed compact
+  * at its next entry, and [[graft.operators.InvertedIndex
+  * .recoverCompact]]-style recovery tolerates the lost rename race
+  * between two concurrent RECOVERERS), but reader-vs-compactor
+  * concurrency is out of contract by design: a serving deployment
+  * runs compaction in the maintenance window or against a quiesced
+  * replica, the same discipline as any segment-merging index
+  * (Lucene-style merges hold this via reference-counted readers —
+  * a posture these parquet-dir indexes deliberately do not pay for). */
 object Tombstones {
 
   private def hp(dir: String) = new org.apache.hadoop.fs.Path(dir)

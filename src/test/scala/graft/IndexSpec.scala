@@ -419,14 +419,22 @@ class IndexSpec extends AnyFunSuite {
       .count() > 0)
     assert(ShardedIndex.deletedFraction(spark, ref) > 0.0)
     // compact: deltas folded AND victim payloads physically zeroed;
-    // tombstones survive the internal rebuild; serving unchanged
+    // the erased ids RETIRE from the per-query mask (full purge =
+    // `_tombstones` dropped) into the per-shard `dead` sidecars the
+    // kernels filter at emission; serving unchanged
     val ref2 = ShardedIndex.compact(spark, ref, IndexQueries.FixtureParams)
     assert(ref2.nDeltas === 0)
-    assert(java.nio.file.Files.exists(
+    assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/_tombstones")),
-      "tombstones did not survive the compact rebuild")
+      "fully-erased tombstones were not retired from the mask")
+    assert((0 until 2).exists(s => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/shard$s/dead/_SUCCESS"))),
+      "compact wrote no dead sidecar for the erased ids")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/compact_tombstones_keep")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_staging_tomb")),
+      "erased-set snapshot leaked past the compact")
     val zeroed = (0 until 2).flatMap { s =>
       spark.read.parquet(s"$path/shard$s/vectors")
         .select((col("vec_id") * 2 + s).as("gid"), col("embedding"))
@@ -439,9 +447,9 @@ class IndexSpec extends AnyFunSuite {
       "victim embedding payload survived the compact erase")
     assert(top10(ref2) === survivorTruth,
       "compaction changed the survivor results")
-    // the purge made deletedFraction count only FUTURE deletions — the
-    // raw tombstone count persists, so without the erased-count
-    // sidecar every maybeCompact would re-trigger forever
+    // the purge made deletedFraction count only FUTURE deletions —
+    // erased ids left `_tombstones` entirely, so the raw count is the
+    // trigger and the mask stays bounded by un-erased deletions
     assert(ShardedIndex.deletedFraction(spark, ref2) === 0.0,
       "erased tombstones still count toward the purge trigger")
     // deletion keeps working post-compact
@@ -469,6 +477,73 @@ class IndexSpec extends AnyFunSuite {
     assert(ShardedIndex.deleteFromIndex(spark, path2, Seq(7L)) === 1L)
     assert(ShardedIndex.searchSingleDf(spark, vq, ref3, l = 600, k = 16)
       .filter(col("d_id") === 7L).count() === 0L)
+  }
+
+  test("compact crash recovery: resume from the staged corpus, no delta loss") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compact_crash_").toString
+    val ref0 = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    ShardedIndex.appendDelta(spark, delta, ref0, IndexQueries.FixtureParams)
+    val victims = Seq(11L, 410L)
+    assert(ShardedIndex.deleteFromIndex(spark, path, victims) === 2L)
+    // Construct the EXACT state a compact() crash mid-rebuild leaves:
+    // erased-set snapshot and staged (zeroed) union committed, delta
+    // dirs already dropped (buildPersistedImpl deletes them at rebuild
+    // ENTRY), one base shard partially overwritten by the rebuild. The
+    // staging is the only complete copy of the corpus at this point —
+    // a recovery that re-derived the union from the shard dirs would
+    // lose the 50 delta rows and overwrite the staging with the damage.
+    victims.toDF("gid").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/compact_staging_tomb")
+    emb.filter(col("vec_id") < 450).select(col("vec_id"),
+        when(col("vec_id").isInCollection(victims),
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$path/compact_staging")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta0"), true)
+    emb.filter(col("vec_id") < 20) // garbage partial shard
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/shard0/vectors")
+    ShardedIndex.resetResidencyTracking()
+    // recovery = re-running compact with the disk-discovered ref
+    val rec = ShardedIndex.compact(spark,
+      ShardedIndex.discover(spark,
+        ShardedIndexRef(path, 2, IndexQueries.FixtureParams.metric)),
+      IndexQueries.FixtureParams)
+    assert(rec.nDeltas === 0)
+    assert(ShardedIndex.totalRows(spark, rec) === 450L,
+      "recovery lost corpus rows (delta rows gone or shard truncated)")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_staging")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_staging_tomb")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_tombstones")),
+      "recovered compact did not retire the erased ids")
+    // survivors exact at saturating budget; victims invisible
+    val q = emb.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vecsB = spark.sparkContext.broadcast(VectorStore.fromDf(
+      emb.filter(col("vec_id") < 450), "vec_id", "embedding",
+      Metrics("cosine")))
+    val exact = GraphBuild.exactKnn(spark, q, 12, vecsB, "cosine",
+      excludeSelf = false).as[(Long, Seq[Long])].collect().toMap
+    val got = ShardedIndex.searchSingleDf(spark, q, rec, l = 600, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+      .toMap
+    vecsB.destroy()
+    assert(got === exact.map { case (qid, gt) =>
+      qid -> gt.filterNot(victims.contains).take(10)
+    }, "recovered index is not exact over the survivors")
   }
 
   test("autoShards, delta discovery, and the budget policy math") {
