@@ -347,6 +347,21 @@ object AnnQueries extends QueryPack {
       rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
     }),
 
+    // The sharded filtered composition's EXACTNESS certificate: same
+    // statement, same forced sharded tier, but in
+    // `spark.graft.ann.filtered.exact` mode — the route's exactness
+    // backstop makes exact mode over a GENERATOR tier score the full
+    // filtered scan (a per-shard-budget generator can never claim
+    // saturation from parameter exhaustion alone), so the routed
+    // answer must be HASH-IDENTICAL to the exhaustive filtered top-k
+    // in DuckDB. Closes the last uncertified routed shape: every
+    // {graph, sharded} × {plain, filtered} × {literal, relation} cell
+    // now carries either a saturation or an exactness certificate.
+    "knn_sql_filtered_sharded_exact" -> ((s, dir) => {
+      val rs = svFilteredShardedSetup(s, dir, exact = true)
+      rs.sql(filteredKnnSql(svQueryLit(rs, dir), 2 * K))
+    }),
+
     // The G8 single-vector harness question FROM SQL at real
     // multiplicity — per-query top-k over a query RELATION (one
     // statement for all NQ·C query vectors), the rank-window shape
@@ -752,20 +767,26 @@ object AnnQueries extends QueryPack {
     })
 
   private val filteredShardedSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean),
+      SparkSession]()
 
   /** knn_sql_filtered_sharded's session: rewrite on, sharded tier
     * FORCED, pre-filter short-circuit OFF (the tier must serve), exact
     * mode OFF — the production overfetch/escalation regime, unlike the
-    * [[tierExactSession]] certificates. */
-  private def svFilteredShardedSetup(s: SparkSession,
-                                     dir: String): SparkSession = {
+    * [[tierExactSession]] certificates. With `exact = true` the same
+    * composition runs in `spark.graft.ann.filtered.exact` mode — the
+    * route's exactness backstop scores the FULL filtered scan over a
+    * generator tier, so the sharded filtered shape carries a
+    * hash-green certificate (knn_sql_filtered_sharded_exact). */
+  private def svFilteredShardedSetup(s: SparkSession, dir: String,
+                                     exact: Boolean = false): SparkSession = {
     import graft.plans.{AnnIndexRegistry, AnnStrategy, AnnTopKRule}
-    val rs = filteredShardedSessions.computeIfAbsent(s, _ => {
+    val rs = filteredShardedSessions.computeIfAbsent((s, exact), _ => {
       val child = s.newSession()
       child.conf.set("spark.graft.ann.rewrite", "true")
       child.conf.set("spark.graft.ann.tier", "sharded")
       child.conf.set("spark.graft.ann.filtered.preFilterMax", "0")
+      if (exact) child.conf.set("spark.graft.ann.filtered.exact", "true")
       child
     })
     graft.functions.GraftFunctions.register(rs)
@@ -1710,25 +1731,29 @@ object AnnQueries extends QueryPack {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  // knn_sql_filtered (and its sharded-tier twin): exhaustive filtered
+  // cosine top-k — the routed plan runs in exact mode (saturating fetch
+  // / full filtered scan), so ids AND scores must hash-match. Ranking
+  // mirrors the route exactly: raw double cosine DESC, vec_id ASC
+  // tiebreak, round-6 only at the output boundary.
+  private lazy val filteredExactOracle =
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+       |scored AS (
+       |  SELECT d.vec_id,
+       |         ${dotSqlAB("d.embedding", "q.embedding")} /
+       |           (${normSqlExpr("d.embedding")} * ${normSqlExpr("q.embedding")}) AS score
+       |  FROM embeddings d CROSS JOIN q
+       |  WHERE d.label IN (2, 5)),
+       |ranked AS (
+       |  SELECT vec_id, score,
+       |         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT vec_id, round(score, 6) AS score FROM ranked
+       |WHERE rnk <= ${2 * K}""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // knn_sql_filtered: exhaustive filtered cosine top-k — the routed
-    // plan runs in exact mode (saturating fetch), so ids AND scores must
-    // hash-match. Ranking mirrors the route exactly: raw double cosine
-    // DESC, vec_id ASC tiebreak, round-6 only at the output boundary.
-    "knn_sql_filtered" ->
-      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
-         |scored AS (
-         |  SELECT d.vec_id,
-         |         ${dotSqlAB("d.embedding", "q.embedding")} /
-         |           (${normSqlExpr("d.embedding")} * ${normSqlExpr("q.embedding")}) AS score
-         |  FROM embeddings d CROSS JOIN q
-         |  WHERE d.label IN (2, 5)),
-         |ranked AS (
-         |  SELECT vec_id, score,
-         |         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT vec_id, round(score, 6) AS score FROM ranked
-         |WHERE rnk <= ${2 * K}""".stripMargin,
+    "knn_sql_filtered" -> filteredExactOracle,
+    "knn_sql_filtered_sharded_exact" -> filteredExactOracle,
     // g8_sql_saturated (+ the sharded / ivfpq tier certificates, same
     // statement, same oracle): exhaustive per-query cosine top-k over
     // the same query relation — raw-score ranking with id tiebreak,

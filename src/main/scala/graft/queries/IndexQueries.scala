@@ -389,6 +389,69 @@ object IndexQueries extends QueryPack {
       out.toSeq.toDF("stage", "action", "n_deltas", "total_rows")
     }),
 
+    // The STREAMING TAKEDOWN LIFECYCLE on the oracle surface — deletion
+    // arriving through the streaming face ([[graft.streaming
+    // .StreamingIngest.takedownBatch]]), not the operator API: ingest
+    // one delta micro-batch, apply one deletion feed (every 13th id,
+    // PLUS ids beyond the indexed range that the face must ignore) to
+    // the sharded index via takedownBatch, replay the same feed (the
+    // at-least-once delivery — idempotent by construction, zero new
+    // deletions), then answer the exhaustive ranking over the
+    // SURVIVORS: the saturated per-shard beams expose every live id,
+    // the tombstone mask hides the tranche, and the proven exact-kNN
+    // scorer ranks the exposed set — so the DuckDB oracle's survivor
+    // arithmetic hash-checks the whole mid-stream deletion path. The
+    // per-stage counters (append action, accepted-deletion count,
+    // zero-on-replay) are asserted in-query: a wrong count cannot
+    // reach the output.
+    "takedown_lifecycle" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val ls = lifecycleSession(s)
+      val nAll = emb(ls, dir).count()
+      val n = math.min(nAll, 500L)
+      val e = emb(ls, dir).filter(col("vec_id") < n)
+      val nBase = n * 4 / 5
+      val b1End = nBase + (n - nBase) / 2
+      val basePath = lifecycleBase(ls, dir, nBase)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_takedown_").toString
+      copyDir(basePath, path)
+      val ref0 = ShardedIndexRef(path, 1, FixtureParams.metric)
+      // stage 1: one streaming ingest batch (below the compact trigger)
+      val (ref, a1) = StreamingIngest.ingestVectorBatch(ls,
+        e.filter(col("vec_id") >= nBase && col("vec_id") < b1End), ref0,
+        FixtureParams)
+      require(a1 == "append", s"takedown_lifecycle stage 1: $a1")
+      // stage 2: the deletion feed through the streaming face — every
+      // 13th id over the WHOLE slice, so ids >= b1End exercise the
+      // not-indexed-yet restriction (they must not count)
+      val feed = e.filter(col("vec_id") % 13 === 0).select(col("vec_id"))
+      val expected = e
+        .filter(col("vec_id") % 13 === 0 && col("vec_id") < b1End).count()
+      val took = StreamingIngest.takedownBatch(
+        shardedIndexPath = Some(path))(feed, 0L)
+      require(took("sharded") == expected,
+        s"takedown accepted ${took("sharded")} of expected $expected")
+      // stage 3: the at-least-once replay converges to zero
+      val replay = StreamingIngest.takedownBatch(
+        shardedIndexPath = Some(path))(feed, 1L)
+      require(replay("sharded") == 0L,
+        s"replayed takedown re-deleted ${replay("sharded")} ids")
+      // stage 4: survivors, exactly — saturated beams expose every live
+      // id; the proven exact scorer (KnnJoin.bruteForce, round-9 then
+      // round-6 at the boundary) ranks what the lifecycle exposed
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exposed = ShardedIndex.searchSingleDf(ls, q, ref,
+          l = 2 * b1End.toInt, k = b1End.toInt)
+        .select(col("d_id")).distinct()
+      val d = exposed.join(e, exposed("d_id") === e("vec_id"))
+        .select(col("d_id"), col("embedding").as("d_vec"))
+      KnnJoin.bruteForce(q, d, K, "cosine", excludeSelf = false)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // G8 over the DELTA-GROWN sharded tier: base shards + appended delta
     // shard searched with one budget, candidates merged through the
     // bounded per-query top-k (rows-only — graph search is approximate;
@@ -496,6 +559,29 @@ object IndexQueries extends QueryPack {
         |SELECT 3,
         |       CASE WHEN compacts THEN 'append+compact' ELSE 'append' END,
         |       CASE WHEN compacts THEN 0 ELSE 2 END, n FROM f""".stripMargin,
+    // takedown_lifecycle: the oracle re-derives the survivor set from
+    // the corpus count and the policy constants alone (index = base +
+    // first batch = b1end rows, tranche = every 13th id) and ranks it
+    // exhaustively — the engine's streaming-face deletion plumbing
+    // must land on the same rows AND the same scores
+    "takedown_lifecycle" ->
+      s"""WITH c AS (SELECT least(count(*), 500) AS n FROM embeddings),
+         |p AS (SELECT (n * 4) // 5 + (n - (n * 4) // 5) // 2 AS b1end
+         |      FROM c),
+         |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |      WHERE vec_id < 8),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings
+         |      CROSS JOIN p WHERE vec_id < b1end AND vec_id % 13 <> 0),
+         |scored AS (
+         |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d),
+         |ranked AS (
+         |  SELECT q_id, d_id, score,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, d_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, d_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "j5_edges" -> s"$rankedCte\nSELECT src, dst, kind FROM edges",
     "a5_degree" ->
       s"""$rankedCte,
