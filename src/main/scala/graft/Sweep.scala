@@ -40,6 +40,12 @@ import graft.sources.Sinks
   *    grows, so effective exploration (= budget × shards) grows with
   *    the data — the budget policy the 100× flat-budget recall droop
   *    (SWEEP_SF10) demands.
+  *  - `mv_sharded` — the flagship's GROWN-registration posture (beyond
+  *    reference parity): base auto-sharded over half the corpus, the
+  *    rest delta-ingested, per-shard beam budget scaled by the growth
+  *    ratio through [[graft.index.BudgetPolicy.scaledL]] — the
+  *    serving-side policy a registered mv tier applies
+  *    (registerMvSharded), measured as set-level Recall@K.
   *  - `nsg`  — the NSG-format interop arm (the reference's vendored
   *    baseline, `tests/nsg/search_rerank_nsg.cpp`: search a prebuilt
   *    NSG index, rerank, report): the built graph is exported to NSG
@@ -118,7 +124,8 @@ object Sweep {
   }
 
   val AllArms: Set[String] =
-    Set("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded", "sq8", "nsg")
+    Set("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded", "sq8", "nsg",
+      "mv_sharded")
 
   /** One (arm, budget, Recall@K, rel-dist-err, QPS, search wall sec,
     * rerank_frac) row per (arm × budget); `arms` picks a subset (their
@@ -222,6 +229,37 @@ object Sweep {
         .createTempDirectory("graft_sweep_sharded_").toString,
       targetShardRows = ShardTargetRows, minShards = 2)
 
+    // mv_sharded arm offline half: the flagship's REGISTRATION growth
+    // posture, measured rather than spec'd — base auto-sharded over the
+    // FIRST HALF of the corpus (the registration-time index), the
+    // second half delta-ingested afterwards in two batches, so
+    // rows-per-shard GROWS past the registration size and the serving
+    // side must scale its beam budget through the same
+    // [[graft.index.BudgetPolicy.scaledL]] path registerMvSharded
+    // derives its adaptive budget from. The plain `sharded` arm
+    // measures autoShards at steady state; THIS arm measures set-level
+    // recall on a grown index served through the policy.
+    lazy val mvShardedState = {
+      val n = emb.count()
+      val cut = n / 2
+      val base = graft.index.ShardedIndex.buildPersistedAuto(spark,
+        emb.filter(col("vec_id") < cut), params, java.nio.file.Files
+          .createTempDirectory("graft_sweep_mvsharded_").toString,
+        targetShardRows = ShardTargetRows, minShards = 2)
+      val regPerShard = graft.index.ShardedIndex
+        .totalRows(spark, base).toDouble / base.nShards
+      val mid = cut + (n - cut) / 2
+      val grown = Seq((cut, mid), (mid, n)).foldLeft(base) {
+        case (r, (lo, hi)) =>
+          if (hi > lo)
+            graft.index.ShardedIndex.appendDelta(spark,
+              emb.filter(col("vec_id") >= lo && col("vec_id") < hi), r,
+              params)
+          else r
+      }
+      (grown, regPerShard)
+    }
+
     // sq8 arm offline half: per-dim bounds + one byte-encode pass,
     // shared by every budget row (4× smaller coarse scan than float32)
     lazy val sq8Bounds = graft.operators.Sq8Ann.trainBounds(corpus)
@@ -267,6 +305,20 @@ object Sweep {
             maxPq = math.max(budget * 2, 32), budget = budget,
             adaptive = true)
             .select(col("qset_id"), col("d_id"))),
+        "mv_sharded" -> (() => {
+          val (ref, regPerShard) = mvShardedState
+          val perShard = graft.index.ShardedIndex
+            .totalRowsCached(spark, ref).toDouble /
+            math.max(ref.nShards + ref.nDeltas, 1)
+          // the registration's own budget derivation (registerMvSharded):
+          // grown rows-per-shard scale the registered budget
+          val eff = graft.index.BudgetPolicy.scaledL(spark, budget,
+            regPerShard, perShard)
+          graft.index.ShardedIndex.searchMultiDf(spark, querySets, ref,
+            minPq = math.max(10, eff / math.max(C, 1)),
+            maxPq = math.max(200, eff * 2), budget = eff, adaptive = true)
+            .select(col("qset_id"), col("d_id"))
+        }),
         "sq8" -> (() =>
           graft.operators.Sq8Ann.searchEncoded(queryVecs,
             sq8Encoded, corpus, sq8Bounds, k = ef, nCand = math.max(2 * ef, K))

@@ -39,6 +39,12 @@ import graft.queries.IndexQueries
   * Scaled corpora are materialized once under /tmp/graft_buildsweep/<f>
   * via [[ScaleSmoke.scaleTables]] (deterministic, similarity-breaking
   * rotations) and reused across runs.
+  *
+  * `SPARK_GRAFT_BUILD_ARMS` (csv, default all) restricts the arms —
+  * the O(N²) `roar_exact` baseline is priced out past ~50k rows and a
+  * 100× point only needs the scale arms. Output MERGES with an
+  * existing TSV: re-run rows replace their (arm, factor) key, others
+  * survive — so the ladder accretes one expensive point at a time.
   */
 object BuildSweep {
 
@@ -74,8 +80,15 @@ object BuildSweep {
     GraphBuild.build(spark, Tables.embeddings(spark, srcDir),
       Tables.embeddings(spark, srcDir), IndexQueries.FixtureParams)
 
+    val armOrder = Seq("roar_exact", "roar_ivf", "sharded")
+    val arms = sys.env.get("SPARK_GRAFT_BUILD_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(armOrder.toSet)
+    require(arms.subsetOf(armOrder.toSet),
+      s"unknown build arm(s) ${arms -- armOrder.toSet}")
+
+    val header = "arm\tfactor\tn\tshards\tbuild_sec\tavg_degree\tmax_degree"
     val rows = new scala.collection.mutable.ArrayBuffer[String]
-    rows += "arm\tfactor\tn\tshards\tbuild_sec\tavg_degree\tmax_degree"
 
     factors.foreach { f =>
       val dir =
@@ -97,32 +110,52 @@ object BuildSweep {
       }
 
       // arm: broadcast graph, exact kNN lists (the O(N²) baseline)
-      val (idxExact, tExact) = timed(GraphBuild.build(spark, e, e, params))
-      val (avgE, maxE) = degStats(idxExact.graph)
-      rows += f"roar_exact\t$f\t$n\t1\t$tExact%.1f\t$avgE%.2f\t$maxE"
-      println(rows.last)
+      if (arms("roar_exact")) {
+        val (idxExact, tExact) = timed(GraphBuild.build(spark, e, e, params))
+        val (avgE, maxE) = degStats(idxExact.graph)
+        rows += f"roar_exact\t$f\t$n\t1\t$tExact%.1f\t$avgE%.2f\t$maxE"
+        println(rows.last)
+      }
 
       // arm: broadcast graph, IVF-bucketed kNN lists (the scale posture
       // for list generation)
-      val (idxIvf, tIvf) = timed(
-        GraphBuild.build(spark, e, e, params.copy(knnSource = "ivf")))
-      val (avgI, maxI) = degStats(idxIvf.graph)
-      rows += f"roar_ivf\t$f\t$n\t1\t$tIvf%.1f\t$avgI%.2f\t$maxI"
-      println(rows.last)
+      if (arms("roar_ivf")) {
+        val (idxIvf, tIvf) = timed(
+          GraphBuild.build(spark, e, e, params.copy(knnSource = "ivf")))
+        val (avgI, maxI) = degStats(idxIvf.graph)
+        rows += f"roar_ivf\t$f\t$n\t1\t$tIvf%.1f\t$avgI%.2f\t$maxI"
+        println(rows.last)
+      }
 
       // arm: persisted sharded layout — shard count grows with the
       // corpus (≈5k vectors per shard), per-shard exact kNN
-      val nShards = math.max(2, math.ceil(n / 5000.0).toInt)
-      val shardPath = Files.createTempDirectory("graft_buildsweep_sh_")
-      val (_, tSh) = timed(ShardedIndex.buildPersisted(
-        spark, e, params, nShards, shardPath.toString))
-      rows += f"sharded\t$f\t$n\t$nShards\t$tSh%.1f\t-\t-"
-      println(rows.last)
+      if (arms("sharded")) {
+        val nShards = math.max(2, math.ceil(n / 5000.0).toInt)
+        val shardPath = Files.createTempDirectory("graft_buildsweep_sh_")
+        val (_, tSh) = timed(ShardedIndex.buildPersisted(
+          spark, e, params, nShards, shardPath.toString))
+        rows += f"sharded\t$f\t$n\t$nShards\t$tSh%.1f\t-\t-"
+        println(rows.last)
+      }
     }
 
+    // merge with an existing ladder: new rows replace their
+    // (arm, factor) key, untouched rows survive; order = factor-major
+    // then the arm order above (the committed TSV's historical shape)
+    def key(line: String): (String, Int) = {
+      val c = line.split("\t"); (c(0), c(1).toInt)
+    }
+    val existing =
+      if (Files.exists(Paths.get(out)))
+        scala.io.Source.fromFile(out).getLines().drop(1)
+          .filter(_.nonEmpty).toSeq
+      else Seq.empty
+    val fresh = rows.map(r => key(r) -> r).toMap
+    val merged = (existing.filterNot(l => fresh.contains(key(l))) ++ rows)
+      .sortBy { l => val (a, f) = key(l); (f, armOrder.indexOf(a)) }
     Files.write(Paths.get(out),
-      (rows.mkString("\n") + "\n").getBytes("UTF-8"))
-    println(s"wrote $out")
+      ((header +: merged).mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"wrote $out (${merged.size} rows)")
     spark.stop()
   }
 }

@@ -46,7 +46,9 @@ object PlanDump {
       "g9_sql_sharded_saturated" -> "the FLAGSHIP from the sharded mv tier at per-shard saturating budget: every shard's beam saturates its sub-corpus, broadcast candidate union, exact chamfer rescore — the past-the-broadcast-ceiling certificate plan",
       "g8_sql_ivfpq_saturated" -> "IVF-PQ tier through the relation route at saturation: every cell probed (partition-pruned scan degenerates to full), ADC candidates, exact rescore join",
       "text_bm25_indexed" -> "index-served BM25 after postings compaction: bucket-pruned postings scan (PartitionFilters), stats from the sidecar, shared bm25Rank tail",
-      "text_bm25_deleted" -> "deletion lifecycle serving: bucket-pruned postings scan, broadcast tombstone anti-join, gross-stats-minus-tombstones constants, shared bm25Rank tail")
+      "text_bm25_deleted" -> "deletion lifecycle serving: bucket-pruned postings scan, broadcast tombstone anti-join, gross-stats-minus-tombstones constants, shared bm25Rank tail",
+      "knn_sql_filtered_sharded_exact" -> "filtered route on the sharded tier in exact mode: the exactness backstop scores the FULL filtered scan (pushed predicate, no generator candidates can claim saturation), exact by construction",
+      "takedown_lifecycle" -> "streaming-face takedown: delta-ingested sharded index, broadcast tombstone anti-join after the per-shard union, exact survivor ranking (broadcast queries x survivor scan, bounded heap)")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.PlanDump at sf0.01)\n")
     picks.foreach { case (name, note) =>

@@ -546,6 +546,30 @@ class IndexSpec extends AnyFunSuite {
     }, "recovered index is not exact over the survivors")
   }
 
+  test("deleted-fraction recall: post-compact holds the fresh-rebuild bound") {
+    // The deletion certificates run at SATURATING budgets, where graph
+    // navigability cannot fail — this is the production-budget gate:
+    // at 30% deleted, the compacted index (zeroed routing stubs, dead
+    // sidecar filtering) must recall within ε of a from-scratch
+    // rebuild over the survivors, and must not droop below the
+    // broadcast tier's own bar. The full curve (10/30/50%, three
+    // stages, 20k rows) is SWEEP_DELETION.tsv.
+    val rows = graft.tools.DeletionSweep.run(spark, sfDir,
+      fractions = Seq(0.3), budgets = Seq(60),
+      IndexQueries.FixtureParams, nShards = 2)
+    val byStage = rows.map { case (_, st, _, r, _) => st -> r }.toMap
+    assert(byStage.keySet === Set("pre_compact", "post_compact",
+      "fresh_rebuild"))
+    val eps = 0.05
+    assert(byStage("post_compact") >= byStage("fresh_rebuild") - eps,
+      s"post-compact recall ${byStage("post_compact")} fell more than " +
+        s"$eps under the fresh-rebuild bound ${byStage("fresh_rebuild")}")
+    assert(byStage("post_compact") >= 0.9,
+      s"post-compact recall ${byStage("post_compact")} under the 0.9 bar")
+    assert(byStage("pre_compact") >= 0.85,
+      s"pre-compact recall ${byStage("pre_compact")} under the 0.85 bar")
+  }
+
   test("autoShards, delta discovery, and the budget policy math") {
     import graft.index.BudgetPolicy
     // shard count holds SIZE fixed (the scale-with-corpus knob)
