@@ -722,8 +722,9 @@ class IndexSpec extends AnyFunSuite {
 
   test("budget sweep: all arms' recall does not degrade as budget grows (M5)") {
     val rows = Sweep.run(spark, sfDir, Seq(40, 160))
-    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded, sq8, nsg}
-    assert(rows.length === 16)
+    // 2 budgets x {roar, hnsw, pq, randproj, ivfpq, sharded, sq8, nsg,
+    // mv_sharded}
+    assert(rows.length === 18)
     // the NSG-interop arm searches the SAME graph after an NSG-byte
     // roundtrip through the shared kernel: rows must EQUAL roar's
     // recall bit-for-bit (the format boundary must not change search)
@@ -734,7 +735,7 @@ class IndexSpec extends AnyFunSuite {
         s"NSG roundtrip arm diverged from roar at budget $b: $nsg vs $roar")
     }
     for (arm <- Seq("roar", "hnsw", "pq", "randproj", "ivfpq", "sharded",
-        "sq8", "nsg")) {
+        "sq8", "nsg", "mv_sharded")) {
       val armRows = rows.filter(_._1 == arm).sortBy(_._2)
       assert(armRows.length === 2, s"missing $arm rows: $rows")
       val lo = armRows.head._3
