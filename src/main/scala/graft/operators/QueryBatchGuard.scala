@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions.col
   * query DataFrame straight to the direct API would otherwise OOM the
   * driver inside collect. `spark.graft.ann.operator.maxQueries`
   * (default 100000, matching the relation route's cap) fails the call
-  * loudly instead; `limit(cap+1)` stops the job from materializing the
-  * overflow. */
+  * loudly instead; `take(cap+1)` (executeTake — incremental partition
+  * reads, no extra limit exchange in the plan) stops the job from
+  * materializing the overflow. */
 object QueryBatchGuard {
 
   /** Collect `(q_id, q_vec)` rows, failing loudly past the cap. */
@@ -24,7 +25,7 @@ object QueryBatchGuard {
     val cap = spark.conf
       .get("spark.graft.ann.operator.maxQueries", "100000").toInt
     val rows = queries.select(col("q_id"), col("q_vec"))
-      .limit(cap + 1).as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].take(cap + 1)
     require(rows.length <= cap,
       s"query batch exceeds spark.graft.ann.operator.maxQueries=$cap — " +
         "the direct operator API collects the query side; use the " +

@@ -409,6 +409,20 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The PURGE certificate: the same saturating statement after the
+    // deleted index has been COMPACTED — payloads zeroed, erased ids
+    // RETIRED from the per-query `_tombstones` mask into the
+    // per-shard dead sidecars. With the mask gone, the only thing
+    // keeping erased ids out of the answer is the kernels' emission
+    // filter (a zeroed stub scores similarity 0, mid-range — at
+    // saturation it WOULD outrank negative-similarity survivors), so
+    // a hash match against the survivor ranking certifies the
+    // retire-at-compaction design through the full routed machinery.
+    "g8_sql_sharded_purged" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "sharded_purged")
+      rs.sql(svRelationSql(K))
+    }),
+
     // And by the IVF-PQ tier: exact mode probes EVERY cell and keeps
     // every row (probe-parameter exhaustion is NOT corpus saturation —
     // the route saturates the generator itself), so the compressed
@@ -838,6 +852,12 @@ object AnnQueries extends QueryPack {
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedDeletedHandles(rs, dir), dim = dim,
           metricName = "cosine", searchL = 80, name = "sharded_deleted")
+      case "sharded_purged" =>
+        // the deleted fixture taken through compact: zeroed payloads,
+        // retired mask, dead sidecars — the post-purge serving shape
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedPurgedHandles(rs, dir), dim = dim,
+          metricName = "cosine", searchL = 80, name = "sharded_purged")
       case "ivfpq" =>
         val (path, centroids, cbs) = ivfPqIndex(rs, dir)
         AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
@@ -1761,6 +1781,10 @@ object AnnQueries extends QueryPack {
     "g8_sql_saturated" -> g8SaturatedOracle,
     "g8_sql_sharded_saturated" -> g8SaturatedOracle,
     "g8_sql_sharded_deleted" -> g8DeletedOracle,
+    // the purged twin answers over the same survivors — erasure and
+    // mask retirement must not change WHAT is answered, only how the
+    // exclusion is enforced (dead sidecar filter instead of anti-join)
+    "g8_sql_sharded_purged" -> g8DeletedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
     "mm_media_features" -> mmOracle,

@@ -101,6 +101,36 @@ object IndexQueries extends QueryPack {
       ref
     })
 
+  /** One takedown-then-COMPACTED (purged) sharded index per dir — the
+    * [[shardedDeletedHandles]] lifecycle taken one step further: after
+    * the tranche delete, [[ShardedIndex.compact]] zeroes the payloads,
+    * retires the erased ids from the `_tombstones` mask into the
+    * per-shard `dead` sidecars, and rebuilds in place. Serves
+    * g8_sql_sharded_purged: at saturating budget the routed answer
+    * must hash-equal the exact survivor ranking with the per-query
+    * mask GONE — certifying the dead-sidecar emission filter through
+    * the full SQL machinery, not just the operator face. */
+  private val shardedPurgedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardedIndexRef]()
+
+  private[queries] def shardedPurgedHandles(s: SparkSession,
+                                            dir: String): ShardedIndexRef =
+    shardedPurgedCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_purged_").toString
+      val emb = Tables.embeddings(s, dir)
+      val ref = ShardedIndex.buildPersisted(s, emb, FixtureParams, 2, path)
+      val tranche = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("gid"))
+      require(ShardedIndex.deleteFromIndex(s, path, tranche) > 0,
+        "purged-certificate fixture produced an empty tranche")
+      val purged = ShardedIndex.compact(s, ref, FixtureParams)
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_tombstones")),
+        "purge did not retire the tombstone mask")
+      purged
+    })
+
   /** One delta-GROWN sharded index per dir — base built on the first 80%
     * of the corpus, the rest appended via [[ShardedIndex.appendDelta]]:
     * the daily-ingest lifecycle as a first-class query path. Same

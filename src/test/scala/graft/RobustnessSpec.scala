@@ -174,6 +174,37 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("operator-face query collects fail loudly past the conf'd cap") {
+    // the direct APIs (IvfPq.knnOverIndex / Sq8Ann.searchEncoded)
+    // collect their query batch driver-side; an unbounded batch must
+    // hit spark.graft.ann.operator.maxQueries, not OOM the driver —
+    // and the error must name the blocked drivers as the escape hatch
+    import spark.implicits._
+    val d = (0L until 8L).map(i => (i, Array(i.toFloat, 1f, 2f)))
+      .toDF("d_id", "d_vec")
+    val q = d.select(col("d_id").as("q_id"), col("d_vec").as("q_vec"))
+    val b = graft.operators.Sq8Ann.trainBounds(d)
+    val enc = graft.operators.Sq8Ann.encode(d, b)
+    spark.conf.set("spark.graft.ann.operator.maxQueries", "3")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        graft.operators.Sq8Ann.searchEncoded(q, enc, d, b, k = 2,
+          nCand = 4))
+      assert(ex.getMessage.contains("maxQueries") &&
+        ex.getMessage.contains("Blocked"),
+        s"cap error must point at the blocked driver: ${ex.getMessage}")
+      // under the cap the same call succeeds unchanged
+      assert(graft.operators.Sq8Ann.searchEncoded(q.limit(3), enc, d, b,
+        k = 2, nCand = 4).count() > 0)
+      // the blocked driver slices below the cap and still answers the
+      // WHOLE batch (the documented unbounded-batch path)
+      spark.conf.set("spark.graft.ann.operator.maxQueries", "4")
+      assert(graft.operators.Sq8Ann.searchEncodedBlocked(q, enc, d, b,
+        k = 2, nCand = 4, blockSize = 4)
+        .select("q_id").distinct().count() === 8L)
+    } finally spark.conf.unset("spark.graft.ann.operator.maxQueries")
+  }
+
   test("chunking boundaries: 1 token, exactly size, size+1, empty doc") {
     import spark.implicits._
     import graft.queries.TextQueries
