@@ -89,7 +89,9 @@ object Sweep {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val budgets = args.lift(1).getOrElse("40,80,120,200")
       .split(",").map(_.trim.toInt).toSeq
-    val outDir = args.lift(2)
+    // "" = stdout only, so a positional caller can skip to the params
+    // arg without the sink write failing after a long sweep
+    val outDir = args.lift(2).filter(_.nonEmpty)
     val params = args.lift(3).getOrElse("fixture") match {
       case "ref" => IndexQueries.FixtureParams.copy(
         mSq = 100, mPjbp = 35, lPjpq = 100)
