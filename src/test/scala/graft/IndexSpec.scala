@@ -546,6 +546,59 @@ class IndexSpec extends AnyFunSuite {
     }, "recovered index is not exact over the survivors")
   }
 
+  test("dead-filter emission == unfiltered search minus dead ids, any budget") {
+    // The kernels' deadB contract: traversal is UNTOUCHED (dead nodes
+    // route and occupy beam slots exactly like live ones), only result
+    // EMISSION skips them — so at ANY budget the filtered output must
+    // equal the unfiltered full-beam output with dead ids dropped,
+    // survivors re-ranked, and the top k kept. Bitwise sims: same
+    // kernel, same traversal.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val idx = GraphBuild.build(spark, emb, emb, IndexQueries.FixtureParams)
+    val gB = spark.sparkContext.broadcast(idx.graph)
+    val vB = spark.sparkContext.broadcast(idx.vecs)
+    val dead = new java.util.BitSet(300)
+    (0 until 300 by 7).foreach(dead.set)
+    val deadB = spark.sparkContext.broadcast(dead)
+    val q = emb.filter(col("vec_id") % 31 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val k = 10
+    for (l <- Seq(30, 600)) { // production and saturating budgets
+      val filtered = BeamSearch
+        .searchSingleDf(spark, q, gB, vB, "cosine", l, k, deadB)
+        .select(col("q_id"), col("rank"), col("d_id"), col("sim"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val manual = BeamSearch
+        .searchSingleDf(spark, q, gB, vB, "cosine", l, k = l)
+        .select(col("q_id"), col("rank"), col("d_id"), col("sim"))
+        .as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+          rows.sortBy(_._2).filterNot(r => dead.get(r._3.toInt)).take(k)
+            .zipWithIndex.map { case (r, i) => (qid, i + 1, r._3, r._4) }
+        }.toSet
+      assert(filtered === manual, s"dead-filter semantics diverged at l=$l")
+      assert(filtered.exists(_ != null) &&
+        filtered.forall { case (_, _, d, _) => !dead.get(d.toInt) })
+    }
+    // multivector twin: emitted beam contents minus dead ids
+    val qs = emb.filter(col("vec_id") < 8).select(
+      (col("vec_id") / 4).cast("long").as("qset_id"),
+      (col("vec_id") % 4).cast("int").as("q_sub"),
+      col("embedding").as("q_vec"))
+    val mvF = BeamSearch.searchMultiDf(spark, qs, gB, vB, "cosine",
+        minPq = 10, maxPq = 200, budget = 120, adaptive = true, deadB)
+      .select(col("qset_id"), col("q_sub"), col("d_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val mvU = BeamSearch.searchMultiDf(spark, qs, gB, vB, "cosine",
+        minPq = 10, maxPq = 200, budget = 120, adaptive = true)
+      .select(col("qset_id"), col("q_sub"), col("d_id"))
+      .as[(Long, Int, Long)].collect()
+      .filterNot(r => dead.get(r._3.toInt)).toSet
+    assert(mvF === mvU, "mv dead-filter diverged from manual filtering")
+    gB.destroy(); vB.destroy(); deadB.destroy()
+  }
+
   test("deleted-fraction recall: post-compact holds the fresh-rebuild bound") {
     // The deletion certificates run at SATURATING budgets, where graph
     // navigability cannot fail — this is the production-budget gate:
