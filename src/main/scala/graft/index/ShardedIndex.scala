@@ -157,6 +157,7 @@ object ShardedIndex {
         val deadB = {
           val dp = new org.apache.hadoop.fs.Path(s"$dir/dead/_SUCCESS")
           val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          recoverDeadSwap(dfs, dir) // a purge crashed mid-swap must not read as "no dead set"
           if (!dfs.exists(dp)) null
           else {
             val bs = new java.util.BitSet(g.n)
@@ -307,8 +308,9 @@ object ShardedIndex {
             if (nm.stripPrefix("shard").toInt >= nShards)
               fs.delete(st.getPath, true)
             else
-              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "dead"),
-                true)
+              Seq("dead", "dead__compact_old", "dead__compact_staging")
+                .foreach(d => fs.delete(
+                  new org.apache.hadoop.fs.Path(st.getPath, d), true))
           }
         }
     }
@@ -575,6 +577,50 @@ object ShardedIndex {
         if (total == 0) 0.0 else t.count().toDouble / total
     }
 
+  /** Max PER-UNIT un-erased deleted fraction — base shards by their
+    * strided gid class, each delta dir by its gid range. The global
+    * [[deletedFraction]] can hide a poisoned shard under a clean
+    * average (a takedown wave is usually skewed: one source, one
+    * licensing bucket → one stride/range region), and a shard serving
+    * mostly zeroed routing stubs degrades recall for every query that
+    * routes there, so [[maybeCompact]] triggers on this too. Cost:
+    * footer counts plus one collect of the mask — broadcast-small by
+    * the same contract that lets every query anti-join it. */
+  def maxShardDeletedFraction(spark: SparkSession,
+                              ref: ShardedIndexRef): Double =
+    tombstonesDf(spark, ref.path) match {
+      case None => 0.0
+      case Some(t) =>
+        import spark.implicits._
+        val gids = t.select(col("gid")).as[Long].collect()
+        if (gids.isEmpty) 0.0
+        else {
+          val baseRows = (0 until ref.nShards)
+            .map(s => footerRows(spark, s"${shardDir(ref, s)}/vectors"))
+          val b = baseRows.sum
+          val deltaRows = (0 until ref.nDeltas)
+            .map(j => footerRows(spark, s"${deltaDir(ref, j)}/vectors"))
+          // delta j owns the gid range [b + Σ deltaRows(<j), +rows_j)
+          val deltaLo = deltaRows.scanLeft(b)(_ + _)
+          val baseCnt = new Array[Long](ref.nShards)
+          val deltaCnt = new Array[Long](math.max(ref.nDeltas, 1))
+          gids.foreach { g =>
+            if (g < b) baseCnt((g % ref.nShards).toInt) += 1
+            else {
+              var j = 0
+              while (j < ref.nDeltas && g >= deltaLo(j + 1)) j += 1
+              if (j < ref.nDeltas) deltaCnt(j) += 1
+            }
+          }
+          val fracs =
+            baseRows.indices.iterator.filter(baseRows(_) > 0)
+              .map(s => baseCnt(s).toDouble / baseRows(s)) ++
+            deltaRows.indices.iterator.filter(deltaRows(_) > 0)
+              .map(j => deltaCnt(j).toDouble / deltaRows(j))
+          fracs.foldLeft(0.0)(math.max)
+        }
+    }
+
   /** Delta-ingest — the daily-append half of the tier's lifecycle,
     * mirroring [[graft.operators.IvfPq.appendIndex]]'s posture: build a
     * self-contained RoarGraph over ONLY the new vectors and add it as an
@@ -599,6 +645,23 @@ object ShardedIndex {
                   ref: ShardedIndexRef, params: BuildParams): ShardedIndexRef = {
     require(params.metric == ref.metric,
       s"delta metric ${params.metric} != index metric ${ref.metric}")
+    // A committed compact_staging means a compact() crashed after its
+    // point of no return: the staged corpus is the only complete copy,
+    // and its eventual recovery rebuild deletes every delta dir at
+    // entry — an append landing now would be silently discarded by
+    // that rebuild. Deletes in the same window are safe (they ride the
+    // mask to the next purge); appends are destructive, so fail loudly
+    // and make the caller finish the recovery (re-run compact) first.
+    locally {
+      val stg = new org.apache.hadoop.fs.Path(
+        s"${ref.path}/compact_staging/_SUCCESS")
+      val fs = stg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(stg),
+        s"appendDelta: a committed compact_staging is stranded at " +
+          s"${ref.path} — a crashed compact() must be recovered " +
+          s"(re-run compact) before appending, or the staged rebuild " +
+          s"would discard this delta")
+    }
     // Dense-gid contract validated at INGEST, not discovered at
     // compaction: compact() re-stripes through buildPersisted, whose
     // strided layout needs global ids 0..N-1 contiguous, so a sparse
@@ -748,7 +811,17 @@ object ShardedIndex {
       new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
     if (!committed(stagingPath)) {
       val tomb = tombstonesDf(spark, ref.path)
-      if (ref.nDeltas == 0 && tomb.isEmpty) return ref
+      if (ref.nDeltas == 0 && tomb.isEmpty) {
+        // nothing to fold or purge — but a crash between a previous
+        // compact's two trailing deleteDirs can strand a committed
+        // snapshot (staging gone, snapshot not); it is only meaningful
+        // while compact_staging exists, so clear it (and any
+        // uncommitted staging debris) rather than leave a snapshot
+        // whose ids correspond to no in-flight purge
+        deleteDir(spark, snapPath)
+        deleteDir(spark, stagingPath)
+        return ref
+      }
       // SNAPSHOT the set this purge will erase, committed BEFORE the
       // corpus staging: the sidecar writes and the retirement swap
       // must use exactly the ids the staged corpus zeroed, across a
@@ -798,31 +871,85 @@ object ShardedIndex {
     rebuilt
   }
 
+  // Dead-sidecar swap dirs: after the first purge the `dead` sidecar is
+  // the ONLY coverage for previously erased ids (they were retired from
+  // `_tombstones`), so it must never be rewritten in place — Spark's
+  // overwrite deletes the target before writing, and a crash in that
+  // window would lose prior erased ids permanently. Same staging+rename
+  // discipline as the tombstone retirement swap.
+  private def deadLive(shardDir: String) = s"$shardDir/dead"
+  private def deadOld(shardDir: String) = s"$shardDir/dead__compact_old"
+  private def deadStaging(shardDir: String) =
+    s"$shardDir/dead__compact_staging"
+
+  /** Recover a dead-sidecar swap that crashed between its renames —
+    * called before every sidecar READ (shard load) and WRITE (purge).
+    * A COMMITTED staging is the newer superset (old ∪ this purge), so
+    * it wins when the live dir is gone; a parked `old` with no live
+    * dir is restored; leftovers are cleared. Every intermediate state
+    * keeps at least one complete copy of the prior erased set on disk,
+    * and the window between park and promote is additionally covered
+    * by `_tombstones` (retirement runs strictly AFTER the sidecars). */
+  private def recoverDeadSwap(fs: org.apache.hadoop.fs.FileSystem,
+                              shardDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(deadLive(shardDir))
+    val stg = new Path(deadStaging(shardDir))
+    val old = new Path(deadOld(shardDir))
+    if (fs.exists(new Path(s"${deadStaging(shardDir)}/_SUCCESS")) &&
+        !fs.exists(live)) {
+      if (!fs.rename(stg, live))
+        require(fs.exists(live),
+          s"recoverDeadSwap: cannot promote ${stg.toString}")
+    }
+    if (fs.exists(stg)) fs.delete(stg, true)
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live))
+          require(fs.exists(live),
+            s"recoverDeadSwap: cannot restore ${old.toString}")
+      } else fs.delete(old, true)
+    }
+  }
+
   /** Merge this purge's erased gids into each shard's `dead` sidecar
     * (LOCAL id space — the kernels' emission filter). Previous purges'
     * sidecars stay valid across [[compact]]'s re-stripe (same gids,
-    * same nShards), so the merge is a union. Driver-side by design:
-    * the set is broadcast-small by the same contract that lets every
-    * query anti-join it. */
+    * same nShards), so the merge is a union, installed via
+    * staging+rename (never an in-place overwrite — see
+    * [[recoverDeadSwap]]). Driver-side by design: the set is
+    * broadcast-small by the same contract that lets every query
+    * anti-join it. */
   private def writeDeadSidecars(spark: SparkSession, ref: ShardedIndexRef,
                                 snap: DataFrame): Unit = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
     val snapIds = snap.select(col("gid")).distinct().as[Long].collect()
     if (snapIds.isEmpty) return
     (0 until ref.nShards).foreach { s =>
-      val dir = s"${shardDir(ref, s)}/dead"
-      val fs = new org.apache.hadoop.fs.Path(dir)
+      val sd = shardDir(ref, s)
+      val fs = new Path(sd)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverDeadSwap(fs, sd)
       val old: Array[Long] =
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
-          spark.read.parquet(dir).select(col("vec_id")).as[Long].collect()
+        if (fs.exists(new Path(s"${deadLive(sd)}/_SUCCESS")))
+          spark.read.parquet(deadLive(sd))
+            .select(col("vec_id")).as[Long].collect()
         else Array.empty[Long]
       val merged = (old ++ snapIds.iterator
           .filter(_ % ref.nShards == s).map(_ / ref.nShards))
         .distinct.sorted
-      if (merged.nonEmpty)
+      if (merged.nonEmpty) {
         merged.toSeq.toDF("vec_id").coalesce(1)
-          .write.mode("overwrite").parquet(dir)
+          .write.mode("overwrite").parquet(deadStaging(sd))
+        val live = new Path(deadLive(sd))
+        if (fs.exists(live))
+          require(fs.rename(live, new Path(deadOld(sd))),
+            s"writeDeadSidecars: cannot move ${deadLive(sd)} aside")
+        require(fs.rename(new Path(deadStaging(sd)), live),
+          s"writeDeadSidecars: cannot promote staging for ${deadLive(sd)}")
+        fs.delete(new Path(deadOld(sd)), true)
+      }
     }
   }
 
@@ -860,18 +987,141 @@ object ShardedIndex {
     * the purge trigger: past that point the dead routing stubs waste a
     * noticeable share of every beam (and the un-erased payloads are
     * still on disk), so the amortize-appends argument flips the same
-    * way it does for deltas. */
+    * way it does for deltas. The PER-SHARD fraction is checked too
+    * (`maxShardDeletedFrac`): a skewed takedown wave can poison one
+    * shard while the global average stays comfortably under threshold
+    * — SWEEP_DELETION's skewed rows are the measured motivation. */
   def maybeCompact(spark: SparkSession, ref: ShardedIndexRef,
                    params: BuildParams,
                    maxDeltaFrac: Double = 0.2,
-                   maxDeletedFrac: Double = 0.2): ShardedIndexRef =
+                   maxDeletedFrac: Double = 0.2,
+                   maxShardDeletedFrac: Double = 0.2): ShardedIndexRef =
     if ((ref.nDeltas > 0 && deltaFraction(spark, ref) > maxDeltaFrac) ||
-        deletedFraction(spark, ref) > maxDeletedFrac)
+        deletedFraction(spark, ref) > maxDeletedFrac ||
+        maxShardDeletedFraction(spark, ref) > maxShardDeletedFrac)
       compact(spark, ref, params)
     else ref
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // The in-place [[compact]] requires quiescence INCLUDING readers — a
+  // query listing the live dirs mid-swap can fail. The versioned face
+  // lifts exactly that restriction via [[Generations]]: every
+  // generation is an ordinary sharded index that is IMMUTABLE once
+  // published, a reader resolves the manifest once and then only
+  // touches that snapshot, and a compaction builds the successor
+  // generation reading the live one strictly read-only before one
+  // atomic pointer flip. Writers stay single-writer among themselves.
+
+  /** Build the first generation of a versioned index under `root` and
+    * publish the manifest. */
+  def buildVersioned(spark: SparkSession, emb: DataFrame,
+                     params: BuildParams, nShards: Int,
+                     root: String): ShardedIndexRef = {
+    val (gen, dir) = Generations.next(spark, root)
+    val ref = buildPersisted(spark, emb, params, nShards, dir)
+    Generations.publish(spark, root, gen)
+    ref
+  }
+
+  /** Resolve the live generation into an ordinary ref (delta discovery
+    * included). The ref names an immutable PUBLISHED snapshot:
+    * [[compactVersioned]] never mutates a published generation, so a
+    * query holding this ref completes correctly while a compaction
+    * publishes its successor (grace = one generation — see
+    * [[Generations]]). */
+  def resolveVersioned(spark: SparkSession, root: String,
+                       metric: String): ShardedIndexRef = {
+    val dir = Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published generation at $root"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nShards = f.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.matches("shard\\d+"))
+    require(nShards > 0, s"published generation $dir has no shards")
+    discover(spark, ShardedIndexRef(dir, nShards, metric))
+  }
+
+  /** [[appendDelta]] against the live generation (writer face —
+    * single-writer contract unchanged). */
+  def appendVersioned(spark: SparkSession, delta: DataFrame, root: String,
+                      params: BuildParams): ShardedIndexRef =
+    appendDelta(spark, delta,
+      resolveVersioned(spark, root, params.metric), params)
+
+  /** [[deleteFromIndex]] against the live generation (writer face). */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      gids: Seq[Long]): Long =
+    Generations.liveDir(spark, root)
+      .map(deleteFromIndex(spark, _, gids)).getOrElse(0L)
+
+  /** Serve-through-compaction purge: fold the live generation's deltas
+    * and erase its tombstoned payloads into a NEW generation, publish
+    * the pointer, retire out-of-grace generations. The live generation
+    * is strictly read-only input — no staging dance is needed, because
+    * a crash anywhere before publish leaves the old pointer serving
+    * the old (complete) snapshot, and the partial successor dir is
+    * retired by the eventual successful publish. Semantics equal
+    * [[compact]] + full retirement: the new generation starts with an
+    * empty mask, all erased ids (this purge's and every prior one's)
+    * covered by its per-shard `dead` sidecars. */
+  def compactVersioned(spark: SparkSession, root: String,
+                       params: BuildParams): ShardedIndexRef = {
+    import spark.implicits._
+    val live = resolveVersioned(spark, root, params.metric)
+    val tomb = tombstonesDf(spark, live.path)
+    if (live.nDeltas == 0 && tomb.isEmpty) return live
+    val (gen, newDir) = Generations.next(spark, root)
+    val base = (0 until live.nShards).map { s =>
+      spark.read.parquet(s"${shardDir(live, s)}/vectors")
+        .select((col("vec_id") * live.nShards + s).as("vec_id"),
+          col("embedding"))
+    }
+    val deltas = (0 until live.nDeltas).map { j =>
+      val dir = deltaDir(live, j)
+      spark.read.parquet(s"$dir/vectors")
+        .join(spark.read.parquet(s"$dir/ids"), Seq("vec_id"))
+        .select(col("gid").as("vec_id"), col("embedding"))
+    }
+    val union = (base ++ deltas).reduce(_ unionAll _)
+    val tombIds: Array[Long] = tomb
+      .map(_.select(col("gid")).distinct().as[Long].collect())
+      .getOrElse(Array.empty)
+    val zeroed =
+      if (tombIds.isEmpty) union
+      else union.join(
+          broadcast(tombIds.toSeq.toDF("vec_id")
+            .withColumn("_dead", lit(true))),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          when(col("_dead"), transform(col("embedding"), _ => lit(0.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+    val newRef = buildPersistedImpl(spark, zeroed, params, live.nShards,
+      newDir, clearTombstones = true)
+    // the successor's dead set = every prior generation's sidecars
+    // (carried forward — their payloads are already zeroed in the live
+    // vectors this build read) ∪ this purge's tombstones. Bounded by
+    // lifetime erasures, the same contract that makes the sidecars
+    // loadable per shard.
+    val priorDead: Seq[Long] = (0 until live.nShards).flatMap { s =>
+      val sd = shardDir(live, s)
+      val f = new org.apache.hadoop.fs.Path(sd)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverDeadSwap(f, sd)
+      if (!f.exists(new org.apache.hadoop.fs.Path(
+          s"${deadLive(sd)}/_SUCCESS"))) Seq.empty[Long]
+      else spark.read.parquet(deadLive(sd))
+        .select(col("vec_id") * live.nShards + s).as[Long].collect().toSeq
+    }
+    val allDead = (priorDead ++ tombIds).distinct
+    if (allDead.nonEmpty)
+      writeDeadSidecars(spark, newRef, allDead.toDF("gid"))
+    Generations.publish(spark, root, gen)
+    newRef
   }
 }

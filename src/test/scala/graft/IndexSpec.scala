@@ -876,4 +876,161 @@ class IndexSpec extends AnyFunSuite {
       "uncommitted work files must be invisible")
     assert(ParquetMeta.rowsCached(spark, "target/tmp/no_such_dir_xyz") === 0L)
   }
+
+  test("dead sidecar: second purge merges via swap; crash states recover") {
+    // After the first purge, the `dead` sidecar is the ONLY coverage for
+    // previously erased ids (retired from `_tombstones`) — a second
+    // purge must install the merged set via staging+rename, never an
+    // in-place overwrite whose crash window would lose prior erased ids.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dead_swap_").toString
+    ShardedIndex.resetResidencyTracking()
+    val ref = ShardedIndex.buildPersisted(spark, emb,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    def deadGids(): Set[Long] = (0 until 2).flatMap { s =>
+      val p = java.nio.file.Paths.get(s"$path/shard$s/dead/_SUCCESS")
+      if (!java.nio.file.Files.exists(p)) Seq.empty[Long]
+      else spark.read.parquet(s"$path/shard$s/dead")
+        .select(col("vec_id") * 2 + s).as[Long].collect().toSeq
+    }.toSet
+    def leftovers(): Seq[String] = (0 until 2).flatMap { s =>
+      Seq("dead__compact_old", "dead__compact_staging").filter(d =>
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/shard$s/$d")))
+    }
+    // purge 1 erases {7, 12}; purge 2 erases {33} — the sidecars must
+    // hold the UNION afterwards, with no swap debris
+    assert(ShardedIndex.deleteFromIndex(spark, path, Seq(7L, 12L)) === 2L)
+    val ref1 = ShardedIndex.compact(spark, ref, IndexQueries.FixtureParams)
+    assert(deadGids() === Set(7L, 12L))
+    assert(ShardedIndex.deleteFromIndex(spark, path, Seq(33L)) === 1L)
+    ShardedIndex.compact(spark, ref1, IndexQueries.FixtureParams)
+    assert(deadGids() === Set(7L, 12L, 33L),
+      "second purge lost prior erased ids from the sidecar")
+    assert(leftovers().isEmpty, s"swap debris survived: ${leftovers()}")
+    // all three stay invisible with the mask fully retired
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_tombstones")))
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val served = ShardedIndex.searchSingleDf(spark, q, ref1, l = 600, k = 16)
+      .select("d_id").as[Long].collect().toSet
+    assert(Set(7L, 12L, 33L).forall(!served.contains(_)),
+      "erased id resurfaced after the second purge")
+
+    // crash state (a): live parked aside, committed staging (superset)
+    // present — the next read must promote the STAGING, not the parked
+    // old set, and clear both swap dirs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sd = s"$path/shard0"
+    val withExtra = spark.read.parquet(s"$sd/dead")
+      .select(col("vec_id")).as[Long].collect().toSet + 40L // gid 80
+    withExtra.toSeq.sorted.toDF("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$sd/dead__compact_staging")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sd/dead"),
+      new org.apache.hadoop.fs.Path(s"$sd/dead__compact_old")))
+    ShardedIndex.resetResidencyTracking() // force a cold shard load
+    val served2 = ShardedIndex.searchSingleDf(spark, q, ref1, l = 600, k = 16)
+      .select("d_id").as[Long].collect().toSet
+    assert(!served2.contains(80L),
+      "crash recovery restored the parked old set over the newer staging")
+    assert(Set(7L, 12L, 33L).forall(!served2.contains(_)))
+    assert(leftovers().isEmpty, s"crash recovery left debris: ${leftovers()}")
+    assert(deadGids() === Set(7L, 12L, 33L, 80L))
+
+    // crash state (b): UNCOMMITTED staging beside an intact live dir —
+    // live wins, debris cleared
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$sd/dead__compact_staging/_temporary"))
+    ShardedIndex.resetResidencyTracking()
+    val served3 = ShardedIndex.searchSingleDf(spark, q, ref1, l = 600, k = 16)
+      .select("d_id").as[Long].collect().toSet
+    assert(!served3.contains(80L) && !served3.contains(7L))
+    assert(leftovers().isEmpty)
+  }
+
+  test("appendDelta fails loudly on a stranded committed compact_staging") {
+    // A committed compact_staging means a crashed compact(): its
+    // recovery rebuild deletes every delta dir at entry, so an append
+    // landing in the window would be silently discarded — the guard
+    // must refuse instead.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_append_guard_").toString
+    val ref = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    base.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/compact_staging")
+    val delta = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.appendDelta(spark, delta, ref, IndexQueries.FixtureParams)
+    }
+    assert(e.getMessage.contains("compact_staging"))
+    // finishing the recovery (re-running compact) unblocks the append
+    val rec = ShardedIndex.compact(spark, ref, IndexQueries.FixtureParams)
+    val grown = ShardedIndex.appendDelta(spark, delta, rec,
+      IndexQueries.FixtureParams)
+    assert(grown.nDeltas === 1)
+    assert(ShardedIndex.totalRows(spark, grown) === 150L)
+  }
+
+  test("compact early return clears a stranded erased-set snapshot") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_snap_clear_").toString
+    val ref = ShardedIndex.buildPersisted(spark, emb,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    // the state a crash between compact's two trailing deleteDirs
+    // leaves: staging gone, snapshot still committed
+    Seq(3L).toDF("gid").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/compact_staging_tomb")
+    assert(ShardedIndex.compact(spark, ref,
+      IndexQueries.FixtureParams) === ref) // nothing to fold or purge
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/compact_staging_tomb")),
+      "stranded snapshot survived the early return")
+  }
+
+  test("per-shard deleted fraction exposes a skewed takedown wave") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skew_frac_").toString
+    ShardedIndex.resetResidencyTracking()
+    val ref = ShardedIndex.buildPersisted(spark, emb,
+      IndexQueries.FixtureParams, nShards = 4, path)
+    // strided layout: shard = gid % 4 — delete 60% of shard 1's rows
+    // (30 of 50), which is only 15% of the corpus
+    val victims = (0L until 200L).filter(_ % 4 == 1).take(30)
+    assert(ShardedIndex.deleteFromIndex(spark, path, victims) === 30L)
+    val global = ShardedIndex.deletedFraction(spark, ref)
+    assert(global === 0.15, s"global fraction $global")
+    val perShard = ShardedIndex.maxShardDeletedFraction(spark, ref)
+    assert(perShard === 0.6, s"per-shard max $perShard")
+    // the global trigger alone would sleep through this; the per-shard
+    // trigger purges the poisoned shard
+    val r2 = ShardedIndex.maybeCompact(spark, ref, IndexQueries.FixtureParams,
+      maxDeltaFrac = 0.2, maxDeletedFrac = 0.2, maxShardDeletedFrac = 1.0)
+    assert(r2 === ref, "global trigger fired below threshold")
+    val r3 = ShardedIndex.maybeCompact(spark, ref, IndexQueries.FixtureParams)
+    assert(ShardedIndex.deletedFraction(spark, r3) === 0.0,
+      "per-shard trigger did not purge the poisoned shard")
+    assert(ShardedIndex.maxShardDeletedFraction(spark, r3) === 0.0)
+
+    // delta dirs are their own unit: deletions landing in a delta's gid
+    // range count against THAT delta's rows
+    val delta = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 200 && col("vec_id") < 240)
+    val grown = ShardedIndex.appendDelta(spark, delta, r3,
+      IndexQueries.FixtureParams)
+    assert(ShardedIndex.deleteFromIndex(spark, path,
+      (200L until 220L)) === 20L)
+    val fr = ShardedIndex.maxShardDeletedFraction(spark, grown)
+    assert(fr === 0.5, s"delta-range fraction $fr (20 of 40 delta rows)")
+  }
 }
