@@ -1060,6 +1060,12 @@ object ShardedIndex {
     Generations.liveDir(spark, root)
       .map(deleteFromIndex(spark, _, gids)).getOrElse(0L)
 
+  /** [[deleteVersioned]] for an id RELATION (`gid` column). */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      idsDf: DataFrame): Long =
+    Generations.liveDir(spark, root)
+      .map(deleteFromIndex(spark, _, idsDf)).getOrElse(0L)
+
   /** Serve-through-compaction purge: fold the live generation's deltas
     * and erase its tombstoned payloads into a NEW generation, publish
     * the pointer, retire out-of-grace generations. The live generation

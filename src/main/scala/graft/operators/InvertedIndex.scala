@@ -442,4 +442,94 @@ object InvertedIndex {
       lit(sumDl).cast("double").as("sum_dl"))
     TextQueries.bm25Rank(tf, stats, k)
   }
+
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // [[compactPostings]] swaps the live dirs in place and therefore
+  // excludes READERS for the swap window. The versioned face lifts
+  // exactly that restriction via [[graft.index.Generations]]: each
+  // generation is an ordinary inverted index, immutable once
+  // published; a compaction writes the folded postings/doclens/
+  // tombstones into the SUCCESSOR generation reading the live one
+  // strictly read-only, then flips the pointer atomically. A reader
+  // that resolved the manifest pre-flip finishes its query against the
+  // intact predecessor (grace = one generation). Writers stay
+  // single-writer among themselves.
+
+  /** Ingest the first batch as generation 0 under `root` and publish
+    * the manifest. Returns the live generation dir. */
+  def buildVersioned(spark: SparkSession, docsDf: DataFrame,
+                     root: String): String = {
+    val (gen, dir) = graft.index.Generations.next(spark, root)
+    append(spark, docsDf, dir)
+    graft.index.Generations.publish(spark, root, gen)
+    dir
+  }
+
+  /** The live generation dir — the path readers hand to [[bm25Query]].
+    * A published generation is immutable, so a query against this path
+    * completes correctly while [[compactVersioned]] publishes a
+    * successor. */
+  def resolveVersioned(spark: SparkSession, root: String): String =
+    graft.index.Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published inverted-index generation at $root"))
+
+  /** [[append]] / [[deleteDocs]] / [[bm25Query]] against the live
+    * generation (writer faces keep the single-writer contract). */
+  def appendVersioned(spark: SparkSession, docsDf: DataFrame,
+                      root: String): Unit =
+    append(spark, docsDf, resolveVersioned(spark, root))
+
+  def deleteVersioned(spark: SparkSession, root: String,
+                      ids: Seq[Long]): Long =
+    deleteDocs(spark, resolveVersioned(spark, root), ids)
+
+  def bm25QueryVersioned(spark: SparkSession, root: String,
+                         terms: Seq[String], k: Int = 20): DataFrame =
+    bm25Query(spark, resolveVersioned(spark, root), terms, k)
+
+  /** Serve-through-compaction fold: write the compacted postings
+    * (dead content erased, replay duplicates folded, one sorted file
+    * per bucket), folded doclens, distinct tombstones, and the
+    * unchanged gross `_stats` into a NEW generation; publish; retire
+    * out-of-grace generations. The live generation is strictly
+    * read-only input — a crash before publish leaves the old pointer
+    * serving and the partial successor is retired by the eventual
+    * successful publish. Query results are identical before and after
+    * (compaction only erases content the tombstone anti-join already
+    * hides). */
+  def compactVersioned(spark: SparkSession, root: String): String = {
+    val liveDir = resolveVersioned(spark, root)
+    val (gen, newDir) = graft.index.Generations.next(spark, root)
+    val f = fs(spark, root)
+    f.delete(new Path(newDir), true) // debris from a crashed attempt
+    val tombIds = tombstonesOf(spark, liveDir).map(_.select(col("doc_id")))
+    def dropDead(df: DataFrame): DataFrame =
+      tombIds.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    if (f.exists(new Path(s"$liveDir/postings")))
+      dropDead(spark.read.parquet(s"$liveDir/postings"))
+        .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
+        .agg(max(col("tf")).as("tf"))
+        .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+          col("bucket"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$newDir/postings")
+    if (f.exists(new Path(s"$liveDir/doclens/_SUCCESS")))
+      dropDead(spark.read.parquet(s"$liveDir/doclens")
+          .select(col("doc_id"), col("dl")).distinct())
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$newDir/doclens")
+    if (f.exists(new Path(s"$liveDir/tombstones/_SUCCESS")))
+      spark.read.parquet(s"$liveDir/tombstones")
+        .select(col("doc_id"), col("dl")).distinct()
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$newDir/tombstones")
+    readStats(spark, liveDir).foreach { case (wm, n, s) =>
+      writeStats(spark, newDir, wm, n, s)
+    }
+    graft.index.Generations.publish(spark, root, gen)
+    newDir
+  }
 }

@@ -423,6 +423,40 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The UPDATE certificate: revisions of vec_id % 17 = 0 landed via
+    // the composed primitives — delete the old id, re-append the
+    // revision under a fresh monotone id (the text_bm25_updated recipe
+    // on the vector tier). Content-identical revisions make the check
+    // sharp: an unmasked old id would tie its revision's score with a
+    // LOWER id and steal the rank — any leak hash-mismatches against
+    // the survivor∪revision ranking.
+    "g8_sql_sharded_updated" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "sharded_updated")
+      rs.sql(svRelationSql(K))
+    }),
+
+    // Serve-through-compaction, reader side: the registered index is
+    // the SUPERSEDED pre-compact generation — resolved before
+    // compactVersioned ran to completion and published its successor.
+    // Published generations are immutable and the grace window keeps
+    // the predecessor on disk through one flip, so the stale reader
+    // must still answer the exact survivor ranking (mask semantics,
+    // `_tombstones` intact in its own generation dir).
+    "g8_sql_sharded_grace" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "sharded_grace")
+      rs.sql(svRelationSql(K))
+    }),
+
+    // Serve-through-compaction, post-flip side: the freshly published
+    // generation — deltas folded, payloads zeroed, mask retired into
+    // per-shard dead sidecars — must answer the SAME survivor ranking
+    // through the routed machinery. Together with sharded_grace this
+    // hash-certifies both sides of the atomic pointer flip.
+    "g8_sql_versioned_live" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "versioned_live")
+      rs.sql(svRelationSql(K))
+    }),
+
     // And by the IVF-PQ tier: exact mode probes EVERY cell and keeps
     // every row (probe-parameter exhaustion is NOT corpus saturation —
     // the route saturates the generator itself), so the compressed
@@ -838,11 +872,15 @@ object AnnQueries extends QueryPack {
     }
     val emb = Tables.embeddings(rs, dir)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    tier match {
+    // the relation the statement scans — and the registration's rescore
+    // corpus; UPDATE certificates swap in the revised corpus so the
+    // rescore join sees the revision ids the index serves
+    val corpusDf = tier match {
       case "sharded" =>
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedHandles(rs, dir, 2), dim = dim,
           metricName = "cosine", searchL = 80)
+        emb
       case "sharded_deleted" =>
         // a FRESH index (the shared fixture handle serves the other
         // certificates and must never see these tombstones), takedown
@@ -852,17 +890,48 @@ object AnnQueries extends QueryPack {
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedDeletedHandles(rs, dir), dim = dim,
           metricName = "cosine", searchL = 80, name = "sharded_deleted")
+        emb
       case "sharded_purged" =>
         // the deleted fixture taken through compact: zeroed payloads,
         // retired mask, dead sidecars — the post-purge serving shape
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedPurgedHandles(rs, dir), dim = dim,
           metricName = "cosine", searchL = 80, name = "sharded_purged")
+        emb
+      case "sharded_updated" =>
+        // the UPDATE recipe on the vector tier: revisions landed as
+        // delete-old-id + re-append-under-fresh-monotone-id; the
+        // certificate session registers AND scans the revised corpus
+        val (ref, corpusPath) = IndexQueries.shardedUpdatedHandles(rs, dir)
+        val corpus = rs.read.parquet(corpusPath)
+        AnnIndexRegistry.registerSharded(corpus, "vec_id", "embedding",
+          ref, dim = dim, metricName = "cosine", searchL = 80,
+          name = "sharded_updated")
+        corpus
+      case "sharded_grace" =>
+        // serve-through-compaction, reader side: the registered ref is
+        // the SUPERSEDED pre-compact generation (mask semantics) after
+        // compactVersioned published its successor — a reader holding
+        // the pre-flip manifest must keep answering the exact survivor
+        // ranking from the intact grace generation
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedVersionedHandles(rs, dir)._1, dim = dim,
+          metricName = "cosine", searchL = 80, name = "sharded_grace")
+        emb
+      case "versioned_live" =>
+        // serve-through-compaction, post-flip side: the freshly
+        // published generation (mask retired into dead sidecars) must
+        // answer the same survivor ranking
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedVersionedHandles(rs, dir)._2, dim = dim,
+          metricName = "cosine", searchL = 80, name = "versioned_live")
+        emb
       case "ivfpq" =>
         val (path, centroids, cbs) = ivfPqIndex(rs, dir)
         AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
           AnnIndexRegistry.IvfPqEntry(path, emb, "vec_id", "embedding",
             centroids, cbs, "cosine", nProbe = 12, nCand = 250))
+        emb
       case "ivfpq_grown" =>
         // register over the HALF-built index, THEN append the second
         // half — the serving path reads build+append output, and the
@@ -873,9 +942,10 @@ object AnnQueries extends QueryPack {
             centroids, cbs, "cosine", nProbe = 12, nCand = 250),
           name = "ivfpq_grown")
         ivfPqGrownAppend(rs, dir, path, centroids, cbs, half)
+        emb
       case other => sys.error(s"no certificate setup for tier '$other'")
     }
-    emb.createOrReplaceTempView("graft_emb")
+    corpusDf.createOrReplaceTempView("graft_emb")
     Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .createOrReplaceTempView("graft_emb_queries")
@@ -1558,11 +1628,26 @@ object AnnQueries extends QueryPack {
   private lazy val g8DeletedOracle: String =
     g8SaturatedOracleOver("WHERE vec_id % 13 <> 0")
 
-  private def g8SaturatedOracleOver(docWhere: String): String = {
+  /** g8_sql_sharded_updated's oracle: the exhaustive ranking over the
+    * REVISED corpus — survivors plus the revisions re-appended under
+    * fresh monotone ids (old corpus size + dense rank over old-id
+    * order, the exact id mapping the fixture's appendDelta used). */
+  private lazy val g8UpdatedOracle: String = g8SaturatedOracleDocs(
+    """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT (SELECT count(*) FROM embeddings)
+      |           + row_number() OVER (ORDER BY vec_id) - 1 AS vec_id,
+      |         embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0""".stripMargin)
+
+  private def g8SaturatedOracleOver(docWhere: String): String =
+    g8SaturatedOracleDocs(s"SELECT * FROM embeddings $docWhere")
+
+  private def g8SaturatedOracleDocs(docsSql: String): String = {
     import VectorQueries.{C, NQ, K}
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
        |           FROM embeddings WHERE vec_id < ${NQ * C}),
-       |docs AS (SELECT * FROM embeddings $docWhere),
+       |docs AS ($docsSql),
        |scored AS (
        |  SELECT q.q_id, d.vec_id,
        |         ${dotSqlAB("q.q_vec", "d.embedding")} /
@@ -1785,6 +1870,9 @@ object AnnQueries extends QueryPack {
     // mask retirement must not change WHAT is answered, only how the
     // exclusion is enforced (dead sidecar filter instead of anti-join)
     "g8_sql_sharded_purged" -> g8DeletedOracle,
+    "g8_sql_sharded_updated" -> g8UpdatedOracle,
+    "g8_sql_sharded_grace" -> g8DeletedOracle,
+    "g8_sql_versioned_live" -> g8DeletedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
     "mm_media_features" -> mmOracle,

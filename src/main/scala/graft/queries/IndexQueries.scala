@@ -131,6 +131,81 @@ object IndexQueries extends QueryPack {
       purged
     })
 
+  /** One UPDATED sharded index per dir — the vector-tier twin of the
+    * text_bm25_updated recipe: revisions of `vec_id % 17 = 0` land by
+    * DELETING the old id and RE-APPENDING the revision under a fresh
+    * monotone id (old corpus size + dense rank over old-id order).
+    * Content-identical revisions keep the oracle derivable in SQL and
+    * make the certificate sharp: an unmasked old id would tie the
+    * revision's score with a LOWER id and steal its rank — any update
+    * leak hash-mismatches. Serves g8_sql_sharded_updated. */
+  private val shardedUpdatedCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (ShardedIndexRef, String)]()
+
+  /** Returns (grown ref, updated-corpus parquet path): the corpus path
+    * holds survivors ∪ revisions — the relation the certificate session
+    * registers AND queries, so the rescore join sees the revision ids
+    * the index serves. */
+  private[queries] def shardedUpdatedHandles(s: SparkSession, dir: String)
+      : (ShardedIndexRef, String) =
+    shardedUpdatedCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_updated_").toString
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val ref = ShardedIndex.buildPersisted(s, emb, FixtureParams, 2, path)
+      val old = emb.filter(col("vec_id") % 17 === 0)
+      require(ShardedIndex.deleteFromIndex(s, path,
+        old.select(col("vec_id").as("gid"))) > 0,
+        "updated-certificate fixture revised nothing")
+      import org.apache.spark.sql.expressions.Window
+      val revisions = old.select(
+        (lit(n) + row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("vec_id"),
+        col("embedding"))
+      val grown = ShardedIndex.appendDelta(s, revisions, ref, FixtureParams)
+      val corpusPath = s"$path/updated_corpus"
+      emb.filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(revisions)
+        .write.mode("overwrite").parquet(corpusPath)
+      (grown, corpusPath)
+    })
+
+  /** One generation-VERSIONED sharded index per dir, exercising the
+    * serve-through-compaction contract end to end: build gen0, delete
+    * the takedown tranche, resolve the PRE-compact manifest, then run
+    * [[ShardedIndex.compactVersioned]] to completion (gen1 published,
+    * gen0 retained as the grace generation). Returns BOTH refs:
+    * `_1` = the superseded pre-compact snapshot a still-running reader
+    * holds (mask semantics, serves g8_sql_sharded_grace), `_2` = the
+    * live post-flip generation (dead-sidecar semantics, serves
+    * g8_sql_versioned_live). Both must hash-match the same survivor
+    * oracle. */
+  private val shardedVersionedCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (ShardedIndexRef, ShardedIndexRef)]()
+
+  private[queries] def shardedVersionedHandles(s: SparkSession, dir: String)
+      : (ShardedIndexRef, ShardedIndexRef) =
+    shardedVersionedCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sharded_versioned_").toString
+      val emb = Tables.embeddings(s, dir)
+      ShardedIndex.buildVersioned(s, emb, FixtureParams, 2, root)
+      val tranche = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("gid"))
+      require(ShardedIndex.deleteVersioned(s, root, tranche) > 0,
+        "versioned-certificate fixture produced an empty tranche")
+      val pre = ShardedIndex.resolveVersioned(s, root, FixtureParams.metric)
+      val live = ShardedIndex.compactVersioned(s, root, FixtureParams)
+      require(pre.path == s"$root/gen0" && live.path == s"$root/gen1",
+        "versioned fixture did not flip generations")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(pre.path)),
+        "grace generation was retired at the first flip")
+      (pre, live)
+    })
+
   /** One delta-GROWN sharded index per dir — base built on the first 80%
     * of the corpus, the rest appended via [[ShardedIndex.appendDelta]]:
     * the daily-ingest lifecycle as a first-class query path. Same

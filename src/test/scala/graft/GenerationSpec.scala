@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.operators.InvertedIndex
+import graft.queries.IndexQueries
+
+/** Serve-through-compaction isolation: the generation-pointer MANIFEST
+  * ([[Generations]]) and the versioned sharded/inverted faces built on
+  * it. The production posture under test: a reader that resolved the
+  * manifest BEFORE a compaction completes correctly while (and after)
+  * that compaction runs to completion on the same index — published
+  * generations are immutable, the pointer flip is atomic, and the
+  * grace window keeps the predecessor on disk through one publish. */
+class GenerationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("manifest pointer: allocate, publish, retire, crash recovery") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_manifest_").toString
+    assert(Generations.live(spark, root + "/nope").isEmpty)
+    assert(Generations.next(spark, root) === (("gen0", s"$root/gen0")))
+    // publish refuses a generation that does not exist
+    intercept[IllegalArgumentException] {
+      Generations.publish(spark, root, "gen0")
+    }
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    mkGen("gen0")
+    Generations.publish(spark, root, "gen0")
+    assert(Generations.live(spark, root) === Some("gen0"))
+    assert(Generations.next(spark, root) === (("gen1", s"$root/gen1")))
+    // publish keeps {new, previous}: the grace generation survives one
+    // flip and is retired by the next
+    mkGen("gen1"); Generations.publish(spark, root, "gen1")
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    assert(exists("gen0") && exists("gen1"))
+    mkGen("gen2"); Generations.publish(spark, root, "gen2")
+    assert(!exists("gen0") && exists("gen1") && exists("gen2"))
+    assert(Generations.live(spark, root) === Some("gen2"))
+    // crashed publish, window 1: a GARBAGE next (partial write) is
+    // dropped and the old pointer keeps serving
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeNext(s: String): Unit = {
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/MANIFEST__next"), true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeNext("gen9")          // names a non-existent generation
+    assert(Generations.live(spark, root) === Some("gen2"))
+    assert(!exists("MANIFEST__next"))
+    // crashed publish, window 2: a VALID committed next is newer than
+    // the live pointer and wins, even with the live pointer deleted
+    mkGen("gen3"); writeNext("gen3")
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), false)
+    assert(Generations.live(spark, root) === Some("gen3"))
+    // a crashed compaction's partial dir never collides (monotone
+    // numbering) and is retired by the next successful publish
+    mkGen("gen4") // partial debris
+    assert(Generations.next(spark, root) === (("gen5", s"$root/gen5")))
+    mkGen("gen5"); Generations.publish(spark, root, "gen5")
+    assert(!exists("gen4") && exists("gen3") && exists("gen5"))
+  }
+
+  test("sharded face: a pre-compact reader serves through a concurrent compaction") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_sharded_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb.filter(col("vec_id") < 250),
+      IndexQueries.FixtureParams, nShards = 2, root)
+    ShardedIndex.appendVersioned(spark,
+      emb.filter(col("vec_id") >= 250), root, IndexQueries.FixtureParams)
+    val victims = Seq(5L, 260L) // one base gid, one delta gid
+    assert(ShardedIndex.deleteVersioned(spark, root, victims) === 2L)
+
+    val q = emb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def top10(r: ShardedIndexRef): Map[Long, Seq[Long]] =
+      ShardedIndex.searchSingleDf(spark, q, r, l = 600, k = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+        .toMap
+
+    // the reader resolves the PRE-compact manifest once
+    val r0 = ShardedIndex.resolveVersioned(spark, root, "cosine")
+    assert(r0.path === s"$root/gen0" && r0.nDeltas === 1)
+    val before = top10(r0)
+    assert(before.values.flatten.forall(d => !victims.contains(d)),
+      "mask did not hide the victims pre-compact")
+
+    // ... and keeps querying WHILE the compaction runs to completion
+    val readerResults =
+      new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, Seq[Long]]]
+    val readerErrors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() =>
+      try (1 to 3).foreach(_ => readerResults.add(top10(r0)))
+      catch { case t: Throwable => readerErrors.add(t) })
+    reader.start()
+    val r1 = ShardedIndex.compactVersioned(spark, root,
+      IndexQueries.FixtureParams)
+    reader.join(300000)
+    assert(readerErrors.isEmpty,
+      s"concurrent reader failed: ${readerErrors.peek()}")
+    readerResults.forEach(m => assert(m === before,
+      "concurrent reader diverged mid-compaction"))
+    assert(r1.path === s"$root/gen1" && r1.nDeltas === 0)
+
+    // the pre-compact snapshot still answers AFTER the flip (grace)
+    assert(top10(r0) === before,
+      "pre-compact reader broke after the pointer flip")
+    // the new generation serves the identical survivor results, with
+    // the mask fully retired into its dead sidecars
+    val live = ShardedIndex.resolveVersioned(spark, root, "cosine")
+    assert(live.path === s"$root/gen1")
+    assert(top10(live) === before, "compaction changed survivor results")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen1/_tombstones")))
+    assert(ShardedIndex.deletedFraction(spark, live) === 0.0)
+
+    // a second compaction retires gen0 (out of grace) and CARRIES the
+    // prior erasures forward through its sidecars
+    assert(ShardedIndex.deleteVersioned(spark, root, Seq(7L)) === 1L)
+    val expected = top10(live) // mask semantics on the live snapshot
+    val r2 = ShardedIndex.compactVersioned(spark, root,
+      IndexQueries.FixtureParams)
+    assert(r2.path === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen1")))
+    val after2 = top10(ShardedIndex.resolveVersioned(spark, root, "cosine"))
+    val gone = victims :+ 7L
+    assert(after2.values.flatten.forall(d => !gone.contains(d)),
+      "an erased id resurfaced after the second generation flip")
+    assert(after2 === expected,
+      "second-generation erasure diverged from mask semantics")
+  }
+
+  test("inverted face: a pre-compact reader serves through a concurrent compaction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_inv_").toString
+    val docs = (1L to 40L).map(i =>
+      (i, s"term${i % 7} term${i % 5} shared filler${i % 3}"))
+      .toDF("doc_id", "text")
+    InvertedIndex.buildVersioned(spark, docs, root)
+    InvertedIndex.appendVersioned(spark,
+      (41L to 60L).map(i => (i, s"term${i % 7} shared extra"))
+        .toDF("doc_id", "text"), root)
+    assert(InvertedIndex.deleteVersioned(spark, root,
+      Seq(3L, 45L)) === 2L)
+
+    val terms = Seq("term1", "shared")
+    def ranked(dir: String): Seq[(Long, Double)] =
+      InvertedIndex.bm25Query(spark, dir, terms, k = 15)
+        .select(col("doc_id"), round(col("score"), 6).as("s"))
+        .as[(Long, Double)].collect().toSeq.sortBy(t => (-t._2, t._1))
+
+    val d0 = InvertedIndex.resolveVersioned(spark, root)
+    assert(d0 === s"$root/gen0")
+    val before = ranked(d0)
+    assert(before.nonEmpty && !before.exists(r => Set(3L, 45L)(r._1)))
+
+    val readerResults =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Double)]]
+    val readerErrors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() =>
+      try (1 to 3).foreach(_ => readerResults.add(ranked(d0)))
+      catch { case t: Throwable => readerErrors.add(t) })
+    reader.start()
+    val d1 = InvertedIndex.compactVersioned(spark, root)
+    reader.join(300000)
+    assert(readerErrors.isEmpty,
+      s"concurrent reader failed: ${readerErrors.peek()}")
+    readerResults.forEach(r => assert(r === before,
+      "concurrent reader diverged mid-compaction"))
+
+    assert(d1 === s"$root/gen1")
+    assert(ranked(d0) === before, "pre-compact reader broke post-flip")
+    assert(ranked(InvertedIndex.resolveVersioned(spark, root)) === before,
+      "compaction changed BM25 results")
+    // the compacted generation physically erased the dead docs' content
+    assert(spark.read.parquet(s"$root/gen1/postings")
+      .filter(col("doc_id").isin(3L, 45L)).count() === 0L)
+    // second flip retires gen0; ingest + delete keep working on the
+    // live generation
+    InvertedIndex.appendVersioned(spark,
+      Seq((61L, "term1 shared tail")).toDF("doc_id", "text"), root)
+    assert(InvertedIndex.deleteVersioned(spark, root, Seq(8L)) === 1L)
+    val d2 = InvertedIndex.compactVersioned(spark, root)
+    assert(d2 === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    val after = ranked(InvertedIndex.resolveVersioned(spark, root))
+    assert(!after.exists(r => Set(3L, 45L, 8L)(r._1)))
+    assert(after.exists(_._1 == 61L), "post-flip ingest lost")
+  }
+}
