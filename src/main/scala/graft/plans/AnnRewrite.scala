@@ -194,13 +194,51 @@ object AnnIndexRegistry {
   private val tierEntries =
     new TrieMap[(String, String, String), Map[String, (String, CandidateTierEntry)]]
 
+  /** MEASURED coarse-stage cost per (key, tier name): EWMA of observed
+    * seconds-per-query for the tier's candidate generator, recorded by
+    * the instrumented wrappers [[registerTier]] installs. The static
+    * [[CandidateTierEntry.costHint]] is an a-priori bytes-fraction
+    * estimate; once every open competitor for a key has real
+    * measurements the chooser prefers those (same units, honestly
+    * comparable), so a mis-estimated hint cannot keep routing queries
+    * to the slower tier. Saturating certificate modes
+    * (`relation.exact` / `filtered.exact`) never record — their costs
+    * reflect saturation, not production probes. */
+  private val measuredCosts =
+    new TrieMap[((String, String, String), String), Double]
+
+  private[graft] def recordMeasuredCost(idCol: String, vecCol: String,
+                                        metric: String, tier: String,
+                                        secPerQuery: Double): Unit = {
+    val k = ((idCol, vecCol, metric), tier)
+    measuredCosts.updateWith(k) {
+      case Some(prev) => Some(0.7 * prev + 0.3 * secPerQuery) // EWMA
+      case None => Some(secPerQuery)
+    }
+  }
+
+  private[graft] def measuredCost(idCol: String, vecCol: String,
+                                  metric: String,
+                                  tier: String): Option[Double] =
+    measuredCosts.get(((idCol, vecCol, metric), tier))
+
+  private[graft] def clearMeasuredCosts(): Unit = measuredCosts.clear()
+
   /** Register a candidate tier over `corpus` (a bare scan) — same
     * fingerprint proof as [[register]], so only queries over THIS
     * relation route to it. Tiers accumulate per (idCol, vecCol,
     * metric); re-registering the same tier NAME replaces it. Selection:
     * `spark.graft.ann.tier` forces a name ("graph" forces the broadcast
     * graph; a name with no registration = no routing, exhaustive plan);
-    * otherwise the lowest [[CandidateTierEntry.costHint]] wins. */
+    * otherwise the lowest cost wins — measured ([[recordMeasuredCost]])
+    * once every competitor has one, [[CandidateTierEntry.costHint]]
+    * until then.
+    *
+    * The generator functions are INSTRUMENTED here: each invocation
+    * eagerly materializes the (bounded, output-sized) candidate set via
+    * localCheckpoint and records wall seconds per query — the coarse
+    * stage is exactly what the tiers compete on, while the rescoring
+    * join is shared by every route. */
   def registerTier(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                    vecCol: String, entry: CandidateTierEntry): Unit = {
     val fp = scanFingerprint(corpus.queryExecution.optimizedPlan).getOrElse(
@@ -208,15 +246,43 @@ object AnnIndexRegistry {
         "Filter/Join/expression-Project above the relation): " +
         corpus.queryExecution.optimizedPlan.nodeName))
     val key = (idCol, vecCol, entry.metricName)
+    def saturating(s: SparkSession): Boolean =
+      s.conf.getOption("spark.graft.ann.relation.exact")
+        .exists(_.toBoolean) ||
+      s.conf.getOption("spark.graft.ann.filtered.exact")
+        .exists(_.toBoolean)
+    def timed(s: SparkSession, nQueries: Int)(
+        body: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (saturating(s)) body
+      else {
+        val t0 = System.nanoTime()
+        val df = body.localCheckpoint(true)
+        recordMeasuredCost(idCol, vecCol, entry.metricName, entry.name,
+          (System.nanoTime() - t0) / 1e9 / math.max(nQueries, 1))
+        df
+      }
+    val instrumented = entry.copy(
+      candidates =
+        if (entry.candidates == null) null
+        else (s, qv, k) => timed(s, 1)(entry.candidates(s, qv, k)),
+      candidatesBatch =
+        if (entry.candidatesBatch == null) null
+        else (s, qs, k) =>
+          timed(s, qs.size)(entry.candidatesBatch(s, qs, k)))
     tierEntries.updateWith(key) {
-      case Some(m) => Some(m + (entry.name -> ((fp, entry))))
-      case None => Some(Map(entry.name -> ((fp, entry))))
+      case Some(m) => Some(m + (entry.name -> ((fp, instrumented))))
+      case None => Some(Map(entry.name -> ((fp, instrumented))))
     }
   }
 
   /** Pick among a key's registered tiers: the `preferred` name when
-    * given, else min (costHint, name). */
-  private def chooseTier(m: Map[String, (String, CandidateTierEntry)],
+    * given; else min measured cost when EVERY open competitor has a
+    * measurement (seconds are only comparable to seconds — one
+    * measured tier must not race its seconds against another's
+    * bytes-fraction estimate); else min (costHint, name). */
+  private def chooseTier(key: (String, String, String),
+                         m: Map[String, (String, CandidateTierEntry)],
                          preferred: Option[String])
       : Option[(String, CandidateTierEntry)] =
     preferred match {
@@ -230,7 +296,16 @@ object AnnIndexRegistry {
         // to unrelated queries
         val open = m.filterNot(_._2._2.certificateOnly)
         if (open.isEmpty) None
-        else Some(open.minBy { case (name, (_, e)) => (e.costHint, name) }._2)
+        else {
+          val measured = open.keysIterator
+            .map(n => n -> measuredCosts.get((key, n))).toMap
+          if (open.size > 1 && measured.valuesIterator.forall(_.isDefined))
+            Some(open.minBy { case (name, _) =>
+              (measured(name).get, name) }._2)
+          else
+            Some(open.minBy { case (name, (_, e)) =>
+              (e.costHint, name) }._2)
+        }
     }
 
   /** [[registerTier]] with the built-in IVF-PQ generator: candidates by
@@ -479,7 +554,7 @@ object AnnIndexRegistry {
       : Option[(String, CandidateTierEntry)] =
     routeMetrics(kind).iterator
       .flatMap(m => tierEntries.get((idCol, vecCol, m))
-        .flatMap(chooseTier(_, preferred)))
+        .flatMap(chooseTier((idCol, vecCol, m), _, preferred)))
       .nextOption()
 
   /** [[lookup]] plus the registered corpus fingerprint. */
@@ -498,7 +573,7 @@ object AnnIndexRegistry {
         byName <- tierEntries.get((idCol, vecCol, m))
         childFp <- scanFingerprint(child)
         // only tiers registered over THIS relation compete for the query
-        (_, entry) <- chooseTier(
+        (_, entry) <- chooseTier((idCol, vecCol, m),
           byName.filter { case (_, (fp, _)) => fp == childFp }, preferred)
       } yield entry
     }.nextOption()

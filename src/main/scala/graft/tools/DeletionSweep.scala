@@ -42,11 +42,13 @@ import graft.sources.Sinks
   * fresh-rebuild bound. Committed output: SWEEP_DELETION.tsv.
   *
   * Usage: `runMain graft.tools.DeletionSweep [sfDir] [fractions-csv]
-  * [budgets-csv] [outDir] [params]` — defaults /tmp/graft_sf1 (20k
-  * rows), 0.1,0.3,0.5, budgets 40,80,200, `fixture` knobs (`ref` =
-  * the reference's production 100/35/100 — graph degree must scale
-  * with the corpus, same argument as [[graft.Sweep]]).
-  */
+  * [budgets-csv] [outDir] [params] [nShards] [mode]` — defaults
+  * /tmp/graft_sf1 (20k rows), 0.1,0.3,0.5, budgets 40,80,200,
+  * `fixture` knobs (`ref` = the reference's production 100/35/100 —
+  * graph degree must scale with the corpus, same argument as
+  * [[graft.Sweep]]), 2 shards, mode `uniform`. Mode `skew` runs
+  * [[runSkewed]] instead: the fractions are then HOT-SHARD deleted
+  * fractions and the TSV gains global_frac + recall_hot columns. */
 object DeletionSweep {
   import VectorQueries.{C, K, NQ}
 
@@ -62,22 +64,36 @@ object DeletionSweep {
         mSq = 100, mPjbp = 35, lPjpq = 100)
       case _ => IndexQueries.FixtureParams
     }
+    val nShards = args.lift(5).map(_.toInt).getOrElse(2)
+    val mode = args.lift(6).getOrElse("uniform")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.graft.index.residentShards", "2")
+      .config("spark.graft.index.residentShards", nShards.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = run(spark, sfDir, fractions, budgets, params, nShards = 2)
-    println("frac\tstage\tbudget\trecall\tsearch_sec")
-    rows.foreach { case (f, st, b, r, t) =>
-      println(f"$f%.2f\t$st\t$b\t$r%.4f\t$t%.3f") }
-    outDir.foreach { dir =>
-      import spark.implicits._
-      Sinks.writeTsv(rows.toDF("frac", "stage", "budget", "recall",
-        "search_sec"), dir)
+    if (mode == "skew") {
+      val rows = runSkewed(spark, sfDir, fractions, budgets, params, nShards)
+      println("frac_hot\tglobal_frac\tstage\tbudget\trecall\trecall_hot\tsearch_sec")
+      rows.foreach { case (fh, fg, st, b, r, rh, t) =>
+        println(f"$fh%.2f\t$fg%.4f\t$st\t$b\t$r%.4f\t$rh%.4f\t$t%.3f") }
+      outDir.foreach { dir =>
+        import spark.implicits._
+        Sinks.writeTsv(rows.toDF("frac_hot", "global_frac", "stage",
+          "budget", "recall", "recall_hot", "search_sec"), dir)
+      }
+    } else {
+      val rows = run(spark, sfDir, fractions, budgets, params, nShards)
+      println("frac\tstage\tbudget\trecall\tsearch_sec")
+      rows.foreach { case (f, st, b, r, t) =>
+        println(f"$f%.2f\t$st\t$b\t$r%.4f\t$t%.3f") }
+      outDir.foreach { dir =>
+        import spark.implicits._
+        Sinks.writeTsv(rows.toDF("frac", "stage", "budget", "recall",
+          "search_sec"), dir)
+      }
     }
     spark.stop()
   }
@@ -165,6 +181,109 @@ object DeletionSweep {
     }
     ShardedIndex.resetResidencyTracking() // drop cached temp-dir shards
     out
+  }
+
+  /** Skewed-takedown twin of [[run]]: the tranche lands ENTIRELY in one
+    * shard — gid ≡ 0 (mod nShards), the stride class a single source /
+    * licensing bucket maps to under the strided layout — deleting
+    * `hotFrac` of that shard's rows while every sibling stays clean.
+    * The global deleted fraction is only hotFrac/nShards, which is the
+    * point: [[ShardedIndex.deletedFraction]]'s global trigger sleeps
+    * through a poisoned shard, and
+    * [[ShardedIndex.maxShardDeletedFraction]] (the per-shard trigger
+    * this sweep motivates, default-on in maybeCompact) does not.
+    *
+    * Each row reports overall survivor Recall@K AND `recall_hot`: the
+    * per-query top-K restricted to HOT-SHARD survivors against the
+    * exact hot-shard ranking — the number that shows whether the
+    * poisoned shard still serves its own survivors. Output tuple:
+    * (hotFrac, globalFrac, stage, budget, recall, recallHot,
+    * searchSec). */
+  def runSkewed(spark: SparkSession, sfDir: String,
+                hotFractions: Seq[Double], budgets: Seq[Int],
+                params: BuildParams, nShards: Int)
+      : Seq[(Double, Double, String, Int, Double, Double, Double)] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val total = emb.count()
+    val queries = emb.filter(col("vec_id") < NQ * C)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .localCheckpoint(true)
+    val basePath = java.nio.file.Files
+      .createTempDirectory("graft_delskew_base_").toString
+    ShardedIndex.buildPersisted(spark, emb, params, nShards, basePath)
+
+    def gtOf(survivors: DataFrame): DataFrame =
+      KnnJoin.bruteForce(queries,
+          survivors.select(col("vec_id").as("d_id"),
+            col("embedding").as("d_vec")), K, "cosine")
+        .groupBy(col("q_id").as("query_id"))
+        .agg(transform(array_sort(collect_list(struct(col("rank"),
+          col("d_id")))), x => x.getField("d_id")).as("gt_ids"))
+        .localCheckpoint(true)
+    def topkOf(hits: DataFrame): DataFrame =
+      TopK.perGroupAgg(hits, Seq(col("q_id")), col("score"),
+          col("d_id"), K, idName = "d_id")
+        .groupBy(col("q_id").as("query_id"))
+        .agg(transform(array_sort(collect_list(struct(col("rank"),
+          col("d_id")))), x => x.getField("d_id")).as("ids"))
+    def recallOf(res: DataFrame, gt: DataFrame): Double =
+      Recall.atK(res, gt, K).agg(avg(col("recall"))).first().getDouble(0)
+
+    hotFractions.flatMap { fh =>
+      val path = java.nio.file.Files
+        .createTempDirectory(f"graft_delskew_${(fh * 100).toInt}%d_")
+        .toString
+      copyDir(basePath, path)
+      val ref = ShardedIndexRef(path, nShards, params.metric)
+      val inHot = col("vec_id") % nShards === 0
+      val trancheCond = inHot &&
+        (expr(s"(vec_id div $nShards) % 100") < math.round(100 * fh))
+      val tranche = emb.filter(trancheCond).select(col("vec_id").as("gid"))
+      val nDeleted = ShardedIndex.deleteFromIndex(spark, path, tranche)
+      require(nDeleted > 0, s"skew tranche empty at hotFrac=$fh")
+      val globalFrac = nDeleted.toDouble / total
+      val survivors = emb.filter(!trancheCond).localCheckpoint(true)
+      val gt = gtOf(survivors)
+      val gtHot = gtOf(survivors.filter(inHot))
+
+      def rows(stage: String, r: ShardedIndexRef,
+               remap: DataFrame => DataFrame = identity)
+          : Seq[(Double, Double, String, Int, Double, Double, Double)] =
+        budgets.map { l =>
+          val t0 = System.nanoTime()
+          val hits = remap(ShardedIndex.searchSingleDf(spark, queries, r,
+              l = l, k = 4 * K)).localCheckpoint(true)
+          val searchSec = (System.nanoTime() - t0) / 1e9
+          val rec = recallOf(topkOf(hits), gt)
+          val recHot = recallOf(
+            topkOf(hits.filter(col("d_id") % nShards === 0)), gtHot)
+          (fh, globalFrac, stage, l, rec, recHot, searchSec)
+        }
+
+      val pre = rows("pre_compact", ref)
+      val refC = ShardedIndex.compact(spark, ref, params)
+      val post = rows("post_compact", refC)
+      val freshPath = java.nio.file.Files
+        .createTempDirectory(f"graft_delskew_fresh_${(fh * 100).toInt}%d_")
+        .toString
+      import org.apache.spark.sql.expressions.Window
+      val renum = survivors.withColumn("new_id",
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast("long"))
+        .localCheckpoint(true)
+      val freshRef = ShardedIndex.buildPersisted(spark,
+        renum.select(col("new_id").as("vec_id"), col("embedding")),
+        params, nShards, freshPath)
+      val mapping = broadcast(renum.select(col("new_id"), col("vec_id")))
+      val fresh = rows("fresh_rebuild", freshRef,
+        remap = hits => hits
+          .join(mapping, hits("d_id") === mapping("new_id"))
+          .select(col("q_id"), mapping("vec_id").as("d_id"), col("score")))
+      ShardedIndex.resetResidencyTracking()
+      pre ++ post ++ fresh
+    }
   }
 
   private def copyDir(src: String, dst: String): Unit = {

@@ -1420,6 +1420,50 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("tier chooser: measured coarse cost overrides the static hint once all competitors report") {
+    val q = ivfpqSetup // ivfpq tier on (vid, vec, ip)
+    import graft.operators.Sq8Ann
+    val corpus = spark.read.parquet("target/tmp/ann_ivfpq_corpus")
+    val d = corpus.select(col("vid").as("d_id"), col("vec").as("d_vec"))
+    val bounds = Sq8Ann.trainBounds(d)
+    val encoded = Sq8Ann.encode(d, bounds).cache()
+    encoded.count()
+    AnnIndexRegistry.registerSq8(corpus, "vid", "vec", encoded, bounds,
+      metricName = "ip", nCand = 60)
+    val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
+                    |FROM ivfpq_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    AnnIndexRegistry.clearMeasuredCosts()
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      // static hints: ivfpq ((nProbe/nlist)·nSub/(4·dim)) ≪ sq8 (0.25)
+      assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
+        "static-hint baseline did not pick ivfpq")
+      // a ONE-SIDED measurement must not flip the race: seconds are
+      // only comparable to seconds, never to a bytes-fraction hint
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", "ivfpq", 5.0)
+      assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
+        "a lone measurement was raced against a static hint")
+      // both competitors measured, ordering INVERTED vs the hints: the
+      // chooser must believe the measurements
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", "sq8", 0.01)
+      assert(routedTier(spark.sql(dotSql)) === Seq("sq8"),
+        "measured inversion did not flip the chooser")
+      // EWMA recovery: sustained fast ivfpq probes win the race back
+      (1 to 40).foreach(_ => AnnIndexRegistry
+        .recordMeasuredCost("vid", "vec", "ip", "ivfpq", 0.0001))
+      assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
+        "EWMA did not converge back to the faster tier")
+      // the measured-routed plan still answers with exact scores
+      assert(spark.sql(dotSql).collect().length === 10)
+      // ... and real executions feed the store (instrumented wrapper)
+      assert(AnnIndexRegistry.measuredCost("vid", "vec", "ip", "ivfpq")
+        .exists(_ > 0.0001), "execution did not record a measured cost")
+    } finally {
+      AnnIndexRegistry.clearMeasuredCosts()
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+    }
+  }
+
   test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
     setup
     import graft.operators.Sq8Ann

@@ -623,6 +623,31 @@ class IndexSpec extends AnyFunSuite {
       s"pre-compact recall ${byStage("pre_compact")} under the 0.85 bar")
   }
 
+  test("skewed deletion: hot-shard recall recovers post-compact to the fresh-rebuild bound") {
+    // The skewed-takedown posture (SWEEP_DELETION_SKEW.tsv at 10×/100×):
+    // with 80% of ONE shard deleted, the hot shard's pre-compact recall
+    // collapses (dead stubs crowd its beams) while the GLOBAL recall
+    // and deleted fraction both look healthy — the measured motivation
+    // for maybeCompact's per-shard trigger. Post-compact, the hot
+    // shard must recover to within ε of the fresh-rebuild bound.
+    val rows = graft.tools.DeletionSweep.runSkewed(spark, sfDir,
+      hotFractions = Seq(0.8), budgets = Seq(60),
+      IndexQueries.FixtureParams, nShards = 2)
+    val byStage = rows.map { case (_, _, st, _, r, rh, _) =>
+      st -> (r, rh) }.toMap
+    assert(byStage.keySet === Set("pre_compact", "post_compact",
+      "fresh_rebuild"))
+    val eps = 0.05
+    assert(byStage("post_compact")._2 >= byStage("fresh_rebuild")._2 - eps,
+      s"post-compact hot-shard recall ${byStage("post_compact")._2} fell " +
+        s"more than $eps under fresh-rebuild ${byStage("fresh_rebuild")._2}")
+    assert(byStage("post_compact")._2 >= 0.9,
+      s"post-compact hot-shard recall ${byStage("post_compact")._2} < 0.9")
+    // the global fraction under-reports the skew by construction
+    val globalFrac = rows.head._2
+    assert(globalFrac <= 0.45, s"skew fixture global fraction $globalFrac")
+  }
+
   test("autoShards, delta discovery, and the budget policy math") {
     import graft.index.BudgetPolicy
     // shard count holds SIZE fixed (the scale-with-corpus knob)

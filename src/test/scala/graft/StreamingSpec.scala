@@ -666,4 +666,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromIndex === inline,
       "index-served BM25 diverged from the inline computation")
   }
+
+  test("combined streaming face: serving stays exact while ingest and takedown land between micro-batches") {
+    import scala.jdk.CollectionConverters._
+    import graft.index.{GraphBuild, Metrics, ShardedIndex, ShardedIndexRef,
+      VectorStore}
+    import graft.queries.IndexQueries
+    // Each streaming face is certified alone; this drives all three AT
+    // ONCE on one persisted index: an online SERVING stream answers
+    // query micro-batches from the path-discovered ref (no
+    // re-registration, disk is the truth) while a delta-append and a
+    // takedown batch land through their own streams between the
+    // serving micro-batches — hit-for-hit parity with the exact
+    // survivor ranking at every step, replay converging to zero.
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_combined_").toString
+    var ref = ShardedIndex.buildPersisted(spark,
+      emb.filter(col("vec_id") < 400), IndexQueries.FixtureParams,
+      nShards = 2, path)
+
+    // serving stream: saturating budget so parity is exact equality
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    val qInput = MemoryStream[(Long, Seq[Float])](spark)
+    val serve = qInput.toDF().toDF("q_id", "q_vec")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val live = ShardedIndex.discover(spark,
+            ShardedIndexRef(path, 2, "cosine"))
+          ShardedIndex.searchSingleDf(spark,
+              batch.localCheckpoint(true), live, l = 600, k = 16)
+            .collect().foreach(r =>
+              results.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+      }.start()
+    // ingest stream: delta-appends, never compacts mid-test
+    val ingestInput = MemoryStream[(Long, Seq[Float])](spark)
+    val ingest = ingestInput.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ref = StreamingIngest.ingestVectorBatch(spark, batch, ref,
+          IndexQueries.FixtureParams, compactAt = 2.0)._1
+        ()
+      }.start()
+    // takedown stream: the deletion feed, reports audited
+    val reports = scala.collection.mutable.Buffer.empty[Map[String, Long]]
+    val takedownBody = StreamingIngest.takedownBatch(
+      shardedIndexPath = Some(path))
+    val tdInput = MemoryStream[Long](spark)
+    val takedown = tdInput.toDF().writeStream.outputMode("append")
+      .foreachBatch((ids: org.apache.spark.sql.DataFrame, bid: Long) =>
+        { reports += takedownBody(ids, bid); () })
+      .start()
+
+    val qRows = emb.filter(col("vec_id") % 50 === 3 && col("vec_id") < 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val deltaRows = emb
+      .filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val victims = Seq(7L, 103L, 420L) // two base gids, one delta gid
+    def serveBatch(rows: Seq[(Long, Seq[Float])]): Map[Long, Seq[Long]] = {
+      results.clear()
+      qInput.addData(rows)
+      serve.processAllAvailable()
+      results.asScala.toSeq.groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+        .toMap
+    }
+    def truth(docs: org.apache.spark.sql.DataFrame,
+              queries: Seq[(Long, Seq[Float])],
+              exclude: Set[Long]): Map[Long, Seq[Long]] = {
+      import spark.implicits._
+      val qDf = queries.toDF("q_id", "q_vec")
+      val vecsB = spark.sparkContext.broadcast(VectorStore.fromDf(
+        docs, "vec_id", "embedding", Metrics("cosine")))
+      val m = GraphBuild.exactKnn(spark, qDf, 13, vecsB, "cosine",
+        excludeSelf = false).as[(Long, Seq[Long])].collect().toMap
+      vecsB.destroy()
+      m.map { case (q, gt) => q -> gt.filterNot(exclude).take(10) }
+    }
+    try {
+      // stage 1: serve against the freshly built base
+      assert(serveBatch(qRows) ===
+        truth(emb.filter(col("vec_id") < 400), qRows, Set.empty),
+        "stage 1 (base) serving diverged from the exact ranking")
+      // stage 2: a delta lands between serving micro-batches; the next
+      // serving batch (same path, no re-registration) must see it —
+      // including a freshly ingested vector used AS a query
+      ingestInput.addData(deltaRows)
+      ingest.processAllAvailable()
+      assert(ref.nDeltas === 1)
+      val q2 = qRows :+ deltaRows.find(_._1 == 420L).get
+      assert(serveBatch(q2) ===
+        truth(emb.filter(col("vec_id") < 450), q2, Set.empty),
+        "stage 2 (post-ingest) serving diverged from the exact ranking")
+      // stage 3: a takedown batch lands; the next serving batch masks
+      // the victims (a victim used as a QUERY still gets answers)
+      tdInput.addData(victims)
+      takedown.processAllAvailable()
+      assert(reports.last === Map("sharded" -> victims.size.toLong))
+      assert(serveBatch(q2) ===
+        truth(emb.filter(col("vec_id") < 450), q2, victims.toSet),
+        "stage 3 (post-takedown) serving diverged from survivor ranking")
+      // stage 4: the at-least-once replay converges to zero and
+      // serving is unchanged
+      tdInput.addData(victims)
+      takedown.processAllAvailable()
+      assert(reports.last === Map("sharded" -> 0L))
+      assert(serveBatch(q2) ===
+        truth(emb.filter(col("vec_id") < 450), q2, victims.toSet),
+        "stage 4 (replayed takedown) changed the served results")
+    } finally { serve.stop(); ingest.stop(); takedown.stop() }
+  }
 }
