@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions.col
   * query DataFrame straight to the direct API would otherwise OOM the
   * driver inside collect. `spark.graft.ann.operator.maxQueries`
   * (default 100000, matching the relation route's cap) fails the call
-  * loudly instead; `take(cap+1)` (executeTake — incremental partition
-  * reads, no extra limit exchange in the plan) stops the job from
-  * materializing the overflow. */
+  * loudly instead.
+  *
+  * Enforcement is a column-pruned count() before the collect — two
+  * full-parallelism jobs. The r13 form used `take(cap+1)`
+  * (executeTake), whose incremental partition scaling (1, 4, 16, …
+  * partitions per step) costs up to ⌈log₄ P⌉ SEQUENTIAL mini-jobs on
+  * an ordinary sub-cap batch: ~5 scheduler round-trips per blocked
+  * slice at local[32]'s default parallelism, measurable on every
+  * certificate that drives the blocked IVF-PQ path. The count stops an
+  * over-cap job from materializing rows on the driver just as well,
+  * in constant job count. */
 object QueryBatchGuard {
 
   /** Collect `(q_id, q_vec)` rows, failing loudly past the cap. */
@@ -24,13 +32,14 @@ object QueryBatchGuard {
     import spark.implicits._
     val cap = spark.conf
       .get("spark.graft.ann.operator.maxQueries", "100000").toInt
-    val rows = queries.select(col("q_id"), col("q_vec"))
-      .as[(Long, Array[Float])].take(cap + 1)
-    require(rows.length <= cap,
-      s"query batch exceeds spark.graft.ann.operator.maxQueries=$cap — " +
-        "the direct operator API collects the query side; use the " +
-        "blocked driver (knnOverIndexBlocked / searchEncodedBlocked) " +
-        "or raise the cap")
-    rows
+    val ds = queries.select(col("q_id"), col("q_vec"))
+      .as[(Long, Array[Float])]
+    val n = ds.count() // column-pruned: counts rows, reads no vectors
+    require(n <= cap,
+      s"query batch of $n rows exceeds " +
+        s"spark.graft.ann.operator.maxQueries=$cap — the direct " +
+        "operator API collects the query side; use the blocked driver " +
+        "(knnOverIndexBlocked / searchEncodedBlocked) or raise the cap")
+    ds.collect()
   }
 }

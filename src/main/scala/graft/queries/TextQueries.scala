@@ -801,9 +801,15 @@ object TextQueries extends QueryPack {
     // decomposed cumsum equals the global one exactly.
     "pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE tokenize pass: `t` feeds BOTH the in-bucket cumsum and the
+      // bucket-total aggregate, and without materialization each branch
+      // re-scans the text and re-tokenizes (the r14 plan audit showed
+      // two FileScan+split+filter pipelines). The checkpointed
+      // projection is 24 B/doc — corpus metadata, never the text.
       val t = docs(s, dir).select(col("doc_id"),
         size(tokensCol).cast("long").as("n_tokens"),
         expr("doc_id div 256").as("bucket"))
+        .localCheckpoint(true)
       val wIn = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val withCum = t.withColumn("in_cum", sum("n_tokens").over(wIn))

@@ -48,7 +48,9 @@ object PlanDump {
       "text_bm25_indexed" -> "index-served BM25 after postings compaction: bucket-pruned postings scan (PartitionFilters), stats from the sidecar, shared bm25Rank tail",
       "text_bm25_deleted" -> "deletion lifecycle serving: bucket-pruned postings scan, broadcast tombstone anti-join, gross-stats-minus-tombstones constants, shared bm25Rank tail",
       "knn_sql_filtered_sharded_exact" -> "filtered route on the sharded tier in exact mode: the exactness backstop scores the FULL filtered scan (pushed predicate, no generator candidates can claim saturation), exact by construction",
-      "takedown_lifecycle" -> "streaming-face takedown: delta-ingested sharded index, broadcast tombstone anti-join after the per-shard union, exact survivor ranking (broadcast queries x survivor scan, bounded heap)")
+      "takedown_lifecycle" -> "streaming-face takedown: delta-ingested sharded index, broadcast tombstone anti-join after the per-shard union, exact survivor ranking (broadcast queries x survivor scan, bounded heap)",
+      "pack_sequences" -> "two-level packing cumsum: per-bucket window (parallel), broadcast 256-row offset table, no global window until the recursion's tiny top",
+      "g8_sql_versioned_live" -> "serve-through-compaction, post-flip: the freshly published generation through the routed relation shape — per-shard beams, dead-sidecar emission filter, exact rescore, rank window")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.PlanDump at sf0.01)\n")
     picks.foreach { case (name, note) =>
