@@ -37,11 +37,18 @@ import org.apache.spark.sql.functions.col
   * at its next entry, and [[graft.operators.InvertedIndex
   * .recoverCompact]]-style recovery tolerates the lost rename race
   * between two concurrent RECOVERERS), but reader-vs-compactor
-  * concurrency is out of contract by design: a serving deployment
-  * runs compaction in the maintenance window or against a quiesced
-  * replica, the same discipline as any segment-merging index
-  * (Lucene-style merges hold this via reference-counted readers —
-  * a posture these parquet-dir indexes deliberately do not pay for). */
+  * concurrency is out of contract FOR THE IN-PLACE FACES: a batch
+  * pipeline runs these compactions in the maintenance window or
+  * against a quiesced replica, the same discipline as any
+  * segment-merging index. A deployment that must SERVE THROUGH a
+  * compaction uses the generation-versioned faces instead
+  * ([[graft.index.Generations]]; `ShardedIndex.compactVersioned`,
+  * `InvertedIndex.compactVersioned`): published generations are
+  * immutable, the compactor builds the successor read-only and flips
+  * a MANIFEST pointer atomically, and grace-window retirement keeps
+  * the predecessor on disk through one flip — readers need no
+  * coordination at all. Writers stay single-writer among themselves
+  * in both postures. */
 object Tombstones {
 
   private def hp(dir: String) = new org.apache.hadoop.fs.Path(dir)
