@@ -1066,6 +1066,25 @@ object ShardedIndex {
     Generations.liveDir(spark, root)
       .map(deleteFromIndex(spark, _, idsDf)).getOrElse(0L)
 
+  /** [[maybeCompact]]'s versioned twin: compact into a new generation
+    * iff the LIVE generation's deltas or (global / per-shard) deleted
+    * fractions cross their thresholds — the triggers a serving
+    * deployment polls from its maintenance loop, with readers never
+    * paused. Returns the live ref either way. */
+  def maybeCompactVersioned(spark: SparkSession, root: String,
+                            params: BuildParams,
+                            maxDeltaFrac: Double = 0.2,
+                            maxDeletedFrac: Double = 0.2,
+                            maxShardDeletedFrac: Double = 0.2)
+      : ShardedIndexRef = {
+    val live = resolveVersioned(spark, root, params.metric)
+    if ((live.nDeltas > 0 && deltaFraction(spark, live) > maxDeltaFrac) ||
+        deletedFraction(spark, live) > maxDeletedFrac ||
+        maxShardDeletedFraction(spark, live) > maxShardDeletedFrac)
+      compactVersioned(spark, root, params)
+    else live
+  }
+
   /** Serve-through-compaction purge: fold the live generation's deltas
     * and erase its tombstoned payloads into a NEW generation, publish
     * the pointer, retire out-of-grace generations. The live generation

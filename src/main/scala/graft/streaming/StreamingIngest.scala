@@ -280,7 +280,9 @@ object StreamingIngest {
                     cellIndexPath: Option[String] = None,
                     shardedIndexPath: Option[String] = None,
                     ivfPqIndexPath: Option[String] = None,
-                    sq8IndexPath: Option[String] = None)
+                    sq8IndexPath: Option[String] = None,
+                    shardedVersionedRoot: Option[String] = None,
+                    invertedVersionedRoot: Option[String] = None)
       : (DataFrame, Long) => Map[String, Long] = { (ids, _) =>
     val spark = ids.sparkSession
     // EXACTLY one column, by contract: silently picking columns.head
@@ -310,7 +312,18 @@ object StreamingIngest {
         ivfPqIndexPath.map(p => "ivfpq" ->
           graft.operators.IvfPq.deleteFromIndex(spark, p, as("d_id"))),
         sq8IndexPath.map(p => "sq8" ->
-          graft.operators.Sq8Ann.deleteFromIndex(spark, p, as("d_id")))
+          graft.operators.Sq8Ann.deleteFromIndex(spark, p, as("d_id"))),
+        // generation-versioned serving faces: the tombstone lands in
+        // the LIVE generation (manifest-resolved per batch — a feed
+        // registered before a compaction keeps working after the
+        // pointer flip; the deletes-during-compact window stays the
+        // writers' single-writer contract)
+        shardedVersionedRoot.map(r => "sharded_versioned" ->
+          graft.index.ShardedIndex.deleteVersioned(spark, r, as("gid"))),
+        invertedVersionedRoot.map(r => "inverted_versioned" ->
+          graft.operators.InvertedIndex.deleteDocs(spark,
+            graft.operators.InvertedIndex.resolveVersioned(spark, r),
+            as("doc_id")))
       ).flatten.toMap
     } finally docIds.unpersist(false)
   }

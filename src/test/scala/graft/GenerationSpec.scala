@@ -126,11 +126,16 @@ class GenerationSpec extends AnyFunSuite {
     assert(ShardedIndex.deletedFraction(spark, live) === 0.0)
 
     // a second compaction retires gen0 (out of grace) and CARRIES the
-    // prior erasures forward through its sidecars
+    // prior erasures forward through its sidecars. Driven through the
+    // maintenance-loop trigger: below threshold = same live ref, no
+    // new generation; above = versioned compact.
     assert(ShardedIndex.deleteVersioned(spark, root, Seq(7L)) === 1L)
     val expected = top10(live) // mask semantics on the live snapshot
-    val r2 = ShardedIndex.compactVersioned(spark, root,
-      IndexQueries.FixtureParams)
+    assert(ShardedIndex.maybeCompactVersioned(spark, root,
+      IndexQueries.FixtureParams) === live,
+      "trigger fired below every threshold")
+    val r2 = ShardedIndex.maybeCompactVersioned(spark, root,
+      IndexQueries.FixtureParams, maxDeletedFrac = 0.001)
     assert(r2.path === s"$root/gen2")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/gen0")),
