@@ -525,6 +525,19 @@ object AnnQueries extends QueryPack {
       rs.sql(mvRelationSql("graft_mv_sets_satsh", K))
     }),
 
+    // The FLAGSHIP through a generation flip: the registered mv tier
+    // is the SUPERSEDED pre-compact generation of a versioned index
+    // (gen0 + its growth delta, resolved before compactVersioned
+    // published gen1). The grace generation is immutable and covers
+    // the full corpus, so at per-shard saturating budget the stale
+    // reader's routed answer must STILL be hash-identical to the
+    // fullscan chamfer ranking — serve-through-compaction certified on
+    // the reference's primary query shape, not just single-vector.
+    "g9_sql_versioned_grace" -> ((s, dir) => {
+      val rs = mvSqlSetup(s, dir)
+      rs.sql(mvRelationSql("graft_mv_sets_satvg", K))
+    }),
+
     // The A2 scorer (ColBERT MaxSim) through the SAME relation route —
     // `graft_maxsim_score` in the rank window instead of chamfer: the
     // matched function selects the rescorer, the candidate beam search
@@ -1035,7 +1048,7 @@ object AnnQueries extends QueryPack {
     * Cache invariant as [[ivfPqCache]]: paths and broadcasts only.
     * Returns the routed session statements should run in. */
   private val mvSqlCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, String,
+    String, (String, String, String, String,
       org.apache.spark.broadcast.Broadcast[graft.index.CsrGraph],
       org.apache.spark.broadcast.Broadcast[graft.index.VectorStore],
       String, Int)]()
@@ -1051,7 +1064,7 @@ object AnnQueries extends QueryPack {
       cls.experimental.extraStrategies =
         cls.experimental.extraStrategies :+ AnnStrategy
     }
-    val (path, satPath, satShPath, graphB, vecsB, metric, dim) =
+    val (path, satPath, satShPath, satVgPath, graphB, vecsB, metric, dim) =
       mvSqlCache.computeIfAbsent(dir, _ => {
         val e = Tables.embeddings(rs, dir)
         val sets = e.select((col("vec_id") / C).cast("long").as("dset_id"),
@@ -1063,19 +1076,21 @@ object AnnQueries extends QueryPack {
         val tmp = java.nio.file.Files.createTempDirectory("graft_mv_sets_")
         val sat = java.nio.file.Files.createTempDirectory("graft_mv_sat_")
         val satSh = java.nio.file.Files.createTempDirectory("graft_mv_satsh_")
+        val satVg = java.nio.file.Files.createTempDirectory("graft_mv_satvg_")
         sys.addShutdownHook {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          Seq(tmp, sat, satSh).foreach(d =>
+          Seq(tmp, sat, satSh, satVg).foreach(d =>
             Files.walk(d).sorted(Comparator.reverseOrder[Path]())
               .forEach(p => Files.deleteIfExists(p)))
         }
         sets.write.mode("overwrite").parquet(tmp.toString)
         sets.write.mode("overwrite").parquet(sat.toString)
         sets.write.mode("overwrite").parquet(satSh.toString)
+        sets.write.mode("overwrite").parquet(satVg.toString)
         val idx = graft.index.GraphBuild.build(rs, e, e,
           IndexQueries.FixtureParams)
-        (tmp.toString, sat.toString, satSh.toString,
+        (tmp.toString, sat.toString, satSh.toString, satVg.toString,
           rs.sparkContext.broadcast(idx.graph),
           rs.sparkContext.broadcast(idx.vecs), idx.params.metric,
           idx.vecs.dim)
@@ -1105,6 +1120,18 @@ object AnnQueries extends QueryPack {
     AnnIndexRegistry.registerMvSharded(satShSets, "dset_id", "vec_set",
       IndexQueries.shardedHandles(rs, dir, 2), C, dim,
       budget = 2 * vecsB.value.n, name = "mv_sharded_sat")
+    // serve-through-compaction GRACE twin on the flagship: the
+    // registered ref is the SUPERSEDED pre-compact generation (gen0 +
+    // its delta) of a versioned index whose compactVersioned already
+    // published gen1 — a reader that resolved the pre-flip manifest.
+    // The grace generation covers the full corpus, so the same
+    // per-shard saturating budget must reproduce the same fullscan
+    // chamfer ranking.
+    val satVgSets = rs.read.parquet(satVgPath)
+    satVgSets.createOrReplaceTempView("graft_mv_sets_satvg")
+    AnnIndexRegistry.registerMvSharded(satVgSets, "dset_id", "vec_set",
+      IndexQueries.shardedVersionedGrownHandles(rs, dir), C, dim,
+      budget = 2 * vecsB.value.n, name = "mv_versioned_grace")
     // the query-set relation: the fixture's NQ query sets, grouped in
     // sub order — any subplan works on the query side (no fingerprint)
     Tables.embeddings(rs, dir).filter(col("vec_id") < NQ * C)

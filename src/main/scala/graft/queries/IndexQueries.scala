@@ -206,6 +206,38 @@ object IndexQueries extends QueryPack {
       (pre, live)
     })
 
+  /** One GROWTH-ONLY versioned sharded index per dir — gen0 built on
+    * the first 80%, the rest appended as gen0's delta, then
+    * [[ShardedIndex.compactVersioned]] published gen1. Returns the
+    * SUPERSEDED pre-compact ref (gen0 + its delta — the grace
+    * generation a reader that resolved the pre-flip manifest still
+    * holds): it covers the FULL corpus, so at saturating budget it
+    * must reproduce the standard exhaustive oracles. Serves the mv
+    * flagship's serve-through-compaction certificate
+    * (g9_sql_versioned_grace). */
+  private val shardedVersionedGrownCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardedIndexRef]()
+
+  private[queries] def shardedVersionedGrownHandles(s: SparkSession,
+                                                    dir: String)
+      : ShardedIndexRef =
+    shardedVersionedGrownCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sharded_vgrown_").toString
+      val e = Tables.embeddings(s, dir)
+      val cut = e.count() * 4 / 5
+      ShardedIndex.buildVersioned(s, e.filter(col("vec_id") < cut),
+        FixtureParams, nShards = 2, root)
+      ShardedIndex.appendVersioned(s, e.filter(col("vec_id") >= cut),
+        root, FixtureParams)
+      val pre = ShardedIndex.resolveVersioned(s, root, FixtureParams.metric)
+      val live = ShardedIndex.compactVersioned(s, root, FixtureParams)
+      require(pre.path == s"$root/gen0" && pre.nDeltas == 1 &&
+        live.path == s"$root/gen1",
+        "versioned grown fixture did not flip generations")
+      pre
+    })
+
   /** One delta-GROWN sharded index per dir — base built on the first 80%
     * of the corpus, the rest appended via [[ShardedIndex.appendDelta]]:
     * the daily-ingest lifecycle as a first-class query path. Same

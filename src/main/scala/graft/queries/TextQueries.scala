@@ -1309,6 +1309,40 @@ object TextQueries extends QueryPack {
       InvertedIndex.bm25Query(s, idx, HybridTerms, k = 20)
     }),
 
+    // Serve-through-compaction on the LEXICAL face: a versioned
+    // inverted index (graft.index.Generations) ingests two batches,
+    // takes a tranche down, and compactVersioned publishes the folded
+    // successor WITHOUT touching the live generation — a reader that
+    // resolved the PRE-flip manifest keeps answering from the intact
+    // grace generation. Both paths — the stale (grace) reader and the
+    // post-flip live one — must hash-equal BM25 recomputed from
+    // scratch over the survivors; the query asserts their row-for-row
+    // equality and returns the grace reader's answer (the distinctive
+    // path the in-place compaction cannot serve).
+    "text_bm25_versioned" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val d = docs(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_invidx_vers_").toString
+      val half = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+      InvertedIndex.buildVersioned(s, d.filter(col("doc_id") <= half), root)
+      InvertedIndex.appendVersioned(s, d.filter(col("doc_id") > half), root)
+      InvertedIndex.deleteDocs(s, InvertedIndex.resolveVersioned(s, root),
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"))
+      val pre = InvertedIndex.resolveVersioned(s, root) // gen0
+      InvertedIndex.compactVersioned(s, root)           // gen1 published
+      val stale = InvertedIndex.bm25Query(s, pre, HybridTerms, k = 20)
+      val live = InvertedIndex.bm25QueryVersioned(s, root, HybridTerms,
+        k = 20)
+      val a = stale.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val b = live.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      require(a == b,
+        "grace-generation BM25 diverged from the post-flip generation")
+      stale
+    }),
+
     // The UPDATE recipe, certified end-to-end: an index has no
     // in-place rewrite — a document REVISION is `delete old id +
     // append the new text under a fresh monotone id` (the posture
@@ -1523,6 +1557,14 @@ object TextQueries extends QueryPack {
     * the ranked ids happen to agree). */
   private lazy val bm25DeletedOracle: String = bm25QueryOracleOver(
     "documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0")
+
+  /** text_bm25_versioned's oracle: BM25 from scratch over the
+    * survivors of the single takedown tranche — served identically by
+    * the grace generation (mask semantics) and the post-flip
+    * generation (content erased); the query itself asserts the two
+    * paths agree. */
+  private lazy val bm25VersionedOracle: String = bm25QueryOracleOver(
+    "documents WHERE doc_id % 13 <> 0")
 
   /** text_bm25_updated's oracle: BM25 from scratch over the
     * POST-UPDATE corpus — survivors verbatim, the revised tranche
@@ -2007,6 +2049,7 @@ object TextQueries extends QueryPack {
       "text_bm25_indexed" -> bm25QueryOracle,
       "text_bm25_deleted" -> bm25DeletedOracle,
       "text_bm25_updated" -> bm25UpdatedOracle,
+      "text_bm25_versioned" -> bm25VersionedOracle,
       "mix_temperature" ->
         s"""WITH per AS (
            |  SELECT source, count(*) AS n_docs,

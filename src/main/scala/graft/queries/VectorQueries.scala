@@ -475,6 +475,13 @@ object VectorQueries extends QueryPack {
     // saturating budget — same exhaustive oracle
     "g9_sql_sharded_saturated" ->
       s"""$chamferRankedCtes
+         |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin,
+    // g9_sql_versioned_grace (defined in AnnQueries): the same
+    // statement answered by the SUPERSEDED pre-compact generation of a
+    // versioned sharded index (grace reader) — the grace generation
+    // covers the full corpus, so the oracle is unchanged
+    "g9_sql_versioned_grace" ->
+      s"""$chamferRankedCtes
          |SELECT qset_id, dset_id, round(score, 6) AS score FROM ranked WHERE rank <= $K""".stripMargin
   )
 
