@@ -167,11 +167,18 @@ object TextQueries extends QueryPack {
         org.apache.spark.sql.functions.size(col("toks")).cast("long"))
     val docStats = t.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("sum_dl"))
+    // materialized ONCE: bm25Rank consumes tf twice (df aggregate +
+    // scoring join), and an un-materialized tf re-tokenizes the whole
+    // corpus per consumer (the r14 plan audit counted 9 tokenize
+    // pipelines in text_bm25_query). The relation is bounded — matched
+    // postings only, ≤ docs × |query terms| rows of ids and counts —
+    // so the eager checkpoint is corpus-metadata-sized at any scale.
     val tf = t.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
       .join(broadcast(terms.select(col("term"))), Seq("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint(true)
     bm25Rank(tf, docStats, k)
   }
 
@@ -186,6 +193,13 @@ object TextQueries extends QueryPack {
     * from the hash-green inline formula. */
   private[graft] def bm25Rank(tf: DataFrame, docStats: DataFrame,
                               k: Int): DataFrame = {
+    // `tf` feeds BOTH the df aggregate and the scoring join, so its
+    // upstream chain runs twice. The INLINE caller materializes its tf
+    // before handing it over (re-deriving there re-TOKENIZES the
+    // corpus); the index path deliberately does not — its upstream is
+    // the bucket-PRUNED postings scan (cheap by construction), and
+    // keeping it in this plan is what lets the serving-scan pruning be
+    // asserted on the returned DataFrame (InvertedIndexSpec).
     val df = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(df), Seq("term"))
@@ -1063,9 +1077,19 @@ object TextQueries extends QueryPack {
     // stage and the corpus is scanned once per shingle consumer instead
     // of once per stage boundary.
     "pipeline_curate" -> ((s, dir) => {
+      // ONE tokenize pass for the whole DAG: `base` feeds the quality
+      // filter, both shingle consumers (near-dup pairs + decontam), the
+      // mixing stage, and the packing windows — un-materialized, each
+      // branch re-scanned the text and re-tokenized (the r14 plan audit
+      // counted 7 corpus scans / 18 tokenize pipelines). The staged
+      // tokenized projection is the same discipline the inverted-index
+      // ingest uses (tokenize once, every consumer reads the
+      // projection); at 100 TB one disk-backed materialization beats
+      // seven corpus re-reads outright.
       val base = docs(s, dir).select(col("doc_id"), col("lang"),
           tokensCol.as("toks"))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .localCheckpoint(true)
       val qual = base.filter(col("n_tokens") >= 20)
       val train = qual.filter(col("doc_id") % 17 =!= 0)
       // near-dup clusters over the train slice (dup-insensitive MinHash:
