@@ -294,6 +294,9 @@ object TextQueries extends QueryPack {
   def dupSpanStrip(docsDf: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
+    // materialized ONCE: consumed by the per-gram doc counts AND the
+    // interval join — un-materialized, the tokenize + positioned
+    // 8-gram md5 pipeline (the dominant cost) runs per consumer
     val withPos = t.select(col("doc_id"), explode(
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
@@ -303,6 +306,7 @@ object TextQueries extends QueryPack {
           .otherwise(array().cast("array<struct<s:bigint,g:string>>")))
         .as("pg"))
       .select(col("doc_id"), col("pg.s").as("s"), col("pg.g").as("g"))
+      .localCheckpoint(true)
     val dc = withPos.groupBy("g").agg(countDistinct("doc_id").as("n_docs"))
     val iv = withPos.join(dc, "g").filter(col("n_docs") >= 2)
       .select(col("doc_id"), col("s"), (col("s") + n).as("e"))
@@ -915,6 +919,9 @@ object TextQueries extends QueryPack {
     // raw spans.
     "text_dup_spans" -> ((s, dir) => {
       val n = 8
+      // materialized ONCE: the gram relation feeds both the per-gram
+      // doc counts and the per-doc join, and the tokenize + 8-gram md5
+      // pipeline (the dominant cost) would otherwise run per consumer
       val grams = docs(s, dir).select(col("doc_id"), tokensCol.as("toks"))
         .select(col("doc_id"), explode(
           when(size(col("toks")) >= n,
@@ -922,6 +929,7 @@ object TextQueries extends QueryPack {
               i => md5(concat_ws(" ", (0 until n).map(j =>
                 element_at(col("toks"), i + j + 1)): _*))))
             .otherwise(typedLit(Seq.empty[String]))).as("g"))
+        .localCheckpoint(true)
       val docCounts = grams.groupBy("g")
         .agg(countDistinct("doc_id").as("n_docs"))
       val perDoc = grams.join(docCounts, "g")
