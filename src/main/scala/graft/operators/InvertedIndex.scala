@@ -488,6 +488,50 @@ object InvertedIndex {
                          terms: Seq[String], k: Int = 20): DataFrame =
     bm25Query(spark, resolveVersioned(spark, root), terms, k)
 
+  /** Deleted-doc fraction of the LIVE generation (tombstoned docs over
+    * gross ingested docs) — the versioned maintenance trigger's input.
+    * Constant-time: gross count from the `_stats` sidecar, tombstones
+    * from one tiny distinct scan. */
+  def deletedFractionVersioned(spark: SparkSession, root: String): Double = {
+    val liveDir = resolveVersioned(spark, root)
+    readStats(spark, liveDir) match {
+      case None => 0.0
+      case Some((_, nGross, _)) if nGross > 0 =>
+        tombstonesOf(spark, liveDir)
+          .map(_.count().toDouble / nGross).getOrElse(0.0)
+      case _ => 0.0
+    }
+  }
+
+  /** [[ShardedIndex.maybeCompactVersioned]]'s lexical twin: fold into
+    * a new generation iff the live generation's deleted-doc fraction
+    * crosses `maxDeletedFrac` OR its postings have accumulated more
+    * than `maxPostingsFiles` append files (the small-file pressure the
+    * in-place compaction sizes by too) — readers never paused. Returns
+    * the live generation dir either way. */
+  def maybeCompactVersioned(spark: SparkSession, root: String,
+                            maxDeletedFrac: Double = 0.2,
+                            maxPostingsFiles: Int = 4 * NumBuckets): String = {
+    val liveDir = resolveVersioned(spark, root)
+    val f = fs(spark, root)
+    def postingsFiles(): Int = {
+      val p = new Path(s"$liveDir/postings")
+      if (!f.exists(p)) 0
+      else {
+        val it = f.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    }
+    if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
+        postingsFiles() > maxPostingsFiles)
+      compactVersioned(spark, root)
+    else liveDir
+  }
+
   /** Serve-through-compaction fold: write the compacted postings
     * (dead content erased, replay duplicates folded, one sorted file
     * per bucket), folded doclens, distinct tombstones, and the

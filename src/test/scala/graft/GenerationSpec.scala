@@ -197,11 +197,15 @@ class GenerationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/gen1/postings")
       .filter(col("doc_id").isin(3L, 45L)).count() === 0L)
     // second flip retires gen0; ingest + delete keep working on the
-    // live generation
+    // live generation, and the maintenance trigger drives the fold:
+    // below threshold = same live dir, above = a new generation
     InvertedIndex.appendVersioned(spark,
       Seq((61L, "term1 shared tail")).toDF("doc_id", "text"), root)
     assert(InvertedIndex.deleteVersioned(spark, root, Seq(8L)) === 1L)
-    val d2 = InvertedIndex.compactVersioned(spark, root)
+    assert(InvertedIndex.maybeCompactVersioned(spark, root) === d1,
+      "lexical trigger fired below both thresholds")
+    val d2 = InvertedIndex.maybeCompactVersioned(spark, root,
+      maxDeletedFrac = 0.001)
     assert(d2 === s"$root/gen2")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/gen0")),
