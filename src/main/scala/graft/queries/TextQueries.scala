@@ -161,10 +161,15 @@ object TextQueries extends QueryPack {
     * (a double sum over a groupBy would be order-dependent and flaky).
     * Reference scope: retrieval scoring is the engine's text-side
     * addition; the reference is vector-only (SURVEY §2). */
-  def bm25(docsDf: DataFrame, terms: DataFrame, k: Int = 20): DataFrame = {
-    val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
-      .withColumn("dl",
-        org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+  def bm25(docsDf: DataFrame, terms: DataFrame, k: Int = 20): DataFrame =
+    bm25Tokenized(tokenizedOf(docsDf), terms, k)
+
+  /** [[bm25]] from an already-tokenized `(doc_id, toks, dl)` projection
+    * ([[tokenizedOf]] shape) — callers holding a materialized tokenize
+    * pass (the hybrid arms, any multi-consumer pipeline stage) feed it
+    * here instead of paying the tokenizer again. */
+  private[graft] def bm25Tokenized(t: DataFrame, terms: DataFrame,
+                                   k: Int): DataFrame = {
     val docStats = t.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("sum_dl"))
     // materialized ONCE: bm25Rank consumes tf twice (df aggregate +
@@ -271,9 +276,13 @@ object TextQueries extends QueryPack {
     import graft.operators.HybridRetrieval
     import s.implicits._
     val terms = HybridTerms.toDF("term")
-    val lex = bm25(docs(s, dir), terms, k = 50)
-    val docToks = docs(s, dir)
-      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    // ONE tokenize pass for BOTH arms: the checkpointed (doc_id, toks,
+    // dl) projection feeds the BM25 corpus stats + matched postings AND
+    // the hash-embedding arm's token explode — un-materialized, the
+    // r14 plan audit counted 10 tokenize pipelines in hybrid_rrf
+    val t = tokenizedOf(docs(s, dir)).localCheckpoint(true)
+    val lex = bm25Tokenized(t, terms, k = 50)
+    val docToks = t.select(col("doc_id"), explode(col("toks")).as("tok"))
     val qToks = terms.select(lit(0L).as("qid"), col("term").as("tok"))
     val dv = HybridRetrieval.hashEmbed(docToks)
     val qv = HybridRetrieval.hashEmbed(qToks, idCol = "qid")
