@@ -1075,13 +1075,19 @@ object ShardedIndex {
                             params: BuildParams,
                             maxDeltaFrac: Double = 0.2,
                             maxDeletedFrac: Double = 0.2,
-                            maxShardDeletedFrac: Double = 0.2)
+                            maxShardDeletedFrac: Double = 0.2,
+                            targetShardRows: Long = 0)
       : ShardedIndexRef = {
     val live = resolveVersioned(spark, root, params.metric)
+    // the re-shard trigger: growth has pushed the live per-shard size
+    // past the target enough that autoShards asks for more shards
+    val reshard = targetShardRows > 0 &&
+      autoShards(totalRows(spark, live), targetShardRows) != live.nShards
     if ((live.nDeltas > 0 && deltaFraction(spark, live) > maxDeltaFrac) ||
         deletedFraction(spark, live) > maxDeletedFrac ||
-        maxShardDeletedFraction(spark, live) > maxShardDeletedFrac)
-      compactVersioned(spark, root, params)
+        maxShardDeletedFraction(spark, live) > maxShardDeletedFrac ||
+        reshard)
+      compactVersioned(spark, root, params, targetShardRows)
     else live
   }
 
@@ -1094,13 +1100,29 @@ object ShardedIndex {
     * retired by the eventual successful publish. Semantics equal
     * [[compact]] + full retirement: the new generation starts with an
     * empty mask, all erased ids (this purge's and every prior one's)
-    * covered by its per-shard `dead` sidecars. */
+    * covered by its per-shard `dead` sidecars.
+    *
+    * `targetShardRows > 0` additionally RE-SHARDS: the successor's
+    * shard count comes from [[autoShards]] over the live row count —
+    * the knob that holds per-shard SIZE fixed as delta-ingest grows
+    * the corpus. The in-place [[compact]] cannot change shard count
+    * for a serving index (readers would race the re-stripe); the
+    * generation flip is exactly where a re-shard belongs: the strided
+    * gid contract is re-derived from scratch by the rebuild, the dead
+    * set re-maps to the new (shard, local) split through the same
+    * sidecar writer, and readers never pause. */
   def compactVersioned(spark: SparkSession, root: String,
-                       params: BuildParams): ShardedIndexRef = {
+                       params: BuildParams,
+                       targetShardRows: Long = 0): ShardedIndexRef = {
     import spark.implicits._
     val live = resolveVersioned(spark, root, params.metric)
     val tomb = tombstonesDf(spark, live.path)
-    if (live.nDeltas == 0 && tomb.isEmpty) return live
+    val nShardsNew =
+      if (targetShardRows > 0)
+        autoShards(totalRows(spark, live), targetShardRows)
+      else live.nShards
+    if (live.nDeltas == 0 && tomb.isEmpty && nShardsNew == live.nShards)
+      return live
     val (gen, newDir) = Generations.next(spark, root)
     val base = (0 until live.nShards).map { s =>
       spark.read.parquet(s"${shardDir(live, s)}/vectors")
@@ -1126,7 +1148,7 @@ object ShardedIndex {
         .select(col("vec_id"),
           when(col("_dead"), transform(col("embedding"), _ => lit(0.0f)))
             .otherwise(col("embedding")).as("embedding"))
-    val newRef = buildPersistedImpl(spark, zeroed, params, live.nShards,
+    val newRef = buildPersistedImpl(spark, zeroed, params, nShardsNew,
       newDir, clearTombstones = true)
     // the successor's dead set = every prior generation's sidecars
     // (carried forward — their payloads are already zeroed in the live

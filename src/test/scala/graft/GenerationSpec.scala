@@ -150,6 +150,58 @@ class GenerationSpec extends AnyFunSuite {
       "second-generation erasure diverged from mask semantics")
   }
 
+  test("versioned re-shard: growth changes the shard count through the flip; erasures carry") {
+    // Delta-ingest grows the corpus past the per-shard size target; the
+    // in-place compact cannot change shard count for a serving index
+    // (readers would race the re-stripe), so the generation flip is
+    // where the re-shard happens: autoShards picks the new count, the
+    // rebuild re-derives the strided gid contract from scratch, the
+    // dead set re-maps to the new (shard, local) split, readers hold
+    // the grace generation.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 400)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_reshard_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb.filter(col("vec_id") < 200),
+      IndexQueries.FixtureParams, nShards = 2, root)
+    ShardedIndex.appendVersioned(spark,
+      emb.filter(col("vec_id") >= 200), root, IndexQueries.FixtureParams)
+    val victims = Seq(11L, 230L)
+    assert(ShardedIndex.deleteVersioned(spark, root, victims) === 2L)
+    val q = emb.filter(col("vec_id") % 40 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def top10(r: ShardedIndexRef): Map[Long, Seq[Long]] =
+      ShardedIndex.searchSingleDf(spark, q, r, l = 800, k = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+        .toMap
+    val pre = ShardedIndex.resolveVersioned(spark, root, "cosine")
+    val before = top10(pre)
+    // below the growth trigger: 400 rows / target 100 = 4 != 2 → fires
+    val grown = ShardedIndex.maybeCompactVersioned(spark, root,
+      IndexQueries.FixtureParams, maxDeltaFrac = 10, maxDeletedFrac = 10,
+      maxShardDeletedFrac = 10, targetShardRows = 100)
+    assert(grown.path === s"$root/gen1" && grown.nShards === 4,
+      s"re-shard produced ${grown.nShards} shards at ${grown.path}")
+    assert(grown.nDeltas === 0)
+    // identical survivor results across the re-shard; grace intact
+    assert(top10(grown) === before, "re-shard changed survivor results")
+    assert(top10(pre) === before, "grace generation broke across re-shard")
+    // erasures carried: mask retired, victims held out by the re-mapped
+    // dead sidecars alone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${grown.path}/_tombstones")))
+    val served = ShardedIndex.searchSingleDf(spark, q, grown, l = 800,
+      k = 16).select("d_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!served.contains(_)),
+      "an erased id resurfaced after the re-shard")
+    // stable at the new layout: the trigger is quiet on a re-resolve
+    assert(ShardedIndex.maybeCompactVersioned(spark, root,
+      IndexQueries.FixtureParams, maxDeltaFrac = 10, maxDeletedFrac = 10,
+      maxShardDeletedFrac = 10, targetShardRows = 100) === grown)
+  }
+
   test("inverted face: a pre-compact reader serves through a concurrent compaction") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_gen_inv_").toString
