@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Generation-pointer MANIFEST — serve-through-compaction isolation
@@ -22,74 +22,105 @@ import org.apache.spark.sql.SparkSession
   *  - `<root>/gen<k>/` — one COMPLETE index per generation. A
   *    generation is immutable once published; a compaction builds its
   *    successor in `gen<k+1>` reading `gen<k>` strictly read-only.
-  *  - `<root>/MANIFEST` — one tiny file naming the live generation.
-  *    Readers resolve it ONCE per query and then touch only that
-  *    generation's files; the pointer flip is one atomic rename, so a
-  *    reader sees entirely-old or entirely-new, never a mix.
-  *  - Retirement keeps the published generation AND its predecessor
-  *    (the GRACE generation a reader holding the pre-publish manifest
-  *    may still be scanning); everything older — including partial
-  *    dirs from crashed compaction attempts — is deleted at publish.
+  *  - `<root>/MANIFEST` — one tiny file whose FIRST line names the
+  *    live generation and whose remaining lines are the retained
+  *    predecessor history, newest first (the grace set). Readers
+  *    resolve it ONCE per query and then touch only that generation's
+  *    files; the pointer flip is one atomic rename-over, so a reader
+  *    sees entirely-old or entirely-new, never a mix.
+  *  - Retirement keeps exactly the generations the manifest lists
+  *    (live + `keepGens` predecessors); everything else — including
+  *    partial dirs from crashed compaction attempts, which never
+  *    entered a manifest — is deleted at publish. Listing the grace
+  *    set IN the manifest (rather than inferring "the newest older
+  *    dir") is what keeps a crashed attempt's half-written dir from
+  *    ever being mistaken for a grace generation.
   *
   * Guarantee: a reader that resolved the manifest before a publish
-  * completes correctly through ONE concurrent compaction. A query
-  * slow enough to span TWO compactions needs an external gate
-  * (refcount/lease) on retirement — out of scope here, the grace
-  * window is the standing production posture.
+  * completes correctly through `keepGens` concurrent compactions
+  * (default 1). A query slower than that needs a deeper `keepGens` —
+  * size it to (longest analytical scan) / (maintenance period) — or
+  * an external reader lease; the retained-history manifest is the
+  * mechanism either policy plugs into.
   *
-  * Writers stay single-writer among THEMSELVES (append/delete/compact
-  * mutually excluded — a delete landing mid-compaction would mask ids
-  * in the generation about to be retired); the manifest removes only
-  * the reader-vs-compactor restriction, which is the one that matters
-  * for serving.
+  * ==Reader/writer concurrency==
+  * Readers are STRICTLY READ-ONLY: [[live]] never deletes or renames
+  * anything. A valid committed `MANIFEST__next` (it names an existing
+  * generation dir) is by construction newer than the `MANIFEST`
+  * pointer, so readers prefer its content — a publish that crashed
+  * between commit and promote therefore already serves the new
+  * generation, with no reader ever mutating shared state (two
+  * concurrent mutating recoverers could otherwise interleave their
+  * delete+rename pairs and leave NO manifest at all — the round-14
+  * ADVICE race). Only [[publish]] — on the single writer — promotes
+  * the committed next, via one atomic rename-over.
+  *
+  * ==Writer mutual exclusion==
+  * Append/delete/compact stay single-writer among themselves (a
+  * delete landing mid-compaction would mask ids in the generation
+  * about to be retired). That contract is ENFORCED, best-effort, by
+  * [[withWriterLease]]: a create-if-absent `_writer.lock` under the
+  * root, taken by every versioned writer face around its whole
+  * operation, released on completion, breakable after
+  * `spark.graft.gen.leaseTimeoutMs` (default 10 min) so a crashed
+  * holder cannot wedge maintenance forever. A second writer fails
+  * LOUDLY at entry instead of corrupting silently; readers never
+  * touch the lock.
   */
 object Generations {
 
   private val ManifestName = "MANIFEST"
   private val NextName = "MANIFEST__next"
+  private val NextTmpName = "MANIFEST__next.tmp"
+  private val LockName = "_writer.lock"
   private val GenRe = "gen(\\d+)".r
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readFile(f: FileSystem, p: Path): Option[String] =
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-      catch { case scala.util.control.NonFatal(_) => None }
-      finally in.close()
-    }
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString)
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Recover a [[publish]] that crashed between writing `MANIFEST__next`
-    * and promoting it. A VALID committed next (names an existing gen
-    * dir) is newer than the live pointer, so it wins; a garbage next (a
-    * crash mid-write left a partial/empty file) is dropped and the old
-    * pointer keeps serving. Idempotent; tolerates the lost rename race
-    * between two concurrent recoverers. */
-  private def recover(f: FileSystem, root: String): Unit = {
-    val next = new Path(s"$root/$NextName")
-    if (!f.exists(next)) return
-    val valid = readFile(f, next).exists(g =>
-      g.matches("gen\\d+") && f.exists(new Path(s"$root/$g")))
-    val live = new Path(s"$root/$ManifestName")
-    if (!valid) { f.delete(next, false); return }
-    if (f.exists(live)) f.delete(live, false)
-    if (!f.rename(next, live))
-      require(f.exists(live),
-        s"manifest recover: cannot promote ${next.toString}")
+  /** Parse a manifest body: line 1 = live generation, rest = retained
+    * predecessors (newest first). Single-name files from earlier
+    * versions parse as a history of one. Garbage lines drop out. */
+  private def parseManifest(s: String): Seq[String] =
+    s.split("\n").iterator.map(_.trim)
+      .filter(_.matches("gen\\d+")).distinct.toSeq
+
+  /** The committed-next content when VALID (its live generation dir
+    * exists on disk), else None. A partial/garbage next — a crash
+    * mid-write — parses to nothing or names a missing dir and is
+    * simply ignored; the old pointer keeps serving. */
+  private def validNext(f: FileSystem, root: String): Option[Seq[String]] =
+    readFile(f, new Path(s"$root/$NextName")).map(parseManifest)
+      .filter(gens => gens.headOption.exists(g =>
+        f.exists(new Path(s"$root/$g"))))
+
+  /** The effective manifest — live generation first, then the grace
+    * history. READ-ONLY: a valid committed `MANIFEST__next` is newer
+    * than the `MANIFEST` pointer and wins (a publish crash between
+    * commit and promote already serves the successor); readers never
+    * promote, delete, or rename — see the concurrency note above. */
+  def manifest(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) return Seq.empty
+    validNext(f, root).getOrElse(
+      readFile(f, new Path(s"$root/$ManifestName"))
+        .map(parseManifest).getOrElse(Seq.empty))
   }
 
   /** Live generation name (e.g. "gen3"), or None before the first
-    * publish. Runs crash recovery — every read path heals a stranded
-    * pointer swap. */
-  def live(spark: SparkSession, root: String): Option[String] = {
-    val f = fs(spark, root)
-    if (!f.exists(new Path(root))) return None
-    recover(f, root)
-    readFile(f, new Path(s"$root/$ManifestName"))
-      .filter(_.matches("gen\\d+"))
-  }
+    * publish. */
+  def live(spark: SparkSession, root: String): Option[String] =
+    manifest(spark, root).headOption
 
   /** Live generation DIRECTORY, or None before the first publish. */
   def liveDir(spark: SparkSession, root: String): Option[String] =
@@ -113,26 +144,117 @@ object Generations {
     (name, s"$root/$name")
   }
 
+  /** One ATOMIC rename of `src` onto `dst`, replacing it. Local
+    * filesystems go through `java.nio` ATOMIC_MOVE (POSIX rename(2)
+    * replaces the destination in one step); everything else through
+    * [[FileContext]] with `Options.Rename.OVERWRITE` (atomic on HDFS).
+    * Never delete-then-rename: that two-step form has a window with NO
+    * manifest, which a reader's open() can land in. */
+  private def renameOver(f: FileSystem, spark: SparkSession,
+                         src: Path, dst: Path): Unit =
+    if (f.getScheme == "file") {
+      val s = java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath)
+      val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+      java.nio.file.Files.move(s, d,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else
+      FileContext.getFileContext(f.getUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(src, dst, Options.Rename.OVERWRITE)
+
+  /** Writer-side recovery: promote a stranded VALID committed next
+    * (crash between commit and promote) onto the manifest in one
+    * atomic rename-over; drop a garbage next. Runs only under the
+    * single-writer contract — readers handle the same window
+    * read-only via [[validNext]]. */
+  private def recoverWriter(f: FileSystem, spark: SparkSession,
+                            root: String): Unit = {
+    val next = new Path(s"$root/$NextName")
+    if (!f.exists(next)) return
+    if (validNext(f, root).isDefined)
+      renameOver(f, spark, next, new Path(s"$root/$ManifestName"))
+    else f.delete(next, false)
+  }
+
   /** Atomically point the manifest at `gen` (which must be a complete,
-    * committed generation), then retire every other generation dir
-    * EXCEPT the immediately-previous live one — the grace generation.
-    * Crash anywhere: either the old pointer still serves, or the
-    * committed next is promoted by the next read. */
-  def publish(spark: SparkSession, root: String, gen: String): Unit = {
+    * committed generation), then retire every generation dir the new
+    * manifest does not list. The new manifest lists `gen` plus its
+    * `keepGens` most recent PUBLISHED predecessors — the grace set a
+    * reader holding an older manifest may still be scanning
+    * (`keepGens < 0` reads `spark.graft.gen.keepGens`, default 1).
+    * Crash anywhere: either the old manifest still serves, or the
+    * committed next is already preferred by readers and promoted by
+    * the next publish. */
+  def publish(spark: SparkSession, root: String, gen: String,
+              keepGens: Int = -1): Unit = {
     require(gen.matches("gen\\d+"), s"bad generation name: $gen")
     val f = fs(spark, root)
     require(f.exists(new Path(s"$root/$gen")),
       s"publish: generation dir $root/$gen does not exist")
-    val prev = live(spark, root) // also recovers a stranded swap
+    val keep =
+      if (keepGens >= 0) keepGens
+      else spark.conf.get("spark.graft.gen.keepGens", "1").toInt
+    recoverWriter(f, spark, root) // heal a crashed prior publish first
+    val prior = readFile(f, new Path(s"$root/$ManifestName"))
+      .map(parseManifest).getOrElse(Seq.empty)
+    val entries = gen +: prior.filterNot(_ == gen).take(keep)
+    // commit the new manifest content atomically: full write to a tmp,
+    // one rename-over to the committed-next name, one rename-over to
+    // the live name — readers can never observe a partial body
+    val tmp = new Path(s"$root/$NextTmpName")
+    val out = f.create(tmp, true)
+    try out.write(entries.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     val next = new Path(s"$root/$NextName")
-    val out = f.create(next, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    recover(f, root) // promote: the atomic pointer flip
-    val keep = Set(gen) ++ prev
+    renameOver(f, spark, tmp, next)
+    renameOver(f, spark, next, new Path(s"$root/$ManifestName"))
+    val keepSet = entries.toSet
     f.listStatus(new Path(root)).foreach { st =>
       val nm = st.getPath.getName
-      if (st.isDirectory && nm.matches("gen\\d+") && !keep.contains(nm))
+      if (st.isDirectory && nm.matches("gen\\d+") && !keepSet.contains(nm))
         f.delete(st.getPath, true)
     }
+  }
+
+  /** Run `body` holding the root's writer lease — the loud-failure
+    * enforcement of the single-writer contract every versioned face's
+    * append/delete/compact wraps itself in. Best-effort by design
+    * (create-if-absent is the strongest primitive a plain filesystem
+    * offers): a misconfigured second maintenance loop, or an ingest
+    * stream racing a compaction, now fails AT ENTRY with the holder's
+    * identity instead of silently corrupting the index. A lease older
+    * than `spark.graft.gen.leaseTimeoutMs` (default 600000) is broken
+    * — a crashed holder must not wedge maintenance forever; size the
+    * timeout above the longest legitimate compaction. Readers never
+    * touch the lock. Re-entrant holds are a caller bug (the faces
+    * acquire only at their public entry points). */
+  def withWriterLease[T](spark: SparkSession, root: String,
+                         what: String)(body: => T): T = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val lock = new Path(s"$root/$LockName")
+    val timeoutMs = spark.conf
+      .get("spark.graft.gen.leaseTimeoutMs", "600000").toLong
+    val now = System.currentTimeMillis()
+    if (f.exists(lock) &&
+        now - f.getFileStatus(lock).getModificationTime > timeoutMs)
+      f.delete(lock, false) // stale: holder crashed without release
+    val out =
+      try f.create(lock, false) // create-if-absent: fails when held
+      catch {
+        case e: java.io.IOException =>
+          val holder = readFile(f, lock).getOrElse("<unreadable>")
+          throw new IllegalStateException(
+            s"writer lease at $root is held ($holder) — versioned " +
+            "writers are single-writer: stop the other " +
+            "append/delete/compact loop, or raise " +
+            "spark.graft.gen.leaseTimeoutMs if its holder crashed", e)
+      }
+    try out.write(s"$what pid=${ProcessHandle.current.pid} t=$now"
+      .getBytes("UTF-8"))
+    finally out.close()
+    try body
+    finally f.delete(lock, false)
   }
 }

@@ -1022,12 +1022,13 @@ object ShardedIndex {
     * publish the manifest. */
   def buildVersioned(spark: SparkSession, emb: DataFrame,
                      params: BuildParams, nShards: Int,
-                     root: String): ShardedIndexRef = {
-    val (gen, dir) = Generations.next(spark, root)
-    val ref = buildPersisted(spark, emb, params, nShards, dir)
-    Generations.publish(spark, root, gen)
-    ref
-  }
+                     root: String): ShardedIndexRef =
+    Generations.withWriterLease(spark, root, "sharded.build") {
+      val (gen, dir) = Generations.next(spark, root)
+      val ref = buildPersisted(spark, emb, params, nShards, dir)
+      Generations.publish(spark, root, gen)
+      ref
+    }
 
   /** Resolve the live generation into an ordinary ref (delta discovery
     * included). The ref names an immutable PUBLISHED snapshot:
@@ -1051,20 +1052,26 @@ object ShardedIndex {
     * single-writer contract unchanged). */
   def appendVersioned(spark: SparkSession, delta: DataFrame, root: String,
                       params: BuildParams): ShardedIndexRef =
-    appendDelta(spark, delta,
-      resolveVersioned(spark, root, params.metric), params)
+    Generations.withWriterLease(spark, root, "sharded.append") {
+      appendDelta(spark, delta,
+        resolveVersioned(spark, root, params.metric), params)
+    }
 
   /** [[deleteFromIndex]] against the live generation (writer face). */
   def deleteVersioned(spark: SparkSession, root: String,
                       gids: Seq[Long]): Long =
-    Generations.liveDir(spark, root)
-      .map(deleteFromIndex(spark, _, gids)).getOrElse(0L)
+    Generations.withWriterLease(spark, root, "sharded.delete") {
+      Generations.liveDir(spark, root)
+        .map(deleteFromIndex(spark, _, gids)).getOrElse(0L)
+    }
 
   /** [[deleteVersioned]] for an id RELATION (`gid` column). */
   def deleteVersioned(spark: SparkSession, root: String,
                       idsDf: DataFrame): Long =
-    Generations.liveDir(spark, root)
-      .map(deleteFromIndex(spark, _, idsDf)).getOrElse(0L)
+    Generations.withWriterLease(spark, root, "sharded.delete") {
+      Generations.liveDir(spark, root)
+        .map(deleteFromIndex(spark, _, idsDf)).getOrElse(0L)
+    }
 
   /** [[maybeCompact]]'s versioned twin: compact into a new generation
     * iff the LIVE generation's deltas or (global / per-shard) deleted
@@ -1113,7 +1120,14 @@ object ShardedIndex {
     * sidecar writer, and readers never pause. */
   def compactVersioned(spark: SparkSession, root: String,
                        params: BuildParams,
-                       targetShardRows: Long = 0): ShardedIndexRef = {
+                       targetShardRows: Long = 0): ShardedIndexRef =
+    Generations.withWriterLease(spark, root, "sharded.compact") {
+      compactVersionedLocked(spark, root, params, targetShardRows)
+    }
+
+  private def compactVersionedLocked(spark: SparkSession, root: String,
+                                     params: BuildParams,
+                                     targetShardRows: Long): ShardedIndexRef = {
     import spark.implicits._
     val live = resolveVersioned(spark, root, params.metric)
     val tomb = tombstonesDf(spark, live.path)

@@ -459,12 +459,13 @@ object InvertedIndex {
   /** Ingest the first batch as generation 0 under `root` and publish
     * the manifest. Returns the live generation dir. */
   def buildVersioned(spark: SparkSession, docsDf: DataFrame,
-                     root: String): String = {
-    val (gen, dir) = graft.index.Generations.next(spark, root)
-    append(spark, docsDf, dir)
-    graft.index.Generations.publish(spark, root, gen)
-    dir
-  }
+                     root: String): String =
+    graft.index.Generations.withWriterLease(spark, root, "inv.build") {
+      val (gen, dir) = graft.index.Generations.next(spark, root)
+      append(spark, docsDf, dir)
+      graft.index.Generations.publish(spark, root, gen)
+      dir
+    }
 
   /** The live generation dir — the path readers hand to [[bm25Query]].
     * A published generation is immutable, so a query against this path
@@ -478,27 +479,49 @@ object InvertedIndex {
     * generation (writer faces keep the single-writer contract). */
   def appendVersioned(spark: SparkSession, docsDf: DataFrame,
                       root: String): Unit =
-    append(spark, docsDf, resolveVersioned(spark, root))
+    graft.index.Generations.withWriterLease(spark, root, "inv.append") {
+      append(spark, docsDf, resolveVersioned(spark, root))
+    }
 
   def deleteVersioned(spark: SparkSession, root: String,
                       ids: Seq[Long]): Long =
-    deleteDocs(spark, resolveVersioned(spark, root), ids)
+    graft.index.Generations.withWriterLease(spark, root, "inv.delete") {
+      deleteDocs(spark, resolveVersioned(spark, root), ids)
+    }
 
   def bm25QueryVersioned(spark: SparkSession, root: String,
                          terms: Seq[String], k: Int = 20): DataFrame =
     bm25Query(spark, resolveVersioned(spark, root), terms, k)
 
-  /** Deleted-doc fraction of the LIVE generation (tombstoned docs over
-    * gross ingested docs) — the versioned maintenance trigger's input.
-    * Constant-time: gross count from the `_stats` sidecar, tombstones
-    * from one tiny distinct scan. */
+  /** UN-ERASED deleted-doc fraction of the LIVE generation — the
+    * versioned maintenance trigger's input. The numerator counts only
+    * tombstones whose doclens rows still EXIST (a semi-join against
+    * the doclens table): [[compactVersionedLocked]] carries the
+    * tombstone set forward (the gross `_stats` is never rewritten, so
+    * live constants subtract them forever) while dropping the dead
+    * docs' doclens rows, so a raw `tombstones.count / nGross` would be
+    * IDENTICAL before and after the fold — once over threshold, every
+    * maintenance poll would rewrite the whole index forever. The
+    * semi-join count is exactly "what a compaction would still
+    * erase": 0 right after a fold, so the trigger re-arms. Cost: one
+    * small join of the 16 B/doc sidecar tables. */
   def deletedFractionVersioned(spark: SparkSession, root: String): Double = {
     val liveDir = resolveVersioned(spark, root)
     readStats(spark, liveDir) match {
       case None => 0.0
       case Some((_, nGross, _)) if nGross > 0 =>
-        tombstonesOf(spark, liveDir)
-          .map(_.count().toDouble / nGross).getOrElse(0.0)
+        tombstonesOf(spark, liveDir) match {
+          case None => 0.0
+          case Some(t) =>
+            val f = fs(spark, liveDir)
+            val unErased =
+              if (!f.exists(new Path(s"$liveDir/doclens/_SUCCESS")))
+                t.count() // legacy index: nothing erased yet
+              else t.join(spark.read.parquet(s"$liveDir/doclens")
+                    .select(col("doc_id")),
+                  Seq("doc_id"), "left_semi").count()
+            unErased.toDouble / nGross
+        }
       case _ => 0.0
     }
   }
@@ -542,7 +565,13 @@ object InvertedIndex {
     * successful publish. Query results are identical before and after
     * (compaction only erases content the tombstone anti-join already
     * hides). */
-  def compactVersioned(spark: SparkSession, root: String): String = {
+  def compactVersioned(spark: SparkSession, root: String): String =
+    graft.index.Generations.withWriterLease(spark, root, "inv.compact") {
+      compactVersionedLocked(spark, root)
+    }
+
+  private def compactVersionedLocked(spark: SparkSession,
+                                     root: String): String = {
     val liveDir = resolveVersioned(spark, root)
     val (gen, newDir) = graft.index.Generations.next(spark, root)
     val f = fs(spark, root)
@@ -560,11 +589,23 @@ object InvertedIndex {
         .sortWithinPartitions("bucket", "term", "doc_id")
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$newDir/postings")
-    if (f.exists(new Path(s"$liveDir/doclens/_SUCCESS")))
-      dropDead(spark.read.parquet(s"$liveDir/doclens")
+    if (f.exists(new Path(s"$liveDir/doclens/_SUCCESS"))) {
+      // row-sized output file count (~8M 16-byte rows per file), the
+      // in-place compactPostings discipline: a coalesce(1) here would
+      // serialize the whole corpus doc-length table through ONE task
+      // at the 100 TB posture
+      val folded = dropDead(spark.read.parquet(s"$liveDir/doclens")
           .select(col("doc_id"), col("dl")).distinct())
-        .coalesce(1).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(s"$newDir/doclens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val parts = math.max(1L,
+          (folded.count() + (8L << 20) - 1) / (8L << 20)).toInt
+        folded
+          .repartitionByRange(parts, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$newDir/doclens")
+      } finally folded.unpersist(false)
+    }
     if (f.exists(new Path(s"$liveDir/tombstones/_SUCCESS")))
       spark.read.parquet(s"$liveDir/tombstones")
         .select(col("doc_id"), col("dl")).distinct()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -321,4 +322,145 @@ object IvfPq {
     blockedUnion(queries, blockSize)(slice =>
       knnSeededOverIndex(spark, slice, path, data, centroids, codebooks,
         k, nProbe, nCand, excludeSelf))
+
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // [[compactIndex]] swaps the live codes dir in place and therefore
+  // excludes READERS for its rename window — acceptable for a batch
+  // pipeline, not for the compressed serving tier, which is the NORMAL
+  // serving path once a corpus passes the broadcast ceiling. The
+  // versioned face lifts exactly that restriction via
+  // [[graft.index.Generations]]: each generation is an ordinary
+  // [[writeIndex]] layout (cell-partitioned codes + `_tombstones`
+  // sidecar), immutable once published; a compaction writes the folded,
+  // dead-row-erased codes into the SUCCESSOR generation reading the
+  // live one strictly read-only, then flips the manifest atomically.
+  // Probe/search paths take [[resolveVersioned]]'s dir wherever an
+  // index `path` goes today. Writer faces hold the root's writer lease.
+
+  /** Encode the first corpus as generation 0 under `root` (trained or
+    * seeded layout per `seeded`) and publish. Returns the live dir. */
+  def buildVersioned(spark: SparkSession, data: DataFrame, root: String,
+                     centroids: Array[Array[Float]],
+                     codebooks: PqAnn.Codebooks,
+                     seeded: Boolean = false): String =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.build") {
+      val (gen, dir) = graft.index.Generations.next(spark, root)
+      if (seeded) writeIndexSeeded(spark, data, dir, centroids, codebooks)
+      else writeIndex(spark, data, dir, centroids, codebooks)
+      graft.index.Generations.publish(spark, root, gen)
+      dir
+    }
+
+  /** The live generation dir — the `path` readers hand to
+    * [[knnOverIndex]] / [[candidateIds]]. Published generations are
+    * immutable, so a query against this dir completes correctly while
+    * [[compactVersioned]] publishes a successor. */
+  def resolveVersioned(spark: SparkSession, root: String): String =
+    graft.index.Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published IVF-PQ generation at $root"))
+
+  /** [[appendIndex]] against the live generation (delta files only;
+    * the frozen-quantizer contract unchanged). */
+  def appendVersioned(spark: SparkSession, delta: DataFrame, root: String,
+                      centroids: Array[Array[Float]],
+                      codebooks: PqAnn.Codebooks,
+                      seeded: Boolean = false): Unit =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.append") {
+      if (seeded) appendIndexSeeded(spark, delta,
+        resolveVersioned(spark, root), centroids, codebooks)
+      else appendIndex(spark, delta,
+        resolveVersioned(spark, root), centroids, codebooks)
+    }
+
+  /** [[deleteFromIndex]] against the live generation. */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      idsDf: DataFrame): Long =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.delete") {
+      deleteFromIndex(spark, resolveVersioned(spark, root), idsDf)
+    }
+
+  /** [[deleteVersioned]] for a literal takedown list. */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteVersioned(spark, root, ids.distinct.toDF("d_id"))
+    }
+
+  /** Tombstoned fraction of the live generation's physical rows — the
+    * versioned maintenance trigger's deletion input. Cheap: footer
+    * counts for the denominator, one tiny distinct scan for the
+    * numerator. Re-arms after a fold: the successor generation erases
+    * the dead rows physically and starts with NO tombstones (the
+    * codes tier has no corpus constants to keep subtracting). */
+  def deletedFractionVersioned(spark: SparkSession, root: String): Double = {
+    val live = resolveVersioned(spark, root)
+    val gross = indexRows(spark, live)
+    if (gross == 0) 0.0
+    else Tombstones.idsOf(spark, s"$live/$TombstoneDir", "d_id")
+      .map(_.count().toDouble / gross).getOrElse(0.0)
+  }
+
+  /** Parquet data files of the live generation (appends accumulate
+    * small per-batch files per cell — the small-file pressure input). */
+  private def liveFiles(spark: SparkSession, liveDir: String): Int = {
+    val p = new Path(liveDir)
+    val f = fs(spark, liveDir)
+    if (!f.exists(p)) return 0
+    val it = f.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.toString.contains(s"/$TombstoneDir/")) n += 1
+    }
+    n
+  }
+
+  /** Cell partition dirs of the live generation. */
+  private def liveCells(spark: SparkSession, liveDir: String): Int =
+    fs(spark, liveDir).listStatus(new Path(liveDir))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+
+  /** The maintenance-loop trigger: fold into a new generation iff the
+    * live generation's tombstoned fraction crosses `maxDeletedFrac` OR
+    * its appends have accumulated more than `maxFilesPerCell` data
+    * files per cell — readers never paused. Returns the live dir
+    * either way. */
+  def maybeCompactVersioned(spark: SparkSession, root: String,
+                            maxDeletedFrac: Double = 0.2,
+                            maxFilesPerCell: Double = 4.0): String = {
+    val live = resolveVersioned(spark, root)
+    val cells = math.max(liveCells(spark, live), 1)
+    if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
+        liveFiles(spark, live) > maxFilesPerCell * cells)
+      compactVersioned(spark, root)
+    else live
+  }
+
+  /** Serve-through-compaction fold: write the folded codes — replay
+    * duplicates dropped, tombstoned rows ERASED physically, one sorted
+    * file per cell — into a NEW generation; publish; retire
+    * out-of-grace generations. The live generation is strictly
+    * read-only input; a crash before publish leaves the old pointer
+    * serving. The successor starts tombstone-free (nothing left to
+    * mask once the rows are gone), so the deletion trigger re-arms. */
+  def compactVersioned(spark: SparkSession, root: String): String =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.compact") {
+      val liveDir = resolveVersioned(spark, root)
+      val (gen, newDir) = graft.index.Generations.next(spark, root)
+      fs(spark, root).delete(new Path(newDir), true) // crashed debris
+      readIndex(spark, liveDir)
+        .dropDuplicates("d_id")
+        .repartition(col("cell"))
+        .sortWithinPartitions("d_id")
+        .write.partitionBy("cell").mode("overwrite").parquet(newDir)
+      graft.index.Generations.publish(spark, root, gen)
+      newDir
+    }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

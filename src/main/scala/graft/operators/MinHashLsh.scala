@@ -232,6 +232,132 @@ object MinHashLsh {
     wm.foreach(Watermark.write(spark, path, _))
   }
 
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // [[compactBandIndex]] swaps the live index dir in place — its
+  // rename window excludes readers, so a CONTINUOUS incremental-dedup
+  // deployment (every ingest wave probes the index) could never
+  // compact without pausing the pipeline. The versioned face lifts
+  // that via [[graft.index.Generations]]: each generation is an
+  // ordinary band-key index (key rows + `_watermark` + `_tombstones`),
+  // immutable once published; the compactor folds into the successor
+  // reading the live generation strictly read-only, then flips the
+  // manifest. Probes read [[readVersioned]]; writer faces hold the
+  // root's writer lease.
+
+  /** Persist the first corpus's band keys as generation 0 under `root`
+    * and publish. Returns the live generation dir. */
+  def buildVersioned(keys: DataFrame, root: String): String = {
+    val spark = keys.sparkSession
+    graft.index.Generations.withWriterLease(spark, root, "band.build") {
+      val (gen, dir) = graft.index.Generations.next(spark, root)
+      writeBandIndex(keys, dir)
+      graft.index.Generations.publish(spark, root, gen)
+      dir
+    }
+  }
+
+  /** The live generation dir — the `path` readers hand to
+    * [[readBandIndex]] (or writers poll for the watermark). Immutable
+    * once published. */
+  def resolveVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String): String =
+    graft.index.Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published band-index generation at $root"))
+
+  /** [[readBandIndex]] against the live generation — the probe face. */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    readBandIndex(spark, resolveVersioned(spark, root))
+
+  /** [[appendBandIndex]] against the live generation. */
+  def appendVersioned(keys: DataFrame, root: String): Unit = {
+    val spark = keys.sparkSession
+    graft.index.Generations.withWriterLease(spark, root, "band.append") {
+      appendBandIndex(keys, resolveVersioned(spark, root))
+    }
+  }
+
+  /** [[deleteFromBandIndex]] against the live generation. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, idsDf: DataFrame): Long =
+    graft.index.Generations.withWriterLease(spark, root, "band.delete") {
+      deleteFromBandIndex(spark, resolveVersioned(spark, root), idsDf)
+    }
+
+  /** [[deleteVersioned]] for a literal takedown list. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteVersioned(spark, root, ids.distinct.toDF("doc_id"))
+    }
+
+  /** Tombstoned-doc fraction of the live generation. [[bandKeys]]
+    * emits a uniform `numBands` rows per doc, so the tombstoned DOC
+    * fraction equals the dead ROW fraction: tombstones × bands over
+    * footer-counted rows, with the band count read from one
+    * column-pruned max (row-group stats make it cheap). Re-arms after
+    * a fold — the successor starts tombstone-free. */
+  def deletedFractionVersioned(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Double = {
+    val live = resolveVersioned(spark, root)
+    val rows = graft.index.ParquetMeta.rowsCached(spark, live)
+    if (rows == 0) return 0.0
+    Tombstones.idsOf(spark, s"$live/_tombstones", "doc_id") match {
+      case None => 0.0
+      case Some(t) =>
+        val nBands = spark.read.parquet(live)
+          .agg(max(col("band"))).head().getInt(0) + 1
+        t.count().toDouble * nBands / rows
+    }
+  }
+
+  /** The maintenance-loop trigger: fold into a new generation iff the
+    * tombstoned fraction crosses `maxDeletedFrac` OR appends have
+    * accumulated more than `maxFiles` key files. Returns the live dir
+    * either way. */
+  def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+                            root: String, maxDeletedFrac: Double = 0.2,
+                            maxFiles: Int = 64): String = {
+    val live = resolveVersioned(spark, root)
+    val p = new org.apache.hadoop.fs.Path(live)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def keyFiles(): Int = f.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
+        keyFiles() > maxFiles)
+      compactVersioned(spark, root)
+    else live
+  }
+
+  /** Serve-through-compaction fold: the [[compactBandIndex]] layout
+    * (replay duplicates dropped, tombstoned docs ERASED physically,
+    * key-range-partitioned sorted files) written into a NEW
+    * generation, the gross watermark carried verbatim; publish; retire
+    * out-of-grace generations. Live generation strictly read-only. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String, numFiles: Int = 0): String =
+    graft.index.Generations.withWriterLease(spark, root, "band.compact") {
+      val liveDir = resolveVersioned(spark, root)
+      val (gen, newDir) = graft.index.Generations.next(spark, root)
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(newDir), true)
+      val n = if (numFiles > 0) numFiles
+              else spark.sparkContext.defaultParallelism
+      val wm = Watermark.read(spark, liveDir, "doc_id")
+      readBandIndex(spark, liveDir)
+        .dropDuplicates("doc_id", "band", "key")
+        .repartitionByRange(n, col("key"), col("band"))
+        .sortWithinPartitions("key", "band")
+        .write.mode("overwrite").parquet(newDir)
+      wm.foreach(Watermark.write(spark, newDir, _))
+      graft.index.Generations.publish(spark, root, gen)
+      newDir
+    }
+
   /** Incremental near-dup candidates: all banded pairs of resident ∪
     * batch that TOUCH the batch — exactly the new rows [[bandedPairs]]
     * over the union would add. Caller contract: `residentKeys` and

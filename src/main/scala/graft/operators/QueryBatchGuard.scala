@@ -40,6 +40,16 @@ object QueryBatchGuard {
         s"spark.graft.ann.operator.maxQueries=$cap — the direct " +
         "operator API collects the query side; use the blocked driver " +
         "(knnOverIndexBlocked / searchEncodedBlocked) or raise the cap")
-    ds.collect()
+    val rows = ds.collect()
+    // the count and the collect are two jobs: a non-deterministic (or
+    // concurrently appended) upstream can pass the count and still
+    // materialize more rows — re-check so an over-cap batch fails
+    // loudly here rather than OOMing a downstream broadcast
+    require(rows.length <= cap,
+      s"query batch materialized ${rows.length} rows after counting " +
+        s"$n — the query side changed between jobs (non-deterministic " +
+        "or concurrently written input); stabilize it (cache / " +
+        "localCheckpoint) before the direct operator API")
+    rows
   }
 }

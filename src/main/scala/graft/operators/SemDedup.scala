@@ -289,6 +289,142 @@ object SemDedup {
         coalesce(col("_dup"), lit(0L)).as("is_dup"))
   }
 
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // [[compactCellIndex]] swaps the live cell layout in place — its
+  // rename window excludes readers, so a continuous incremental-dedup
+  // pipeline (every ingest wave probes via [[incrementalMark]]) could
+  // never compact without pausing ingest. The versioned face lifts
+  // that via [[graft.index.Generations]]: each generation is an
+  // ordinary cell index (cell-partitioned rows + `_watermark` +
+  // `_tombstones`), immutable once published; the compactor folds into
+  // the successor reading the live generation strictly read-only, then
+  // flips the manifest. Probes go through [[incrementalMarkVersioned]]
+  // / [[readVersioned]]; writer faces hold the root's writer lease.
+
+  /** Persist the first corpus as generation 0 under `root` and
+    * publish. Returns the live generation dir. */
+  def buildVersioned(corpus: DataFrame, centroids: Array[Array[Float]],
+                     root: String): String = {
+    val spark = corpus.sparkSession
+    graft.index.Generations.withWriterLease(spark, root, "cell.build") {
+      val (gen, dir) = graft.index.Generations.next(spark, root)
+      writeCellIndex(corpus, centroids, dir)
+      graft.index.Generations.publish(spark, root, gen)
+      dir
+    }
+  }
+
+  /** The live generation dir. Immutable once published. */
+  def resolveVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String): String =
+    graft.index.Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published cell-index generation at $root"))
+
+  /** [[readCellIndex]] against the live generation — the probe face. */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    readCellIndex(spark, resolveVersioned(spark, root))
+
+  /** [[incrementalMark]] against the live generation: the mark itself
+    * is a pure READ of the resolved snapshot (safe through a
+    * concurrent fold); pair it with [[appendVersioned]] on the same
+    * batch to grow the index, as with the in-place face. */
+  def incrementalMarkVersioned(spark: org.apache.spark.sql.SparkSession,
+                               root: String,
+                               centroids: Array[Array[Float]],
+                               batch: DataFrame, tau: Double): DataFrame =
+    incrementalMark(spark, resolveVersioned(spark, root), centroids,
+      batch, tau)
+
+  /** [[appendCellIndex]] against the live generation. */
+  def appendVersioned(batch: DataFrame, centroids: Array[Array[Float]],
+                      root: String): Unit = {
+    val spark = batch.sparkSession
+    graft.index.Generations.withWriterLease(spark, root, "cell.append") {
+      appendCellIndex(batch, centroids, resolveVersioned(spark, root))
+    }
+  }
+
+  /** [[deleteFromCellIndex]] against the live generation. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, idsDf: DataFrame): Long =
+    graft.index.Generations.withWriterLease(spark, root, "cell.delete") {
+      deleteFromCellIndex(spark, resolveVersioned(spark, root), idsDf)
+    }
+
+  /** [[deleteVersioned]] for a literal takedown list. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteVersioned(spark, root, ids.distinct.toDF("id"))
+    }
+
+  /** Tombstoned fraction of the live generation (one row per doc, so
+    * footer counts are the exact denominator). Re-arms after a fold —
+    * the successor starts tombstone-free. */
+  def deletedFractionVersioned(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Double = {
+    val live = resolveVersioned(spark, root)
+    val rows = graft.index.ParquetMeta.rowsCached(spark, live)
+    if (rows == 0) 0.0
+    else Tombstones.idsOf(spark, s"$live/$TombstoneDir", "id")
+      .map(_.count().toDouble / rows).getOrElse(0.0)
+  }
+
+  /** The maintenance-loop trigger: fold into a new generation iff the
+    * tombstoned fraction crosses `maxDeletedFrac` OR appends have
+    * accumulated more than `maxFilesPerCell` data files per cell
+    * partition. Returns the live dir either way. */
+  def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+                            root: String, maxDeletedFrac: Double = 0.2,
+                            maxFilesPerCell: Double = 4.0): String = {
+    val live = resolveVersioned(spark, root)
+    val p = new org.apache.hadoop.fs.Path(live)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = math.max(f.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell=")), 1)
+    def dataFiles(): Int = {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.toString.contains(s"/$TombstoneDir/")) n += 1
+      }
+      n
+    }
+    if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
+        dataFiles() > maxFilesPerCell * cells)
+      compactVersioned(spark, root)
+    else live
+  }
+
+  /** Serve-through-compaction fold: the [[compactCellIndex]] layout
+    * (replay duplicates dropped, tombstoned docs ERASED physically,
+    * one sorted file per cell) written into a NEW generation, the
+    * gross watermark carried verbatim; publish; retire out-of-grace
+    * generations. Live generation strictly read-only. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String): String =
+    graft.index.Generations.withWriterLease(spark, root, "cell.compact") {
+      val liveDir = resolveVersioned(spark, root)
+      val (gen, newDir) = graft.index.Generations.next(spark, root)
+      fsFor(spark, root).delete(
+        new org.apache.hadoop.fs.Path(newDir), true)
+      val wm = readWatermark(spark, liveDir)
+      readCellIndex(spark, liveDir)
+        .dropDuplicates("id")
+        .repartition(col("cell"))
+        .sortWithinPartitions("id")
+        .write.partitionBy("cell").mode("overwrite").parquet(newDir)
+      wm.foreach(writeWatermark(spark, newDir, _))
+      graft.index.Generations.publish(spark, root, gen)
+      newDir
+    }
+
   /** [[mark]] with corpus-seeded centroids (md5-ranked rows — the
     * [[IvfAnn.seededCentroids]] pick), end-to-end deterministic. */
   def markSeeded(corpus: DataFrame, nlist: Int, tau: Double): DataFrame = {

@@ -362,4 +362,115 @@ object Sq8Ann {
     searchEncodedBlocked(queries, encoded, data, bounds, k, nCand,
       excludeSelf)
   }
+
+  // ===== Generation-versioned serving (serve-through-compaction) =====
+  //
+  // [[compactCodes]] swaps the live codes dir in place — readers are
+  // excluded for its rename window. The versioned face lifts that via
+  // [[graft.index.Generations]]: each generation is an ordinary
+  // [[writeIndex]] layout (`codes/` + `bounds/` + `_tombstones`),
+  // immutable once published; the compactor folds into the successor
+  // generation reading the live one strictly read-only, then flips the
+  // manifest. Readers hand [[resolveVersioned]]'s dir to [[loadIndex]]
+  // / [[readCodes]]. Writer faces hold the root's writer lease. The
+  // per-dimension bounds are part of the FROZEN quantizer and are
+  // copied verbatim into every successor — a fold never re-trains.
+
+  /** Train + encode the first corpus as generation 0 under `root` and
+    * publish. Returns (live generation dir, trained bounds). */
+  def buildVersioned(spark: org.apache.spark.sql.SparkSession,
+                     data: DataFrame, root: String): (String, Bounds) =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.build") {
+      val (gen, dir) = graft.index.Generations.next(spark, root)
+      val b = writeIndex(data, dir)
+      graft.index.Generations.publish(spark, root, gen)
+      (dir, b)
+    }
+
+  /** The live generation dir — the `path` readers hand to
+    * [[loadIndex]] / [[readCodes]]. Immutable once published, so a
+    * query against it completes correctly through a concurrent
+    * [[compactVersioned]]. */
+  def resolveVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String): String =
+    graft.index.Generations.liveDir(spark, root).getOrElse(
+      sys.error(s"no published SQ8 generation at $root"))
+
+  /** [[appendIndex]] against the live generation (frozen bounds). */
+  def appendVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, delta: DataFrame): Unit =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.append") {
+      appendIndex(spark, resolveVersioned(spark, root), delta)
+    }
+
+  /** [[deleteFromIndex]] against the live generation. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, idsDf: DataFrame): Long =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.delete") {
+      deleteFromIndex(spark, resolveVersioned(spark, root), idsDf)
+    }
+
+  /** [[deleteVersioned]] for a literal takedown list. */
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      import spark.implicits._
+      deleteVersioned(spark, root, ids.distinct.toDF("d_id"))
+    }
+
+  /** Tombstoned fraction of the live generation's physical code rows —
+    * re-arms after a fold (the successor erases the rows and starts
+    * tombstone-free). Footer counts + one tiny distinct scan. */
+  def deletedFractionVersioned(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Double = {
+    val live = resolveVersioned(spark, root)
+    val gross = graft.index.ParquetMeta.rowsCached(spark, s"$live/codes")
+    if (gross == 0) 0.0
+    else Tombstones.idsOf(spark, s"$live/_tombstones", "d_id")
+      .map(_.count().toDouble / gross).getOrElse(0.0)
+  }
+
+  /** The maintenance-loop trigger: fold into a new generation iff the
+    * tombstoned fraction crosses `maxDeletedFrac` OR the codes dir has
+    * accumulated more than `maxCodesFiles` append files. Returns the
+    * live dir either way. */
+  def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+                            root: String, maxDeletedFrac: Double = 0.2,
+                            maxCodesFiles: Int = 64): String = {
+    val live = resolveVersioned(spark, root)
+    val codes = new org.apache.hadoop.fs.Path(s"$live/codes")
+    val f = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def codesFiles(): Int =
+      if (!f.exists(codes)) 0
+      else f.listStatus(codes).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
+        codesFiles() > maxCodesFiles)
+      compactVersioned(spark, root)
+    else live
+  }
+
+  /** Serve-through-compaction fold: folded codes (replay duplicates
+    * dropped, tombstoned rows ERASED physically) plus the verbatim
+    * bounds sidecar into a NEW generation; publish; retire
+    * out-of-grace generations. Live generation strictly read-only. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String): String =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.compact") {
+      val liveDir = resolveVersioned(spark, root)
+      val (gen, newDir) = graft.index.Generations.next(spark, root)
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(newDir), true)
+      readCodes(spark, liveDir)
+        .dropDuplicates("d_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .sortWithinPartitions("d_id")
+        .write.mode("overwrite").parquet(s"$newDir/codes")
+      spark.read.parquet(s"$liveDir/bounds")
+        .coalesce(1).write.mode("overwrite").parquet(s"$newDir/bounds")
+      graft.index.Generations.publish(spark, root, gen)
+      newDir
+    }
 }

@@ -180,7 +180,14 @@ object AnnIndexRegistry {
         * name (deleted / grown twins): reachable only by explicit
         * `spark.graft.ann.tier` preference, never by the cost race —
         * see [[chooseTier]]. */
-      certificateOnly: Boolean = false) {
+      certificateOnly: Boolean = false,
+      /** Optional path of a tiny persisted-EWMA sidecar (written
+        * best-effort beside the tier's index): [[registerTier]] seeds
+        * the measured-cost store from it, so a fresh session routes on
+        * the PREVIOUS session's learned order instead of re-learning
+        * from static hints; [[recordMeasuredCost]] keeps it current.
+        * null = in-memory only (data-backed tiers with no path). */
+      costSidecar: String = null) {
     /** The relation to rescore against: refreshed when the registrant
       * declared the corpus grow-in-place, else the registration
       * snapshot. */
@@ -194,35 +201,83 @@ object AnnIndexRegistry {
   private val tierEntries =
     new TrieMap[(String, String, String), Map[String, (String, CandidateTierEntry)]]
 
-  /** MEASURED coarse-stage cost per (key, tier name): EWMA of observed
-    * seconds-per-query for the tier's candidate generator, recorded by
-    * the instrumented wrappers [[registerTier]] installs. The static
+  /** MEASURED coarse-stage cost per (key, corpus fingerprint, tier
+    * name): EWMA of observed seconds-per-query for the tier's
+    * candidate generator, recorded by the instrumented wrappers
+    * [[registerTier]] installs. The static
     * [[CandidateTierEntry.costHint]] is an a-priori bytes-fraction
     * estimate; once every open competitor for a key has real
     * measurements the chooser prefers those (same units, honestly
     * comparable), so a mis-estimated hint cannot keep routing queries
-    * to the slower tier. Saturating certificate modes
+    * to the slower tier. The FINGERPRINT in the key scopes every
+    * measurement to the registered relation, like the tier entries
+    * themselves: two corpora sharing column names, metric, and tier
+    * name must not pool one EWMA — timings from a small corpus would
+    * steer routing on a large one. Saturating certificate modes
     * (`relation.exact` / `filtered.exact`) never record — their costs
     * reflect saturation, not production probes. */
   private val measuredCosts =
-    new TrieMap[((String, String, String), String), Double]
+    new TrieMap[((String, String, String, String), String), Double]
 
   private[graft] def recordMeasuredCost(idCol: String, vecCol: String,
-                                        metric: String, tier: String,
+                                        metric: String, fp: String,
+                                        tier: String,
                                         secPerQuery: Double): Unit = {
-    val k = ((idCol, vecCol, metric), tier)
-    measuredCosts.updateWith(k) {
+    val k = ((idCol, vecCol, metric, fp), tier)
+    val updated = measuredCosts.updateWith(k) {
       case Some(prev) => Some(0.7 * prev + 0.3 * secPerQuery) // EWMA
       case None => Some(secPerQuery)
     }
+    // best-effort persistence: a serving session's learned routing
+    // order survives restart (seeded back at registerTier) instead of
+    // every fresh session re-learning from static hints
+    for (u <- updated; sc <- costSidecars.get(k))
+      writeCostSidecar(sc, u)
   }
 
   private[graft] def measuredCost(idCol: String, vecCol: String,
-                                  metric: String,
+                                  metric: String, fp: String,
                                   tier: String): Option[Double] =
-    measuredCosts.get(((idCol, vecCol, metric), tier))
+    measuredCosts.get(((idCol, vecCol, metric, fp), tier))
+
+  /** The registered corpus fingerprint for (key, tier name) — lets
+    * callers (and specs) address the fingerprint-scoped measured-cost
+    * store without recomputing the scan fingerprint. */
+  private[graft] def registeredFp(idCol: String, vecCol: String,
+                                  metric: String,
+                                  tier: String): Option[String] =
+    tierEntries.get((idCol, vecCol, metric)).flatMap(_.get(tier))
+      .map(_._1)
 
   private[graft] def clearMeasuredCosts(): Unit = measuredCosts.clear()
+
+  /** Persisted-EWMA sidecar path per measured-cost key, installed by
+    * [[registerTier]] for path-backed tiers. */
+  private val costSidecars =
+    new TrieMap[((String, String, String, String), String), String]
+
+  private def writeCostSidecar(path: String, v: Double): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val out = f.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  private def readCostSidecar(spark: SparkSession,
+                              path: String): Option[Double] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+          .toDoubleOption.filter(d => d > 0 && !d.isInfinite)
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Register a candidate tier over `corpus` (a bare scan) — same
     * fingerprint proof as [[register]], so only queries over THIS
@@ -258,7 +313,7 @@ object AnnIndexRegistry {
       else {
         val t0 = System.nanoTime()
         val df = body.localCheckpoint(true)
-        recordMeasuredCost(idCol, vecCol, entry.metricName, entry.name,
+        recordMeasuredCost(idCol, vecCol, entry.metricName, fp, entry.name,
           (System.nanoTime() - t0) / 1e9 / math.max(nQueries, 1))
         df
       }
@@ -270,6 +325,16 @@ object AnnIndexRegistry {
         if (entry.candidatesBatch == null) null
         else (s, qs, k) =>
           timed(s, qs.size)(entry.candidatesBatch(s, qs, k)))
+    if (entry.costSidecar != null) {
+      val ck = ((idCol, vecCol, entry.metricName, fp), entry.name)
+      costSidecars.put(ck, entry.costSidecar)
+      // seed from the persisted EWMA so the first queries of a fresh
+      // session route on the prior session's measured order — but
+      // never clobber a measurement this session already took
+      if (!measuredCosts.contains(ck))
+        readCostSidecar(corpus.sparkSession, entry.costSidecar)
+          .foreach(measuredCosts.putIfAbsent(ck, _))
+    }
     tierEntries.updateWith(key) {
       case Some(m) => Some(m + (entry.name -> ((fp, instrumented))))
       case None => Some(Map(entry.name -> ((fp, instrumented))))
@@ -297,8 +362,11 @@ object AnnIndexRegistry {
         val open = m.filterNot(_._2._2.certificateOnly)
         if (open.isEmpty) None
         else {
-          val measured = open.keysIterator
-            .map(n => n -> measuredCosts.get((key, n))).toMap
+          // fingerprint-scoped lookup: each tier's measurements are
+          // keyed by ITS registered relation, like the entry itself
+          val measured = open.iterator.map { case (n, (fp, _)) =>
+            n -> measuredCosts.get(((key._1, key._2, key._3, fp), n))
+          }.toMap
           if (open.size > 1 && measured.valuesIterator.forall(_.isDefined))
             Some(open.minBy { case (name, _) =>
               (measured(name).get, name) }._2)
@@ -383,7 +451,8 @@ object AnnIndexRegistry {
           (entry.codebooks.length.toDouble / (4.0 * dim))
       },
       dataRefresh = refresh,
-      certificateOnly = name != "ivfpq"))
+      certificateOnly = name != "ivfpq",
+      costSidecar = s"${entry.path}/_cost_ewma.$name"))
   }
 
   /** Constructor payload for [[registerIvfPq]]. */
@@ -474,7 +543,8 @@ object AnnIndexRegistry {
           .select(col("q_id"), col("d_id"))
       },
       dataRefresh = refresh,
-      certificateOnly = name != "sharded"))
+      certificateOnly = name != "sharded",
+      costSidecar = s"${ref.path}/_cost_ewma.$name"))
   }
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —
@@ -538,7 +608,9 @@ object AnnIndexRegistry {
       },
       // full coarse scan over byte codes = 1/4 of the float bytes
       costHint = 0.25,
-      dataRefresh = refresh))
+      dataRefresh = refresh,
+      costSidecar =
+        if (indexPath == null) null else s"$indexPath/_cost_ewma.sq8"))
   }
 
   def lookupTier(idCol: String, vecCol: String, kind: String,

@@ -1438,25 +1438,42 @@ class AnnRewriteSpec extends AnyFunSuite {
       // static hints: ivfpq ((nProbe/nlist)·nSub/(4·dim)) ≪ sq8 (0.25)
       assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
         "static-hint baseline did not pick ivfpq")
+      // measurements are fingerprint-scoped (a same-named tier over a
+      // DIFFERENT corpus must not share this one's EWMA), so the spec
+      // records against the registered fingerprints
+      val fpIvf = AnnIndexRegistry
+        .registeredFp("vid", "vec", "ip", "ivfpq").get
+      val fpSq8 = AnnIndexRegistry
+        .registeredFp("vid", "vec", "ip", "sq8").get
+      assert(fpIvf === fpSq8, "same corpus must fingerprint identically")
       // a ONE-SIDED measurement must not flip the race: seconds are
       // only comparable to seconds, never to a bytes-fraction hint
-      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", "ivfpq", 5.0)
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fpIvf,
+        "ivfpq", 5.0)
       assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
         "a lone measurement was raced against a static hint")
+      // a measurement under a FOREIGN fingerprint (another corpus with
+      // the same columns/metric/tier names) must be invisible here
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip",
+        "other_corpus_fp", "sq8", 0.000001)
+      assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
+        "a foreign-corpus measurement steered this corpus's routing")
       // both competitors measured, ordering INVERTED vs the hints: the
       // chooser must believe the measurements
-      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", "sq8", 0.01)
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fpSq8,
+        "sq8", 0.01)
       assert(routedTier(spark.sql(dotSql)) === Seq("sq8"),
         "measured inversion did not flip the chooser")
       // EWMA recovery: sustained fast ivfpq probes win the race back
       (1 to 40).foreach(_ => AnnIndexRegistry
-        .recordMeasuredCost("vid", "vec", "ip", "ivfpq", 0.0001))
+        .recordMeasuredCost("vid", "vec", "ip", fpIvf, "ivfpq", 0.0001))
       assert(routedTier(spark.sql(dotSql)) === Seq("ivfpq"),
         "EWMA did not converge back to the faster tier")
       // the measured-routed plan still answers with exact scores
       assert(spark.sql(dotSql).collect().length === 10)
       // ... and real executions feed the store (instrumented wrapper)
-      assert(AnnIndexRegistry.measuredCost("vid", "vec", "ip", "ivfpq")
+      assert(AnnIndexRegistry
+        .measuredCost("vid", "vec", "ip", fpIvf, "ivfpq")
         .exists(_ > 0.0001), "execution did not record a measured cost")
     } finally {
       AnnIndexRegistry.clearMeasuredCosts()

@@ -53,18 +53,97 @@ class GenerationSpec extends AnyFunSuite {
     }
     writeNext("gen9")          // names a non-existent generation
     assert(Generations.live(spark, root) === Some("gen2"))
-    assert(!exists("MANIFEST__next"))
+    // readers are READ-ONLY: the garbage next is ignored, not deleted
+    // (mutating recovery in every reader was the round-14 ADVICE race)
+    assert(exists("MANIFEST__next"))
     // crashed publish, window 2: a VALID committed next is newer than
-    // the live pointer and wins, even with the live pointer deleted
+    // the live pointer and wins, even with the live pointer deleted —
+    // still without the reader mutating anything
     mkGen("gen3"); writeNext("gen3")
     f.delete(new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), false)
     assert(Generations.live(spark, root) === Some("gen3"))
+    assert(exists("MANIFEST__next"), "reader promoted the next pointer")
     // a crashed compaction's partial dir never collides (monotone
-    // numbering) and is retired by the next successful publish
+    // numbering) and is retired by the next successful publish, which
+    // also promotes the stranded committed next (writer-side recovery)
     mkGen("gen4") // partial debris
     assert(Generations.next(spark, root) === (("gen5", s"$root/gen5")))
     mkGen("gen5"); Generations.publish(spark, root, "gen5")
     assert(!exists("gen4") && exists("gen3") && exists("gen5"))
+    assert(!exists("MANIFEST__next"))
+    assert(Generations.live(spark, root) === Some("gen5"))
+  }
+
+  test("manifest grace depth: keepGens retains N predecessors; a slow reader survives two publishes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_keep_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    mkGen("gen0"); Generations.publish(spark, root, "gen0", keepGens = 2)
+    // the reader resolves ONCE here (a long analytical scan holding
+    // gen0's files) ...
+    val held = Generations.liveDir(spark, root).get
+    assert(held === s"$root/gen0")
+    // ... and two maintenance cycles run before it finishes
+    mkGen("gen1"); Generations.publish(spark, root, "gen1", keepGens = 2)
+    mkGen("gen2"); Generations.publish(spark, root, "gen2", keepGens = 2)
+    assert(exists("gen0"),
+      "keepGens=2 must retain the second predecessor a slow reader holds")
+    assert(exists("gen1") && exists("gen2"))
+    // the third publish finally retires it
+    mkGen("gen3"); Generations.publish(spark, root, "gen3", keepGens = 2)
+    assert(!exists("gen0") && exists("gen1") && exists("gen2") &&
+      exists("gen3"))
+    // the conf knob drives the default depth the same way
+    spark.conf.set("spark.graft.gen.keepGens", "2")
+    try {
+      mkGen("gen4"); Generations.publish(spark, root, "gen4")
+      assert(exists("gen2") && exists("gen3") && exists("gen4") &&
+        !exists("gen1"))
+    } finally spark.conf.unset("spark.graft.gen.keepGens")
+  }
+
+  test("writer lease: a second writer fails loudly; the index stays serveable; stale leases break") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_lease_").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/gen0"))
+    Generations.withWriterLease(spark, root, "test.build") {
+      Generations.publish(spark, root, "gen0")
+    }
+    // writer A holds the lease (a long compaction in flight) ...
+    Generations.withWriterLease(spark, root, "writerA.compact") {
+      // ... writer B — a misconfigured second maintenance loop — must
+      // fail AT ENTRY with the holder's identity, not corrupt silently
+      val e = intercept[IllegalStateException] {
+        Generations.withWriterLease(spark, root, "writerB.compact") { () }
+      }
+      assert(e.getMessage.contains("writerA.compact"))
+      // readers never touch the lock: serving continues under the lease
+      assert(Generations.live(spark, root) === Some("gen0"))
+    }
+    // release on completion: the next writer proceeds
+    Generations.withWriterLease(spark, root, "writerC") { () }
+    // a crashed holder's stale lease breaks after the timeout (the
+    // outer release then deletes a lock that is already gone — a no-op)
+    Generations.withWriterLease(spark, root, "crashed") {
+      Thread.sleep(50) // let the lease age past the 1 ms timeout
+      spark.conf.set("spark.graft.gen.leaseTimeoutMs", "1")
+      try Generations.withWriterLease(spark, root, "after-crash") { () }
+      finally spark.conf.unset("spark.graft.gen.leaseTimeoutMs")
+    }
+    // a failed acquire must NOT delete the holder's live lease on its
+    // way out: writerD holds, E fails, D's lease still blocks F
+    Generations.withWriterLease(spark, root, "writerD") {
+      intercept[IllegalStateException] {
+        Generations.withWriterLease(spark, root, "writerE") { () }
+      }
+      intercept[IllegalStateException] {
+        Generations.withWriterLease(spark, root, "writerF") { () }
+      }
+    }
   }
 
   test("sharded face: a pre-compact reader serves through a concurrent compaction") {
