@@ -370,6 +370,37 @@ object ShardedIndex {
     finally releaseShard(dir)
   }
 
+  /** Evaluate the per-shard search thunks — each runs one bounded
+    * Spark job ending in an eager localCheckpoint ([[withShard]]) —
+    * either sequentially (the default) or from a fixed thread pool of
+    * `spark.graft.index.parallelShardSearch` submitter threads.
+    *
+    * The SEQUENTIAL loop is the binding stage of a many-shard batch
+    * (SWEEP_SERVE_COMPACT at 100×/40 shards: with every shard
+    * resident, per-batch wall time is ~nShards × one shard's search
+    * job, while each job leaves most cores idle at serving batch
+    * sizes). Parallel submission lets the scheduler interleave the
+    * per-shard jobs — the same fix a cluster deployment gets for free
+    * by running shards as separate jobs. Result order is preserved;
+    * shard acquisition stays LRU-guarded, so this composes with a
+    * resident budget below nShards (parallel loads serialize on the
+    * cache lock, parallel SEARCHES do not). */
+  private def runShardJobs(spark: SparkSession,
+                           thunks: Seq[() => DataFrame]): Seq[DataFrame] = {
+    val par = spark.conf
+      .get("spark.graft.index.parallelShardSearch", "1").toInt
+    if (par <= 1 || thunks.size <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(par, thunks.size))
+      try thunks.map(t => pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = t()
+          })).map(_.get())
+      finally pool.shutdown()
+    }
+  }
+
   /** G9 multivector adaptive search across all shards: per-shard
     * [[BeamSearch.searchMultiDf]] with the SAME budget, local ids mapped
     * back to global (g = local · nShards + shard), results unioned for
@@ -377,7 +408,7 @@ object ShardedIndex {
   def searchMultiDf(spark: SparkSession, querySets: DataFrame,
                     ref: ShardedIndexRef, minPq: Int, maxPq: Int,
                     budget: Int, adaptive: Boolean): DataFrame = {
-    val base = (0 until ref.nShards).map { s =>
+    val base = (0 until ref.nShards).map { s => () =>
       withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB, deadB) =>
         BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
           minPq, maxPq, budget, adaptive, deadB)
@@ -385,7 +416,7 @@ object ShardedIndex {
             (col("d_id") * ref.nShards + s).as("d_id"))
       }
     }
-    val deltas = (0 until ref.nDeltas).map { j =>
+    val deltas = (0 until ref.nDeltas).map { j => () =>
       val dir = deltaDir(ref, j)
       withShard(spark, ref.metric, dir) { (gB, vB, deadB) =>
         BeamSearch.searchMultiDf(spark, querySets, gB, vB, ref.metric,
@@ -394,7 +425,8 @@ object ShardedIndex {
           .select(col("qset_id"), col("gid").as("d_id"))
       }
     }
-    dropDeleted(spark, ref.path, (base ++ deltas).reduce(_ unionAll _))
+    dropDeleted(spark, ref.path,
+      runShardJobs(spark, base ++ deltas).reduce(_ unionAll _))
   }
 
   /** G8 single-vector twin: per-shard beam search, global ids, union;
@@ -402,7 +434,7 @@ object ShardedIndex {
     * (q_id, d_id, score). */
   def searchSingleDf(spark: SparkSession, queries: DataFrame,
                      ref: ShardedIndexRef, l: Int, k: Int): DataFrame = {
-    val base = (0 until ref.nShards).map { s =>
+    val base = (0 until ref.nShards).map { s => () =>
       withShard(spark, ref.metric, shardDir(ref, s)) { (gB, vB, deadB) =>
         BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k,
             deadB)
@@ -411,7 +443,7 @@ object ShardedIndex {
             col("sim").as("score"))
       }
     }
-    val deltas = (0 until ref.nDeltas).map { j =>
+    val deltas = (0 until ref.nDeltas).map { j => () =>
       val dir = deltaDir(ref, j)
       withShard(spark, ref.metric, dir) { (gB, vB, deadB) =>
         BeamSearch.searchSingleDf(spark, queries, gB, vB, ref.metric, l, k,
@@ -420,7 +452,8 @@ object ShardedIndex {
           .select(col("q_id"), col("gid").as("d_id"), col("sim").as("score"))
       }
     }
-    dropDeleted(spark, ref.path, (base ++ deltas).reduce(_ unionAll _))
+    dropDeleted(spark, ref.path,
+      runShardJobs(spark, base ++ deltas).reduce(_ unionAll _))
   }
 
   /** A delta shard's (local d_id → global gid) mapping — delta-sized, so
@@ -912,45 +945,92 @@ object ShardedIndex {
     }
   }
 
+  /** Driver-side id budget for the dead-sidecar merge and the flip's
+    * erasure unions: below it, the bounded-mask contract holds and the
+    * driver-array path is cheapest; above it (a mass-revocation wave —
+    * e.g. a licensing bucket covering 30% of a 100 TB corpus), the
+    * sidecars are written by a DISTRIBUTIVE join instead, byte-identical
+    * output, no driver materialization. */
+  private def maxDriverIds(spark: SparkSession): Long = spark.conf
+    .get("spark.graft.ann.deadSidecar.maxDriverIds", "4000000").toLong
+
   /** Merge this purge's erased gids into each shard's `dead` sidecar
     * (LOCAL id space — the kernels' emission filter). Previous purges'
     * sidecars stay valid across [[compact]]'s re-stripe (same gids,
     * same nShards), so the merge is a union, installed via
     * staging+rename (never an in-place overwrite — see
-    * [[recoverDeadSwap]]). Driver-side by design: the set is
-    * broadcast-small by the same contract that lets every query
-    * anti-join it. */
+    * [[recoverDeadSwap]]).
+    *
+    * Two writers, identical output (spec-asserted): the DRIVER path
+    * (erasure set collected once, per-shard slices filtered in memory,
+    * one flat file per shard) serves the standing bounded-mask
+    * contract; past [[maxDriverIds]] the DISTRIBUTIVE path derives
+    * each shard's slice with a filter + `div` projection and unions it
+    * against the existing sidecar as a Spark job — a 30%-of-corpus
+    * revocation wave never rides through the driver. */
   private def writeDeadSidecars(spark: SparkSession, ref: ShardedIndexRef,
                                 snap: DataFrame): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
-    val snapIds = snap.select(col("gid")).distinct().as[Long].collect()
-    if (snapIds.isEmpty) return
-    (0 until ref.nShards).foreach { s =>
-      val sd = shardDir(ref, s)
-      val fs = new Path(sd)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      recoverDeadSwap(fs, sd)
-      val old: Array[Long] =
-        if (fs.exists(new Path(s"${deadLive(sd)}/_SUCCESS")))
-          spark.read.parquet(deadLive(sd))
-            .select(col("vec_id")).as[Long].collect()
-        else Array.empty[Long]
-      val merged = (old ++ snapIds.iterator
-          .filter(_ % ref.nShards == s).map(_ / ref.nShards))
-        .distinct.sorted
-      if (merged.nonEmpty) {
-        merged.toSeq.toDF("vec_id").coalesce(1)
-          .write.mode("overwrite").parquet(deadStaging(sd))
-        val live = new Path(deadLive(sd))
-        if (fs.exists(live))
-          require(fs.rename(live, new Path(deadOld(sd))),
-            s"writeDeadSidecars: cannot move ${deadLive(sd)} aside")
-        require(fs.rename(new Path(deadStaging(sd)), live),
-          s"writeDeadSidecars: cannot promote staging for ${deadLive(sd)}")
-        fs.delete(new Path(deadOld(sd)), true)
+    val snapDf = snap.select(col("gid")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = snapDf.count()
+      if (n == 0) return
+      val driverSide = n <= maxDriverIds(spark)
+      val snapIds: Array[Long] =
+        if (driverSide) snapDf.as[Long].collect() else null
+      (0 until ref.nShards).foreach { s =>
+        val sd = shardDir(ref, s)
+        val fs = new Path(sd)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverDeadSwap(fs, sd)
+        val haveOld = fs.exists(new Path(s"${deadLive(sd)}/_SUCCESS"))
+        if (driverSide) {
+          val old: Array[Long] =
+            if (haveOld) spark.read.parquet(deadLive(sd))
+              .select(col("vec_id")).as[Long].collect()
+            else Array.empty[Long]
+          val merged = (old ++ snapIds.iterator
+              .filter(_ % ref.nShards == s).map(_ / ref.nShards))
+            .distinct.sorted
+          if (merged.nonEmpty)
+            installDeadSidecar(fs, sd,
+              merged.toSeq.toDF("vec_id").coalesce(1))
+        } else {
+          // distributive twin: same (shard, local) split as the driver
+          // arithmetic (gid % nShards, gid div nShards), same
+          // union-distinct merge, row-sized sorted output files
+          val newLocal = snapDf
+            .filter(col("gid") % ref.nShards === s)
+            .select(expr(s"gid div ${ref.nShards}").as("vec_id"))
+          val merged =
+            if (haveOld)
+              spark.read.parquet(deadLive(sd)).select(col("vec_id"))
+                .unionAll(newLocal).distinct()
+            else newLocal.distinct()
+          val parts = math.max(1L,
+            (n / math.max(ref.nShards, 1) + (8L << 20) - 1) / (8L << 20))
+          installDeadSidecar(fs, sd, merged
+            .repartitionByRange(parts.toInt, col("vec_id"))
+            .sortWithinPartitions("vec_id"))
+        }
       }
-    }
+    } finally snapDf.unpersist(false)
+  }
+
+  /** One sidecar staging+rename swap (shared by both writer paths). */
+  private def installDeadSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                 sd: String, merged: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    merged.write.mode("overwrite").parquet(deadStaging(sd))
+    val live = new Path(deadLive(sd))
+    if (fs.exists(live))
+      require(fs.rename(live, new Path(deadOld(sd))),
+        s"writeDeadSidecars: cannot move ${deadLive(sd)} aside")
+    require(fs.rename(new Path(deadStaging(sd)), live),
+      s"writeDeadSidecars: cannot promote staging for ${deadLive(sd)}")
+    fs.delete(new Path(deadOld(sd)), true)
   }
 
   /** Retire the erased snapshot from the per-query mask: swap
@@ -1150,38 +1230,43 @@ object ShardedIndex {
         .select(col("gid").as("vec_id"), col("embedding"))
     }
     val union = (base ++ deltas).reduce(_ unionAll _)
-    val tombIds: Array[Long] = tomb
-      .map(_.select(col("gid")).distinct().as[Long].collect())
-      .getOrElse(Array.empty)
-    val zeroed =
-      if (tombIds.isEmpty) union
-      else union.join(
-          broadcast(tombIds.toSeq.toDF("vec_id")
-            .withColumn("_dead", lit(true))),
-          Seq("vec_id"), "left_outer")
-        .select(col("vec_id"),
-          when(col("_dead"), transform(col("embedding"), _ => lit(0.0f)))
-            .otherwise(col("embedding")).as("embedding"))
+    // the erased set stays a RELATION end-to-end: the zeroing join
+    // broadcasts it only while it is small (the bounded-mask contract),
+    // and a mass-revocation wave past maxDriverIds flows through an
+    // ordinary shuffled join + the distributive sidecar writer — the
+    // flip never materializes the erasures on the driver
+    val tombDf: Option[DataFrame] = tomb.map(_.select(col("gid")).distinct())
+    val nTomb = tombDf.map(_.count()).getOrElse(0L)
+    val zeroed = tombDf match {
+      case None => union
+      case Some(t) =>
+        val marked = t.select(col("gid").as("vec_id"),
+          lit(true).as("_dead"))
+        val side = if (nTomb <= maxDriverIds(spark)) broadcast(marked)
+                   else marked
+        union.join(side, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"),
+            when(col("_dead"), transform(col("embedding"), _ => lit(0.0f)))
+              .otherwise(col("embedding")).as("embedding"))
+    }
     val newRef = buildPersistedImpl(spark, zeroed, params, nShardsNew,
       newDir, clearTombstones = true)
     // the successor's dead set = every prior generation's sidecars
     // (carried forward — their payloads are already zeroed in the live
-    // vectors this build read) ∪ this purge's tombstones. Bounded by
-    // lifetime erasures, the same contract that makes the sidecars
-    // loadable per shard.
-    val priorDead: Seq[Long] = (0 until live.nShards).flatMap { s =>
+    // vectors this build read) ∪ this purge's tombstones.
+    val priorDeadDfs: Seq[DataFrame] = (0 until live.nShards).flatMap { s =>
       val sd = shardDir(live, s)
       val f = new org.apache.hadoop.fs.Path(sd)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       recoverDeadSwap(f, sd)
       if (!f.exists(new org.apache.hadoop.fs.Path(
-          s"${deadLive(sd)}/_SUCCESS"))) Seq.empty[Long]
-      else spark.read.parquet(deadLive(sd))
-        .select(col("vec_id") * live.nShards + s).as[Long].collect().toSeq
+          s"${deadLive(sd)}/_SUCCESS"))) None
+      else Some(spark.read.parquet(deadLive(sd))
+        .select((col("vec_id") * live.nShards + s).as("gid")))
     }
-    val allDead = (priorDead ++ tombIds).distinct
-    if (allDead.nonEmpty)
-      writeDeadSidecars(spark, newRef, allDead.toDF("gid"))
+    (priorDeadDfs ++ tombDf.map(_.select(col("gid"))))
+      .reduceOption(_ unionAll _)
+      .foreach(allDead => writeDeadSidecars(spark, newRef, allDead))
     Generations.publish(spark, root, gen)
     newRef
   }

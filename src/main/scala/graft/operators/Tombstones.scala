@@ -42,13 +42,18 @@ import org.apache.spark.sql.functions.col
   * against a quiesced replica, the same discipline as any
   * segment-merging index. A deployment that must SERVE THROUGH a
   * compaction uses the generation-versioned faces instead
-  * ([[graft.index.Generations]]; `ShardedIndex.compactVersioned`,
-  * `InvertedIndex.compactVersioned`): published generations are
-  * immutable, the compactor builds the successor read-only and flips
-  * a MANIFEST pointer atomically, and grace-window retirement keeps
-  * the predecessor on disk through one flip — readers need no
-  * coordination at all. Writers stay single-writer among themselves
-  * in both postures. */
+  * ([[graft.index.Generations]]) — ALL SIX persisted faces have one:
+  * `ShardedIndex.compactVersioned`, `InvertedIndex.compactVersioned`,
+  * `IvfPq.compactVersioned`, `Sq8Ann.compactVersioned`,
+  * `MinHashLsh.compactVersioned`, `SemDedup.compactVersioned`.
+  * Published generations are immutable, the compactor builds the
+  * successor read-only and flips a MANIFEST pointer atomically, and
+  * grace-window retirement keeps `keepGens` predecessors on disk
+  * (default 1) — readers need no coordination at all. Writers stay
+  * single-writer among themselves in both postures, and on versioned
+  * roots that contract is ENFORCED by the best-effort writer lease
+  * ([[graft.index.Generations.withWriterLease]]): a second
+  * append/delete/compact fails loudly at entry. */
 object Tombstones {
 
   private def hp(dir: String) = new org.apache.hadoop.fs.Path(dir)

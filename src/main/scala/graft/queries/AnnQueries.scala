@@ -480,6 +480,28 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // Serve-through-compaction on the COMPRESSED tier — the normal
+    // serving path past the broadcast ceiling, which until this round
+    // could only compact under reader-excluding quiescence. The
+    // versioned IVF-PQ fixture takes a full takedown lifecycle through
+    // a generation flip (build gen0 → tombstone vec_id % 13 = 0 →
+    // compactVersioned publishes gen1 with the rows physically
+    // erased); BOTH sides of the flip must answer the exhaustive
+    // survivor ranking hash-exactly through the routed SQL machinery.
+    // Reader side: the SUPERSEDED pre-flip generation (tombstones
+    // still masking) — the grace window a slow reader holds.
+    "g8_sql_ivfpq_grace" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "ivfpq_grace")
+      rs.sql(svRelationSql(K))
+    }),
+
+    // Post-flip side: the freshly published generation (dead rows
+    // erased, tombstone-free — the deletion trigger re-armed).
+    "g8_sql_ivfpq_versioned" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "ivfpq_versioned")
+      rs.sql(svRelationSql(K))
+    }),
+
     // The reference's FLAGSHIP question asked FROM SQL — the set-level
     // top-k (`test_search_multivector_rerank.cpp:276-339`) in the
     // QUERY-RELATION spelling: ONE statement for every query set (the
@@ -956,6 +978,25 @@ object AnnQueries extends QueryPack {
           name = "ivfpq_grown")
         ivfPqGrownAppend(rs, dir, path, centroids, cbs, half)
         emb
+      case "ivfpq_grace" =>
+        // serve-through-compaction on the compressed tier, reader
+        // side: the superseded pre-flip generation dir (tombstones
+        // still masking the takedown tranche)
+        val (pre, _, centroids, cbs) = ivfPqVersionedHandles(rs, dir)
+        AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+          AnnIndexRegistry.IvfPqEntry(pre, emb, "vec_id", "embedding",
+            centroids, cbs, "cosine", nProbe = 12, nCand = 250),
+          name = "ivfpq_grace")
+        emb
+      case "ivfpq_versioned" =>
+        // ... and post-flip side: the published successor (dead rows
+        // physically erased, no tombstones)
+        val (_, live, centroids, cbs) = ivfPqVersionedHandles(rs, dir)
+        AnnIndexRegistry.registerIvfPq(emb, "vec_id", "embedding",
+          AnnIndexRegistry.IvfPqEntry(live, emb, "vec_id", "embedding",
+            centroids, cbs, "cosine", nProbe = 12, nCand = 250),
+          name = "ivfpq_versioned")
+        emb
       case other => sys.error(s"no certificate setup for tier '$other'")
     }
     corpusDf.createOrReplaceTempView("graft_emb")
@@ -1224,6 +1265,49 @@ object AnnQueries extends QueryPack {
       graft.operators.IvfPq.appendIndex(s, d.filter(col("d_id") >= half),
         path, centroids, cbs)
     }
+
+  /** One VERSIONED IVF-PQ index per fixture dir — serve-through-
+    * compaction on the compressed tier: gen0 built over the full
+    * corpus (the [[ivfPqIndex]] quantizers), the takedown tranche
+    * (vec_id % 13 = 0) tombstoned via the versioned writer face, then
+    * [[graft.operators.IvfPq.compactVersioned]] published gen1 with
+    * the dead rows physically erased. Returns (pre-flip grace dir,
+    * post-flip live dir, centroids, codebooks); the grace dir is
+    * asserted intact — a reader that resolved the pre-flip manifest
+    * still holds it. */
+  private val ivfPqVersionedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Array[Array[Float]], graft.operators.PqAnn.Codebooks)]()
+
+  private def ivfPqVersionedHandles(s: SparkSession, dir: String)
+      : (String, String, Array[Array[Float]], graft.operators.PqAnn.Codebooks) =
+    ivfPqVersionedCache.computeIfAbsent(dir, _ => {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val sample = IvfAnn.collectSample(d, 2000, 42L)
+      val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+      val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_ver_")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val root = tmp.toString
+      IvfPq.buildVersioned(s, d, root, centroids, cbs)
+      val tranche = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 13 === 0).select(col("vec_id").as("d_id"))
+      require(IvfPq.deleteVersioned(s, root, tranche) > 0,
+        "versioned IVF-PQ fixture produced an empty tranche")
+      val pre = IvfPq.resolveVersioned(s, root)
+      val live = IvfPq.compactVersioned(s, root)
+      require(pre == s"$root/gen0" && live == s"$root/gen1",
+        "versioned IVF-PQ fixture did not flip generations")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(pre)),
+        "IVF-PQ grace generation was retired at the first flip")
+      (pre, live, centroids, cbs)
+    })
 
   /** One SEEDED IVF-PQ index per fixture dir — the [[ivfPqIndex]]
     * lifecycle with both quantizers training-free (md5-ranked seeds):
@@ -1902,6 +1986,11 @@ object AnnQueries extends QueryPack {
     "g8_sql_versioned_live" -> g8DeletedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
+    // both sides of the compressed tier's generation flip answer the
+    // exhaustive ranking over the SURVIVORS (the takedown tranche is
+    // masked pre-flip, physically erased post-flip)
+    "g8_sql_ivfpq_grace" -> g8DeletedOracle,
+    "g8_sql_ivfpq_versioned" -> g8DeletedOracle,
     "mm_media_features" -> mmOracle,
     "knn_sq8" -> knnSq8Oracle,
     "semdedup" -> semDedupOracle,

@@ -48,6 +48,14 @@ object ServeThroughCompact {
       case _ => IndexQueries.FixtureParams
     }
     val minBatches = args.lift(4).map(_.toInt).getOrElse(3)
+    // "seq", "par", or "both": whether the reader's per-shard search
+    // jobs run through the sequential loop, a submitter pool sized to
+    // the shard count, or one full measurement of each
+    val modes = args.lift(5).getOrElse("both") match {
+      case "seq" => Seq(false)
+      case "par" => Seq(true)
+      case _ => Seq(false, true)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,25 +64,31 @@ object ServeThroughCompact {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = run(spark, sfDir, nShards, params, minBatches)
-    println("phase\tbatch\tlatency_sec\trecall")
-    rows.foreach { case (ph, i, lat, rec) =>
-      println(f"$ph\t$i\t$lat%.3f\t$rec%.4f") }
+    val rows = modes.flatMap { par =>
+      spark.conf.set("spark.graft.index.parallelShardSearch",
+        if (par) math.min(nShards, cpus.toInt).toString else "1")
+      val tag = if (par) "par" else "seq"
+      run(spark, sfDir, nShards, params, minBatches)
+        .map { case (ph, i, lat, qps, rec) => (tag, ph, i, lat, qps, rec) }
+    }
+    println("mode\tphase\tbatch\tlatency_sec\tqps\trecall")
+    rows.foreach { case (m, ph, i, lat, qps, rec) =>
+      println(f"$m\t$ph\t$i\t$lat%.3f\t$qps%.1f\t$rec%.4f") }
     outDir.foreach { dir =>
       import spark.implicits._
-      Sinks.writeTsv(rows.toDF("phase", "batch", "latency_sec", "recall"),
-        dir)
+      Sinks.writeTsv(rows.toDF("mode", "phase", "batch", "latency_sec",
+        "qps", "recall"), dir)
     }
     spark.stop()
   }
 
-  /** One (phase, batch index, latency sec, Recall@K) row per reader
-    * batch. The reader thread loops: resolve manifest → search at
-    * production budget → score recall; the main thread flips phases
+  /** One (phase, batch index, latency sec, QPS, Recall@K) row per
+    * reader batch. The reader thread loops: resolve manifest → search
+    * at production budget → score recall; the main thread flips phases
     * around a full compactVersioned. */
   def run(spark: SparkSession, sfDir: String, nShards: Int,
           params: BuildParams, minBatches: Int)
-      : Seq[(String, Int, Double, Double)] = {
+      : Seq[(String, Int, Double, Double, Double)] = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -95,10 +109,11 @@ object ServeThroughCompact {
         col("d_id")))), x => x.getField("d_id")).as("gt_ids"))
       .localCheckpoint(true)
 
+    val nq = queries.count().toDouble
     val phase = new AtomicReference[String]("before")
     val stop = new AtomicBoolean(false)
     val out = new java.util.concurrent.ConcurrentLinkedQueue[
-      (String, Int, Double, Double)]
+      (String, Int, Double, Double, Double)]
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     def phaseCount(p: String): Int = {
       var n = 0
@@ -121,7 +136,7 @@ object ServeThroughCompact {
             col("d_id")))), x => x.getField("d_id")).as("ids"))
         val rec = Recall.atK(res, gt, K)
           .agg(avg(col("recall"))).first().getDouble(0)
-        out.add((ph, i, lat, rec))
+        out.add((ph, i, lat, nq / lat, rec))
         i += 1
       } catch { case t: Throwable => errors.add(t) }
     })
@@ -136,6 +151,6 @@ object ServeThroughCompact {
     stop.set(true)
     reader.join(600000)
     if (!errors.isEmpty) throw errors.peek()
-    out.toArray(Array.empty[(String, Int, Double, Double)]).toSeq
+    out.toArray(Array.empty[(String, Int, Double, Double, Double)]).toSeq
   }
 }

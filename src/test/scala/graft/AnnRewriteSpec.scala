@@ -1481,6 +1481,71 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted measured costs: a fresh registry seeds from the index sidecars and keeps the learned order") {
+    val q = ivfpqSetup
+    import graft.operators.{IvfAnn, IvfPq, PqAnn, Sq8Ann}
+    val corpus = spark.read.parquet("target/tmp/ann_ivfpq_corpus")
+    val d = corpus.select(col("vid").as("d_id"), col("vec").as("d_vec"))
+    val sq8Path = "target/tmp/ann_sq8_sidecar_idx"
+    val bounds = Sq8Ann.writeIndex(d, sq8Path)
+    val (encoded, _) = Sq8Ann.loadIndex(spark, sq8Path)
+    // both tiers PATH-backed, so both get persisted-EWMA sidecars
+    def registerBoth(): Unit = {
+      val sample = IvfAnn.collectSample(d, 2000, 42L)
+      val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+      val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+      AnnIndexRegistry.registerIvfPq(corpus, "vid", "vec",
+        AnnIndexRegistry.IvfPqEntry("target/tmp/ann_ivfpq_index", corpus,
+          "vid", "vec", centroids, cbs, "ip", nProbe = 12, nCand = 250))
+      AnnIndexRegistry.registerSq8(corpus, "vid", "vec", encoded, bounds,
+        metricName = "ip", nCand = 60, indexPath = sq8Path)
+    }
+    val dotSql = s"""SELECT vid, graft_vec_dot(vec, $q) AS score
+                    |FROM ivfpq_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    AnnIndexRegistry.clearMeasuredCosts()
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      registerBoth()
+      val fp = AnnIndexRegistry
+        .registeredFp("vid", "vec", "ip", "ivfpq").get
+      // the learned order, INVERTED vs the static hints (ivfpq's hint
+      // is far below sq8's): recorded → persisted beside each index
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "ivfpq", 5.0)
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "sq8", 0.01)
+      assert(routedTier(spark.sql(dotSql)) === Seq("sq8"))
+      // "fresh session": the in-memory store is wiped — static hints
+      // alone would route back to ivfpq and the first queries would
+      // re-learn; re-registration must seed the persisted EWMAs
+      AnnIndexRegistry.clearMeasuredCosts()
+      registerBoth()
+      assert(routedTier(spark.sql(dotSql)) === Seq("sq8"),
+        "fresh registry did not seed the persisted measured order")
+      // a live in-session measurement is never clobbered by a later
+      // registration's seed (seeding is putIfAbsent)
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "ivfpq", 0.25)
+      val liveVal = AnnIndexRegistry
+        .measuredCost("vid", "vec", "ip", fp, "ivfpq")
+      registerBoth()
+      assert(AnnIndexRegistry
+        .measuredCost("vid", "vec", "ip", fp, "ivfpq") === liveVal,
+        "registration seeding overwrote a live in-session measurement")
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      AnnIndexRegistry.clearMeasuredCosts()
+      // drop the persisted EWMAs (and their checksum twins) so later
+      // registrations in this JVM never seed this test's synthetic
+      // values
+      Seq("target/tmp/ann_ivfpq_index/_cost_ewma.ivfpq",
+          "target/tmp/ann_ivfpq_index/._cost_ewma.ivfpq.crc",
+          s"$sq8Path/_cost_ewma.sq8", s"$sq8Path/._cost_ewma.sq8.crc")
+        .foreach(p => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(p)))
+    }
+  }
+
   test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
     setup
     import graft.operators.Sq8Ann

@@ -229,6 +229,87 @@ class GenerationSpec extends AnyFunSuite {
       "second-generation erasure diverged from mask semantics")
   }
 
+  test("dead-sidecar writers: the distributive path produces the driver path's sidecars") {
+    // Two identical versioned indexes take the SAME two purge cycles —
+    // one under the standing driver-array writer, one forced through
+    // the distributive join writer (maxDriverIds=1, the mass-revocation
+    // posture) — and every shard's dead sidecar must come out as the
+    // same id set, including the second cycle's merge with an EXISTING
+    // sidecar and the flip's carry of prior erasures.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    ShardedIndex.resetResidencyTracking()
+    def lifecycle(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_gen_dist_$tag").toString
+      ShardedIndex.buildVersioned(spark, emb,
+        IndexQueries.FixtureParams, nShards = 2, root)
+      // purge 1: a mass tranche (every third gid)
+      assert(ShardedIndex.deleteVersioned(spark, root,
+        (0L until 300L by 3).toSeq) === 100L)
+      ShardedIndex.compactVersioned(spark, root, IndexQueries.FixtureParams)
+      // purge 2: a second wave merging into the existing sidecars
+      assert(ShardedIndex.deleteVersioned(spark, root,
+        (1L until 300L by 30).toSeq) === 10L)
+      ShardedIndex.compactVersioned(spark, root,
+        IndexQueries.FixtureParams).path
+    }
+    val drv = lifecycle("drv")
+    spark.conf.set("spark.graft.ann.deadSidecar.maxDriverIds", "1")
+    val dist =
+      try lifecycle("dist")
+      finally spark.conf.unset("spark.graft.ann.deadSidecar.maxDriverIds")
+    def deadSet(p: String, s: Int): Set[Long] =
+      spark.read.parquet(s"$p/shard$s/dead")
+        .select(col("vec_id")).as[Long].collect().toSet
+    (0 until 2).foreach { s =>
+      assert(deadSet(drv, s).nonEmpty)
+      assert(deadSet(dist, s) === deadSet(drv, s),
+        s"distributive sidecar diverged from the driver path on shard $s")
+    }
+    // and the served survivors agree between the two writers
+    val q = emb.filter(col("vec_id") % 40 === 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def top5(p: String): Map[Long, Seq[Long]] =
+      ShardedIndex.searchSingleDf(spark, q,
+          ShardedIndexRef(p, 2, "cosine"), l = 600, k = 8)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSeq)
+        .toMap
+    assert(top5(dist) === top5(drv))
+  }
+
+  test("parallel shard search: pooled per-shard jobs return the sequential results") {
+    // the serving-QPS lever (SWEEP_SERVE_COMPACT: the sequential
+    // per-shard job loop binds a many-shard batch) must be a pure
+    // scheduling change — same candidates, same scores, same order
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_parshard_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb.filter(col("vec_id") < 250),
+      IndexQueries.FixtureParams, nShards = 4, root)
+    // a delta shard too: the pooled path must cover both dir kinds
+    ShardedIndex.appendVersioned(spark,
+      emb.filter(col("vec_id") >= 250), root, IndexQueries.FixtureParams)
+    val ref = ShardedIndex.resolveVersioned(spark, root, "cosine")
+    val q = emb.filter(col("vec_id") % 25 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def rows(): Set[(Long, Long, Double)] =
+      ShardedIndex.searchSingleDf(spark, q, ref, l = 600, k = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+    spark.conf.set("spark.graft.index.residentShards", "8")
+    val seq = rows()
+    spark.conf.set("spark.graft.index.parallelShardSearch", "4")
+    try assert(rows() === seq,
+      "parallel per-shard search diverged from the sequential loop")
+    finally {
+      spark.conf.unset("spark.graft.index.parallelShardSearch")
+      spark.conf.unset("spark.graft.index.residentShards")
+    }
+  }
+
   test("versioned re-shard: growth changes the shard count through the flip; erasures carry") {
     // Delta-ingest grows the corpus past the per-shard size target; the
     // in-place compact cannot change shard count for a serving index

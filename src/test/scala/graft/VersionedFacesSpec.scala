@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfAnn, IvfPq, MinHashLsh, PqAnn, SemDedup, Sq8Ann}
+import graft.queries.TextQueries
+
+/** Serve-through-compaction on the four faces the round-14 generation
+  * layer did NOT cover: the compressed serving tiers (IVF-PQ codes,
+  * SQ8 codes+bounds) and the incremental dedup indexes (MinHash band
+  * keys, SemDeDup cells). Each test drives the [[graft.index
+  * .Generations]]-backed lifecycle — build → append → takedown →
+  * concurrent reader THROUGH a compactVersioned → grace → maintenance
+  * trigger — in the GenerationSpec pattern: a reader that resolved the
+  * pre-flip manifest answers identically before, during, and after the
+  * flip, and the published successor serves the same survivors with
+  * the tombstones physically retired. */
+class VersionedFacesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Run `read` on a worker thread 3× while `flip` runs to completion
+    * on the caller's thread; fail on any reader error or divergence
+    * from `before`. */
+  private def serveThrough[T](before: T, read: () => T)(flip: => Unit): Unit = {
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[T]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() =>
+      try (1 to 3).foreach(_ => results.add(read()))
+      catch { case t: Throwable => errors.add(t) })
+    reader.start()
+    flip
+    reader.join(300000)
+    assert(errors.isEmpty, s"concurrent reader failed: ${errors.peek()}")
+    results.forEach(r => assert(r === before,
+      "concurrent reader diverged mid-compaction"))
+  }
+
+  test("IVF-PQ face: a pre-compact reader serves through a concurrent compaction") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val centroids = IvfAnn.seededCentroids(d, 8)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_ivfpq_").toString
+    IvfPq.buildVersioned(spark, d.filter(col("d_id") < 250), root,
+      centroids, cbs, seeded = true)
+    IvfPq.appendVersioned(spark, d.filter(col("d_id") >= 250), root,
+      centroids, cbs, seeded = true)
+    val victims = Seq(5L, 260L) // one base id, one delta id
+    assert(IvfPq.deleteVersioned(spark, root, victims) === 2L)
+
+    val q = emb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // nProbe = all cells, nCand ≥ corpus: the probe saturates, so the
+    // reranked answer is the exact deterministic survivor ranking
+    def top10(dir: String): Map[Long, Seq[Long]] =
+      IvfPq.knnSeededOverIndex(spark, q, dir, d, centroids, cbs,
+          k = 10, nProbe = 8, nCand = 400)
+        .select("q_id", "d_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    val pre = IvfPq.resolveVersioned(spark, root)
+    assert(pre === s"$root/gen0")
+    val before = top10(pre)
+    assert(before.values.flatten.forall(id => !victims.contains(id)),
+      "mask did not hide the victims pre-compact")
+    serveThrough(before, () => top10(pre)) {
+      assert(IvfPq.compactVersioned(spark, root) === s"$root/gen1")
+    }
+    // grace: the pre-flip snapshot still answers; the successor serves
+    // the same survivors with the rows physically erased
+    assert(top10(pre) === before, "grace generation broke post-flip")
+    val live = IvfPq.resolveVersioned(spark, root)
+    assert(live === s"$root/gen1")
+    assert(top10(live) === before, "compaction changed survivor results")
+    assert(spark.read.parquet(live)
+      .filter(col("d_id").isin(victims.map(Long.box): _*)).count() === 0L)
+    assert(IvfPq.deletedFractionVersioned(spark, root) === 0.0,
+      "deletion trigger did not re-arm after the fold")
+    // maintenance trigger: quiet below threshold, fires above
+    assert(IvfPq.deleteVersioned(spark, root, Seq(7L)) === 1L)
+    val expected = top10(live)
+    assert(IvfPq.maybeCompactVersioned(spark, root) === live,
+      "trigger fired below every threshold")
+    assert(IvfPq.maybeCompactVersioned(spark, root,
+      maxDeletedFrac = 0.001) === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    val after = top10(IvfPq.resolveVersioned(spark, root))
+    assert(after === expected,
+      "second-generation erasure diverged from mask semantics")
+    assert(after.values.flatten.forall(_ != 7L))
+  }
+
+  test("SQ8 face: a pre-compact reader serves through a concurrent compaction") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_sq8_").toString
+    // bounds train on the BASE batch only; appends clamp to them
+    Sq8Ann.buildVersioned(spark, d.filter(col("d_id") < 250), root)
+    Sq8Ann.appendVersioned(spark, root, d.filter(col("d_id") >= 250))
+    val victims = Seq(5L, 260L)
+    assert(Sq8Ann.deleteVersioned(spark, root, victims) === 2L)
+
+    val q = emb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // nCand ≥ corpus: the coarse scan saturates → exact survivor top-k
+    def top10(dir: String): Map[Long, Seq[Long]] = {
+      val (codes, bounds) = Sq8Ann.loadIndex(spark, dir)
+      Sq8Ann.searchEncoded(q, codes, d, bounds, k = 10, nCand = 400)
+        .select("q_id", "d_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+
+    val pre = Sq8Ann.resolveVersioned(spark, root)
+    assert(pre === s"$root/gen0")
+    val before = top10(pre)
+    assert(before.values.flatten.forall(id => !victims.contains(id)),
+      "mask did not hide the victims pre-compact")
+    serveThrough(before, () => top10(pre)) {
+      assert(Sq8Ann.compactVersioned(spark, root) === s"$root/gen1")
+    }
+    assert(top10(pre) === before, "grace generation broke post-flip")
+    val live = Sq8Ann.resolveVersioned(spark, root)
+    assert(live === s"$root/gen1")
+    assert(top10(live) === before, "compaction changed survivor results")
+    assert(spark.read.parquet(s"$live/codes")
+      .filter(col("d_id").isin(victims.map(Long.box): _*)).count() === 0L)
+    assert(Sq8Ann.deletedFractionVersioned(spark, root) === 0.0,
+      "deletion trigger did not re-arm after the fold")
+    // the frozen bounds rode the fold verbatim (quantizer contract)
+    val b0 = spark.read.parquet(s"$pre/bounds").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val b1 = spark.read.parquet(s"$live/bounds").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(b0 === b1, "compaction re-trained the frozen bounds")
+    assert(Sq8Ann.deleteVersioned(spark, root, Seq(7L)) === 1L)
+    val expected = top10(live)
+    assert(Sq8Ann.maybeCompactVersioned(spark, root) === live,
+      "trigger fired below every threshold")
+    assert(Sq8Ann.maybeCompactVersioned(spark, root,
+      maxDeletedFrac = 0.001) === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    assert(top10(Sq8Ann.resolveVersioned(spark, root)) === expected,
+      "second-generation erasure diverged from mask semantics")
+  }
+
+  test("band-index face: incremental dedup probes serve through a concurrent compaction") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha beta gamma delta${i % 9} epsilon${i % 4} zeta eta " +
+        s"theta${i % 9} iota kappa"))
+      .toDF("doc_id", "text")
+    val sh = TextQueries.shingleHashes(docs)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_band_").toString
+    MinHashLsh.buildVersioned(
+      MinHashLsh.bandKeys(sh.filter(col("doc_id") <= 40), 8, 2), root)
+    MinHashLsh.appendVersioned(
+      MinHashLsh.bandKeys(sh.filter(col("doc_id") > 40), 8, 2), root)
+    val victims = Seq(3L, 45L)
+    assert(MinHashLsh.deleteVersioned(spark, root, victims) === 2L)
+
+    // the probe face: a NEW ingest wave's candidates against the
+    // resident index (ids disjoint by the monotone contract)
+    val batch = (1L to 60L).map(i => (i + 1000L,
+      s"alpha beta gamma delta${i % 9} epsilon${i % 4} zeta eta " +
+        s"theta${i % 9} iota kappa")).toDF("doc_id", "text")
+    val batchKeys = MinHashLsh.bandKeys(
+      TextQueries.shingleHashes(batch), 8, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchKeys.count()
+    def pairs(dir: String): Set[(Long, Long, Long)] =
+      MinHashLsh.incrementalPairs(
+          MinHashLsh.readBandIndex(spark, dir), batchKeys)
+        .as[(Long, Long, Long)].collect().toSet
+
+    val pre = MinHashLsh.resolveVersioned(spark, root)
+    assert(pre === s"$root/gen0")
+    val before = pairs(pre)
+    assert(before.nonEmpty)
+    assert(!before.exists(p => victims.contains(p._1)),
+      "a deleted resident doc still seeds candidate pairs")
+    serveThrough(before, () => pairs(pre)) {
+      assert(MinHashLsh.compactVersioned(spark, root) === s"$root/gen1")
+    }
+    assert(pairs(pre) === before, "grace generation broke post-flip")
+    val live = MinHashLsh.resolveVersioned(spark, root)
+    assert(live === s"$root/gen1")
+    assert(pairs(live) === before, "compaction changed candidate pairs")
+    assert(spark.read.parquet(live)
+      .filter(col("doc_id").isin(victims.map(Long.box): _*))
+      .count() === 0L)
+    assert(MinHashLsh.deletedFractionVersioned(spark, root) === 0.0,
+      "deletion trigger did not re-arm after the fold")
+    // the gross watermark rode the fold (replay detection intact)
+    assert(graft.operators.Watermark.read(spark, live, "doc_id")
+      === Some(60L))
+    assert(MinHashLsh.deleteVersioned(spark, root, Seq(7L)) === 1L)
+    val expected = pairs(live)
+    assert(MinHashLsh.maybeCompactVersioned(spark, root) === live,
+      "trigger fired below every threshold")
+    assert(MinHashLsh.maybeCompactVersioned(spark, root,
+      maxDeletedFrac = 0.001) === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    assert(pairs(MinHashLsh.resolveVersioned(spark, root)) === expected)
+    batchKeys.unpersist(false)
+  }
+
+  test("cell-index face: incremental SemDeDup marks serve through a concurrent compaction") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = IvfAnn.seededCentroids(
+      corpus.select(col("id").as("d_id"), col("vec").as("d_vec")), 8)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_cell_").toString
+    SemDedup.buildVersioned(corpus.filter(col("id") < 250), centroids, root)
+    SemDedup.appendVersioned(corpus.filter(col("id") >= 250), centroids, root)
+    // victims: resident docs whose identical twins arrive in the batch
+    val victims = Seq(5L, 260L)
+    assert(SemDedup.deleteVersioned(spark, root, victims) === 2L)
+
+    // batch = identical copies of residents 0..49 ∪ {260} under fresh
+    // monotone ids; at tau = 1.0 a batch row marks dup IFF its twin is
+    // still live in the same cell — deletion semantics are observable
+    val batch = corpus.filter(col("id") < 50 || col("id") === 260)
+      .select((col("id") + 1000L).as("id"), col("vec"))
+    def marks(dir: String): Map[Long, Long] =
+      SemDedup.incrementalMark(spark, dir, centroids, batch, tau = 1.0)
+        .select("id", "is_dup").as[(Long, Long)].collect().toMap
+
+    val pre = SemDedup.resolveVersioned(spark, root)
+    assert(pre === s"$root/gen0")
+    val before = marks(pre)
+    assert(before(1006L) === 1L, "live twin did not mark its duplicate")
+    assert(before(1005L) === 0L && before(1260L) === 0L,
+      "a deleted resident still marks batch rows as duplicates")
+    serveThrough(before, () => marks(pre)) {
+      assert(SemDedup.compactVersioned(spark, root) === s"$root/gen1")
+    }
+    assert(marks(pre) === before, "grace generation broke post-flip")
+    val live = SemDedup.resolveVersioned(spark, root)
+    assert(live === s"$root/gen1")
+    assert(marks(live) === before, "compaction changed incremental marks")
+    assert(SemDedup.readCellIndex(spark, live)
+      .filter(col("id").isin(victims.map(Long.box): _*)).count() === 0L)
+    assert(SemDedup.deletedFractionVersioned(spark, root) === 0.0,
+      "deletion trigger did not re-arm after the fold")
+    // the gross watermark rode the fold (monotone-ingest check intact)
+    assert(SemDedup.readWatermark(spark, live) === Some(299L))
+    assert(SemDedup.deleteVersioned(spark, root, Seq(6L)) === 1L)
+    assert(SemDedup.maybeCompactVersioned(spark, root) === live,
+      "trigger fired below every threshold")
+    assert(SemDedup.maybeCompactVersioned(spark, root,
+      maxDeletedFrac = 0.001) === s"$root/gen2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen0")),
+      "out-of-grace generation was not retired")
+    val after = marks(SemDedup.resolveVersioned(spark, root))
+    assert(after(1006L) === 0L, "erased twin still marks its duplicate")
+  }
+}
