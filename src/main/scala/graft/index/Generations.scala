@@ -183,9 +183,11 @@ object Generations {
     * `keepGens` most recent PUBLISHED predecessors — the grace set a
     * reader holding an older manifest may still be scanning
     * (`keepGens < 0` reads `spark.graft.gen.keepGens`, default 1).
-    * Crash anywhere: either the old manifest still serves, or the
-    * committed next is already preferred by readers and promoted by
-    * the next publish. */
+    * Generations named by a LIVE reader lease ([[withReaderLease]])
+    * are additionally exempt from retirement, however old. Crash
+    * anywhere: either the old manifest still serves, or the committed
+    * next is already preferred by readers and promoted by the next
+    * publish. */
   def publish(spark: SparkSession, root: String, gen: String,
               keepGens: Int = -1): Unit = {
     require(gen.matches("gen\\d+"), s"bad generation name: $gen")
@@ -209,12 +211,84 @@ object Generations {
     val next = new Path(s"$root/$NextName")
     renameOver(f, spark, tmp, next)
     renameOver(f, spark, next, new Path(s"$root/$ManifestName"))
-    val keepSet = entries.toSet
+    val keepSet = entries.toSet ++ leasedGens(f, root)
     f.listStatus(new Path(root)).foreach { st =>
       val nm = st.getPath.getName
       if (st.isDirectory && nm.matches("gen\\d+") && !keepSet.contains(nm))
         f.delete(st.getPath, true)
     }
+  }
+
+  // ===== Reader leases =====
+  //
+  // `keepGens` is a POLICY (retain N predecessors, sized to the
+  // longest expected scan); a reader lease is a GUARANTEE for the scan
+  // that cannot be sized in advance — a long analytical job registers
+  // the generation it resolved, and publish-time retirement skips any
+  // generation a live lease names, however many flips happen
+  // meanwhile. Leases are tiny `_reader.<uuid>` files under the root
+  // carrying `<gen> <expiry-epoch-ms>`; the TTL
+  // (`spark.graft.gen.readerLeaseMs`, default 1 h) bounds the damage
+  // of a crashed reader (its lease simply expires), and EXPIRED lease
+  // files are cleaned by the next publish — the single writer — so
+  // readers still never mutate shared state they do not own.
+
+  private val ReaderLeasePrefix = "_reader."
+
+  /** Generations named by an UNEXPIRED reader lease. Expired or
+    * garbage lease files are deleted here — called only from
+    * [[publish]], on the single writer. */
+  private def leasedGens(f: FileSystem, root: String): Set[String] = {
+    val now = System.currentTimeMillis()
+    f.listStatus(new Path(root)).iterator
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(ReaderLeasePrefix))
+      .flatMap { st =>
+        readFile(f, st.getPath).map(_.trim.split(" ", 2)) match {
+          case Some(Array(g, exp))
+              if g.matches("gen\\d+") &&
+                 exp.trim.toLongOption.exists(_ > now) => Some(g)
+          case _ => f.delete(st.getPath, false); None
+        }
+      }.toSet
+  }
+
+  /** Run `body` against the live generation DIRECTORY under a reader
+    * lease: the directory is guaranteed to survive every concurrent
+    * publish until `body` returns or the lease TTL
+    * (`spark.graft.gen.readerLeaseMs`, default 3600000) expires —
+    * whichever comes first. Acquisition re-checks the generation dir
+    * AFTER writing the lease (a publish storm could retire it between
+    * the manifest read and the lease landing) and retries on the next
+    * live generation; the lease file is removed on completion (its
+    * owner — the one mutation a reader makes is to its own lease). */
+  def withReaderLease[T](spark: SparkSession, root: String)(
+      body: String => T): T = {
+    val f = fs(spark, root)
+    val ttl = spark.conf
+      .get("spark.graft.gen.readerLeaseMs", "3600000").toLong
+    var attempt = 0
+    while (attempt < 5) {
+      val gen = live(spark, root).getOrElse(
+        sys.error(s"no published generation at $root"))
+      val lease =
+        new Path(s"$root/$ReaderLeasePrefix${java.util.UUID.randomUUID()}")
+      val out = f.create(lease, false)
+      try out.write(
+        s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8"))
+      finally out.close()
+      if (f.exists(new Path(s"$root/$gen")))
+        try return body(s"$root/$gen")
+        finally f.delete(lease, false)
+      // the generation was retired between the manifest read and the
+      // lease write (needs 2+ flips inside that window) — drop the
+      // useless lease and resolve afresh
+      f.delete(lease, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"withReaderLease: could not pin a live generation at $root " +
+      "after 5 attempts — publishes are outpacing lease acquisition")
   }
 
   /** Run `body` holding the root's writer lease — the loud-failure

@@ -489,6 +489,14 @@ object InvertedIndex {
       deleteDocs(spark, resolveVersioned(spark, root), ids)
     }
 
+  /** [[deleteVersioned]] for an id RELATION (`doc_id` column) — the
+    * takedown-feed shape. */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      idsDf: DataFrame): Long =
+    graft.index.Generations.withWriterLease(spark, root, "inv.delete") {
+      deleteDocs(spark, resolveVersioned(spark, root), idsDf)
+    }
+
   def bm25QueryVersioned(spark: SparkSession, root: String,
                          terms: Seq[String], k: Int = 20): DataFrame =
     bm25Query(spark, resolveVersioned(spark, root), terms, k)

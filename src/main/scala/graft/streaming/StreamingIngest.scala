@@ -282,7 +282,11 @@ object StreamingIngest {
                     ivfPqIndexPath: Option[String] = None,
                     sq8IndexPath: Option[String] = None,
                     shardedVersionedRoot: Option[String] = None,
-                    invertedVersionedRoot: Option[String] = None)
+                    invertedVersionedRoot: Option[String] = None,
+                    ivfPqVersionedRoot: Option[String] = None,
+                    sq8VersionedRoot: Option[String] = None,
+                    bandVersionedRoot: Option[String] = None,
+                    cellVersionedRoot: Option[String] = None)
       : (DataFrame, Long) => Map[String, Long] = { (ids, _) =>
     val spark = ids.sparkSession
     // EXACTLY one column, by contract: silently picking columns.head
@@ -321,12 +325,59 @@ object StreamingIngest {
         shardedVersionedRoot.map(r => "sharded_versioned" ->
           graft.index.ShardedIndex.deleteVersioned(spark, r, as("gid"))),
         invertedVersionedRoot.map(r => "inverted_versioned" ->
-          graft.operators.InvertedIndex.deleteDocs(spark,
-            graft.operators.InvertedIndex.resolveVersioned(spark, r),
-            as("doc_id")))
+          graft.operators.InvertedIndex.deleteVersioned(spark, r,
+            as("doc_id"))),
+        ivfPqVersionedRoot.map(r => "ivfpq_versioned" ->
+          graft.operators.IvfPq.deleteVersioned(spark, r, as("d_id"))),
+        sq8VersionedRoot.map(r => "sq8_versioned" ->
+          graft.operators.Sq8Ann.deleteVersioned(spark, r, as("d_id"))),
+        bandVersionedRoot.map(r => "band_versioned" ->
+          graft.operators.MinHashLsh.deleteVersioned(spark, r,
+            as("doc_id"))),
+        cellVersionedRoot.map(r => "cell_versioned" ->
+          graft.operators.SemDedup.deleteVersioned(spark, r, as("id")))
       ).flatten.toMap
     } finally docIds.unpersist(false)
   }
+
+  /** One MAINTENANCE-LOOP tick over a deployment's versioned roots —
+    * the poll a serving deployment schedules (timer thread, cron, or a
+    * foreachBatch heartbeat) beside the ingest and takedown feeds:
+    * each face's `maybeCompactVersioned` checks its own re-arming
+    * triggers (un-erased deleted fraction, small-file pressure; the
+    * sharded face adds delta fraction, per-shard skew, and the growth
+    * re-shard via `targetShardRows`) and folds into a successor
+    * generation ONLY when one fires — readers never paused, writers
+    * serialized by the per-root lease (a tick racing an ingest stream
+    * on the same root fails loudly rather than corrupting; schedule
+    * ticks on the writer loop, the same discipline as any single
+    * maintenance window). Returns face → live generation dir after
+    * the tick, for the caller's audit sink. */
+  def maintenanceTick(spark: org.apache.spark.sql.SparkSession,
+                      shardedRoot: Option[(String, graft.index.BuildParams)] = None,
+                      invertedRoot: Option[String] = None,
+                      ivfPqRoot: Option[String] = None,
+                      sq8Root: Option[String] = None,
+                      bandRoot: Option[String] = None,
+                      cellRoot: Option[String] = None,
+                      maxDeletedFrac: Double = 0.2,
+                      targetShardRows: Long = 0): Map[String, String] =
+    Seq(
+      shardedRoot.map { case (r, params) => "sharded" ->
+        graft.index.ShardedIndex.maybeCompactVersioned(spark, r, params,
+          maxDeletedFrac = maxDeletedFrac,
+          targetShardRows = targetShardRows).path },
+      invertedRoot.map(r => "inverted" -> graft.operators.InvertedIndex
+        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+      ivfPqRoot.map(r => "ivfpq" -> graft.operators.IvfPq
+        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+      sq8Root.map(r => "sq8" -> graft.operators.Sq8Ann
+        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+      bandRoot.map(r => "band" -> graft.operators.MinHashLsh
+        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+      cellRoot.map(r => "cell" -> graft.operators.SemDedup
+        .maybeCompactVersioned(spark, r, maxDeletedFrac))
+    ).flatten.toMap
 
   /** Running per-event-type counters via the typed state API
     * (`mapGroupsWithState`) — update-mode output of (n, Σvalue). */

@@ -105,6 +105,55 @@ class GenerationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.gen.keepGens")
   }
 
+  test("reader lease: a leased generation survives any number of publishes; expiry and release retire it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_rlease_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    // a scan that cannot be sized in advance pins its generation: the
+    // dir survives THREE publishes at keepGens=0 (grace alone would
+    // have retired it on the first)
+    Generations.withReaderLease(spark, root) { dir =>
+      assert(dir === s"$root/gen0")
+      (1 to 3).foreach { i =>
+        mkGen(s"gen$i")
+        Generations.publish(spark, root, s"gen$i", keepGens = 0)
+        assert(exists("gen0"),
+          s"leased generation retired by publish #$i")
+      }
+      // the leased snapshot is still fully readable mid-scan
+      assert(Generations.live(spark, root) === Some("gen3"))
+    }
+    // released: the next publish retires it (and the stale gen1/gen2)
+    mkGen("gen4"); Generations.publish(spark, root, "gen4", keepGens = 0)
+    assert(!exists("gen0") && !exists("gen2") && exists("gen4"))
+    // an EXPIRED lease does not block retirement — a crashed reader
+    // cannot pin disk forever
+    spark.conf.set("spark.graft.gen.readerLeaseMs", "1")
+    try {
+      intercept[RuntimeException] { // body throws; lease file removed
+        Generations.withReaderLease(spark, root) { _ => sys.error("x") }
+      }
+      // write one directly to simulate the crash (owner never releases)
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/_reader.crashed"), true)
+      try out.write(s"gen4 ${System.currentTimeMillis() + 1}"
+        .getBytes("UTF-8")) finally out.close()
+      Thread.sleep(50)
+      mkGen("gen5"); Generations.publish(spark, root, "gen5", keepGens = 0)
+      assert(!exists("gen4"),
+        "an expired reader lease still blocked retirement")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/_reader.crashed")),
+        "publish did not clean the expired lease file")
+    } finally spark.conf.unset("spark.graft.gen.readerLeaseMs")
+  }
+
   test("writer lease: a second writer fails loudly; the index stays serveable; stale leases break") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_gen_lease_").toString

@@ -214,6 +214,62 @@ class VersionedFacesSpec extends AnyFunSuite {
     batchKeys.unpersist(false)
   }
 
+  test("takedown feed + maintenance tick: one deletion batch fans into all four new versioned faces") {
+    import graft.streaming.StreamingIngest
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val d = emb.select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+    val centroids = IvfAnn.seededCentroids(d, 4)
+    val cbs = PqAnn.seededCodebooks(d, nSub = 8, ncode = 16)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_ver_feed_$tag").toString
+    val (ivfRoot, sq8Root, bandRoot, cellRoot) =
+      (tmp("ivf"), tmp("sq8"), tmp("band"), tmp("cell"))
+    IvfPq.buildVersioned(spark, d, ivfRoot, centroids, cbs, seeded = true)
+    Sq8Ann.buildVersioned(spark, d, sq8Root)
+    val docs = (0L to 199L).map(i =>
+      (i, s"alpha beta gamma${i % 7} delta epsilon${i % 3} zeta"))
+      .toDF("doc_id", "text")
+    MinHashLsh.buildVersioned(
+      MinHashLsh.bandKeys(TextQueries.shingleHashes(docs), 8, 2), bandRoot)
+    SemDedup.buildVersioned(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      centroids, cellRoot)
+
+    val body = StreamingIngest.takedownBatch(
+      ivfPqVersionedRoot = Some(ivfRoot),
+      sq8VersionedRoot = Some(sq8Root),
+      bandVersionedRoot = Some(bandRoot),
+      cellVersionedRoot = Some(cellRoot))
+    val victims = Seq(4L, 77L).toDF("doc_id")
+    val expected = Map("ivfpq_versioned" -> 2L, "sq8_versioned" -> 2L,
+      "band_versioned" -> 2L, "cell_versioned" -> 2L)
+    assert(body(victims, 0L) === expected)
+    // at-least-once replay converges to zero on every face
+    assert(body(victims, 1L) === expected.view.mapValues(_ => 0L).toMap)
+
+    // maintenance tick, below threshold: every face stays on gen0
+    val live0 = StreamingIngest.maintenanceTick(spark,
+      ivfPqRoot = Some(ivfRoot), sq8Root = Some(sq8Root),
+      bandRoot = Some(bandRoot), cellRoot = Some(cellRoot))
+    assert(live0.values.forall(_.endsWith("/gen0")), s"early fold: $live0")
+    // above threshold: every face folds into gen1 with the victims
+    // physically erased, readers never paused (spot-checked per face
+    // in the lifecycle tests above)
+    val live1 = StreamingIngest.maintenanceTick(spark,
+      ivfPqRoot = Some(ivfRoot), sq8Root = Some(sq8Root),
+      bandRoot = Some(bandRoot), cellRoot = Some(cellRoot),
+      maxDeletedFrac = 0.001)
+    assert(live1.values.forall(_.endsWith("/gen1")), s"no fold: $live1")
+    assert(spark.read.parquet(live1("ivfpq"))
+      .filter(col("d_id").isin(4L, 77L)).count() === 0L)
+    assert(spark.read.parquet(s"${live1("sq8")}/codes")
+      .filter(col("d_id").isin(4L, 77L)).count() === 0L)
+    assert(spark.read.parquet(live1("band"))
+      .filter(col("doc_id").isin(4L, 77L)).count() === 0L)
+    assert(spark.read.parquet(live1("cell"))
+      .filter(col("id").isin(4L, 77L)).count() === 0L)
+  }
+
   test("cell-index face: incremental SemDeDup marks serve through a concurrent compaction") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
