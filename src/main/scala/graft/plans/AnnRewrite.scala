@@ -388,7 +388,34 @@ object AnnIndexRegistry {
   def registerIvfPq(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                     vecCol: String, entry: IvfPqEntry,
                     refresh: () => org.apache.spark.sql.DataFrame = null,
-                    name: String = "ivfpq"): Unit = {
+                    name: String = "ivfpq"): Unit =
+    registerIvfPqResolved(corpus, idCol, vecCol, entry, _ => entry.path,
+      s"${entry.path}/_cost_ewma.$name", refresh, name)
+
+  /** [[registerIvfPq]] over a generation-VERSIONED root
+    * ([[graft.operators.IvfPq.buildVersioned]]): the generator
+    * resolves the manifest per query, so routing follows every
+    * compaction FLIP with no re-registration (a fixed-dir registration
+    * is stranded on a retired generation after `keepGens` flips).
+    * `entry.path` is the ROOT; the quantizers are the frozen
+    * build-time pair and survive every fold by contract. The
+    * persisted-EWMA sidecar sits at the root so it survives
+    * retirement too. */
+  def registerIvfPqVersioned(corpus: org.apache.spark.sql.DataFrame,
+                             idCol: String, vecCol: String,
+                             entry: IvfPqEntry,
+                             refresh: () => org.apache.spark.sql.DataFrame = null,
+                             name: String = "ivfpq"): Unit =
+    registerIvfPqResolved(corpus, idCol, vecCol, entry,
+      s => graft.operators.IvfPq.resolveVersioned(s, entry.path),
+      s"${entry.path}/_cost_ewma.$name", refresh, name)
+
+  private def registerIvfPqResolved(
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, entry: IvfPqEntry,
+      livePath: SparkSession => String, sidecar: String,
+      refresh: () => org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
     import graft.index.BudgetPolicy
     import graft.operators.IvfPq
     // registration-time index size (parquet footers, no job) — the
@@ -397,10 +424,11 @@ object AnnIndexRegistry {
     // flat nCand keeps returning the same candidate count — the exact
     // silent-recall-erosion shape the sharded tier's per-shard budget
     // fixes, so the same policy (and confs) governs the ADC fetch here.
-    val regRows = IvfPq.indexRows(corpus.sparkSession, entry.path)
-    def scaledFetch(s: SparkSession, k: Int): Int =
+    val regRows = IvfPq.indexRows(corpus.sparkSession,
+      livePath(corpus.sparkSession))
+    def scaledFetch(s: SparkSession, k: Int, path: String): Int =
       BudgetPolicy.scaledL(s, math.max(entry.nCand, 4 * k),
-        regRows.toDouble, IvfPq.indexRows(s, entry.path).toDouble)
+        regRows.toDouble, IvfPq.indexRows(s, path).toDouble)
     def liveData(s: SparkSession) = {
       import org.apache.spark.sql.functions.{col, expr}
       (if (refresh != null) refresh() else entry.data)
@@ -411,9 +439,12 @@ object AnnIndexRegistry {
       name, entry.data, entry.dataIdCol, entry.dataVecCol,
       entry.metricName,
       if (entry.centroids.isEmpty) -1 else entry.centroids(0).length,
-      (s, qv, k) => graft.operators.IvfPq.candidateIds(s, qv, entry.path,
-        entry.centroids, entry.codebooks, entry.nProbe,
-        scaledFetch(s, k)),
+      (s, qv, k) => {
+        val path = livePath(s)
+        graft.operators.IvfPq.candidateIds(s, qv, path,
+          entry.centroids, entry.codebooks, entry.nProbe,
+          scaledFetch(s, k, path))
+      },
       candidatesBatch = (s, qs, k) => {
         import s.implicits._
         import org.apache.spark.sql.functions.{col, expr}
@@ -427,16 +458,17 @@ object AnnIndexRegistry {
         val exact = s.conf.getOption("spark.graft.ann.relation.exact")
           .getOrElse("false").toBoolean
         val data = liveData(s)
+        val path = livePath(s)
         val (nProbe, fetch) =
           if (exact) {
             // saturate against the LARGER of corpus and index counts: a
             // grown index behind a stale (refresh-less) corpus snapshot
             // must still keep every candidate it generates
             val n = math.min(math.max(data.count(),
-              IvfPq.indexRows(s, entry.path)), Int.MaxValue.toLong).toInt
+              IvfPq.indexRows(s, path)), Int.MaxValue.toLong).toInt
             (entry.centroids.length, n)
-          } else (entry.nProbe, scaledFetch(s, k))
-        graft.operators.IvfPq.knnOverIndexBlocked(s, q, entry.path,
+          } else (entry.nProbe, scaledFetch(s, k, path))
+        graft.operators.IvfPq.knnOverIndexBlocked(s, q, path,
             data, entry.centroids, entry.codebooks,
             k = fetch, nProbe = nProbe, nCand = fetch)
           .select(col("q_id"), col("d_id"))
@@ -452,7 +484,7 @@ object AnnIndexRegistry {
       },
       dataRefresh = refresh,
       certificateOnly = name != "ivfpq",
-      costSidecar = s"${entry.path}/_cost_ewma.$name"))
+      costSidecar = sidecar))
   }
 
   /** Constructor payload for [[registerIvfPq]]. */
@@ -472,7 +504,41 @@ object AnnIndexRegistry {
                       vecCol: String, ref: graft.index.ShardedIndexRef,
                       dim: Int, metricName: String, searchL: Int = 60,
                       refresh: () => org.apache.spark.sql.DataFrame = null,
-                      name: String = "sharded"): Unit = {
+                      name: String = "sharded"): Unit =
+    registerShardedResolved(corpus, idCol, vecCol, ref,
+      s => graft.index.ShardedIndex.discover(s, ref),
+      s"${ref.path}/_cost_ewma.$name",
+      dim, metricName, searchL, refresh, name)
+
+  /** [[registerSharded]] over a generation-VERSIONED root
+    * ([[graft.index.ShardedIndex.buildVersioned]]): the generator
+    * resolves the manifest per query, so the routed SQL surface
+    * follows every compaction/re-shard FLIP with no re-registration —
+    * a fixed-dir registration would be stranded on a retired
+    * generation after `keepGens` flips. The budget baseline comes from
+    * the registration-time live generation; the persisted-EWMA sidecar
+    * sits at the ROOT (it must survive retirement). */
+  def registerShardedVersioned(corpus: org.apache.spark.sql.DataFrame,
+                               idCol: String, vecCol: String, root: String,
+                               dim: Int, metricName: String,
+                               searchL: Int = 60,
+                               refresh: () => org.apache.spark.sql.DataFrame = null,
+                               name: String = "sharded"): Unit = {
+    val reg0 = graft.index.ShardedIndex
+      .resolveVersioned(corpus.sparkSession, root, metricName)
+    registerShardedResolved(corpus, idCol, vecCol, reg0,
+      s => graft.index.ShardedIndex.resolveVersioned(s, root, metricName),
+      s"$root/_cost_ewma.$name",
+      dim, metricName, searchL, refresh, name)
+  }
+
+  private def registerShardedResolved(
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, ref: graft.index.ShardedIndexRef,
+      resolve: SparkSession => graft.index.ShardedIndexRef,
+      sidecar: String, dim: Int, metricName: String, searchL: Int,
+      refresh: () => org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
     import graft.index.{BudgetPolicy, ShardedIndex}
     // registration-time per-shard size — the baseline the budget policy
     // scales from when the index grows without re-registration
@@ -490,7 +556,7 @@ object AnnIndexRegistry {
     val warnedNoRefresh = new java.util.concurrent.atomic.AtomicBoolean(false)
     def liveState(s: SparkSession, k: Int)
         : (graft.index.ShardedIndexRef, Int, Int) = {
-      val live = ShardedIndex.discover(s, ref)
+      val live = resolve(s)
       // growth without a refresh thunk is HALF a contract: the index
       // serves the delta candidates but the rescore join against the
       // registration-snapshot corpus drops their rows — say so loudly
@@ -544,7 +610,7 @@ object AnnIndexRegistry {
       },
       dataRefresh = refresh,
       certificateOnly = name != "sharded",
-      costSidecar = s"${ref.path}/_cost_ewma.$name"))
+      costSidecar = sidecar))
   }
 
   /** [[registerTier]] with the SQ8 byte-code tier as the generator —

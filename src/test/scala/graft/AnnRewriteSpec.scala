@@ -1546,6 +1546,113 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned-root registrations: routing follows generation flips with no re-registration") {
+    setup
+    import graft.index.ShardedIndex
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val dir = "target/tmp/ann_vroot_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vrid"), col("embedding").as("vrvec"))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    corpus.createOrReplaceTempView("vroot_corpus")
+    val dim = corpus.select(size(col("vrvec"))).first().getInt(0)
+    val qlit = corpus.filter(col("vrid") === 11).select("vrvec").first()
+      .getSeq[Float](0).map(x => s"${x}F").mkString("array(", ", ", ")")
+    val sqlq = s"""SELECT vrid, graft_vec_cosine(vrvec, $qlit) AS score
+                  |FROM vroot_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    def survivors(pred: String): Seq[(Long, Double)] = {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      try spark.sql(
+          s"""SELECT vrid, round(score, 6) AS s FROM (
+             |  SELECT vrid, graft_vec_cosine(vrvec, $qlit) AS score
+             |  FROM vroot_corpus WHERE $pred
+             |  ORDER BY score DESC LIMIT 10) t""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      finally spark.conf.set("spark.graft.ann.rewrite", "true")
+    }
+    def routed(): Seq[(Long, Double)] = {
+      val df = spark.sql(sqlq)
+      assert(routedTier(df).nonEmpty, "statement did not route")
+      df.collect().map(r =>
+        (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6)).toSeq
+    }
+    // versioned sharded index: build gen0, tombstone a tranche
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ann_vroot_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark,
+      corpus.select(col("vrid").as("vec_id"), col("vrvec").as("embedding")),
+      IndexQueries.FixtureParams, nShards = 2, root)
+    assert(ShardedIndex.deleteVersioned(spark, root,
+      corpus.filter(col("vrid") % 9 === 0)
+        .select(col("vrid").as("gid"))) > 0)
+    AnnIndexRegistry.registerShardedVersioned(corpus, "vrid", "vrvec",
+      root, dim = dim, metricName = "cosine", searchL = 80)
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.relation.exact", "true")
+    try {
+      val want = survivors("vrid % 9 <> 0")
+      assert(routed() === want, "pre-flip routed ranking wrong")
+      // flip 1: fold + erase; the registration follows the manifest
+      ShardedIndex.compactVersioned(spark, root, IndexQueries.FixtureParams)
+      assert(routed() === want, "post-flip routed ranking diverged")
+      // flip 2 retires gen0 entirely (out of grace): a fixed-dir
+      // registration would now be stranded — the root registration
+      // keeps serving, with the new tranche masked immediately
+      assert(ShardedIndex.deleteVersioned(spark, root, Seq(11L)) === 1L)
+      ShardedIndex.compactVersioned(spark, root, IndexQueries.FixtureParams)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/gen0")))
+      assert(routed() === survivors("vrid % 9 <> 0 AND vrid <> 11"),
+        "routing did not follow the second flip")
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      spark.conf.unset("spark.graft.ann.relation.exact")
+    }
+
+    // the IVF-PQ twin on its own column pair: frozen quantizers, the
+    // root resolved per query
+    val dir2 = "target/tmp/ann_vroot2_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("ivid"), col("embedding").as("ivvec"))
+      .write.mode("overwrite").parquet(dir2)
+    val corpus2 = spark.read.parquet(dir2)
+    corpus2.createOrReplaceTempView("vroot2_corpus")
+    val d2 = corpus2.select(col("ivid").as("d_id"), col("ivvec").as("d_vec"))
+    val sample = IvfAnn.collectSample(d2, 2000, 42L)
+    val centroids = IvfAnn.trainCentroids(sample, 16, seed = 42L)
+    val cbs = PqAnn.trainCodebooks(sample, nSub = 8, ncode = 32, seed = 42L)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_ann_vroot_ivf_").toString
+    IvfPq.buildVersioned(spark, d2, root2, centroids, cbs)
+    assert(IvfPq.deleteVersioned(spark, root2,
+      corpus2.filter(col("ivid") % 9 === 0)
+        .select(col("ivid").as("d_id"))) > 0)
+    AnnIndexRegistry.registerIvfPqVersioned(corpus2, "ivid", "ivvec",
+      AnnIndexRegistry.IvfPqEntry(root2, corpus2, "ivid", "ivvec",
+        centroids, cbs, "ip", nProbe = 12, nCand = 250))
+    val dotSql = s"""SELECT ivid, graft_vec_dot(ivvec, $qlit) AS score
+                    |FROM vroot2_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    def routed2(): Seq[Long] = {
+      val df = spark.sql(dotSql)
+      assert(routedTier(df) === Seq("ivfpq"))
+      df.collect().map(_.getLong(0)).toSeq
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.relation.exact", "true")
+    try {
+      val want2 = routed2()
+      assert(want2.forall(_ % 9 != 0), "masked id surfaced pre-flip")
+      IvfPq.compactVersioned(spark, root2)
+      assert(routed2() === want2,
+        "IVF-PQ routing did not follow the generation flip")
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      spark.conf.unset("spark.graft.ann.relation.exact")
+    }
+  }
+
   test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
     setup
     import graft.operators.Sq8Ann
