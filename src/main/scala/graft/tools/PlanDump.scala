@@ -50,7 +50,8 @@ object PlanDump {
       "knn_sql_filtered_sharded_exact" -> "filtered route on the sharded tier in exact mode: the exactness backstop scores the FULL filtered scan (pushed predicate, no generator candidates can claim saturation), exact by construction",
       "takedown_lifecycle" -> "streaming-face takedown: delta-ingested sharded index, broadcast tombstone anti-join after the per-shard union, exact survivor ranking (broadcast queries x survivor scan, bounded heap)",
       "pack_sequences" -> "two-level packing cumsum: per-bucket window (parallel), broadcast 256-row offset table, no global window until the recursion's tiny top",
-      "g8_sql_versioned_live" -> "serve-through-compaction, post-flip: the freshly published generation through the routed relation shape — per-shard beams, dead-sidecar emission filter, exact rescore, rank window")
+      "g8_sql_versioned_live" -> "serve-through-compaction, post-flip: the freshly published generation through the routed relation shape — per-shard beams, dead-sidecar emission filter, exact rescore, rank window",
+      "g8_sql_ivfpq_versioned" -> "serve-through-compaction on the COMPRESSED tier, post-flip: the published successor's cell-partitioned codes (dead rows physically erased), full-probe ADC at the certificate regime, exact rescore, rank window")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.PlanDump at sf0.01)\n")
     picks.foreach { case (name, note) =>
