@@ -635,21 +635,51 @@ object AnnIndexRegistry {
                   bounds: graft.operators.Sq8Ann.Bounds,
                   metricName: String, nCand: Int = 60,
                   indexPath: String = null,
-                  refresh: () => org.apache.spark.sql.DataFrame = null): Unit = {
+                  refresh: () => org.apache.spark.sql.DataFrame = null): Unit =
+    registerSq8Resolved(corpus, idCol, vecCol, encoded, bounds, metricName,
+      nCand, if (indexPath == null) null else (_ => indexPath),
+      if (indexPath == null) null else s"$indexPath/_cost_ewma.sq8",
+      refresh)
+
+  /** [[registerSq8]] over a generation-VERSIONED root
+    * ([[graft.operators.Sq8Ann.buildVersioned]]): the coarse scan
+    * resolves the manifest per query, so routing follows every
+    * compaction flip with no re-registration. The per-dimension bounds
+    * are the frozen quantizer and identical in every generation
+    * (compactVersioned copies them verbatim), so the caller passes the
+    * build-time pair once; the persisted-EWMA sidecar sits at the
+    * root. */
+  def registerSq8Versioned(corpus: org.apache.spark.sql.DataFrame,
+                           idCol: String, vecCol: String, root: String,
+                           bounds: graft.operators.Sq8Ann.Bounds,
+                           metricName: String, nCand: Int = 60,
+                           refresh: () => org.apache.spark.sql.DataFrame = null): Unit =
+    registerSq8Resolved(corpus, idCol, vecCol, encoded = null, bounds,
+      metricName, nCand,
+      s => graft.operators.Sq8Ann.resolveVersioned(s, root),
+      s"$root/_cost_ewma.sq8", refresh)
+
+  private def registerSq8Resolved(
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, encoded: org.apache.spark.sql.DataFrame,
+      bounds: graft.operators.Sq8Ann.Bounds, metricName: String,
+      nCand: Int, livePath: SparkSession => String, sidecar: String,
+      refresh: () => org.apache.spark.sql.DataFrame): Unit = {
     import graft.index.{BudgetPolicy, ParquetMeta}
     val regRows =
-      if (indexPath == null) -1L
-      else ParquetMeta.rowsCached(corpus.sparkSession, s"$indexPath/codes")
+      if (livePath == null) -1L
+      else ParquetMeta.rowsCached(corpus.sparkSession,
+        s"${livePath(corpus.sparkSession)}/codes")
     def liveEncoded(s: SparkSession) =
-      if (indexPath == null) encoded
+      if (livePath == null) encoded
       // readCodes, not a bare scan: tombstoned (taken-down) rows must
       // not surface as candidates from a path-backed registration
-      else graft.operators.Sq8Ann.readCodes(s, indexPath)
+      else graft.operators.Sq8Ann.readCodes(s, livePath(s))
     def fetch(s: SparkSession, k: Int): Int = {
       val base = math.max(nCand, 4 * k)
       if (regRows <= 0) base
       else BudgetPolicy.scaledL(s, base, regRows.toDouble,
-        ParquetMeta.rowsCached(s, s"$indexPath/codes").toDouble)
+        ParquetMeta.rowsCached(s, s"${livePath(s)}/codes").toDouble)
     }
     registerTier(corpus, idCol, vecCol, CandidateTierEntry(
       "sq8", corpus, idCol, vecCol, metricName, bounds.dim,
@@ -675,8 +705,7 @@ object AnnIndexRegistry {
       // full coarse scan over byte codes = 1/4 of the float bytes
       costHint = 0.25,
       dataRefresh = refresh,
-      costSidecar =
-        if (indexPath == null) null else s"$indexPath/_cost_ewma.sq8"))
+      costSidecar = sidecar))
   }
 
   def lookupTier(idCol: String, vecCol: String, kind: String,

@@ -1651,6 +1651,40 @@ class AnnRewriteSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.ann.rewrite", "false")
       spark.conf.unset("spark.graft.ann.relation.exact")
     }
+
+    // ... and the SQ8 twin: frozen bounds passed once, codes resolved
+    // through the manifest per query
+    import graft.operators.Sq8Ann
+    val dir3 = "target/tmp/ann_vroot3_corpus"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("svid"), col("embedding").as("svvec"))
+      .write.mode("overwrite").parquet(dir3)
+    val corpus3 = spark.read.parquet(dir3)
+    corpus3.createOrReplaceTempView("vroot3_corpus")
+    val d3 = corpus3.select(col("svid").as("d_id"), col("svvec").as("d_vec"))
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft_ann_vroot_sq8_").toString
+    val (_, bounds3) = Sq8Ann.buildVersioned(spark, d3, root3)
+    assert(Sq8Ann.deleteVersioned(spark, root3,
+      corpus3.filter(col("svid") % 9 === 0)
+        .select(col("svid").as("d_id"))) > 0)
+    AnnIndexRegistry.registerSq8Versioned(corpus3, "svid", "svvec",
+      root3, bounds3, metricName = "ip", nCand = 250)
+    val dotSql3 = s"""SELECT svid, graft_vec_dot(svvec, $qlit) AS score
+                     |FROM vroot3_corpus ORDER BY score DESC LIMIT 10""".stripMargin
+    def routed3(): Seq[Long] = {
+      val df = spark.sql(dotSql3)
+      assert(routedTier(df) === Seq("sq8"))
+      df.collect().map(_.getLong(0)).toSeq
+    }
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val want3 = routed3()
+      assert(want3.forall(_ % 9 != 0), "masked id surfaced pre-flip (sq8)")
+      Sq8Ann.compactVersioned(spark, root3)
+      assert(routed3() === want3,
+        "SQ8 routing did not follow the generation flip")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
   test("SQ8 tier route: byte-code coarse scan serves SQL top-k with exact scores") {
