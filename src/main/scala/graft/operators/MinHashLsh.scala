@@ -294,12 +294,20 @@ object MinHashLsh {
       deleteVersioned(spark, root, ids.distinct.toDF("doc_id"))
     }
 
+  /** Band count per doc, cached per index ROOT: [[bandKeys]]' banding
+    * parameters are part of the index contract (every append must use
+    * the build-time pair, or its keys would never collide with
+    * resident ones), so the count is a constant of the index — one
+    * column-pruned max per JVM per root, not one per maintenance
+    * poll. */
+  private val bandsCache =
+    new scala.collection.concurrent.TrieMap[String, Int]
+
   /** Tombstoned-doc fraction of the live generation. [[bandKeys]]
     * emits a uniform `numBands` rows per doc, so the tombstoned DOC
     * fraction equals the dead ROW fraction: tombstones × bands over
-    * footer-counted rows, with the band count read from one
-    * column-pruned max (row-group stats make it cheap). Re-arms after
-    * a fold — the successor starts tombstone-free. */
+    * footer-counted rows. Re-arms after a fold — the successor starts
+    * tombstone-free. */
   def deletedFractionVersioned(spark: org.apache.spark.sql.SparkSession,
                                root: String): Double = {
     val live = resolveVersioned(spark, root)
@@ -308,8 +316,9 @@ object MinHashLsh {
     Tombstones.idsOf(spark, s"$live/_tombstones", "doc_id") match {
       case None => 0.0
       case Some(t) =>
-        val nBands = spark.read.parquet(live)
-          .agg(max(col("band"))).head().getInt(0) + 1
+        val nBands = bandsCache.getOrElseUpdate(root,
+          spark.read.parquet(live)
+            .agg(max(col("band"))).head().getInt(0) + 1)
         t.count().toDouble * nBands / rows
     }
   }
