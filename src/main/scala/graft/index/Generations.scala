@@ -75,6 +75,40 @@ object Generations {
   private val LockName = "_writer.lock"
   private val GenRe = "gen(\\d+)".r
 
+  /** Schemes known to provide BOTH primitives this layer is built on:
+    * atomic rename-over (the manifest flip) and create-if-absent as a
+    * mutual-exclusion fence (the writer lock). Local file, HDFS
+    * (+viewfs/webhdfs fronts), and ADLS Gen2 (abfs, hierarchical
+    * namespace) qualify; S3A does NOT — its rename is a copy+delete
+    * with a window where NO manifest exists, and its
+    * `create(overwrite=false)` check-then-write is not a fence. A
+    * 100 TB deployment on object storage must either front the
+    * MANIFEST root with a store that has real rename semantics or
+    * consciously opt in via `spark.graft.gen.atomicSchemes` — the
+    * writer entry points fail LOUDLY otherwise, because the failure
+    * mode of pretending is silent manifest corruption under
+    * concurrency. Readers are unguarded: they only ever read. */
+  private val AtomicRenameSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss")
+
+  private def requireAtomicStore(spark: SparkSession, f: FileSystem,
+                                 root: String): Unit = {
+    val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+    val extra = spark.conf.get("spark.graft.gen.atomicSchemes", "")
+      .split(",").iterator.map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSet
+    if (!AtomicRenameSchemes.contains(scheme) && !extra.contains(scheme))
+      throw new IllegalStateException(
+        s"generation root $root is on filesystem scheme '$scheme', " +
+        "which is not known to provide the atomic rename + " +
+        "create-if-absent primitives the manifest flip and writer " +
+        "lease are built on (e.g. S3A rename is copy+delete and its " +
+        "exclusive create is not a fence). Put the index root on a " +
+        "store with real rename semantics (local, HDFS, ABFS), or if " +
+        "your store genuinely guarantees both, opt in by adding the " +
+        "scheme to spark.graft.gen.atomicSchemes")
+  }
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -104,12 +138,63 @@ object Generations {
       .filter(gens => gens.headOption.exists(g =>
         f.exists(new Path(s"$root/$g"))))
 
+  // ===== Manifest resolution cache =====
+  //
+  // Serving paths (the versioned tier registrations, takedown feeds,
+  // maintenance triggers) resolve the manifest per call. On local disk
+  // that is a few cheap syscalls; at object-store latency it taxes
+  // every routed query at high QPS. The PARSED manifest is therefore
+  // cached per root for `spark.graft.gen.manifestCacheMs` (default
+  // 2000 ms; <=0 disables). Staleness is bounded by the TTL and
+  // absorbed by the grace window — a reader routed to the pre-flip
+  // generation for up to the TTL is exactly the keepGens contract —
+  // while same-JVM flips are visible IMMEDIATELY: [[publish]] writes
+  // its fresh entries through the cache, so a writer never observes
+  // its own flip late.
+
+  private val manifestCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Seq[String])]
+
+  /** Count of UNCACHED manifest resolutions (actual filesystem reads)
+    * — the probe the cache-contract spec counts against. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Drop the cached manifest for `root` — for tests that mutate the
+    * manifest file directly (simulating another process's flip). */
+  private[graft] def invalidateManifestCache(root: String): Unit =
+    manifestCache.remove(root)
+
+  private def cacheTtlMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.gen.manifestCacheMs", "2000").toLong
+
   /** The effective manifest — live generation first, then the grace
     * history. READ-ONLY: a valid committed `MANIFEST__next` is newer
     * than the `MANIFEST` pointer and wins (a publish crash between
     * commit and promote already serves the successor); readers never
-    * promote, delete, or rename — see the concurrency note above. */
+    * promote, delete, or rename — see the concurrency note above.
+    * Resolutions are served from the TTL cache above; an external
+    * process's flip is picked up within the TTL. */
   def manifest(spark: SparkSession, root: String): Seq[String] = {
+    val ttlMs = cacheTtlMs(spark)
+    if (ttlMs <= 0) return manifestUncached(spark, root)
+    val now = System.nanoTime()
+    manifestCache.get(root) match {
+      case Some((deadline, m)) if now - deadline < 0 => m
+      case _ =>
+        val m = manifestUncached(spark, root)
+        // never cache "nothing published yet": the first publish must
+        // be visible the moment it lands, even from another process
+        if (m.nonEmpty)
+          manifestCache.put(root, (now + ttlMs * 1000000L, m))
+        else manifestCache.remove(root)
+        m
+    }
+  }
+
+  private def manifestUncached(spark: SparkSession,
+                               root: String): Seq[String] = {
+    manifestReads.incrementAndGet()
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return Seq.empty
     validNext(f, root).getOrElse(
@@ -192,11 +277,16 @@ object Generations {
               keepGens: Int = -1): Unit = {
     require(gen.matches("gen\\d+"), s"bad generation name: $gen")
     val f = fs(spark, root)
+    requireAtomicStore(spark, f, root)
     require(f.exists(new Path(s"$root/$gen")),
       s"publish: generation dir $root/$gen does not exist")
     val keep =
       if (keepGens >= 0) keepGens
       else spark.conf.get("spark.graft.gen.keepGens", "1").toInt
+    // a publish boundary proves the holder is alive: refresh the writer
+    // lock's mtime so a legitimate multi-publish maintenance pass
+    // spanning leaseTimeoutMs is not broken mid-run by a second writer
+    refreshWriterLease(spark, root)
     recoverWriter(f, spark, root) // heal a crashed prior publish first
     val prior = readFile(f, new Path(s"$root/$ManifestName"))
       .map(parseManifest).getOrElse(Seq.empty)
@@ -211,11 +301,25 @@ object Generations {
     val next = new Path(s"$root/$NextName")
     renameOver(f, spark, tmp, next)
     renameOver(f, spark, next, new Path(s"$root/$ManifestName"))
+    // write-through: the writer's own flip is visible immediately in
+    // this JVM regardless of the resolution-cache TTL
+    val ttlMs = cacheTtlMs(spark)
+    if (ttlMs > 0)
+      manifestCache.put(root, (System.nanoTime() + ttlMs * 1000000L, entries))
+    else manifestCache.remove(root)
     val keepSet = entries.toSet ++ leasedGens(f, root)
+    val staleTmpBefore = System.currentTimeMillis() -
+      spark.conf.get("spark.graft.gen.readerLeaseMs", "3600000").toLong
     f.listStatus(new Path(root)).foreach { st =>
       val nm = st.getPath.getName
       if (st.isDirectory && nm.matches("gen\\d+") && !keepSet.contains(nm))
         f.delete(st.getPath, true)
+      // a reader that crashed between lease-tmp create and rename left
+      // a stray tmp — harmless (never parsed as a lease), cleaned once
+      // it is older than any lease it could have become
+      else if (st.isFile && nm.startsWith(ReaderTmpPrefix) &&
+               st.getModificationTime < staleTmpBefore)
+        f.delete(st.getPath, false)
     }
   }
 
@@ -234,6 +338,7 @@ object Generations {
   // readers still never mutate shared state they do not own.
 
   private val ReaderLeasePrefix = "_reader."
+  private val ReaderTmpPrefix = "_rlease_tmp."
 
   /** Generations named by an UNEXPIRED reader lease. Expired or
     * garbage lease files are deleted here — called only from
@@ -273,17 +378,27 @@ object Generations {
         sys.error(s"no published generation at $root"))
       val lease =
         new Path(s"$root/$ReaderLeasePrefix${java.util.UUID.randomUUID()}")
-      val out = f.create(lease, false)
+      // land the lease ATOMICALLY: full content to a tmp name that
+      // never parses as a lease, one rename-over into the _reader.*
+      // name. A two-step create-then-write would expose an empty file
+      // under the lease prefix, which a concurrent publish's expired-
+      // lease cleanup deletes as garbage — voiding the pin mid-scan.
+      val tmp =
+        new Path(s"$root/$ReaderTmpPrefix${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
       try out.write(
         s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8"))
       finally out.close()
+      renameOver(f, spark, tmp, lease)
       if (f.exists(new Path(s"$root/$gen")))
         try return body(s"$root/$gen")
         finally f.delete(lease, false)
       // the generation was retired between the manifest read and the
       // lease write (needs 2+ flips inside that window) — drop the
-      // useless lease and resolve afresh
+      // useless lease, drop the possibly-stale cached manifest, and
+      // resolve afresh
       f.delete(lease, false)
+      invalidateManifestCache(root)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -306,14 +421,31 @@ object Generations {
   def withWriterLease[T](spark: SparkSession, root: String,
                          what: String)(body: => T): T = {
     val f = fs(spark, root)
+    requireAtomicStore(spark, f, root)
     f.mkdirs(new Path(root))
     val lock = new Path(s"$root/$LockName")
     val timeoutMs = spark.conf
       .get("spark.graft.gen.leaseTimeoutMs", "600000").toLong
     val now = System.currentTimeMillis()
-    if (f.exists(lock) &&
-        now - f.getFileStatus(lock).getModificationTime > timeoutMs)
-      f.delete(lock, false) // stale: holder crashed without release
+    val stale =
+      try f.exists(lock) &&
+        now - f.getFileStatus(lock).getModificationTime > timeoutMs
+      catch { // raced a release between exists and getFileStatus
+        case _: java.io.FileNotFoundException => false }
+    if (stale) {
+      // break by RENAME-ASIDE, never delete: two breakers racing a
+      // check-then-delete could interleave so B deletes A's freshly
+      // created lock and both proceed. Rename is atomic on the source
+      // — exactly one breaker moves the stale lock out of the way; the
+      // loser's rename fails and it falls through to the exclusive
+      // create below, which then fails loudly against the winner.
+      val aside = new Path(
+        s"$root/$LockName.stale.${java.util.UUID.randomUUID()}")
+      val moved =
+        try f.rename(lock, aside)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (moved) f.delete(aside, false)
+    }
     val out =
       try f.create(lock, false) // create-if-absent: fails when held
       catch {
@@ -330,5 +462,19 @@ object Generations {
     finally out.close()
     try body
     finally f.delete(lock, false)
+  }
+
+  /** Refresh the writer lock's mtime — proof of life for a legitimate
+    * holder running longer than `leaseTimeoutMs`, so a second writer's
+    * stale-break never fires on it. Called automatically at every
+    * [[publish]] boundary; a face whose PRE-publish phase alone can
+    * exceed the timeout should call this from its progress points (or
+    * raise the timeout). No-op when the lock is absent. */
+  def refreshWriterLease(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val lock = new Path(s"$root/$LockName")
+    try if (f.exists(lock))
+      f.setTimes(lock, System.currentTimeMillis(), -1)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 }

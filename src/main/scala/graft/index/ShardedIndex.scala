@@ -391,12 +391,35 @@ object ShardedIndex {
       .get("spark.graft.index.parallelShardSearch", "1").toInt
     if (par <= 1 || thunks.size <= 1) thunks.map(_())
     else {
+      // pool threads must behave like the submitter: same active
+      // session (thread-local in Spark) and same job-group/scheduler
+      // locals — a downstream cancel-by-group or pool assignment must
+      // not silently differ from the sequential path
+      val session = spark
+      val inherited = Seq("spark.jobGroup.id", "spark.job.description",
+          "spark.job.interruptOnCancel", "spark.scheduler.pool")
+        .flatMap(k => Option(spark.sparkContext.getLocalProperty(k))
+          .map(k -> _))
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(par, thunks.size))
       try thunks.map(t => pool.submit(
           new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = t()
-          })).map(_.get())
+            def call(): DataFrame = {
+              org.apache.spark.sql.SparkSession.setActiveSession(session)
+              inherited.foreach { case (k, v) =>
+                session.sparkContext.setLocalProperty(k, v) }
+              t()
+            }
+          })).map { fut =>
+        // unwrap: callers and specs match on the ORIGINAL exception
+        // (QueryBatchGuard's IllegalStateException, lease conflicts) —
+        // the pooled path must not re-type failures vs the seq loop
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
       finally pool.shutdown()
     }
   }

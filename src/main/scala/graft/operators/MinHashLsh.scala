@@ -294,12 +294,17 @@ object MinHashLsh {
       deleteVersioned(spark, root, ids.distinct.toDF("doc_id"))
     }
 
-  /** Band count per doc, cached per index ROOT: [[bandKeys]]' banding
-    * parameters are part of the index contract (every append must use
-    * the build-time pair, or its keys would never collide with
-    * resident ones), so the count is a constant of the index — one
-    * column-pruned max per JVM per root, not one per maintenance
-    * poll. */
+  /** Band count per doc, cached per live GENERATION dir — immutable
+    * once published, so the cache can never go stale (a root deleted
+    * and rebuilt with different banding parameters in the same JVM
+    * gets a fresh generation dir and therefore a fresh entry; keying
+    * by root would serve the old count to the maintenance trigger).
+    * [[bandKeys]]' banding parameters are part of the index contract
+    * (every append must use the build-time pair, or its keys would
+    * never collide with resident ones), so the count is a constant of
+    * the generation — one column-pruned max per JVM per generation,
+    * not one per maintenance poll. Same keying discipline as
+    * [[graft.index.ParquetMeta.rowsCached]]. */
   private val bandsCache =
     new scala.collection.concurrent.TrieMap[String, Int]
 
@@ -316,7 +321,7 @@ object MinHashLsh {
     Tombstones.idsOf(spark, s"$live/_tombstones", "doc_id") match {
       case None => 0.0
       case Some(t) =>
-        val nBands = bandsCache.getOrElseUpdate(root,
+        val nBands = bandsCache.getOrElseUpdate(live,
           spark.read.parquet(live)
             .agg(max(col("band"))).head().getInt(0) + 1)
         t.count().toDouble * nBands / rows

@@ -230,10 +230,32 @@ object AnnIndexRegistry {
     }
     // best-effort persistence: a serving session's learned routing
     // order survives restart (seeded back at registerTier) instead of
-    // every fresh session re-learning from static hints
-    for (u <- updated; sc <- costSidecars.get(k))
-      writeCostSidecar(sc, u)
+    // every fresh session re-learning from static hints. THROTTLED —
+    // the sidecar needs approximate freshness only, and an unthrottled
+    // write is a full remote PUT per measured query batch on the
+    // serving hot path: the first measurement persists immediately (a
+    // short-lived session still seeds), later ones at most once per
+    // `spark.graft.ann.costSidecarMinIntervalMs` (default 30 s; 0
+    // restores write-every-record).
+    for (u <- updated; sc <- costSidecars.get(k)) {
+      val intervalMs =
+        try SparkSession.active.conf
+          .get("spark.graft.ann.costSidecarMinIntervalMs", "30000").toLong
+        catch { case scala.util.control.NonFatal(_) => 30000L }
+      val now = System.nanoTime()
+      val due = sidecarLastPersist.get(k)
+        .forall(last => now - last >= intervalMs * 1000000L)
+      if (due) {
+        sidecarLastPersist.put(k, now)
+        writeCostSidecar(sc, u)
+      }
+    }
   }
+
+  /** Last sidecar persist (nanos) per measured-cost key — the write
+    * throttle's state. */
+  private val sidecarLastPersist =
+    new TrieMap[((String, String, String, String), String), Long]
 
   private[graft] def measuredCost(idCol: String, vecCol: String,
                                   metric: String, fp: String,
@@ -249,7 +271,10 @@ object AnnIndexRegistry {
     tierEntries.get((idCol, vecCol, metric)).flatMap(_.get(tier))
       .map(_._1)
 
-  private[graft] def clearMeasuredCosts(): Unit = measuredCosts.clear()
+  private[graft] def clearMeasuredCosts(): Unit = {
+    measuredCosts.clear()
+    sidecarLastPersist.clear()
+  }
 
   /** Persisted-EWMA sidecar path per measured-cost key, installed by
     * [[registerTier]] for path-backed tiers. */

@@ -303,39 +303,58 @@ object StreamingIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def as(name: String) = docIds.select(col("id").as(name))
+      // CRASH CONTRACT: the fan-out is not transactional across faces
+      // — a crash mid-fan leaves the earlier faces deleted and the
+      // later ones not. That is SAFE by replay: every per-face delete
+      // is idempotent (append-only tombstones; already-tombstoned ids
+      // append nothing), so foreachBatch's at-least-once redelivery
+      // converges all faces to the same survivor set. The test hook
+      // below (`spark.graft.test.takedownFailAfter` = N) injects the
+      // crash after N applied faces so StreamingSpec can pin exactly
+      // that contract.
+      val failAfter = spark.conf
+        .getOption("spark.graft.test.takedownFailAfter")
+        .map(_.toInt).getOrElse(Int.MaxValue)
+      var applied = 0
+      def face(name: String)(body: => Long): (String, Long) = {
+        if (applied >= failAfter)
+          throw new IllegalStateException(
+            s"takedownBatch: injected crash after $applied faces")
+        val n = body; applied += 1; name -> n
+      }
       Seq(
-        invertedIndexPath.map(p => "inverted" ->
-          graft.operators.InvertedIndex.deleteDocs(spark, p, as("doc_id"))),
-        bandIndexPath.map(p => "band" ->
+        invertedIndexPath.map(p => face("inverted")(
+          graft.operators.InvertedIndex.deleteDocs(spark, p, as("doc_id")))),
+        bandIndexPath.map(p => face("band")(
           graft.operators.MinHashLsh.deleteFromBandIndex(spark, p,
-            as("doc_id"))),
-        cellIndexPath.map(p => "cell" ->
-          graft.operators.SemDedup.deleteFromCellIndex(spark, p, as("id"))),
-        shardedIndexPath.map(p => "sharded" ->
-          graft.index.ShardedIndex.deleteFromIndex(spark, p, as("gid"))),
-        ivfPqIndexPath.map(p => "ivfpq" ->
-          graft.operators.IvfPq.deleteFromIndex(spark, p, as("d_id"))),
-        sq8IndexPath.map(p => "sq8" ->
-          graft.operators.Sq8Ann.deleteFromIndex(spark, p, as("d_id"))),
+            as("doc_id")))),
+        cellIndexPath.map(p => face("cell")(
+          graft.operators.SemDedup.deleteFromCellIndex(spark, p, as("id")))),
+        shardedIndexPath.map(p => face("sharded")(
+          graft.index.ShardedIndex.deleteFromIndex(spark, p, as("gid")))),
+        ivfPqIndexPath.map(p => face("ivfpq")(
+          graft.operators.IvfPq.deleteFromIndex(spark, p, as("d_id")))),
+        sq8IndexPath.map(p => face("sq8")(
+          graft.operators.Sq8Ann.deleteFromIndex(spark, p, as("d_id")))),
         // generation-versioned serving faces: the tombstone lands in
         // the LIVE generation (manifest-resolved per batch — a feed
         // registered before a compaction keeps working after the
         // pointer flip; the deletes-during-compact window stays the
         // writers' single-writer contract)
-        shardedVersionedRoot.map(r => "sharded_versioned" ->
-          graft.index.ShardedIndex.deleteVersioned(spark, r, as("gid"))),
-        invertedVersionedRoot.map(r => "inverted_versioned" ->
+        shardedVersionedRoot.map(r => face("sharded_versioned")(
+          graft.index.ShardedIndex.deleteVersioned(spark, r, as("gid")))),
+        invertedVersionedRoot.map(r => face("inverted_versioned")(
           graft.operators.InvertedIndex.deleteVersioned(spark, r,
-            as("doc_id"))),
-        ivfPqVersionedRoot.map(r => "ivfpq_versioned" ->
-          graft.operators.IvfPq.deleteVersioned(spark, r, as("d_id"))),
-        sq8VersionedRoot.map(r => "sq8_versioned" ->
-          graft.operators.Sq8Ann.deleteVersioned(spark, r, as("d_id"))),
-        bandVersionedRoot.map(r => "band_versioned" ->
+            as("doc_id")))),
+        ivfPqVersionedRoot.map(r => face("ivfpq_versioned")(
+          graft.operators.IvfPq.deleteVersioned(spark, r, as("d_id")))),
+        sq8VersionedRoot.map(r => face("sq8_versioned")(
+          graft.operators.Sq8Ann.deleteVersioned(spark, r, as("d_id")))),
+        bandVersionedRoot.map(r => face("band_versioned")(
           graft.operators.MinHashLsh.deleteVersioned(spark, r,
-            as("doc_id"))),
-        cellVersionedRoot.map(r => "cell_versioned" ->
-          graft.operators.SemDedup.deleteVersioned(spark, r, as("id")))
+            as("doc_id")))),
+        cellVersionedRoot.map(r => face("cell_versioned")(
+          graft.operators.SemDedup.deleteVersioned(spark, r, as("id"))))
       ).flatten.toMap
     } finally docIds.unpersist(false)
   }

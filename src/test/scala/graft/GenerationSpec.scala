@@ -19,6 +19,15 @@ class GenerationSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("manifest pointer: allocate, publish, retire, crash recovery") {
+    // this test writes MANIFEST/__next files DIRECTLY (simulating the
+    // crash windows of another process), so it runs with the
+    // resolution cache off — the cache contract has its own test below
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "0")
+    try manifestPointerBody()
+    finally spark.conf.unset("spark.graft.gen.manifestCacheMs")
+  }
+
+  private def manifestPointerBody(): Unit = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_gen_manifest_").toString
     assert(Generations.live(spark, root + "/nope").isEmpty)
@@ -74,6 +83,48 @@ class GenerationSpec extends AnyFunSuite {
     assert(Generations.live(spark, root) === Some("gen5"))
   }
 
+  test("manifest cache: zero reads within the TTL; own flips instant; a foreign flip lands within the TTL") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_mcache_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "400")
+    Generations.invalidateManifestCache(root)
+    try {
+      val r0 = Generations.manifestReads.get()
+      assert(Generations.live(spark, root) === Some("gen0"))
+      assert(Generations.live(spark, root) === Some("gen0"))
+      assert(Generations.liveDir(spark, root) === Some(s"$root/gen0"))
+      assert(Generations.manifestReads.get() === r0 + 1,
+        "repeat resolutions within the TTL hit the filesystem")
+      // the writer's own flip is visible immediately — publish writes
+      // through the cache, costing zero resolution reads
+      mkGen("gen1"); Generations.publish(spark, root, "gen1")
+      val r1 = Generations.manifestReads.get()
+      assert(Generations.live(spark, root) === Some("gen1"))
+      assert(Generations.manifestReads.get() === r1,
+        "a same-JVM flip was not served from the write-through cache")
+      // a FOREIGN flip (another process: manifest rewritten directly)
+      // is stale inside the TTL — bounded staleness the grace window
+      // absorbs — and picked up after it
+      mkGen("gen2")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), true)
+      try out.write("gen2\ngen1".getBytes("UTF-8")) finally out.close()
+      assert(Generations.live(spark, root) === Some("gen1"),
+        "cached resolution should still serve the pre-flip pointer")
+      Thread.sleep(500)
+      assert(Generations.live(spark, root) === Some("gen2"),
+        "the foreign flip was not picked up after the TTL")
+    } finally {
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+      Generations.invalidateManifestCache(root)
+    }
+  }
+
   test("manifest grace depth: keepGens retains N predecessors; a slow reader survives two publishes") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_gen_keep_").toString
@@ -118,6 +169,21 @@ class GenerationSpec extends AnyFunSuite {
     // have retired it on the first)
     Generations.withReaderLease(spark, root) { dir =>
       assert(dir === s"$root/gen0")
+      // the lease landed ATOMICALLY: exactly one fully-formed
+      // _reader.* file (gen + expiry), no half-written tmp left behind
+      // — a partial lease is what a concurrent publish's cleanup would
+      // delete as garbage, voiding the pin
+      val listed = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root)).iterator()
+      val names = scala.collection.mutable.Buffer.empty[String]
+      while (listed.hasNext) names += listed.next().getFileName.toString
+      val leases = names.filter(_.startsWith("_reader."))
+      assert(leases.size === 1)
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/${leases.head}")), "UTF-8")
+      assert(body.matches("gen0 \\d+"), s"malformed lease body: $body")
+      assert(!names.exists(_.startsWith("_rlease_tmp.")),
+        "lease tmp not renamed into place")
       (1 to 3).foreach { i =>
         mkGen(s"gen$i")
         Generations.publish(spark, root, s"gen$i", keepGens = 0)
@@ -193,6 +259,51 @@ class GenerationSpec extends AnyFunSuite {
         Generations.withWriterLease(spark, root, "writerF") { () }
       }
     }
+    // proof-of-life: a long-running holder that reaches a publish
+    // boundary refreshes the lock's mtime, so a second writer's
+    // stale-break does NOT fire on a live holder past the timeout
+    Generations.withWriterLease(spark, root, "longHolder") {
+      Thread.sleep(120)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/gen1"))
+      Generations.publish(spark, root, "gen1") // touches the lock
+      spark.conf.set("spark.graft.gen.leaseTimeoutMs", "100")
+      try {
+        val e = intercept[IllegalStateException] {
+          Generations.withWriterLease(spark, root, "impatient") { () }
+        }
+        assert(e.getMessage.contains("longHolder"),
+          "publish-refreshed lock was broken as stale")
+      } finally spark.conf.unset("spark.graft.gen.leaseTimeoutMs")
+    }
+  }
+
+  test("object-store guard: writer entry points fail loudly on a scheme without atomic rename") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_gen_scheme_").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[NonAtomicMockFs].getName)
+    val root = s"mock://${local}"
+    // both writer faces refuse: the manifest flip and the writer lock
+    // are only correct on stores with real rename + exclusive create
+    val e1 = intercept[IllegalStateException] {
+      Generations.withWriterLease(spark, root, "w") { () }
+    }
+    assert(e1.getMessage.contains("'mock'") &&
+      e1.getMessage.contains("atomicSchemes"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$local/gen0"))
+    val e2 = intercept[IllegalStateException] {
+      Generations.publish(spark, root, "gen0")
+    }
+    assert(e2.getMessage.contains("'mock'"))
+    // READERS stay unguarded — resolving a manifest is safe anywhere
+    assert(Generations.live(spark, root).isEmpty)
+    // the conscious opt-in: a deployment whose store genuinely
+    // provides both primitives declares it and proceeds
+    spark.conf.set("spark.graft.gen.atomicSchemes", "mock")
+    try Generations.withWriterLease(spark, root, "w") { () }
+    finally spark.conf.unset("spark.graft.gen.atomicSchemes")
   }
 
   test("sharded face: a pre-compact reader serves through a concurrent compaction") {

@@ -591,6 +591,70 @@ class StreamingSpec extends AnyFunSuite {
       replay("inverted_versioned") === 0L)
   }
 
+  test("takedown replay contract: a crash mid-fan leaves faces diverged; replay converges every face") {
+    import graft.operators.{InvertedIndex, MinHashLsh}
+    import graft.queries.TextQueries
+    // the fan-out is NOT transactional across faces — each face has
+    // its own lease and manifest. The designed recovery is replay:
+    // per-face deletes are idempotent, so foreachBatch's at-least-once
+    // redelivery converges. This test drives that contract end to end:
+    // crash after face 2 of 4, observe the divergence, replay, assert
+    // all four faces agree on the survivor set.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_takedown_crash_").toString
+    val inv = s"$dir/inv"; val band = s"$dir/band"
+    val invRoot = s"$dir/inv_v"; val bandRoot = s"$dir/band_v"
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 80)
+      .select("doc_id", "text")
+    InvertedIndex.append(spark, docs, inv)
+    val keys = MinHashLsh.bandKeys(TextQueries.shingleHashes(docs), 8, 2)
+    MinHashLsh.writeBandIndex(keys, band)
+    InvertedIndex.buildVersioned(spark, docs, invRoot)
+    MinHashLsh.buildVersioned(keys, bandRoot)
+    val victims = docs.filter(col("doc_id") % 9 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(victims.nonEmpty)
+    val body = StreamingIngest.takedownBatch(
+      invertedIndexPath = Some(inv), bandIndexPath = Some(band),
+      invertedVersionedRoot = Some(invRoot),
+      bandVersionedRoot = Some(bandRoot))
+    // the batch dies after face 2 of 4 (fan order: inverted, band,
+    // inverted_versioned, band_versioned)
+    spark.conf.set("spark.graft.test.takedownFailAfter", "2")
+    try {
+      val e = intercept[IllegalStateException] {
+        body(victims.toDF("doc_id"), 0L)
+      }
+      assert(e.getMessage.contains("after 2 faces"))
+    } finally spark.conf.unset("spark.graft.test.takedownFailAfter")
+    // mid-fan divergence: the first two faces are masked, the two
+    // versioned faces still serve the victims
+    def bandRows(p: String): Long = MinHashLsh.readBandIndex(spark, p)
+      .filter(col("doc_id").isInCollection(victims)).count()
+    def bm25Hits(q: => org.apache.spark.sql.DataFrame): Long =
+      q.filter(col("doc_id").isInCollection(victims)).count()
+    assert(bandRows(band) === 0L)
+    assert(bandRows(MinHashLsh.resolveVersioned(spark, bandRoot)) > 0L,
+      "the crash after face 2 should not have reached the band face")
+    // REPLAY (foreachBatch's at-least-once redelivery of the same
+    // batch): already-applied faces report zero new deletions, the
+    // missed faces apply now — convergence, not double-deletion
+    val replay = body(victims.toDF("doc_id"), 0L)
+    assert(replay === Map(
+      "inverted" -> 0L, "band" -> 0L,
+      "inverted_versioned" -> victims.size.toLong,
+      "band_versioned" -> victims.size.toLong))
+    // all four faces now agree on the survivor set
+    assert(bandRows(band) === 0L)
+    assert(bandRows(MinHashLsh.resolveVersioned(spark, bandRoot)) === 0L)
+    assert(bm25Hits(InvertedIndex.bm25Query(spark, inv,
+      Seq("the", "data", "model"), k = 200)) === 0L)
+    assert(bm25Hits(InvertedIndex.bm25QueryVersioned(spark, invRoot,
+      Seq("the", "data", "model"), k = 200)) === 0L)
+    // a third delivery is a no-op everywhere
+    assert(body(victims.toDF("doc_id"), 1L).values.forall(_ === 0L))
+  }
+
   test("streaming token chunking matches the batch chunking row-for-row") {
     import graft.queries.TextQueries
     val d = Tables.documents(spark, sfDir)

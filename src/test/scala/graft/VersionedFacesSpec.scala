@@ -214,6 +214,37 @@ class VersionedFacesSpec extends AnyFunSuite {
     batchKeys.unpersist(false)
   }
 
+  test("band-index face: a rebuild with different banding gets fresh trigger math") {
+    // the band-count cache keys by live GENERATION dir (immutable),
+    // not by root: the same root rebuilt with a different
+    // numHashes/rowsPerBand pair in the same JVM must not serve the
+    // old band count to the maintenance trigger — a stale count skews
+    // the deleted fraction and fires the fold too early or too late
+    val docs = (1L to 20L).map(i =>
+      (i, s"alpha beta gamma delta${i % 9} epsilon${i % 4} zeta eta " +
+        s"theta${i % 9} iota kappa")).toDF("doc_id", "text")
+    val sh = TextQueries.shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_bandkey_").toString
+    // build 1: 8 hashes / 2 rows per band = 4 bands per doc
+    MinHashLsh.buildVersioned(MinHashLsh.bandKeys(sh, 8, 2), root)
+    assert(MinHashLsh.deleteVersioned(spark, root, Seq(1L, 2L)) === 2L)
+    // 2 tombstoned of 20 docs: 2×4 dead rows over 80 = 0.1
+    assert(math.abs(
+      MinHashLsh.deletedFractionVersioned(spark, root) - 0.1) < 1e-9)
+    // REBUILD the same root: 8 hashes / 4 rows per band = 2 bands
+    MinHashLsh.buildVersioned(MinHashLsh.bandKeys(sh, 8, 4), root)
+    assert(MinHashLsh.deleteVersioned(spark, root,
+      Seq(1L, 2L, 3L, 4L)) === 4L)
+    // 4 tombstoned of 20 docs: 4×2 dead rows over 40 = 0.2 — a stale
+    // root-keyed band count of 4 would report 0.4 here
+    assert(math.abs(
+      MinHashLsh.deletedFractionVersioned(spark, root) - 0.2) < 1e-9)
+    sh.unpersist(false)
+  }
+
   test("takedown feed + maintenance tick: one deletion batch fans into all four new versioned faces") {
     import graft.streaming.StreamingIngest
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
