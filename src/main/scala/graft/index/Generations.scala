@@ -321,6 +321,9 @@ object Generations {
                st.getModificationTime < staleTmpBefore)
         f.delete(st.getPath, false)
     }
+    // both boundaries prove life: retirement above can itself be slow
+    // on a wide root, and the holder must not look stale right after
+    refreshWriterLease(spark, root)
   }
 
   // ===== Reader leases =====
@@ -424,42 +427,49 @@ object Generations {
     requireAtomicStore(spark, f, root)
     f.mkdirs(new Path(root))
     val lock = new Path(s"$root/$LockName")
-    val timeoutMs = spark.conf
-      .get("spark.graft.gen.leaseTimeoutMs", "600000").toLong
     val now = System.currentTimeMillis()
-    val stale =
-      try f.exists(lock) &&
-        now - f.getFileStatus(lock).getModificationTime > timeoutMs
-      catch { // raced a release between exists and getFileStatus
-        case _: java.io.FileNotFoundException => false }
-    if (stale) {
-      // break by RENAME-ASIDE, never delete: two breakers racing a
-      // check-then-delete could interleave so B deletes A's freshly
-      // created lock and both proceed. Rename is atomic on the source
-      // — exactly one breaker moves the stale lock out of the way; the
-      // loser's rename fails and it falls through to the exclusive
-      // create below, which then fails loudly against the winner.
-      val aside = new Path(
-        s"$root/$LockName.stale.${java.util.UUID.randomUUID()}")
-      val moved =
-        try f.rename(lock, aside)
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (moved) f.delete(aside, false)
-    }
-    val out =
-      try f.create(lock, false) // create-if-absent: fails when held
-      catch {
-        case e: java.io.IOException =>
-          val holder = readFile(f, lock).getOrElse("<unreadable>")
-          throw new IllegalStateException(
-            s"writer lease at $root is held ($holder) — versioned " +
-            "writers are single-writer: stop the other " +
-            "append/delete/compact loop, or raise " +
-            "spark.graft.gen.leaseTimeoutMs if its holder crashed", e)
+    // create FIRST (the uncontended case pays one call, not an
+    // exists-probe plus a create); only a failed create — the lock is
+    // held — pays the staleness inspection
+    def tryCreate() =
+      try Some(f.create(lock, false)) // create-if-absent: fails when held
+      catch { case _: java.io.IOException => None }
+    var out = tryCreate()
+    if (out.isEmpty) {
+      val timeoutMs = spark.conf
+        .get("spark.graft.gen.leaseTimeoutMs", "600000").toLong
+      val stale =
+        try now - f.getFileStatus(lock).getModificationTime > timeoutMs
+        catch { // raced a release between create and getFileStatus
+          case _: java.io.FileNotFoundException => false }
+      if (stale) {
+        // break by RENAME-ASIDE, never delete: two breakers racing a
+        // check-then-delete could interleave so B deletes A's freshly
+        // created lock and both proceed. Rename is atomic on the
+        // source — exactly one breaker moves the stale lock out of the
+        // way; the loser's rename fails and its create retry below
+        // fails loudly against the winner's fresh lock.
+        val aside = new Path(
+          s"$root/$LockName.stale.${java.util.UUID.randomUUID()}")
+        val moved =
+          try f.rename(lock, aside)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (moved) f.delete(aside, false)
       }
-    try out.write(s"$what pid=${ProcessHandle.current.pid} t=$now"
+      out = tryCreate() // once more: after a stale-break, or a release
+      if (out.isEmpty) {
+        val holder = readFile(f, lock).getOrElse("<unreadable>")
+        throw new IllegalStateException(
+          s"writer lease at $root is held ($holder) — versioned " +
+          "writers are single-writer: stop the other " +
+          "append/delete/compact loop, or raise " +
+          "spark.graft.gen.leaseTimeoutMs if its holder crashed")
+      }
+    }
+    val o = out.get
+    try o.write(s"$what pid=${ProcessHandle.current.pid} t=$now"
       .getBytes("UTF-8"))
-    finally out.close()
+    finally o.close()
     try body
     finally f.delete(lock, false)
   }

@@ -1143,6 +1143,11 @@ object ShardedIndex {
                        metric: String): ShardedIndexRef = {
     val dir = Generations.liveDir(spark, root).getOrElse(
       sys.error(s"no published generation at $root"))
+    refOfGenerationDir(spark, dir, metric)
+  }
+
+  private def refOfGenerationDir(spark: SparkSession, dir: String,
+                                 metric: String): ShardedIndexRef = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nShards = f.listStatus(p).count(st =>
@@ -1150,6 +1155,21 @@ object ShardedIndex {
     require(nShards > 0, s"published generation $dir has no shards")
     discover(spark, ShardedIndexRef(dir, nShards, metric))
   }
+
+  /** Run `body` against the live generation's ref under a READER LEASE
+    * ([[Generations.withReaderLease]]): the resolved generation cannot
+    * be retired mid-body by any number of concurrent publishes — even
+    * at `keepGens = 0`, where the grace window alone would delete it
+    * out from under an in-flight scan. This is the serving/analytical
+    * entry point for a scan that cannot be sized against the grace
+    * depth in advance; [[resolveVersioned]] remains the cheap form for
+    * callers whose query time is bounded by the maintenance period ×
+    * keepGens. */
+  def withReaderLease[T](spark: SparkSession, root: String,
+                         metric: String)(body: ShardedIndexRef => T): T =
+    Generations.withReaderLease(spark, root) { dir =>
+      body(refOfGenerationDir(spark, dir, metric))
+    }
 
   /** [[appendDelta]] against the live generation (writer face —
     * single-writer contract unchanged). */

@@ -16,8 +16,12 @@ import graft.sources.Sinks
   * keeps answering production-budget queries BEFORE, DURING, and AFTER
   * a [[ShardedIndex.compactVersioned]] that runs to completion on the
   * same index, resolving the manifest once per batch exactly like a
-  * serving loop would. GenerationSpec proves the correctness contract
-  * at fixture scale; this tool measures what serving actually pays:
+  * serving loop would — under a READER LEASE
+  * ([[ShardedIndex.withReaderLease]]) with `keepGens = 0`, so the
+  * lease (not the grace window) is what keeps each in-flight batch's
+  * generation on disk through the flip. GenerationSpec proves the
+  * correctness contract at fixture scale; this tool measures what
+  * serving actually pays:
   * per-batch wall latency by phase plus survivor Recall@10 per batch
   * (a batch that resolved the pre-flip manifest answers from the grace
   * generation, one that resolved post-flip from the successor — both
@@ -110,6 +114,13 @@ object ServeThroughCompact {
       .localCheckpoint(true)
 
     val nq = queries.count().toDouble
+    // keepGens=0: NO grace generation — the flip retires the
+    // predecessor immediately, so the READER LEASE (not grace) is what
+    // keeps an in-flight batch's generation on disk through the
+    // compaction. This makes the lease API load-bearing in the
+    // measurement: a recall droop or a failed batch here means the
+    // lease contract broke.
+    spark.conf.set("spark.graft.gen.keepGens", "0")
     val phase = new AtomicReference[String]("before")
     val stop = new AtomicBoolean(false)
     val out = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -125,9 +136,13 @@ object ServeThroughCompact {
       try while (!stop.get()) {
         val ph = phase.get()
         val t0 = System.nanoTime()
-        val ref = ShardedIndex.resolveVersioned(spark, root, params.metric)
-        val hits = ShardedIndex.searchSingleDf(spark, queries, ref,
-          l = 80, k = 4 * K).localCheckpoint(true)
+        // resolve + search under a reader lease: the batch's
+        // generation survives the concurrent flip despite keepGens=0
+        val hits = ShardedIndex.withReaderLease(spark, root,
+            params.metric) { ref =>
+          ShardedIndex.searchSingleDf(spark, queries, ref,
+            l = 80, k = 4 * K).localCheckpoint(true)
+        }
         val lat = (System.nanoTime() - t0) / 1e9
         val res = TopK.perGroupAgg(hits, Seq(col("q_id")), col("score"),
             col("d_id"), K, idName = "d_id")

@@ -263,11 +263,11 @@ class GenerationSpec extends AnyFunSuite {
     // boundary refreshes the lock's mtime, so a second writer's
     // stale-break does NOT fire on a live holder past the timeout
     Generations.withWriterLease(spark, root, "longHolder") {
-      Thread.sleep(120)
+      Thread.sleep(400) // age the lock past the timeout below
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$root/gen1"))
       Generations.publish(spark, root, "gen1") // touches the lock
-      spark.conf.set("spark.graft.gen.leaseTimeoutMs", "100")
+      spark.conf.set("spark.graft.gen.leaseTimeoutMs", "300")
       try {
         val e = intercept[IllegalStateException] {
           Generations.withWriterLease(spark, root, "impatient") { () }
@@ -387,6 +387,66 @@ class GenerationSpec extends AnyFunSuite {
       "an erased id resurfaced after the second generation flip")
     assert(after2 === expected,
       "second-generation erasure diverged from mask semantics")
+  }
+
+  test("sharded face: leased batches serve through a concurrent compaction at keepGens=0") {
+    // the production caller path (ServeThroughCompact's reader loop):
+    // each batch resolves AND searches under ShardedIndex
+    // .withReaderLease, with NO grace window — the flip retires the
+    // predecessor immediately unless a live lease pins it. Every
+    // batch, including any in flight across the flip, must answer the
+    // identical survivor set with zero errors.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 250)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_leasedserve_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb, IndexQueries.FixtureParams,
+      nShards = 2, root)
+    assert(ShardedIndex.deleteVersioned(spark, root, Seq(5L, 44L)) === 2L)
+    val q = emb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def leasedTop10(): Map[Long, Seq[Long]] =
+      ShardedIndex.withReaderLease(spark, root, "cosine") { r =>
+        ShardedIndex.searchSingleDf(spark, q, r, l = 600, k = 16)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+          .groupBy(_._1).view
+          .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+          .toMap
+      }
+    val before = leasedTop10()
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, Seq[Long]]]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() =>
+      try (1 to 4).foreach(_ => results.add(leasedTop10()))
+      catch { case t: Throwable => errors.add(t) })
+    spark.conf.set("spark.graft.gen.keepGens", "0")
+    try {
+      reader.start()
+      val r1 = ShardedIndex.compactVersioned(spark, root,
+        IndexQueries.FixtureParams)
+      assert(r1.path === s"$root/gen1")
+      reader.join(300000)
+      assert(errors.isEmpty,
+        s"leased reader failed across the keepGens=0 flip: ${errors.peek()}")
+      results.forEach(m => assert(m === before,
+        "a leased batch diverged across the keepGens=0 flip"))
+      // post-flip batches serve the successor, same survivors
+      assert(leasedTop10() === before)
+      // nothing stays pinned once the readers released: either the
+      // flip already retired gen0 (no lease spanned it), or the lease
+      // that pinned it has been released and the NEXT publish retires
+      // it (publish is when expired/released pins are re-evaluated)
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/gen0"))) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/gen2"))
+        Generations.publish(spark, root, "gen2", keepGens = 0)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/gen0")),
+          "released leases kept pinning the retired generation")
+      }
+    } finally spark.conf.unset("spark.graft.gen.keepGens")
   }
 
   test("dead-sidecar writers: the distributive path produces the driver path's sidecars") {
