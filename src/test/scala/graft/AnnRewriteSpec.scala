@@ -1546,6 +1546,52 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted measured costs: sidecar persistence is throttled to the min interval") {
+    // the EWMA sidecar is a best-effort seed, not a ledger: on the
+    // serving hot path an unthrottled write is one remote PUT per
+    // measured query batch. Contract: the FIRST measurement persists
+    // immediately (a short-lived session still seeds), later ones
+    // wait out spark.graft.ann.costSidecarMinIntervalMs; 0 restores
+    // write-every-record.
+    ivfpqSetup
+    val sc = "target/tmp/ann_ivfpq_index/_cost_ewma.ivfpq"
+    def sidecar(): Option[Double] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sc)))
+        Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sc)), "UTF-8").trim.toDouble)
+      else None
+    AnnIndexRegistry.clearMeasuredCosts()
+    val fp = AnnIndexRegistry.registeredFp("vid", "vec", "ip", "ivfpq").get
+    try {
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "ivfpq", 2.0)
+      assert(sidecar() === Some(2.0),
+        "the first measurement must persist immediately")
+      // second record inside the (default 30 s) interval: in-memory
+      // EWMA moves, the sidecar does not
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "ivfpq", 1.0)
+      assert(AnnIndexRegistry.measuredCost("vid", "vec", "ip", fp,
+        "ivfpq") === Some(0.7 * 2.0 + 0.3 * 1.0))
+      assert(sidecar() === Some(2.0),
+        "a second record inside the interval wrote the sidecar")
+      // interval 0 = write-every-record (and the cadence a test or a
+      // shutdown hook can force)
+      spark.conf.set("spark.graft.ann.costSidecarMinIntervalMs", "0")
+      AnnIndexRegistry.recordMeasuredCost("vid", "vec", "ip", fp,
+        "ivfpq", 1.0)
+      val expected = 0.7 * (0.7 * 2.0 + 0.3 * 1.0) + 0.3 * 1.0
+      assert(sidecar().exists(v => math.abs(v - expected) < 1e-12),
+        s"interval=0 did not persist the live EWMA (${sidecar()})")
+    } finally {
+      spark.conf.unset("spark.graft.ann.costSidecarMinIntervalMs")
+      AnnIndexRegistry.clearMeasuredCosts()
+      Seq(sc, "target/tmp/ann_ivfpq_index/._cost_ewma.ivfpq.crc")
+        .foreach(p => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(p)))
+    }
+  }
+
   test("versioned-root registrations: routing follows generation flips with no re-registration") {
     setup
     import graft.index.ShardedIndex
