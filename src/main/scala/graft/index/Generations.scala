@@ -66,6 +66,31 @@ import org.apache.spark.sql.SparkSession
   * holder cannot wedge maintenance forever. A second writer fails
   * LOUDLY at entry instead of corrupting silently; readers never
   * touch the lock.
+  *
+  * ==Two commit protocols==
+  * `spark.graft.gen.committer` selects how [[publish]] lands a flip:
+  *
+  *  - `rename` (default) — the single-pointer protocol above: one
+  *    atomic rename-over of `MANIFEST`. Requires real rename
+  *    semantics (local, HDFS, ABFS — guarded by an allowlist +
+  *    `spark.graft.gen.atomicSchemes` opt-in).
+  *  - `seqlog` — the CONDITIONAL-PUT commit log for object stores:
+  *    each flip appends an immutable `MANIFEST.<seq>` via exclusive
+  *    create; the manifest is never renamed or overwritten, and the
+  *    exclusive create is a true CAS on the log head — two racing
+  *    writers cannot both claim a slot, the loser fails loudly with
+  *    zero corruption (stronger than the best-effort lease). Readers
+  *    take the highest seq that parses valid, falling back one slot
+  *    past a crashed committer's partial file. Requires only a
+  *    conditional put (S3 conditional writes, GCS preconditions —
+  *    `spark.graft.gen.casSchemes` opt-in; rename-capable stores
+  *    qualify automatically).
+  *
+  * Resolution is SELF-DESCRIBING: seq entries win over the legacy
+  * pointer whenever present, so mixed-mode sessions read correctly
+  * and a root migrates to seqlog on its first seqlog publish (the
+  * legacy pointer stays in place as that publish's crash fallback and
+  * goes inert once the first seq commit lands).
   */
 object Generations {
 
@@ -74,6 +99,9 @@ object Generations {
   private val NextTmpName = "MANIFEST__next.tmp"
   private val LockName = "_writer.lock"
   private val GenRe = "gen(\\d+)".r
+  private val SeqRe = "MANIFEST\\.(\\d{12})".r
+
+  private def seqName(n: Long): String = f"$ManifestName.$n%012d"
 
   /** Schemes known to provide BOTH primitives this layer is built on:
     * atomic rename-over (the manifest flip) and create-if-absent as a
@@ -91,12 +119,14 @@ object Generations {
   private val AtomicRenameSchemes =
     Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss")
 
+  private def confSchemes(spark: SparkSession, key: String): Set[String] =
+    spark.conf.get(key, "").split(",").iterator
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
   private def requireAtomicStore(spark: SparkSession, f: FileSystem,
                                  root: String): Unit = {
     val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
-    val extra = spark.conf.get("spark.graft.gen.atomicSchemes", "")
-      .split(",").iterator.map(_.trim.toLowerCase)
-      .filter(_.nonEmpty).toSet
+    val extra = confSchemes(spark, "spark.graft.gen.atomicSchemes")
     if (!AtomicRenameSchemes.contains(scheme) && !extra.contains(scheme))
       throw new IllegalStateException(
         s"generation root $root is on filesystem scheme '$scheme', " +
@@ -106,8 +136,59 @@ object Generations {
         "exclusive create is not a fence). Put the index root on a " +
         "store with real rename semantics (local, HDFS, ABFS), or if " +
         "your store genuinely guarantees both, opt in by adding the " +
-        "scheme to spark.graft.gen.atomicSchemes")
+        "scheme to spark.graft.gen.atomicSchemes — or switch to the " +
+        "rename-free CAS commit log (spark.graft.gen.committer=seqlog) " +
+        "if the store has conditional-put exclusive create")
   }
+
+  /** The seqlog committer's weaker requirement: EXCLUSIVE CREATE only
+    * (a conditional put). It never renames the manifest — commits are
+    * create-if-absent writes of immutable `MANIFEST.<seq>` files — so
+    * stores without atomic rename qualify the moment they provide a
+    * real conditional put: S3 conditional writes (If-None-Match, GA
+    * since 2024; surfaced by recent Hadoop S3A as conditional create)
+    * and GCS preconditions both do. That capability is a DEPLOYMENT
+    * fact this library cannot probe, so it stays a conscious opt-in
+    * (`spark.graft.gen.casSchemes`); the rename-capable allowlist and
+    * its opt-in qualify automatically (exclusive create is the weaker
+    * half of what they already claim). */
+  private def requireCasStore(spark: SparkSession, f: FileSystem,
+                              root: String): Unit = {
+    val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+    val ok = AtomicRenameSchemes.contains(scheme) ||
+      confSchemes(spark, "spark.graft.gen.atomicSchemes").contains(scheme) ||
+      confSchemes(spark, "spark.graft.gen.casSchemes").contains(scheme)
+    if (!ok)
+      throw new IllegalStateException(
+        s"generation root $root is on filesystem scheme '$scheme', " +
+        "which is not known to provide the EXCLUSIVE-CREATE " +
+        "(conditional-put) primitive the seqlog manifest committer is " +
+        "built on. If the store genuinely refuses an overwrite on " +
+        "create (e.g. S3 conditional writes enabled through the S3A " +
+        "connector, GCS preconditions), opt in by adding the scheme " +
+        "to spark.graft.gen.casSchemes")
+  }
+
+  /** Which commit protocol [[publish]] runs
+    * (`spark.graft.gen.committer`): `rename` (default) flips a single
+    * MANIFEST pointer with one atomic rename-over; `seqlog` appends an
+    * immutable, sequence-numbered `MANIFEST.<seq>` to a commit log via
+    * exclusive create — the conditional-put variant for object stores,
+    * where rename is copy+delete. Reads are SELF-DESCRIBING (seq
+    * entries win when present, else the legacy pointer), so the mode
+    * only matters to writers and a root migrates on its first seqlog
+    * publish. */
+  private def committerMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.gen.committer", "rename") match {
+      case m @ ("rename" | "seqlog") => m
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.gen.committer must be rename|seqlog, got '$other'")
+    }
+
+  private def requireStore(spark: SparkSession, f: FileSystem,
+                           root: String): Unit =
+    if (committerMode(spark) == "seqlog") requireCasStore(spark, f, root)
+    else requireAtomicStore(spark, f, root)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -192,14 +273,47 @@ object Generations {
     }
   }
 
+  /** One LIST + one or two small reads — cheaper than the previous
+    * exists-probe chain, and SELF-DESCRIBING across both committers:
+    * seqlog entries (immutable `MANIFEST.<seq>`, highest valid wins)
+    * take precedence over the legacy rename-mode pointer whenever any
+    * exist, because only [[publishSeqlog]] writes them and it seeds
+    * from the full resolved state. A partial/garbage top seq file — a
+    * committer crashed mid-write, or a reader landing in the
+    * create-then-write window on stores without full-object puts —
+    * parses invalid and falls back to the next-lower committed seq:
+    * bounded staleness, never corruption (on S3-class stores the
+    * conditional put lands the whole object atomically and the window
+    * does not exist at all). */
   private def manifestUncached(spark: SparkSession,
                                root: String): Seq[String] = {
     manifestReads.incrementAndGet()
     val f = fs(spark, root)
-    if (!f.exists(new Path(root))) return Seq.empty
-    validNext(f, root).getOrElse(
-      readFile(f, new Path(s"$root/$ManifestName"))
-        .map(parseManifest).getOrElse(Seq.empty))
+    val listing =
+      try f.listStatus(new Path(root))
+      catch { case _: java.io.FileNotFoundException =>
+        return Seq.empty }
+    val dirNames = listing.iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    def validAgainst(gens: Seq[String]): Boolean =
+      gens.headOption.exists(dirNames.contains)
+    val seqs = listing.iterator.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case SeqRe(n) => n.toLong }
+      .toArray.sorted(Ordering[Long].reverse)
+    for (sq <- seqs) {
+      val parsed = readFile(f, new Path(s"$root/${seqName(sq)}"))
+        .map(parseManifest).getOrElse(Seq.empty)
+      if (validAgainst(parsed)) return parsed
+    }
+    // legacy pointer: a valid committed next is newer and wins
+    if (listing.exists(st => st.isFile && st.getPath.getName == NextName)) {
+      val n = readFile(f, new Path(s"$root/$NextName")).map(parseManifest)
+        .filter(validAgainst)
+      if (n.isDefined) return n.get
+    }
+    readFile(f, new Path(s"$root/$ManifestName"))
+      .map(parseManifest).getOrElse(Seq.empty)
   }
 
   /** Live generation name (e.g. "gen3"), or None before the first
@@ -277,7 +391,7 @@ object Generations {
               keepGens: Int = -1): Unit = {
     require(gen.matches("gen\\d+"), s"bad generation name: $gen")
     val f = fs(spark, root)
-    requireAtomicStore(spark, f, root)
+    requireStore(spark, f, root)
     require(f.exists(new Path(s"$root/$gen")),
       s"publish: generation dir $root/$gen does not exist")
     val keep =
@@ -287,6 +401,28 @@ object Generations {
     // lock's mtime so a legitimate multi-publish maintenance pass
     // spanning leaseTimeoutMs is not broken mid-run by a second writer
     refreshWriterLease(spark, root)
+    if (committerMode(spark) == "seqlog")
+      publishSeqlog(spark, f, root, gen, keep)
+    else
+      publishRename(spark, f, root, gen, keep)
+    // both boundaries prove life: retirement can itself be slow on a
+    // wide root, and the holder must not look stale right after
+    refreshWriterLease(spark, root)
+  }
+
+  private def publishRename(spark: SparkSession, f: FileSystem,
+                            root: String, gen: String, keep: Int): Unit = {
+    // a root that migrated to the seqlog protocol must not take rename
+    // commits: readers prefer seq entries, so a rename flip would be
+    // silently INVISIBLE — fail loudly instead
+    val hasSeqlog = f.listStatus(new Path(root)).exists(st =>
+      st.isFile && SeqRe.matches(st.getPath.getName))
+    if (hasSeqlog)
+      throw new IllegalStateException(
+        s"generation root $root carries a seqlog commit log " +
+        "(MANIFEST.<seq> entries) — a rename-mode publish here would " +
+        "be invisible to readers, who prefer the log. Set " +
+        "spark.graft.gen.committer=seqlog for this root")
     recoverWriter(f, spark, root) // heal a crashed prior publish first
     val prior = readFile(f, new Path(s"$root/$ManifestName"))
       .map(parseManifest).getOrElse(Seq.empty)
@@ -301,12 +437,106 @@ object Generations {
     val next = new Path(s"$root/$NextName")
     renameOver(f, spark, tmp, next)
     renameOver(f, spark, next, new Path(s"$root/$ManifestName"))
-    // write-through: the writer's own flip is visible immediately in
-    // this JVM regardless of the resolution-cache TTL
+    cacheWriteThrough(spark, root, entries)
+    retire(spark, f, root, entries, seqFloor = Long.MinValue)
+  }
+
+  /** The conditional-put committer: append an IMMUTABLE
+    * `MANIFEST.<seq>` to a sequence-numbered commit log via exclusive
+    * create — the manifest is never renamed (the primitive object
+    * stores lack) and never overwritten. The exclusive create is a
+    * true compare-and-swap on the log head: two writers racing the
+    * same slot cannot both win — the loser's create is REFUSED by the
+    * store and surfaces as a loud conflict, so a manifest lost-update
+    * is impossible even where the best-effort writer lease failed
+    * (two leases broken as stale, a partitioned writer coming back).
+    * The lease remains the guard for everything AROUND the commit —
+    * concurrent RETIREMENT racing a commit can delete a winner's
+    * fresh generation dir, which no pointer CAS can prevent.
+    *
+    * Crash anywhere: committed seq files are immutable, so the log
+    * prefix up to the last full commit keeps serving; a partial top
+    * file parses invalid, readers fall back one slot, and the next
+    * commit claims the slot ABOVE it (max existing + 1, valid or not).
+    * Legacy pointer files are left in place — they are the fallback
+    * that makes the MIGRATION publish itself crash-safe — and go inert
+    * the moment the first seq commit lands. */
+  private def publishSeqlog(spark: SparkSession, f: FileSystem,
+                            root: String, gen: String, keep: Int): Unit = {
+    val maxSeq = f.listStatus(new Path(root)).iterator
+      .filter(_.isFile).map(_.getPath.getName)
+      .collect { case SeqRe(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+    // seed history from the resolved state — including the legacy
+    // pointer on the migration publish — with a FRESH read: the commit
+    // must chain off the true head, not a TTL-stale cached one
+    val prior = manifestUncached(spark, root)
+    val entries = gen +: prior.filterNot(_ == gen).take(keep)
+    commitSeqlogAt(spark, f, root, maxSeq + 1, entries)
+    cacheWriteThrough(spark, root, entries)
+    val histKeep = math.max(1,
+      spark.conf.get("spark.graft.gen.manifestHistory", "3").toInt)
+    retire(spark, f, root, entries, seqFloor = maxSeq + 1 - histKeep)
+  }
+
+  /** A genuinely EXCLUSIVE create. Hadoop's LocalFileSystem
+    * `create(overwrite=false)` is itself a check-then-act (the same
+    * non-fence the store guard names for S3A), so local roots go
+    * through nio `CREATE_NEW` — one `open(O_CREAT|O_EXCL)` syscall,
+    * atomic on POSIX. Everything else uses the filesystem's own
+    * create-if-absent: a real fence on HDFS (namenode-arbitrated) and
+    * on any store behind the `casSchemes` opt-in (whose claim is
+    * exactly that its create is a conditional put). Throws
+    * `IOException` (`FileAlreadyExistsException`) when the name is
+    * already claimed. */
+  private def createExclusive(f: FileSystem, p: Path): java.io.OutputStream =
+    if (f.getScheme == "file")
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else f.create(p, false)
+
+  /** The CAS primitive itself, isolated so the conflict contract is
+    * directly testable: claim log slot `seq` or fail LOUDLY. */
+  private[graft] def commitSeqlogAt(spark: SparkSession, f: FileSystem,
+                                    root: String, seq: Long,
+                                    entries: Seq[String]): Unit = {
+    val target = new Path(s"$root/${seqName(seq)}")
+    val out =
+      try createExclusive(f, target) // conditional put: fails when claimed
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"seqlog manifest commit lost the race for $target — a " +
+            "concurrent writer claimed the slot first (the " +
+            "conditional put refused it). The index is NOT corrupted; " +
+            "re-resolve the manifest and retry the maintenance pass. " +
+            "Versioned writers are single-writer by contract " +
+            "(withWriterLease) — a conflict here means two maintenance " +
+            "loops are running against the same root.", e)
+      }
+    try out.write(entries.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Write-through: the writer's own flip is visible immediately in
+    * this JVM regardless of the resolution-cache TTL. */
+  private def cacheWriteThrough(spark: SparkSession, root: String,
+                                entries: Seq[String]): Unit = {
     val ttlMs = cacheTtlMs(spark)
     if (ttlMs > 0)
       manifestCache.put(root, (System.nanoTime() + ttlMs * 1000000L, entries))
     else manifestCache.remove(root)
+  }
+
+  /** Post-commit retirement: delete generation dirs the new manifest
+    * does not list (and no live reader lease pins), seqlog entries
+    * below the history floor (immutable and superseded — deleting old
+    * log files is safe on any store), and stray reader-lease tmps past
+    * the lease TTL. */
+  private def retire(spark: SparkSession, f: FileSystem, root: String,
+                     entries: Seq[String], seqFloor: Long): Unit = {
     val keepSet = entries.toSet ++ leasedGens(f, root)
     val staleTmpBefore = System.currentTimeMillis() -
       spark.conf.get("spark.graft.gen.readerLeaseMs", "3600000").toLong
@@ -314,16 +544,18 @@ object Generations {
       val nm = st.getPath.getName
       if (st.isDirectory && nm.matches("gen\\d+") && !keepSet.contains(nm))
         f.delete(st.getPath, true)
-      // a reader that crashed between lease-tmp create and rename left
-      // a stray tmp — harmless (never parsed as a lease), cleaned once
-      // it is older than any lease it could have become
-      else if (st.isFile && nm.startsWith(ReaderTmpPrefix) &&
-               st.getModificationTime < staleTmpBefore)
-        f.delete(st.getPath, false)
+      else if (st.isFile) nm match {
+        case SeqRe(n) if n.toLong < seqFloor =>
+          f.delete(st.getPath, false)
+        // a reader that crashed between lease-tmp create and rename
+        // left a stray tmp — harmless (never parsed as a lease),
+        // cleaned once it is older than any lease it could have become
+        case _ if nm.startsWith(ReaderTmpPrefix) &&
+                  st.getModificationTime < staleTmpBefore =>
+          f.delete(st.getPath, false)
+        case _ => ()
+      }
     }
-    // both boundaries prove life: retirement above can itself be slow
-    // on a wide root, and the holder must not look stale right after
-    refreshWriterLease(spark, root)
   }
 
   // ===== Reader leases =====
@@ -386,9 +618,13 @@ object Generations {
       // name. A two-step create-then-write would expose an empty file
       // under the lease prefix, which a concurrent publish's expired-
       // lease cleanup deletes as garbage — voiding the pin mid-scan.
+      // createExclusive: UUID names never collide, and the nio path on
+      // local stores skips the Checksum sidecar — f.create would leave
+      // an orphaned `._rlease_tmp.*.crc` behind after the rename, one
+      // per lease, silently widening every future listStatus
       val tmp =
         new Path(s"$root/$ReaderTmpPrefix${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
+      val out = createExclusive(f, tmp)
       try out.write(
         s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8"))
       finally out.close()
@@ -424,15 +660,17 @@ object Generations {
   def withWriterLease[T](spark: SparkSession, root: String,
                          what: String)(body: => T): T = {
     val f = fs(spark, root)
-    requireAtomicStore(spark, f, root)
+    requireStore(spark, f, root)
     f.mkdirs(new Path(root))
     val lock = new Path(s"$root/$LockName")
     val now = System.currentTimeMillis()
     // create FIRST (the uncontended case pays one call, not an
     // exists-probe plus a create); only a failed create — the lock is
-    // held — pays the staleness inspection
+    // held — pays the staleness inspection. Same atomic exclusive
+    // create as the seqlog commit (O_EXCL locally — LocalFileSystem's
+    // own overwrite=false is check-then-act)
     def tryCreate() =
-      try Some(f.create(lock, false)) // create-if-absent: fails when held
+      try Some(createExclusive(f, lock))
       catch { case _: java.io.IOException => None }
     var out = tryCreate()
     if (out.isEmpty) {

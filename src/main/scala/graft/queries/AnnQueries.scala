@@ -457,6 +457,18 @@ object AnnQueries extends QueryPack {
       rs.sql(svRelationSql(K))
     }),
 
+    // The OBJECT-STORE COMMIT certificate: the identical takedown-
+    // through-a-flip lifecycle, but every generation flip committed
+    // through the seqlog (conditional-put) protocol — immutable
+    // MANIFEST.<seq> appends via exclusive create, zero renames, the
+    // commit path a 100 TB deployment runs on S3-class storage. The
+    // routed answer must stay HASH-IDENTICAL to the exhaustive
+    // survivor ranking: the commit protocol is serving-invisible.
+    "g8_sql_versioned_seqlog" -> ((s, dir) => {
+      val rs = svTierSqlSetup(s, dir, "versioned_seqlog")
+      rs.sql(svRelationSql(K))
+    }),
+
     // And by the IVF-PQ tier: exact mode probes EVERY cell and keeps
     // every row (probe-parameter exhaustion is NOT corpus saturation —
     // the route saturates the generator itself), so the compressed
@@ -960,6 +972,14 @@ object AnnQueries extends QueryPack {
         AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
           IndexQueries.shardedVersionedHandles(rs, dir)._2, dim = dim,
           metricName = "cosine", searchL = 80, name = "versioned_live")
+        emb
+      case "versioned_seqlog" =>
+        // the same post-flip lifecycle committed through the
+        // conditional-put SEQLOG protocol (the object-store commit
+        // path) — the committer must be invisible to query semantics
+        AnnIndexRegistry.registerSharded(emb, "vec_id", "embedding",
+          IndexQueries.shardedSeqlogHandles(rs, dir), dim = dim,
+          metricName = "cosine", searchL = 80, name = "versioned_seqlog")
         emb
       case "ivfpq" =>
         val (path, centroids, cbs) = ivfPqIndex(rs, dir)
@@ -1984,6 +2004,9 @@ object AnnQueries extends QueryPack {
     "g8_sql_sharded_updated" -> g8UpdatedOracle,
     "g8_sql_sharded_grace" -> g8DeletedOracle,
     "g8_sql_versioned_live" -> g8DeletedOracle,
+    // the seqlog-committed lifecycle answers the same survivor ranking
+    // — the commit protocol must not change WHAT is served
+    "g8_sql_versioned_seqlog" -> g8DeletedOracle,
     "g8_sql_ivfpq_saturated" -> g8SaturatedOracle,
     "g8_sql_ivfpq_grown_saturated" -> g8SaturatedOracle,
     // both sides of the compressed tier's generation flip answer the

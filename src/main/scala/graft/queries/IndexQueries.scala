@@ -206,6 +206,43 @@ object IndexQueries extends QueryPack {
       (pre, live)
     })
 
+  /** The versioned lifecycle once more, committed through the SEQLOG
+    * (conditional-put) protocol instead of the rename pointer — the
+    * object-store commit path ([[Generations]] `committer=seqlog`):
+    * build gen0, tombstone the takedown tranche, compactVersioned
+    * publishes gen1, and every flip lands as an immutable
+    * `MANIFEST.<seq>` exclusive-create append, never a rename. The
+    * served answer must be byte-identical to the rename-mode run —
+    * the commit protocol is invisible to query semantics. Serves
+    * g8_sql_versioned_seqlog. */
+  private val shardedSeqlogCache = new java.util.concurrent
+    .ConcurrentHashMap[String, ShardedIndexRef]()
+
+  private[queries] def shardedSeqlogHandles(s: SparkSession,
+                                            dir: String): ShardedIndexRef =
+    shardedSeqlogCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sharded_seqlog_").toString
+      val emb = Tables.embeddings(s, dir)
+      s.conf.set("spark.graft.gen.committer", "seqlog")
+      try {
+        ShardedIndex.buildVersioned(s, emb, FixtureParams, 2, root)
+        val tranche = emb.filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id").as("gid"))
+        require(ShardedIndex.deleteVersioned(s, root, tranche) > 0,
+          "seqlog-certificate fixture produced an empty tranche")
+        val live = ShardedIndex.compactVersioned(s, root, FixtureParams)
+        require(live.path == s"$root/gen1",
+          "seqlog fixture did not flip generations")
+        require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+            s"$root/MANIFEST.000000000002")) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(
+            s"$root/MANIFEST")),
+          "seqlog fixture did not commit through the CAS log")
+        live
+      } finally s.conf.unset("spark.graft.gen.committer")
+    })
+
   /** One GROWTH-ONLY versioned sharded index per dir — gen0 built on
     * the first 80%, the rest appended as gen0's delta, then
     * [[ShardedIndex.compactVersioned]] published gen1. Returns the

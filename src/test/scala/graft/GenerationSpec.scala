@@ -306,6 +306,193 @@ class GenerationSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.gen.atomicSchemes")
   }
 
+  test("seqlog committer: conditional-put commit log — publish, migration, crash fallback, history retirement") {
+    // direct file surgery below (simulating other processes' commits
+    // and crashes), so the resolution cache is off
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "0")
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    try seqlogBody()
+    finally {
+      spark.conf.unset("spark.graft.gen.committer")
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+    }
+  }
+
+  private def seqlogBody(): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_seqlog_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    // MIGRATION: the root starts with rename-mode history — the first
+    // seqlog publish must seed its grace chain from the legacy pointer
+    spark.conf.set("spark.graft.gen.committer", "rename")
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    mkGen("gen1"); Generations.publish(spark, root, "gen1")
+    assert(Generations.live(spark, root) === Some("gen1"))
+    assert(exists("MANIFEST.000000000001"),
+      "seqlog publish did not append to the commit log")
+    assert(exists("gen0"), "migration publish lost the grace chain")
+    // the legacy pointer stays as the migration's crash fallback but
+    // is INERT: seq entries win even where it disagrees
+    assert(exists("MANIFEST"))
+    // the manifest is never renamed in seqlog mode: each flip appends
+    // a new immutable seq file
+    mkGen("gen2"); Generations.publish(spark, root, "gen2")
+    assert(exists("MANIFEST.000000000001") && exists("MANIFEST.000000000002"))
+    assert(Generations.live(spark, root) === Some("gen2"))
+    assert(!exists("gen0") && exists("gen1"), "grace depth broke in seqlog")
+    // CRASHED COMMITTER: a partial (empty) top seq file parses invalid
+    // — readers fall back one slot, the next commit claims the slot
+    // ABOVE the garbage, and the garbage ages out of the history floor
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$root/MANIFEST.000000000007"), true).close()
+    assert(Generations.live(spark, root) === Some("gen2"),
+      "a partial top seq file was not skipped")
+    // ... same for one naming a generation that does not exist
+    val bad = f.create(new org.apache.hadoop.fs.Path(
+      s"$root/MANIFEST.000000000008"), true)
+    try bad.write("gen99".getBytes("UTF-8")) finally bad.close()
+    assert(Generations.live(spark, root) === Some("gen2"))
+    mkGen("gen3"); Generations.publish(spark, root, "gen3")
+    assert(exists("MANIFEST.000000000009"),
+      "the next commit did not claim the slot above the garbage")
+    assert(Generations.live(spark, root) === Some("gen3"))
+    // HISTORY RETIREMENT: old log entries below the floor (default
+    // keeps 3) are deleted — immutable files, safe to delete anywhere
+    assert(!exists("MANIFEST.000000000001"),
+      "history floor did not retire the oldest log entries")
+    assert(exists("MANIFEST.000000000009"))
+  }
+
+  test("seqlog committer: the conditional put refuses a claimed slot; racing writers never lose an update") {
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_gen_cas_").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/gen0"))
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Generations.publish(spark, root, "gen0")
+      // the CAS primitive, head-on: the same slot cannot be claimed
+      // twice; the loser fails LOUDLY and corrupts nothing
+      Generations.commitSeqlogAt(spark, f, root, 50L, Seq("gen0"))
+      val e = intercept[IllegalStateException] {
+        Generations.commitSeqlogAt(spark, f, root, 50L, Seq("gen0"))
+      }
+      assert(e.getMessage.contains("lost the race"))
+      Generations.invalidateManifestCache(root)
+      assert(Generations.live(spark, root) === Some("gen0"))
+      // racing writers on the COMMIT itself: 4 threads × 5 commits,
+      // read-head-then-claim with retry-on-conflict (the documented
+      // recovery). Exclusive create makes a log lost-update
+      // impossible: no slot is ever claimed twice, so the head
+      // advances by exactly one per success and the raced commits
+      // land CONTIGUOUSLY. (Full concurrent publish — commit PLUS
+      // retirement — stays single-writer under the lease: retirement
+      // racing a commit can delete a winner's fresh generation dir,
+      // which no pointer CAS can prevent; that contract is documented
+      // and the lease spec holds it.)
+      def maxSeq(): Long = {
+        val it = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root)).iterator()
+        var mx = 0L
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.matches("MANIFEST\\.\\d{12}"))
+            mx = math.max(mx, n.stripPrefix("MANIFEST.").toLong)
+        }
+        mx
+      }
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (0 until 4).map { _ =>
+        new Thread(() => try {
+          (0 until 5).foreach { _ =>
+            var done = false
+            while (!done) {
+              try {
+                Generations.commitSeqlogAt(spark, f, root, maxSeq() + 1,
+                  Seq("gen0"))
+                done = true
+              } catch {
+                case e: IllegalStateException
+                    if e.getMessage.contains("lost the race") =>
+                  conflicts.incrementAndGet() // loud, loses nothing
+              }
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      assert(errors.isEmpty, s"racing committer failed: ${errors.peek()}")
+      val seqs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator()
+      val names = scala.collection.mutable.Buffer.empty[String]
+      while (seqs.hasNext) names += seqs.next().getFileName.toString
+      val logSeqs = names.collect {
+        case n if n.matches("MANIFEST\\.\\d{12}") =>
+          n.stripPrefix("MANIFEST.").toLong
+      }.sorted
+      // 1 initial publish + 1 manual claim + 20 raced commits: every
+      // slot unique, the raced ones contiguous above the manual slot
+      // (no lost update, no double-claim)
+      assert(logSeqs.size === 22, s"log slots: $logSeqs")
+      assert(logSeqs.distinct.size === logSeqs.size)
+      assert(logSeqs.max === 70L, // 50 (manual) + 20 raced commits
+        s"raced commits were not contiguous: $logSeqs")
+      Generations.invalidateManifestCache(root)
+      assert(Generations.live(spark, root) === Some("gen0"))
+    } finally spark.conf.unset("spark.graft.gen.committer")
+  }
+
+  test("object-store guard: seqlog requires only the conditional put, gated by casSchemes") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_gen_casscheme_").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[NonAtomicMockFs].getName)
+    val root = s"mock://${local}"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$local/gen0"))
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    try {
+      // no opt-in: the seqlog writer still refuses an unknown scheme —
+      // whether the store's create is a real conditional put is a
+      // deployment fact the library cannot probe
+      val e = intercept[IllegalStateException] {
+        Generations.publish(spark, root, "gen0")
+      }
+      assert(e.getMessage.contains("casSchemes") &&
+        e.getMessage.contains("'mock'"))
+      // the conscious opt-in unlocks the FULL writer surface on a
+      // store with conditional put but WITHOUT atomic rename — the
+      // posture S3-with-conditional-writes lands in
+      spark.conf.set("spark.graft.gen.casSchemes", "mock")
+      Generations.withWriterLease(spark, root, "cas-writer") {
+        Generations.publish(spark, root, "gen0")
+      }
+      assert(Generations.live(spark, root) === Some("gen0"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$local/MANIFEST.000000000001")))
+      // rename-mode publish on the same scheme still refuses: the
+      // opt-ins are per-primitive, not blanket
+      spark.conf.set("spark.graft.gen.committer", "rename")
+      val e2 = intercept[IllegalStateException] {
+        Generations.publish(spark, root, "gen0")
+      }
+      assert(e2.getMessage.contains("atomicSchemes"))
+    } finally {
+      spark.conf.unset("spark.graft.gen.casSchemes")
+      spark.conf.unset("spark.graft.gen.committer")
+      Generations.invalidateManifestCache(root)
+    }
+  }
+
   test("sharded face: a pre-compact reader serves through a concurrent compaction") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
     val root = java.nio.file.Files
