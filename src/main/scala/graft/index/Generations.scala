@@ -286,13 +286,21 @@ object Generations {
     * conditional put lands the whole object atomically and the window
     * does not exist at all). */
   private def manifestUncached(spark: SparkSession,
-                               root: String): Seq[String] = {
+                               root: String): Seq[String] =
+    resolveUncachedOnce(spark, root, retry = true)
+
+  private def resolveUncachedOnce(spark: SparkSession, root: String,
+                                  retry: Boolean,
+                                  preListed: Option[
+                                    Array[org.apache.hadoop.fs.FileStatus]]
+                                    = None): Seq[String] = {
     manifestReads.incrementAndGet()
     val f = fs(spark, root)
-    val listing =
+    val listing = preListed.getOrElse {
       try f.listStatus(new Path(root))
       catch { case _: java.io.FileNotFoundException =>
         return Seq.empty }
+    }
     val dirNames = listing.iterator.filter(_.isDirectory)
       .map(_.getPath.getName).toSet
     def validAgainst(gens: Seq[String]): Boolean =
@@ -312,8 +320,17 @@ object Generations {
         .filter(validAgainst)
       if (n.isDefined) return n.get
     }
-    readFile(f, new Path(s"$root/$ManifestName"))
+    val legacy = readFile(f, new Path(s"$root/$ManifestName"))
       .map(parseManifest).getOrElse(Seq.empty)
+    // validate the legacy fallback too (fresh exists-probe covers gens
+    // created after the LIST): an invalid head on a MIGRATED root
+    // means enough publishes retired every listed seq inside the read
+    // window — one fresh LIST resolves the new head rather than
+    // resurrecting the inert pre-migration pointer
+    if (legacy.isEmpty || validAgainst(legacy) ||
+        f.exists(new Path(s"$root/${legacy.head}"))) legacy
+    else if (retry) resolveUncachedOnce(spark, root, retry = false)
+    else legacy
   }
 
   /** Live generation name (e.g. "gen3"), or None before the first
@@ -463,14 +480,19 @@ object Generations {
     * the moment the first seq commit lands. */
   private def publishSeqlog(spark: SparkSession, f: FileSystem,
                             root: String, gen: String, keep: Int): Unit = {
-    val maxSeq = f.listStatus(new Path(root)).iterator
+    // ONE listing serves both the head-slot computation and the fresh
+    // history seed — LIST is the expensive metadata op on the object
+    // stores this committer targets
+    val listing = f.listStatus(new Path(root))
+    val maxSeq = listing.iterator
       .filter(_.isFile).map(_.getPath.getName)
       .collect { case SeqRe(n) => n.toLong }
       .foldLeft(0L)(math.max)
     // seed history from the resolved state — including the legacy
     // pointer on the migration publish — with a FRESH read: the commit
     // must chain off the true head, not a TTL-stale cached one
-    val prior = manifestUncached(spark, root)
+    val prior = resolveUncachedOnce(spark, root, retry = true,
+      preListed = Some(listing))
     val entries = gen +: prior.filterNot(_ == gen).take(keep)
     commitSeqlogAt(spark, f, root, maxSeq + 1, entries)
     cacheWriteThrough(spark, root, entries)
@@ -506,7 +528,13 @@ object Generations {
     val out =
       try createExclusive(f, target) // conditional put: fails when claimed
       catch {
-        case e: java.io.IOException =>
+        // ONLY the already-claimed refusal is a lost race; any other
+        // IOException (throttling, network, permissions) propagates as
+        // the store error it is — misdiagnosing a 503 as "a concurrent
+        // writer" sends the operator hunting a phantom second loop and
+        // the documented retry-on-conflict spinning on a dead store
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
           throw new IllegalStateException(
             s"seqlog manifest commit lost the race for $target — a " +
             "concurrent writer claimed the slot first (the " +
@@ -629,15 +657,22 @@ object Generations {
         s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8"))
       finally out.close()
       renameOver(f, spark, tmp, lease)
-      if (f.exists(new Path(s"$root/$gen")))
+      // membership re-check, UNCACHED, after the lease landed. The
+      // ordering invariant this leans on: publish commits its manifest
+      // BEFORE taking the lease snapshot that drives retirement. So if
+      // the post-lease manifest still lists our generation, any
+      // publish that could retire it has not yet snapshotted leases
+      // and WILL see ours; if it no longer lists it, a flip raced the
+      // acquisition (its retirement may be mid-delete right now) —
+      // drop the useless lease and retry on the new head. A bare
+      // dir-exists probe is NOT enough: it can pass between a racing
+      // publish's lease snapshot and its delete.
+      invalidateManifestCache(root)
+      if (manifest(spark, root).contains(gen) &&
+          f.exists(new Path(s"$root/$gen")))
         try return body(s"$root/$gen")
         finally f.delete(lease, false)
-      // the generation was retired between the manifest read and the
-      // lease write (needs 2+ flips inside that window) — drop the
-      // useless lease, drop the possibly-stale cached manifest, and
-      // resolve afresh
       f.delete(lease, false)
-      invalidateManifestCache(root)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -671,7 +706,9 @@ object Generations {
     // own overwrite=false is check-then-act)
     def tryCreate() =
       try Some(createExclusive(f, lock))
-      catch { case _: java.io.IOException => None }
+      catch { // only "already claimed" means held; store errors propagate
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => None }
     var out = tryCreate()
     if (out.isEmpty) {
       val timeoutMs = spark.conf
@@ -680,20 +717,7 @@ object Generations {
         try now - f.getFileStatus(lock).getModificationTime > timeoutMs
         catch { // raced a release between create and getFileStatus
           case _: java.io.FileNotFoundException => false }
-      if (stale) {
-        // break by RENAME-ASIDE, never delete: two breakers racing a
-        // check-then-delete could interleave so B deletes A's freshly
-        // created lock and both proceed. Rename is atomic on the
-        // source — exactly one breaker moves the stale lock out of the
-        // way; the loser's rename fails and its create retry below
-        // fails loudly against the winner's fresh lock.
-        val aside = new Path(
-          s"$root/$LockName.stale.${java.util.UUID.randomUUID()}")
-        val moved =
-          try f.rename(lock, aside)
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (moved) f.delete(aside, false)
-      }
+      if (stale) breakStaleLock(f, root, timeoutMs)
       out = tryCreate() // once more: after a stale-break, or a release
       if (out.isEmpty) {
         val holder = readFile(f, lock).getOrElse("<unreadable>")
@@ -708,8 +732,55 @@ object Generations {
     try o.write(s"$what pid=${ProcessHandle.current.pid} t=$now"
       .getBytes("UTF-8"))
     finally o.close()
+    // the lease is the cross-process serialization point: a flip
+    // published by the PREVIOUS holder (another process) may still sit
+    // inside this JVM's resolution-cache TTL, and a versioned writer
+    // resolving a stale live generation writes tombstones/appends into
+    // a retired dir — silent data loss. Entering the lease therefore
+    // drops the cached entry, so the face's first resolve reads the
+    // true head; every later resolve inside the lease is safe to cache
+    // (no one else can publish while we hold it).
+    invalidateManifestCache(root)
     try body
     finally f.delete(lock, false)
+  }
+
+  /** Break an apparently-stale writer lock by RENAME-ASIDE, never
+    * delete: two breakers racing a check-then-delete could interleave
+    * so B deletes A's freshly created lock and both proceed. Rename is
+    * atomic on the source, so exactly one breaker moves whatever file
+    * sits at the lock name — but that file may no longer be the stale
+    * lock it observed: a racing breaker may have already broken it and
+    * created a FRESH lock, or the live holder may have refreshed its
+    * mtime after the staleness read. The break therefore RE-VERIFIES
+    * staleness on the moved file: genuinely stale → delete it, break
+    * succeeded; fresh → rename it straight back and report the lock
+    * held (if the name was reclaimed in that instant, the displaced
+    * fresh lock is dropped — the residual triple-interleave is the
+    * documented best-effort boundary; the seqlog CAS, not the lock, is
+    * the corruption-proof primitive). Returns true iff a stale lock
+    * was actually broken. */
+  private[graft] def breakStaleLock(f: FileSystem, root: String,
+                                    timeoutMs: Long): Boolean = {
+    val lock = new Path(s"$root/$LockName")
+    val aside = new Path(
+      s"$root/$LockName.stale.${java.util.UUID.randomUUID()}")
+    val moved =
+      try f.rename(lock, aside)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!moved) return false
+    val asideStale =
+      try System.currentTimeMillis() -
+        f.getFileStatus(aside).getModificationTime > timeoutMs
+      catch { case _: java.io.FileNotFoundException => true }
+    if (asideStale) { f.delete(aside, false); true }
+    else {
+      val restored =
+        try f.rename(aside, lock)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!restored) f.delete(aside, false)
+      false
+    }
   }
 
   /** Refresh the writer lock's mtime — proof of life for a legitimate
@@ -721,8 +792,20 @@ object Generations {
   def refreshWriterLease(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
     val lock = new Path(s"$root/$LockName")
-    try if (f.exists(lock))
-      f.setTimes(lock, System.currentTimeMillis(), -1)
-    catch { case scala.util.control.NonFatal(_) => () }
+    val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+    try if (f.exists(lock)) {
+      // setTimes is real on the rename-capable stores; on object
+      // stores mtime is the immutable upload time and setTimes is a
+      // silent no-op or unsupported — there the refresh must REWRITE
+      // the lock (an overwrite put re-stamps the object), preserving
+      // the holder identity for the conflict diagnostics
+      if (AtomicRenameSchemes.contains(scheme))
+        f.setTimes(lock, System.currentTimeMillis(), -1)
+      else {
+        val content = readFile(f, lock).getOrElse("")
+        val out = f.create(lock, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

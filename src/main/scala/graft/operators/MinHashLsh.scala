@@ -321,9 +321,18 @@ object MinHashLsh {
     Tombstones.idsOf(spark, s"$live/_tombstones", "doc_id") match {
       case None => 0.0
       case Some(t) =>
-        val nBands = bandsCache.getOrElseUpdate(live,
+        val nBands = bandsCache.getOrElseUpdate(live, {
+          // evict superseded generations of the same root on insert:
+          // a long-lived maintenance JVM polls across many folds, and
+          // entries for retired dirs would otherwise accumulate for
+          // the life of the process
+          val root = live.substring(0, live.lastIndexOf('/'))
+          bandsCache.keysIterator
+            .filter(k => k != live && k.startsWith(root + "/"))
+            .foreach(bandsCache.remove)
           spark.read.parquet(live)
-            .agg(max(col("band"))).head().getInt(0) + 1)
+            .agg(max(col("band"))).head().getInt(0) + 1
+        })
         t.count().toDouble * nBands / rows
     }
   }

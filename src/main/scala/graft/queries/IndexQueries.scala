@@ -224,6 +224,13 @@ object IndexQueries extends QueryPack {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sharded_seqlog_").toString
       val emb = Tables.embeddings(s, dir)
+      // snapshot/restore rather than set/unset: the committer conf is
+      // session-global, and another publish on this session during the
+      // fixture build would otherwise silently migrate ITS root to the
+      // seqlog protocol (this session is the dedicated versioned_seqlog
+      // certificate session, but the restore keeps that a fact rather
+      // than a requirement)
+      val prev = s.conf.getOption("spark.graft.gen.committer")
       s.conf.set("spark.graft.gen.committer", "seqlog")
       try {
         ShardedIndex.buildVersioned(s, emb, FixtureParams, 2, root)
@@ -240,7 +247,10 @@ object IndexQueries extends QueryPack {
             s"$root/MANIFEST")),
           "seqlog fixture did not commit through the CAS log")
         live
-      } finally s.conf.unset("spark.graft.gen.committer")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.gen.committer", v)
+        case None => s.conf.unset("spark.graft.gen.committer")
+      }
     })
 
   /** One GROWTH-ONLY versioned sharded index per dir — gen0 built on

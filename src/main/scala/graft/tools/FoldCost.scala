@@ -72,9 +72,15 @@ object FoldCost {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
+    // id % 100 < delPct gives the EXACT fraction for any percentage —
+    // the previous step-based form (`by 100/delPct`) mislabeled any
+    // delPct that does not divide 100 (30 → an actual 33% tranche)
+    // and crashed on 0 or >100
+    require(delPct >= 1 && delPct <= 100,
+      s"delPct must be in [1,100], got $delPct")
     def tranche(n: Long): DataFrame = {
       import spark.implicits._
-      (0L until n by (100L / delPct)).toDF("id")
+      (0L until n).filter(_ % 100 < delPct).toDF("id")
     }
     def root(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_fold_$tag").toString

@@ -451,6 +451,111 @@ class GenerationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.gen.committer")
   }
 
+  test("writer lease entry drops the cached manifest: a foreign flip inside the TTL cannot misroute a versioned write") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_wfresh_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "60000")
+    try {
+      mkGen("gen0"); Generations.publish(spark, root, "gen0")
+      // a FOREIGN flip (another process compacted and published)
+      mkGen("gen1")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), true)
+      try out.write("gen1\ngen0".getBytes("UTF-8")) finally out.close()
+      // serving paths may stay TTL-stale (grace absorbs it) ...
+      assert(Generations.live(spark, root) === Some("gen0"))
+      // ... but a WRITER must not: tombstones/appends resolved against
+      // a retired generation are silent data loss, so lease entry
+      // drops the cached entry and the face's resolve reads the head
+      Generations.withWriterLease(spark, root, "fresh-check") {
+        assert(Generations.live(spark, root) === Some("gen1"),
+          "a versioned writer resolved a TTL-stale head under the lease")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+      Generations.invalidateManifestCache(root)
+    }
+  }
+
+  test("reader lease acquisition re-checks membership uncached: a raced flip cannot hand out a dir mid-retirement") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_rfresh_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "60000")
+    try {
+      mkGen("gen0"); Generations.publish(spark, root, "gen0")
+      // foreign keepGens=0 flip with retirement still in flight: the
+      // new manifest no longer lists gen0, but its dir still exists —
+      // the exact window where a bare exists-probe would wrongly pin
+      mkGen("gen1")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), true)
+      try out.write("gen1".getBytes("UTF-8")) finally out.close()
+      assert(Generations.live(spark, root) === Some("gen0")) // stale
+      Generations.withReaderLease(spark, root) { dir =>
+        assert(dir === s"$root/gen1",
+          "acquisition pinned a generation the manifest no longer lists")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+      Generations.invalidateManifestCache(root)
+    }
+  }
+
+  test("stale-break re-verifies on the moved lock: a fresh lock is restored, a genuinely stale one breaks") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_break_").toString
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockP = java.nio.file.Paths.get(s"$root/_writer.lock")
+    // a FRESH lock (a racing winner's re-create, or a holder that
+    // refreshed after this breaker's staleness read): the rename-aside
+    // inspects what it actually moved, puts it back, and reports held
+    java.nio.file.Files.write(lockP, "holderX".getBytes("UTF-8"))
+    assert(!Generations.breakStaleLock(f, root, timeoutMs = 600000),
+      "a fresh lock was broken as stale")
+    assert(java.nio.file.Files.exists(lockP),
+      "the displaced fresh lock was not restored")
+    assert(new String(java.nio.file.Files.readAllBytes(lockP),
+      "UTF-8") === "holderX", "restore corrupted the holder identity")
+    // a genuinely stale lock (old mtime) breaks
+    java.nio.file.Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000))
+    assert(Generations.breakStaleLock(f, root, timeoutMs = 1000),
+      "a stale lock did not break")
+    assert(!java.nio.file.Files.exists(lockP))
+  }
+
+  test("writer-lease refresh rewrites the lock on stores without setTimes semantics") {
+    // object stores (the casSchemes/seqlog posture) have immutable
+    // mtimes — setTimes is a silent no-op — so proof-of-life there
+    // must re-put the lock object, preserving the holder identity
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_gen_refresh_").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[NonAtomicMockFs].getName)
+    val root = s"mock://${local}"
+    val lockP = java.nio.file.Paths.get(s"$local/_writer.lock")
+    java.nio.file.Files.write(lockP, "holderY pid=1 t=0".getBytes("UTF-8"))
+    val old = System.currentTimeMillis() - 3600000
+    java.nio.file.Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    Generations.refreshWriterLease(spark, root)
+    assert(java.nio.file.Files.getLastModifiedTime(lockP).toMillis >
+      old + 1800000, "refresh did not re-stamp the lock on a " +
+      "non-rename-capable scheme")
+    assert(new String(java.nio.file.Files.readAllBytes(lockP), "UTF-8")
+      === "holderY pid=1 t=0", "rewrite lost the holder identity")
+  }
+
   test("object-store guard: seqlog requires only the conditional put, gated by casSchemes") {
     val local = java.nio.file.Files
       .createTempDirectory("graft_gen_casscheme_").toString
