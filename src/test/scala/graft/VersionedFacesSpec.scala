@@ -214,6 +214,91 @@ class VersionedFacesSpec extends AnyFunSuite {
     batchKeys.unpersist(false)
   }
 
+  test("commit protocols are serving-invisible: seqlog lifecycles equal their rename twins on the band and inverted faces") {
+    // the committer is a [[graft.index.Generations]] property, so one
+    // face proves the mechanism — but the claim the certificate makes
+    // (g8_sql_versioned_seqlog, sharded face) is "every versioned face
+    // serves identically through either protocol"; pin it on the two
+    // cheapest additional faces: band keys (dedup) and postings (BM25)
+    def withCommitter[T](mode: String)(body: => T): T = {
+      val prev = spark.conf.getOption("spark.graft.gen.committer")
+      spark.conf.set("spark.graft.gen.committer", mode)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.gen.committer", v)
+        case None => spark.conf.unset("spark.graft.gen.committer")
+      }
+    }
+    def assertLog(root: String, seqlog: Boolean): Unit = {
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator()
+      val buf = scala.collection.mutable.Buffer.empty[String]
+      while (names.hasNext) buf += names.next().getFileName.toString
+      assert(buf.exists(_.matches("MANIFEST\\.\\d{12}")) === seqlog,
+        s"commit-log presence mismatch at $root: $buf")
+      assert(buf.contains("MANIFEST") === !seqlog,
+        s"legacy-pointer presence mismatch at $root: $buf")
+    }
+
+    // band face: build → append → takedown → fold, probed by an
+    // incremental ingest wave
+    val docs = (1L to 50L).map(i =>
+      (i, s"alpha beta gamma delta${i % 7} epsilon${i % 3} zeta"))
+      .toDF("doc_id", "text")
+    val sh = TextQueries.shingleHashes(docs)
+    val batchKeys = MinHashLsh.bandKeys(TextQueries.shingleHashes(
+      (1L to 50L).map(i => (i + 1000L,
+        s"alpha beta gamma delta${i % 7} epsilon${i % 3} zeta"))
+        .toDF("doc_id", "text")), 8, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchKeys.count()
+    def bandLifecycle(mode: String): Set[(Long, Long, Long)] =
+      withCommitter(mode) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_proto_band_$mode").toString
+        MinHashLsh.buildVersioned(
+          MinHashLsh.bandKeys(sh.filter(col("doc_id") <= 35), 8, 2), root)
+        MinHashLsh.appendVersioned(
+          MinHashLsh.bandKeys(sh.filter(col("doc_id") > 35), 8, 2), root)
+        assert(MinHashLsh.deleteVersioned(spark, root, Seq(3L, 40L)) === 2L)
+        assert(MinHashLsh.compactVersioned(spark, root) === s"$root/gen1")
+        assertLog(root, seqlog = mode == "seqlog")
+        MinHashLsh.incrementalPairs(
+            MinHashLsh.readBandIndex(spark,
+              MinHashLsh.resolveVersioned(spark, root)), batchKeys)
+          .as[(Long, Long, Long)].collect().toSet
+      }
+    val bandRename = bandLifecycle("rename")
+    assert(bandRename.nonEmpty)
+    assert(bandLifecycle("seqlog") === bandRename,
+      "band-face results diverged between commit protocols")
+    batchKeys.unpersist(false)
+
+    // inverted face: the same BM25 lifecycle through both protocols
+    val corpus = (1L to 40L).map(i =>
+      (i, s"term${i % 7} term${i % 5} shared filler${i % 3}"))
+      .toDF("doc_id", "text")
+    def invLifecycle(mode: String): Seq[(Long, Double)] =
+      withCommitter(mode) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_proto_inv_$mode").toString
+        graft.operators.InvertedIndex.buildVersioned(spark, corpus, root)
+        assert(graft.operators.InvertedIndex
+          .deleteVersioned(spark, root, Seq(3L, 15L)) === 2L)
+        val live = graft.operators.InvertedIndex.compactVersioned(spark, root)
+        assert(live === s"$root/gen1")
+        assertLog(root, seqlog = mode == "seqlog")
+        graft.operators.InvertedIndex
+          .bm25Query(spark, live, Seq("term1", "shared"), k = 15)
+          .select(col("doc_id"), round(col("score"), 6).as("s"))
+          .as[(Long, Double)].collect().toSeq.sortBy(t => (-t._2, t._1))
+      }
+    val invRename = invLifecycle("rename")
+    assert(invRename.nonEmpty)
+    assert(invLifecycle("seqlog") === invRename,
+      "inverted-face BM25 diverged between commit protocols")
+  }
+
   test("band-index face: a rebuild with different banding gets fresh trigger math") {
     // the band-count cache keys by live GENERATION dir (immutable),
     // not by root: the same root rebuilt with a different
