@@ -236,15 +236,32 @@ object Generations {
   private val manifestCache =
     new scala.collection.concurrent.TrieMap[String, (Long, Seq[String])]
 
+  // per-root invalidation epochs: a resolve that STARTED before an
+  // invalidation must not repopulate the cache with its (possibly
+  // pre-flip) result after the invalidation ran — the lease paths'
+  // fresh re-checks depend on invalidate-then-resolve actually reading
+  // the filesystem. manifest() captures the epoch before its uncached
+  // read and only caches if it is unchanged.
+  private val cacheEpochs =
+    new scala.collection.concurrent.TrieMap[String, Long]
+
+  private def epochOf(root: String): Long =
+    cacheEpochs.getOrElse(root, 0L)
+
   /** Count of UNCACHED manifest resolutions (actual filesystem reads)
     * — the probe the cache-contract spec counts against. */
   private[graft] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** Drop the cached manifest for `root` — for tests that mutate the
-    * manifest file directly (simulating another process's flip). */
-  private[graft] def invalidateManifestCache(root: String): Unit =
+  /** Drop the cached manifest for `root` AND fence out in-flight
+    * resolves (they skip caching when they observe the epoch moved) —
+    * the lease acquisition paths and tests that mutate the manifest
+    * file directly rely on the next resolve truly hitting the
+    * filesystem. */
+  private[graft] def invalidateManifestCache(root: String): Unit = {
+    cacheEpochs.updateWith(root)(v => Some(v.getOrElse(0L) + 1L))
     manifestCache.remove(root)
+  }
 
   private def cacheTtlMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gen.manifestCacheMs", "2000").toLong
@@ -263,12 +280,16 @@ object Generations {
     manifestCache.get(root) match {
       case Some((deadline, m)) if now - deadline < 0 => m
       case _ =>
+        val e0 = epochOf(root)
         val m = manifestUncached(spark, root)
-        // never cache "nothing published yet": the first publish must
-        // be visible the moment it lands, even from another process
-        if (m.nonEmpty)
+        // never cache "nothing published yet" (the first publish must
+        // be visible the moment it lands, even from another process),
+        // and never cache PAST an invalidation that ran while we were
+        // reading — our result may predate the flip the invalidator is
+        // about to re-check
+        if (m.nonEmpty && epochOf(root) == e0)
           manifestCache.put(root, (now + ttlMs * 1000000L, m))
-        else manifestCache.remove(root)
+        else if (m.isEmpty) manifestCache.remove(root)
         m
     }
   }
@@ -544,8 +565,25 @@ object Generations {
             "(withWriterLease) — a conflict here means two maintenance " +
             "loops are running against the same root.", e)
       }
-    try out.write(entries.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try {
+      try out.write(entries.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      // on stores that enforce the conditional put at stream
+      // COMPLETION (e.g. S3A conditional create — the PUT carries the
+      // If-None-Match), a lost race surfaces here rather than at
+      // create; the log is uncorrupted either way (a partial object
+      // never parses valid), so surface the same retryable diagnosis
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"seqlog manifest commit to $target failed in write/close — " +
+          "on conditional-put stores this is where a lost race " +
+          "surfaces (the PUT is enforced on completion): treat it as " +
+          "lost the race, re-resolve the manifest, and retry the " +
+          "maintenance pass; on other stores it is a store error. The " +
+          "log is uncorrupted either way — a partial entry never " +
+          "parses valid.", e)
+    }
   }
 
   /** Write-through: the writer's own flip is visible immediately in
@@ -769,19 +807,51 @@ object Generations {
       try f.rename(lock, aside)
       catch { case scala.util.control.NonFatal(_) => false }
     if (!moved) return false
+    val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+    if (!AtomicRenameSchemes.contains(scheme)) {
+      // copy+delete rename (object stores): the aside's mtime is its
+      // UPLOAD time, so an mtime re-verify would always read "fresh" —
+      // the break would never fire and each restore would re-stamp the
+      // dead lock, wedging maintenance permanently. The caller already
+      // verified staleness on the ORIGINAL lock (whose mtime the
+      // rewrite-based proof-of-life keeps meaningful on these stores),
+      // so delete it and accept the residual double-breaker window:
+      // on these stores the seqlog CAS, not the lock, is the
+      // corruption-proof primitive.
+      f.delete(aside, false); return true
+    }
     val asideStale =
       try System.currentTimeMillis() -
         f.getFileStatus(aside).getModificationTime > timeoutMs
       catch { case _: java.io.FileNotFoundException => true }
     if (asideStale) { f.delete(aside, false); true }
     else {
-      val restored =
-        try f.rename(aside, lock)
-        catch { case scala.util.control.NonFatal(_) => false }
+      // restore WITHOUT REPLACE: POSIX rename(2) would silently
+      // clobber a lock re-created in the window (HDFS rename already
+      // refuses an existing destination); if the name was reclaimed,
+      // drop the displaced copy — the reclaimer is the live writer
+      val restored = renameNoReplace(f, aside, lock)
       if (!restored) f.delete(aside, false)
       false
     }
   }
+
+  /** Rename that FAILS when the destination exists. Local `file` goes
+    * through nio `Files.move` without REPLACE_EXISTING (POSIX
+    * rename(2) would silently replace); HDFS-class filesystems already
+    * refuse an existing destination from `FileSystem.rename`. */
+  private def renameNoReplace(f: FileSystem, src: Path,
+                              dst: Path): Boolean =
+    if (f.getScheme == "file")
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    else
+      try f.rename(src, dst)
+      catch { case scala.util.control.NonFatal(_) => false }
 
   /** Refresh the writer lock's mtime — proof of life for a legitimate
     * holder running longer than `leaseTimeoutMs`, so a second writer's

@@ -75,8 +75,30 @@ object ParquetMeta {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try n += r.getRecordCount finally r.close()
         }
+        evictSupersededGens(cache, path)
         cache.put(path, (sig, n))
         n
     }
+  }
+
+  /** Evict entries for SUPERSEDED generations of `liveDir`'s root from
+    * a generation-dir-keyed cache: keys whose remainder after the root
+    * prefix is exactly one `gen<digits>` segment, other than the live
+    * one. Bounds long-lived maintenance JVMs that poll across many
+    * generation flips (one entry per retired dir otherwise accumulates
+    * for the process lifetime) WITHOUT touching a distinct root nested
+    * under the same prefix (`/data/idx/sub/gen0` is not evicted by
+    * `/data/idx/gen1` — the remainder `sub/gen0` is not one segment).
+    * No-op when `liveDir` is not itself a generation dir. */
+  private[graft] def evictSupersededGens[V](
+      cache: scala.collection.concurrent.TrieMap[String, V],
+      liveDir: String): Unit = {
+    val cut = liveDir.lastIndexOf('/')
+    if (cut <= 0 || !liveDir.substring(cut + 1).matches("gen\\d+")) return
+    val prefix = liveDir.substring(0, cut + 1)
+    cache.keysIterator.filter { k =>
+      k != liveDir && k.startsWith(prefix) &&
+        k.substring(prefix.length).matches("gen\\d+")
+    }.foreach(cache.remove)
   }
 }

@@ -325,11 +325,9 @@ object MinHashLsh {
           // evict superseded generations of the same root on insert:
           // a long-lived maintenance JVM polls across many folds, and
           // entries for retired dirs would otherwise accumulate for
-          // the life of the process
-          val root = live.substring(0, live.lastIndexOf('/'))
-          bandsCache.keysIterator
-            .filter(k => k != live && k.startsWith(root + "/"))
-            .foreach(bandsCache.remove)
+          // the life of the process (scoped to exact gen-dir siblings
+          // — a distinct root nested under this one is untouched)
+          graft.index.ParquetMeta.evictSupersededGens(bandsCache, live)
           spark.read.parquet(live)
             .agg(max(col("band"))).head().getInt(0) + 1
         })

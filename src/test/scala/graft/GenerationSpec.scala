@@ -173,10 +173,13 @@ class GenerationSpec extends AnyFunSuite {
       // _reader.* file (gen + expiry), no half-written tmp left behind
       // — a partial lease is what a concurrent publish's cleanup would
       // delete as garbage, voiding the pin
-      val listed = java.nio.file.Files.list(
-          java.nio.file.Paths.get(root)).iterator()
+      val lstream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root))
       val names = scala.collection.mutable.Buffer.empty[String]
-      while (listed.hasNext) names += listed.next().getFileName.toString
+      try {
+        val listed = lstream.iterator()
+        while (listed.hasNext) names += listed.next().getFileName.toString
+      } finally lstream.close()
       val leases = names.filter(_.startsWith("_reader."))
       assert(leases.size === 1)
       val body = new String(java.nio.file.Files.readAllBytes(
@@ -399,14 +402,17 @@ class GenerationSpec extends AnyFunSuite {
       // which no pointer CAS can prevent; that contract is documented
       // and the lease spec holds it.)
       def maxSeq(): Long = {
-        val it = java.nio.file.Files.list(
-          java.nio.file.Paths.get(root)).iterator()
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root))
         var mx = 0L
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.matches("MANIFEST\\.\\d{12}"))
-            mx = math.max(mx, n.stripPrefix("MANIFEST.").toLong)
-        }
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.matches("MANIFEST\\.\\d{12}"))
+              mx = math.max(mx, n.stripPrefix("MANIFEST.").toLong)
+          }
+        } finally stream.close()
         mx
       }
       val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -431,10 +437,12 @@ class GenerationSpec extends AnyFunSuite {
       }
       threads.foreach(_.start()); threads.foreach(_.join(300000))
       assert(errors.isEmpty, s"racing committer failed: ${errors.peek()}")
-      val seqs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-        .iterator()
+      val stream2 = java.nio.file.Files.list(java.nio.file.Paths.get(root))
       val names = scala.collection.mutable.Buffer.empty[String]
-      while (seqs.hasNext) names += seqs.next().getFileName.toString
+      try {
+        val seqs = stream2.iterator()
+        while (seqs.hasNext) names += seqs.next().getFileName.toString
+      } finally stream2.close()
       val logSeqs = names.collect {
         case n if n.matches("MANIFEST\\.\\d{12}") =>
           n.stripPrefix("MANIFEST.").toLong
@@ -554,6 +562,38 @@ class GenerationSpec extends AnyFunSuite {
       "non-rename-capable scheme")
     assert(new String(java.nio.file.Files.readAllBytes(lockP), "UTF-8")
       === "holderY pid=1 t=0", "rewrite lost the holder identity")
+  }
+
+  test("stale-break on object-store schemes deletes without the mtime re-verify") {
+    // copy+delete rename gives the moved-aside lock a FRESH upload
+    // mtime, so an aside re-verify would always read "not stale" —
+    // never breaking, and each restore re-stamping the dead lock (a
+    // permanent maintenance wedge). On those schemes the break trusts
+    // the caller's staleness read of the ORIGINAL lock (kept
+    // meaningful by the rewrite-based proof-of-life) and deletes.
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_gen_osbreak_").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[NonAtomicMockFs].getName)
+    val root = s"mock://${local}"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(conf)
+    val lockP = java.nio.file.Paths.get(s"$local/_writer.lock")
+    java.nio.file.Files.write(lockP, "dead".getBytes("UTF-8"))
+    // even with a file mtime that LOOKS fresh post-move (exactly what
+    // a copy-based rename produces), the object-store path must break
+    assert(Generations.breakStaleLock(f, root, timeoutMs = 600000),
+      "object-store stale-break wedged on the copied mtime")
+    assert(!java.nio.file.Files.exists(lockP))
+    val dstream = java.nio.file.Files.list(java.nio.file.Paths.get(local))
+    try {
+      val it = dstream.iterator()
+      var debris = false
+      while (it.hasNext)
+        if (it.next().getFileName.toString.contains(".stale."))
+          debris = true
+      assert(!debris, "stale-break left aside debris")
+    } finally dstream.close()
   }
 
   test("object-store guard: seqlog requires only the conditional put, gated by casSchemes") {

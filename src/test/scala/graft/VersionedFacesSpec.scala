@@ -230,10 +230,12 @@ class VersionedFacesSpec extends AnyFunSuite {
       }
     }
     def assertLog(root: String, seqlog: Boolean): Unit = {
-      val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-        .iterator()
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(root))
       val buf = scala.collection.mutable.Buffer.empty[String]
-      while (names.hasNext) buf += names.next().getFileName.toString
+      try {
+        val names = stream.iterator()
+        while (names.hasNext) buf += names.next().getFileName.toString
+      } finally stream.close()
       assert(buf.exists(_.matches("MANIFEST\\.\\d{12}")) === seqlog,
         s"commit-log presence mismatch at $root: $buf")
       assert(buf.contains("MANIFEST") === !seqlog,
