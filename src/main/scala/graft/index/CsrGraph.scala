@@ -78,13 +78,25 @@ object CsrGraph {
         s"meta entry '$k' -> '$v' contains characters outside [A-Za-z0-9_.,:+- ]")
     }
     val json = all.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), json)
+    // through the Hadoop filesystem of the TARGET path, not java.nio:
+    // index dirs live wherever the deployment puts them (HDFS, ABFS, a
+    // CAS object store) and a raw-string nio write would silently land
+    // the sidecar on the driver's local disk under a mangled relative
+    // path while the adjacency parquet goes remote
+    val mp = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val mf = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = mf.create(mp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** S11: load a persisted graph. */
   def load(spark: SparkSession, path: String): CsrGraph = {
-    val metaStr = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    val mp = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val mf = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = mf.open(mp)
+    val metaStr =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     def field(k: String): String = {
       val m = ("\"" + k + "\": \"([^\"]*)\"").r.findFirstMatchIn(metaStr)
       m.map(_.group(1)).getOrElse(sys.error(s"missing meta field $k in $path"))

@@ -253,6 +253,12 @@ object Generations {
   private[graft] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** TEST HOOK — runs between [[manifest]]'s epoch-fence check and its
+    * cache put (no-op in production). The fence is itself
+    * check-then-act; the spec injects an invalidation exactly in that
+    * window to pin the re-check-after-put repair below. */
+  private[graft] var cachePutTestHook: String => Unit = _ => ()
+
   /** Drop the cached manifest for `root` AND fence out in-flight
     * resolves (they skip caching when they observe the epoch moved) —
     * the lease acquisition paths and tests that mutate the manifest
@@ -287,8 +293,20 @@ object Generations {
         // and never cache PAST an invalidation that ran while we were
         // reading — our result may predate the flip the invalidator is
         // about to re-check
-        if (m.nonEmpty && epochOf(root) == e0)
+        if (m.nonEmpty && epochOf(root) == e0) {
+          cachePutTestHook(root)
           manifestCache.put(root, (now + ttlMs * 1000000L, m))
+          // the fence above is itself check-then-act: an invalidation
+          // landing between the epoch check and the put has already
+          // done its remove, and our put just resurrected a possibly
+          // pre-flip manifest. Re-check AFTER the put and undo — a
+          // spurious removal (the entry was actually fresh, or a
+          // write-through replaced ours meanwhile) only costs one
+          // uncached re-read, whereas a stale survivor breaks the
+          // lease paths' invalidate-then-resolve guarantee for a full
+          // TTL.
+          if (epochOf(root) != e0) manifestCache.remove(root)
+        }
         else if (m.isEmpty) manifestCache.remove(root)
         m
     }
@@ -452,15 +470,35 @@ object Generations {
                             root: String, gen: String, keep: Int): Unit = {
     // a root that migrated to the seqlog protocol must not take rename
     // commits: readers prefer seq entries, so a rename flip would be
-    // silently INVISIBLE — fail loudly instead
-    val hasSeqlog = f.listStatus(new Path(root)).exists(st =>
+    // silently INVISIBLE — fail loudly instead. Migration means at
+    // least one seq entry PARSES VALID (names an existing generation
+    // dir — the only kind readers ever serve). Seq files that are ALL
+    // garbage are debris from a crashed, never-committed seqlog
+    // attempt: readers already ignore them, but rename-mode retirement
+    // never deletes seq files, so left in place one stray file would
+    // wedge every future rename publish with no in-band cleanup —
+    // delete the debris here instead (single-writer context: a
+    // concurrent seqlog committer on the same root would be both a
+    // lease violation and a committer-mode mismatch, each of which
+    // fails loudly on its own).
+    val listing = f.listStatus(new Path(root))
+    val dirNames = listing.iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    val seqFiles = listing.iterator.filter(st =>
       st.isFile && SeqRe.matches(st.getPath.getName))
-    if (hasSeqlog)
+      .map(_.getPath).toSeq
+    val migrated = seqFiles.exists(p =>
+      readFile(f, p).map(parseManifest)
+        .exists(_.headOption.exists(dirNames.contains)))
+    if (migrated)
       throw new IllegalStateException(
         s"generation root $root carries a seqlog commit log " +
         "(MANIFEST.<seq> entries) — a rename-mode publish here would " +
         "be invisible to readers, who prefer the log. Set " +
-        "spark.graft.gen.committer=seqlog for this root")
+        "spark.graft.gen.committer=seqlog for this root (or, to force " +
+        "a rename-mode takeover, delete every MANIFEST.<seq> file " +
+        "after quiescing all writers)")
+    seqFiles.foreach(p => f.delete(p, false))
     recoverWriter(f, spark, root) // heal a crashed prior publish first
     val prior = readFile(f, new Path(s"$root/$ManifestName"))
       .map(parseManifest).getOrElse(Seq.empty)
@@ -687,14 +725,28 @@ object Generations {
       // createExclusive: UUID names never collide, and the nio path on
       // local stores skips the Checksum sidecar — f.create would leave
       // an orphaned `._rlease_tmp.*.crc` behind after the rename, one
-      // per lease, silently widening every future listStatus
-      val tmp =
-        new Path(s"$root/$ReaderTmpPrefix${java.util.UUID.randomUUID()}")
-      val out = createExclusive(f, tmp)
-      try out.write(
-        s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8"))
-      finally out.close()
-      renameOver(f, spark, tmp, lease)
+      // per lease, silently widening every future listStatus.
+      // On schemes WITHOUT rename (the seqlog/casSchemes posture —
+      // object stores land a put as one whole atomic object, so the
+      // partial-file window the tmp dance closes does not exist there)
+      // the lease is created DIRECTLY under its final name: the commit
+      // protocol's no-rename guarantee extends to every root-level
+      // coordination file, leases included.
+      val leaseBytes =
+        s"$gen ${System.currentTimeMillis() + ttl}".getBytes("UTF-8")
+      val scheme = Option(f.getScheme).getOrElse("file").toLowerCase
+      if (AtomicRenameSchemes.contains(scheme) ||
+          confSchemes(spark, "spark.graft.gen.atomicSchemes")
+            .contains(scheme)) {
+        val tmp =
+          new Path(s"$root/$ReaderTmpPrefix${java.util.UUID.randomUUID()}")
+        val out = createExclusive(f, tmp)
+        try out.write(leaseBytes) finally out.close()
+        renameOver(f, spark, tmp, lease)
+      } else {
+        val out = createExclusive(f, lease)
+        try out.write(leaseBytes) finally out.close()
+      }
       // membership re-check, UNCACHED, after the lease landed. The
       // ordering invariant this leans on: publish commits its manifest
       // BEFORE taking the lease snapshot that drives retirement. So if
@@ -871,10 +923,22 @@ object Generations {
       // the holder identity for the conflict diagnostics
       if (AtomicRenameSchemes.contains(scheme))
         f.setTimes(lock, System.currentTimeMillis(), -1)
-      else {
-        val content = readFile(f, lock).getOrElse("")
-        val out = f.create(lock, true)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
+      else readFile(f, lock) match {
+        // the rewrite is a non-atomic read-then-overwrite, BEST-EFFORT
+        // like the lease itself: if the lock is released or broken
+        // between the exists/read above and the create below, the
+        // rewrite resurrects a lock nobody holds, wedging writers
+        // until leaseTimeoutMs (the seqlog CAS bounds the damage to a
+        // wedge — never a lost update). A failed read (lock vanished,
+        // or unreadable mid-race) must therefore SKIP: rewriting empty
+        // content would both resurrect the ghost and blank the holder
+        // identity the conflict diagnostics print. The holder loses
+        // one proof-of-life beat at worst — the next publish boundary
+        // refreshes again.
+        case None => ()
+        case Some(content) =>
+          val out = f.create(lock, true)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }

@@ -459,6 +459,189 @@ class GenerationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.gen.committer")
   }
 
+  test("manifest cache epoch fence: an invalidation racing the cache put cannot strand a pre-flip manifest") {
+    // The fence in manifest() is check-then-act: an invalidation can
+    // land BETWEEN the epoch check and the put, after its own remove
+    // ran — without the re-check-after-put repair, the resolve would
+    // repopulate the cache with the pre-flip manifest and serve it
+    // stale for a full TTL, breaking the lease paths'
+    // invalidate-then-resolve guarantee. The test hook injects exactly
+    // that interleaving.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_epochrace_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "60000")
+    try {
+      mkGen("gen0"); Generations.publish(spark, root, "gen0")
+      Generations.invalidateManifestCache(root)
+      mkGen("gen1")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one-shot hook: between the fence check (passed, pre-flip) and
+      // the put, a foreign flip lands AND its invalidation runs
+      Generations.cachePutTestHook = { r =>
+        if (r == root) {
+          Generations.cachePutTestHook = _ => ()
+          val out = f.create(
+            new org.apache.hadoop.fs.Path(s"$root/MANIFEST"), true)
+          try out.write("gen1\ngen0".getBytes("UTF-8")) finally out.close()
+          Generations.invalidateManifestCache(root)
+        }
+      }
+      try {
+        // this resolve reads the pre-flip manifest, passes the fence,
+        // then the hook fires; its own RETURN value is legitimately
+        // stale (it resolved before the flip) ...
+        assert(Generations.live(spark, root) === Some("gen0"))
+      } finally Generations.cachePutTestHook = _ => ()
+      // ... but the stale value must NOT have survived in the cache:
+      // the next resolve hits the filesystem and serves the flip
+      val r0 = Generations.manifestReads.get()
+      assert(Generations.live(spark, root) === Some("gen1"),
+        "the raced put stranded a pre-flip manifest in the cache")
+      assert(Generations.manifestReads.get() === r0 + 1,
+        "the post-race resolve did not hit the filesystem")
+    } finally {
+      Generations.cachePutTestHook = _ => ()
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+      Generations.invalidateManifestCache(root)
+    }
+  }
+
+  test("rename publish: garbage seqlog debris is cleaned, a genuinely migrated root still refuses") {
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "0")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_gen_seqdebris_").toString
+      def mkGen(n: String): Unit = java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+      mkGen("gen0"); Generations.publish(spark, root, "gen0")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // debris from a crashed, never-committed seqlog attempt: a
+      // partial (empty) seq file and one naming a non-existent gen —
+      // readers ignore both, and rename-mode publishes must not be
+      // permanently wedged by them
+      f.create(new org.apache.hadoop.fs.Path(
+        s"$root/MANIFEST.000000000003"), true).close()
+      val bad = f.create(new org.apache.hadoop.fs.Path(
+        s"$root/MANIFEST.000000000004"), true)
+      try bad.write("gen99".getBytes("UTF-8")) finally bad.close()
+      mkGen("gen1"); Generations.publish(spark, root, "gen1")
+      assert(Generations.live(spark, root) === Some("gen1"))
+      def exists(n: String) = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(s"$root/$n"))
+      assert(!exists("MANIFEST.000000000003") &&
+        !exists("MANIFEST.000000000004"),
+        "rename publish did not clean the garbage seqlog debris")
+      // a VALID seq entry (names an existing gen dir) = a migrated
+      // root: the rename publish refuses loudly, with the remediation
+      val valid = f.create(new org.apache.hadoop.fs.Path(
+        s"$root/MANIFEST.000000000005"), true)
+      try valid.write("gen1".getBytes("UTF-8")) finally valid.close()
+      mkGen("gen2")
+      val e = intercept[IllegalStateException] {
+        Generations.publish(spark, root, "gen2")
+      }
+      assert(e.getMessage.contains("seqlog commit log") &&
+        e.getMessage.contains("delete every MANIFEST.<seq>"))
+      assert(exists("MANIFEST.000000000005"),
+        "the refusal must not delete a migrated root's commit log")
+    } finally spark.conf.unset("spark.graft.gen.manifestCacheMs")
+  }
+
+  test("writer-lease refresh on object-store schemes never resurrects a vanished lock") {
+    // the rewrite-based proof-of-life is read-then-overwrite: if the
+    // lock was released between the exists probe and the read, the
+    // refresh must SKIP — re-creating it would wedge the next writer
+    // until leaseTimeoutMs behind a lock nobody holds
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_gen_norevive_").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[NonAtomicMockFs].getName)
+    val root = s"mock://${local}"
+    // no lock at all: refresh is a no-op, nothing appears
+    Generations.refreshWriterLease(spark, root)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$local/_writer.lock")),
+      "refresh resurrected a lock on an empty root")
+  }
+
+  test("seqlog retirement: readers resolve a valid head through every partial-retire state; the legacy seed survives") {
+    spark.conf.set("spark.graft.gen.manifestCacheMs", "0")
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    try seqlogRetireBody()
+    finally {
+      spark.conf.unset("spark.graft.gen.committer")
+      spark.conf.unset("spark.graft.gen.manifestCacheMs")
+    }
+  }
+
+  private def seqlogRetireBody(): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gen_seqretire_").toString
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    // a MIGRATED root: rename-mode seed, then seqlog commits — the
+    // legacy MANIFEST is the fallback a reader needs if every listed
+    // seq entry vanishes inside its read window
+    spark.conf.set("spark.graft.gen.committer", "rename")
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    (1 to 6).foreach { i =>
+      mkGen(s"gen$i"); Generations.publish(spark, root, s"gen$i")
+    }
+    // (a) history floor: gen6's commit claims seq 6; with the default
+    // manifestHistory=3 the floor is 6 - 3 = 3, so seqs 1..2 retire
+    // and 3..6 remain
+    assert(!exists("MANIFEST.000000000002") &&
+      exists("MANIFEST.000000000003") && exists("MANIFEST.000000000006"))
+    // (c) retirement never touches the legacy seed
+    assert(exists("MANIFEST"),
+      "seqlog retirement deleted the legacy migration seed")
+    // (b) CRASH MID-RETIRE, simulated at every partial state: a
+    // retiring committer deletes oldest-first; whatever prefix of the
+    // retained history is already gone, a reader listing now still
+    // resolves a valid head (falls back down the log, then to the
+    // legacy seed + fresh-list retry — never an empty or invalid head)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sq <- 3 to 5) {
+      f.delete(new org.apache.hadoop.fs.Path(
+        f"$root/MANIFEST.$sq%012d"), false)
+      val live = Generations.live(spark, root)
+      assert(live === Some("gen6"),
+        s"mid-retire reader lost the head after deleting seq $sq: $live")
+    }
+    // the log is RECOVERABLE after the crash: the next publish chains
+    // off the surviving head and retires nothing it should not
+    mkGen("gen7"); Generations.publish(spark, root, "gen7")
+    assert(Generations.live(spark, root) === Some("gen7"))
+    assert(exists("MANIFEST.000000000007") && exists("MANIFEST"))
+    // grace chain intact through the crashed retire (gen6 retained)
+    assert(exists("gen6") && exists("gen7"))
+    // out-of-contract state (reachable only by surgery — retirement
+    // always keeps histKeep ≥ 1 seq entries): EVERY seq file deleted.
+    // Resolution degrades to the legacy seed WITHOUT throwing (after
+    // one validated fresh-list retry) — graceful degradation, never a
+    // reader crash; the served chain is the migration-era pointer,
+    // which is exactly what the seed exists to provide
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.matches("MANIFEST\\.\\d{12}"))
+          f.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), false)
+      }
+    } finally stream.close()
+    assert(Generations.manifest(spark, root) === Seq("gen0"),
+      "with the whole log gone, resolution must fall to the legacy seed")
+  }
+
   test("writer lease entry drops the cached manifest: a foreign flip inside the TTL cannot misroute a versioned write") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_gen_wfresh_").toString
