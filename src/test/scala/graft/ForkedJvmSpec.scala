@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.Generations
+
+/** Cross-PROCESS evidence for the generation layer's coordination
+  * claims. Every in-JVM race spec shares one manifest cache and one
+  * filesystem view; the lease and CAS contracts are claims about
+  * SEPARATE processes with separate caches — so these tests spawn a
+  * second JVM ([[TwoProcessMain]], plain `java -cp` with the test
+  * classpath) against the same root:
+  *
+  *  - publish-vs-publish on the seqlog committer: two processes race
+  *    the same log slot; the conditional put lets exactly one win and
+  *    the loser fails LOUDLY with zero corruption;
+  *  - writer-lease mutual exclusion: a second process fails at entry
+  *    with the holder's identity while the lock is held, and acquires
+  *    cleanly after release;
+  *  - reader lease: a generation pinned by another process survives
+  *    this process's keepGens=0 publishes until the lease is released.
+  */
+class ForkedJvmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The forked test JVM carries the full test classpath and the
+    * JDK17 add-opens Spark needs; pass both through to the child. */
+  private def childJvmArgs: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toList
+    val opens = in.zipWithIndex.flatMap {
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case ("--add-opens", i) => in.lift(i + 1).toSeq
+        .flatMap(v => Seq("--add-opens", v))
+      case _ => Seq.empty
+    }
+    opens ++ Seq("-Xmx1g")
+  }
+
+  private def launch(logDir: String, args: String*): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin) ++ childJvmArgs ++
+      Seq("-cp", cp, "graft.TwoProcessMain") ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(
+      s"$logDir/child_${args.mkString("_").hashCode.abs}.log"))
+    pb.start()
+  }
+
+  private def awaitFile(p: String, proc: Seq[Process],
+                        ms: Long = 180000): String = {
+    val t0 = System.currentTimeMillis()
+    while (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+      proc.foreach { pr =>
+        if (!pr.isAlive && pr.exitValue() != 0 &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          sys.error(s"child exited ${pr.exitValue()} before writing $p")
+      }
+      if (System.currentTimeMillis() - t0 > ms)
+        sys.error(s"timeout waiting for $p")
+      Thread.sleep(50)
+    }
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+  }
+
+  test("seqlog CAS across processes: two JVMs race one log slot; exactly one conditional put wins") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_cas_").toString
+    val root = s"$dir/root"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/gen0"))
+    val go = s"$dir/go"
+    val r1 = s"$dir/r1"; val r2 = s"$dir/r2"
+    val p1 = launch(dir, "cas", root, "60", go, r1)
+    val p2 = launch(dir, "cas", root, "60", go, r2)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(go),
+        "go".getBytes("UTF-8"))
+      val results = Seq(awaitFile(r1, Seq(p1)), awaitFile(r2, Seq(p2)))
+      assert(results.sorted === Seq("lost", "win"),
+        s"cross-process CAS race results: $results")
+      // the winner's commit is intact and resolvable from THIS process
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/MANIFEST.000000000060")),
+        "UTF-8") === "gen0")
+      Generations.invalidateManifestCache(root)
+      assert(Generations.live(spark, root) === Some("gen0"))
+    } finally { p1.destroyForcibly(); p2.destroyForcibly() }
+  }
+
+  test("writer lease across processes: a second JVM is excluded loudly while held, acquires after release") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_wlease_").toString
+    val root = s"$dir/root"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    var blocked: String = null
+    Generations.withWriterLease(spark, root, "parentHolder.compact") {
+      val r = s"$dir/r_blocked"
+      val p = launch(dir, "writer", root, r)
+      try blocked = awaitFile(r, Seq(p))
+      finally { p.waitFor(); p.destroyForcibly() }
+    }
+    assert(blocked.startsWith("blocked:"),
+      s"second process was not excluded: $blocked")
+    assert(blocked.contains("parentHolder.compact"),
+      s"exclusion did not name the holder: $blocked")
+    // released: a fresh child acquires cleanly
+    val r2 = s"$dir/r_after"
+    val p2 = launch(dir, "writer", root, r2)
+    try assert(awaitFile(r2, Seq(p2)) === "acquired")
+    finally { p2.waitFor(); p2.destroyForcibly() }
+  }
+
+  test("reader lease across processes: a generation pinned by another JVM survives keepGens=0 publishes here") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_rlease_").toString
+    val root = s"$dir/root"
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    val leased = s"$dir/leased"; val release = s"$dir/release"
+    val p = launch(dir, "readerlease", root, leased, release)
+    try {
+      assert(awaitFile(leased, Seq(p)) === s"$root/gen0")
+      // this process flips twice at keepGens=0 — grace alone would
+      // retire gen0 on the first flip; the OTHER process's lease pins it
+      mkGen("gen1"); Generations.publish(spark, root, "gen1", keepGens = 0)
+      mkGen("gen2"); Generations.publish(spark, root, "gen2", keepGens = 0)
+      assert(exists("gen0"),
+        "a reader lease held by another process did not pin its generation")
+      // release: the child deletes its lease on the way out, and the
+      // next publish here retires the pinned generation
+      java.nio.file.Files.write(java.nio.file.Paths.get(release),
+        "release".getBytes("UTF-8"))
+      awaitFile(release + ".done", Seq(p))
+      p.waitFor()
+      assert(p.exitValue() === 0, "reader-lease child failed")
+      mkGen("gen3"); Generations.publish(spark, root, "gen3", keepGens = 0)
+      assert(!exists("gen0"),
+        "the released cross-process lease kept pinning its generation")
+    } finally p.destroyForcibly()
+  }
+}

@@ -301,6 +301,107 @@ class VersionedFacesSpec extends AnyFunSuite {
       "inverted-face BM25 diverged between commit protocols")
   }
 
+  test("seqlog on a rename-free store: full lifecycles on the sharded and inverted faces never rename a root-level file") {
+    // NonAtomicMockFs proves the GUARD trips on an unknown scheme; this
+    // is the stronger claim — the whole g8_sql_versioned_seqlog shape
+    // (build → append → takedown → compactVersioned → serve, plus a
+    // second fold) runs to completion on a filesystem whose rename
+    // THROWS for every root-level file (manifest, lock, lease). Only
+    // the conditional put (exclusive create) and intra-generation
+    // staging renames — which real object-store connectors do provide
+    // — are available. Completion here is the proof that seqlog never
+    // needs atomic rename, on any code path the lifecycle touches.
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.casonly.impl", classOf[CasOnlyMockFs].getName)
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    spark.conf.set("spark.graft.gen.casSchemes", "casonly")
+    try {
+      // ----- sharded face: the g8 certificate shape -----
+      val local = java.nio.file.Files
+        .createTempDirectory("graft_casonly_sharded_").toString
+      val root = s"casonly://$local"
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+      ShardedIndex.resetResidencyTracking()
+      ShardedIndex.buildVersioned(spark,
+        emb.filter(col("vec_id") < 250), IndexQueries.FixtureParams,
+        nShards = 2, root)
+      ShardedIndex.appendVersioned(spark,
+        emb.filter(col("vec_id") >= 250), root, IndexQueries.FixtureParams)
+      val victims = Seq(5L, 260L)
+      assert(ShardedIndex.deleteVersioned(spark, root, victims) === 2L)
+      val q = emb.filter(col("vec_id") % 30 === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def top10(): Map[Long, Seq[Long]] =
+        ShardedIndex.searchSingleDf(spark, q,
+            ShardedIndex.resolveVersioned(spark, root, "cosine"),
+            l = 600, k = 16)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+          .groupBy(_._1).view
+          .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+          .toMap
+      val before = top10()
+      assert(before.values.flatten.forall(d => !victims.contains(d)))
+      val live = ShardedIndex.compactVersioned(spark, root,
+        IndexQueries.FixtureParams)
+      assert(live.path === s"$root/gen1")
+      assert(top10() === before, "the fold changed survivor results")
+      // every flip landed as an immutable CAS append; no legacy pointer
+      def names(): Set[String] = {
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(local))
+        try {
+          val b = scala.collection.mutable.Buffer.empty[String]
+          val it = stream.iterator()
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.toSet
+        } finally stream.close()
+      }
+      assert(names().contains("MANIFEST.000000000002") &&
+        !names().contains("MANIFEST"), s"log state: ${names()}")
+      // a reader LEASE lands without rename too (direct conditional
+      // put — the tmp+rename dance is the local-store variant)
+      ShardedIndex.withReaderLease(spark, root, "cosine") { r =>
+        assert(r.path === s"$root/gen1")
+        assert(names().exists(_.startsWith("_reader.")),
+          "no lease file landed on the casonly store")
+      }
+      // second fold (delete → compact) exercises retirement + the
+      // history floor on the same rename-free store
+      assert(ShardedIndex.deleteVersioned(spark, root, Seq(7L)) === 1L)
+      val expected = top10()
+      assert(ShardedIndex.maybeCompactVersioned(spark, root,
+        IndexQueries.FixtureParams, maxDeletedFrac = 0.001)
+        .path === s"$root/gen2")
+      assert(top10() === expected,
+        "the second fold diverged from mask semantics")
+
+      // ----- inverted face: BM25 through the same protocol -----
+      val ilocal = java.nio.file.Files
+        .createTempDirectory("graft_casonly_inv_").toString
+      val iroot = s"casonly://$ilocal"
+      val docs = (1L to 40L).map(i =>
+        (i, s"term${i % 7} term${i % 5} shared filler${i % 3}"))
+        .toDF("doc_id", "text")
+      graft.operators.InvertedIndex.buildVersioned(spark, docs, iroot)
+      assert(graft.operators.InvertedIndex
+        .deleteVersioned(spark, iroot, Seq(3L, 15L)) === 2L)
+      val ilive = graft.operators.InvertedIndex
+        .compactVersioned(spark, iroot)
+      assert(ilive === s"$iroot/gen1")
+      val ranked = graft.operators.InvertedIndex
+        .bm25Query(spark, ilive, Seq("term1", "shared"), k = 15)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(ranked.nonEmpty && !ranked.contains(3L) && !ranked.contains(15L))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$ilocal/MANIFEST.000000000002")))
+    } finally {
+      spark.conf.unset("spark.graft.gen.casSchemes")
+      spark.conf.unset("spark.graft.gen.committer")
+    }
+  }
+
   test("band-index face: a rebuild with different banding gets fresh trigger math") {
     // the band-count cache keys by live GENERATION dir (immutable),
     // not by root: the same root rebuilt with a different
