@@ -909,6 +909,15 @@ object ShardedIndex {
               .otherwise(col("embedding")).as("embedding"))
       erased.write.mode("overwrite").parquet(stagingPath)
     }
+    // CRASH CONTRACT, pinned by StreamingSpec via this hook: a crash
+    // here — staging committed, rebuild not started — is past the
+    // point of no return (the staged corpus is authoritative; the
+    // recovery below resumes from it, and appendDelta refuses to land
+    // on the stranded state until it runs).
+    if (spark.conf.getOption("spark.graft.test.compactFailAfterStage")
+        .contains("true"))
+      throw new IllegalStateException(
+        "compact: injected crash after staging commit")
     // fresh run and crash recovery share everything from here on: the
     // staged corpus is the input, the committed snapshot the erased set
     val rebuilt = buildPersistedImpl(spark, spark.read.parquet(stagingPath),
@@ -1104,6 +1113,18 @@ object ShardedIndex {
         maxShardDeletedFraction(spark, ref) > maxShardDeletedFrac)
       compact(spark, ref, params)
     else ref
+
+  /** True iff a [[compact]] crashed past its point of no return here:
+    * a COMMITTED `compact_staging` (its `_SUCCESS` exists) is the only
+    * complete copy of the corpus, and [[appendDelta]] refuses to land
+    * on top of it. The streaming ingest face probes this per batch to
+    * self-heal (finish the fold) before appending. */
+  def hasStrandedCompactStaging(spark: SparkSession,
+                                ref: ShardedIndexRef): Boolean = {
+    val stg = new org.apache.hadoop.fs.Path(
+      s"${ref.path}/compact_staging/_SUCCESS")
+    stg.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(stg)
+  }
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1310,6 +1331,17 @@ object ShardedIndex {
     (priorDeadDfs ++ tombDf.map(_.select(col("gid"))))
       .reduceOption(_ unionAll _)
       .foreach(allDead => writeDeadSidecars(spark, newRef, allDead))
+    // CRASH CONTRACT, pinned by StreamingSpec via this hook: a crash
+    // here — successor generation fully built, pointer NOT flipped —
+    // leaves the old manifest serving the old complete snapshot and
+    // the successor dir as unpublished debris; the next successful
+    // publish retires the debris (monotone gen numbering never reuses
+    // it), and re-running the compaction converges to the same
+    // survivor results.
+    if (spark.conf.getOption("spark.graft.test.compactFailBeforePublish")
+        .contains("true"))
+      throw new IllegalStateException(
+        "compactVersioned: injected crash before publish")
     Generations.publish(spark, root, gen)
     newRef
   }

@@ -254,9 +254,32 @@ object StreamingIngest {
     val rows = batch.select(col("vec_id"), col("embedding"))
     val stats = rows.agg(count(col("vec_id")), max(col("vec_id"))).head()
     if (stats.getLong(0) == 0L) return (ref, "skip-empty")
-    val existing = ShardedIndex.totalRows(spark, ref)
-    if (stats.getLong(1) < existing) return (ref, "skip-replay")
-    val appended = ShardedIndex.appendDelta(spark, rows, ref, params)
+    // SELF-HEAL a compact() that crashed past its point of no return
+    // (committed compact_staging: the staged corpus is the only
+    // complete copy, and appendDelta refuses to land on top of it —
+    // correctly, for a batch caller). A RESTARTED stream must make
+    // progress without operator action, so the foreachBatch body
+    // finishes the stranded fold itself before touching the batch;
+    // re-running compact from a committed staging is the documented
+    // recovery and is idempotent.
+    val base =
+      if (ShardedIndex.hasStrandedCompactStaging(spark, ref))
+        ShardedIndex.compact(spark, ref, params)
+      else ref
+    val existing = ShardedIndex.totalRows(spark, base)
+    if (stats.getLong(1) < existing) return (base, "skip-replay")
+    val appended = ShardedIndex.appendDelta(spark, rows, base, params)
+    // CRASH CONTRACT, pinned by StreamingSpec via the hook below: a
+    // crash here — after the delta landed, before the caller records
+    // the new ref — re-delivers the batch against the PRE-append ref.
+    // totalRows over that ref excludes the orphan delta, so the replay
+    // is not a skip: appendDelta re-validates the same dense window and
+    // OVERWRITES the same delta dir — byte-convergent, never a
+    // double-append (delta slot j is a pure function of the ref).
+    if (spark.conf.getOption("spark.graft.test.ingestFailAfterAppend")
+        .contains("true"))
+      throw new IllegalStateException(
+        "ingestVectorBatch: injected crash after delta append")
     if (ShardedIndex.deltaFraction(spark, appended) >= compactAt)
       (ShardedIndex.compact(spark, appended, params), "append+compact")
     else (appended, "append")

@@ -313,6 +313,179 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest crash after delta append: redelivery against the stale ref converges, never double-appends") {
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // foreachBatch is at-least-once: a crash AFTER appendDelta landed
+    // but BEFORE the driver recorded the new ref re-delivers the batch
+    // against the PRE-append ref. The designed convergence: the delta
+    // slot is a pure function of the ref (nDeltas), so the replay
+    // re-validates the same dense window and OVERWRITES the same delta
+    // dir — the grown index equals a crash-free twin exactly.
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    def freshIndex(tag: String) = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2,
+      java.nio.file.Files.createTempDirectory(tag).toString)
+    val crashed = freshIndex("graft_ingest_crash_")
+    val twin = freshIndex("graft_ingest_twin_")
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select("vec_id", "embedding")
+    spark.conf.set("spark.graft.test.ingestFailAfterAppend", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamingIngest.ingestVectorBatch(spark, batch, crashed,
+          IndexQueries.FixtureParams)
+      }
+      assert(e.getMessage.contains("injected crash after delta append"))
+    } finally spark.conf.unset("spark.graft.test.ingestFailAfterAppend")
+    // the orphan delta landed on disk but the caller still holds the
+    // pre-append ref — exactly the restart state
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${crashed.path}/delta0/vectors")))
+    assert(crashed.nDeltas === 0)
+    // REDELIVERY with the stale ref: not a skip (totalRows over the
+    // stale ref excludes the orphan), an overwrite-append
+    val (recovered, action) = StreamingIngest.ingestVectorBatch(spark,
+      batch, crashed, IndexQueries.FixtureParams)
+    assert(action === "append" && recovered.nDeltas === 1)
+    // a SECOND delivery with the recovered ref is the clean replay-skip
+    assert(StreamingIngest.ingestVectorBatch(spark, batch, recovered,
+      IndexQueries.FixtureParams)._2 === "skip-replay")
+    // the converged index answers identically to a crash-free twin
+    val (twinRef, _) = StreamingIngest.ingestVectorBatch(spark, batch,
+      twin, IndexQueries.FixtureParams)
+    val q = emb.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def rows(r: graft.index.ShardedIndexRef) =
+      ShardedIndex.searchSingleDf(spark, q, r, l = 600, k = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+    assert(rows(recovered) === rows(twinRef),
+      "the crash-replayed index diverged from the crash-free twin")
+  }
+
+  test("ingest crash mid-compact: a restarted stream self-heals the stranded staging and makes progress") {
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // the worse crash window: compact() dies AFTER committing its
+    // staging (the point of no return — the staged corpus is the only
+    // complete copy, and appendDelta refuses to land on the stranded
+    // state). A restarted foreachBatch body must finish the fold
+    // itself and then process the batch — no operator action, no
+    // permanently wedged stream.
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ingest_stage_").toString
+    val ref0 = ShardedIndex.buildPersisted(spark, base,
+      IndexQueries.FixtureParams, nShards = 2, path)
+    val rows = emb.filter(col("vec_id") >= 400).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rows.partition(_._1 < 450)
+    // batch 1 appends clean; batch 2 pushes deltaFraction past
+    // compactAt and the triggered compact crashes after its staging
+    // commit
+    val (ref1, a1) = StreamingIngest.ingestVectorBatch(spark,
+      b1.toSeq.toDF("vec_id", "embedding"), ref0,
+      IndexQueries.FixtureParams, compactAt = 0.2)
+    assert(a1 === "append")
+    spark.conf.set("spark.graft.test.compactFailAfterStage", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamingIngest.ingestVectorBatch(spark,
+          b2.toSeq.toDF("vec_id", "embedding"), ref1,
+          IndexQueries.FixtureParams, compactAt = 0.2)
+      }
+      assert(e.getMessage.contains("injected crash after staging commit"))
+    } finally spark.conf.unset("spark.graft.test.compactFailAfterStage")
+    assert(ShardedIndex.hasStrandedCompactStaging(spark, ref1),
+      "the injected crash should strand a committed staging")
+    // RESTART: the stream re-delivers batch 2 against the pre-crash
+    // ref; the body heals the fold, then the batch lands as usual.
+    // (The healed fold already folded batch 2's delta — it was
+    // appended before the compact fired — so the redelivery is the
+    // replay-skip.)
+    val (healed, a2) = StreamingIngest.ingestVectorBatch(spark,
+      b2.toSeq.toDF("vec_id", "embedding"), ref1,
+      IndexQueries.FixtureParams, compactAt = 0.2)
+    assert(!ShardedIndex.hasStrandedCompactStaging(spark, healed),
+      "self-heal did not finish the stranded fold")
+    assert(a2 === "skip-replay", s"post-heal action was $a2")
+    assert(healed.nDeltas === 0 &&
+      ShardedIndex.totalRows(spark, healed) === 500L)
+    // and the healed index serves every streamed vector
+    val deltaQ = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val selfHits = ShardedIndex.searchSingleDf(spark, deltaQ, healed,
+        l = 60, k = 10)
+      .filter(col("q_id") === col("d_id"))
+      .select("q_id").distinct().count()
+    assert(selfHits === rows.length.toLong,
+      s"only $selfHits of ${rows.length} vectors findable post-heal")
+  }
+
+  test("versioned compact crash before the flip: the old generation serves; the re-run converges and retires debris") {
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    // the maintenanceTick face of the same story: the successor
+    // generation is fully built when the crash hits, the pointer never
+    // flips, so readers keep the old complete snapshot; the re-run
+    // builds a fresh successor (monotone numbering never reuses the
+    // debris) and its publish retires the debris dir.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ver_crash_").toString
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb, IndexQueries.FixtureParams,
+      nShards = 2, root)
+    assert(ShardedIndex.deleteVersioned(spark, root, Seq(5L, 44L)) === 2L)
+    val q = emb.filter(col("vec_id") % 30 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def top10(): Map[Long, Seq[Long]] =
+      ShardedIndex.searchSingleDf(spark, q,
+          ShardedIndex.resolveVersioned(spark, root, "cosine"),
+          l = 600, k = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._3, t._2)).take(10).map(_._2).toSeq)
+        .toMap
+    val before = top10()
+    spark.conf.set("spark.graft.test.compactFailBeforePublish", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamingIngest.maintenanceTick(spark,
+          shardedRoot = Some((root, IndexQueries.FixtureParams)),
+          maxDeletedFrac = 0.001)
+      }
+      assert(e.getMessage.contains("injected crash before publish"))
+    } finally spark.conf.unset("spark.graft.test.compactFailBeforePublish")
+    // the crash left debris but the manifest never flipped: gen0 serves
+    // the identical survivor results
+    assert(ShardedIndex.resolveVersioned(spark, root, "cosine").path
+      === s"$root/gen0")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen1")), "no debris dir — the " +
+      "injected crash should land after the successor build")
+    assert(top10() === before,
+      "the un-flipped root diverged after the crashed compaction")
+    // the next tick converges: fresh successor (gen2), debris retired,
+    // identical survivors, trigger quiet afterwards
+    val tick = StreamingIngest.maintenanceTick(spark,
+      shardedRoot = Some((root, IndexQueries.FixtureParams)),
+      maxDeletedFrac = 0.001)
+    assert(tick("sharded") === s"$root/gen2", s"tick landed at $tick")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/gen1")),
+      "the crashed attempt's debris generation was not retired")
+    assert(top10() === before,
+      "the re-run compaction changed survivor results")
+    assert(StreamingIngest.maintenanceTick(spark,
+      shardedRoot = Some((root, IndexQueries.FixtureParams)),
+      maxDeletedFrac = 0.001)("sharded") === s"$root/gen2",
+      "the trigger did not re-arm after the recovered fold")
+  }
+
   test("streaming ANN serving: graph search over a query stream matches batch") {
     import graft.index.{BeamSearch, GraphBuild}
     import graft.queries.IndexQueries
