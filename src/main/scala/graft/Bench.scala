@@ -65,6 +65,45 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** CONTROL BASKET — untouched pure-expression/scan queries whose cost
+    * is machine-bound, not round-over-round code-bound: their min-time
+    * ratio vs the committed floors (`BENCH_LOCAL.json`) is a SECOND,
+    * workload-shaped normalization alongside the synthetic calib stamp.
+    * The r16 window oscillated 2–9× within one pass and the single
+    * calib moved 32% inside it — one control cannot separate code from
+    * machine; the MEDIAN over five (reported as
+    * `"ctrl_ratio_vs_floor"`) can, mechanically: a real regression
+    * moves its query but not the basket; a slow host moves the whole
+    * basket together. */
+  val ControlQueries: Seq[String] = Seq(
+    "p1_vec_l2sq", "p2_vec_dot", "p6_vec_cosine", "q1_agg",
+    "mm_video_decode")
+
+  /** Parse the committed floor file's `"queries":{...}` map (flat
+    * name→seconds — the object never nests). Missing/garbage file →
+    * empty: the controls then report -1, never a crash. */
+  def readFloors(path: String): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val marker = "\"queries\":{"
+      val i = s.indexOf(marker)
+      if (i < 0) Map.empty
+      else {
+        val body = s.substring(i + marker.length,
+          s.indexOf("}", i + marker.length))
+        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,20 +151,29 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toIndexedSeq
       .filter(n => only.forall(_.contains(n)))
-    // calibration stamp: once per pass (same decorrelation argument as
-    // the round-robin reps), min reported — ~1 s each, not billed to
-    // any query
+    // calibration stamps INTERLEAVED through each pass (~4 per pass:
+    // start, thirds, end — ~1 s each, never billed to any query): the
+    // r16 host drifted faster than one pass (the single per-pass stamp
+    // moved 32% between passes while queries swung 2–9× WITHIN one),
+    // so a query timing is dispositioned against the stamps that
+    // bracket it, not one stamp minutes away. All stamps are kept in
+    // the JSON per pass ("calib_by_pass") plus flat ("calib_raw").
     val calibRaw = collection.mutable.ArrayBuffer.empty[Double]
+    val calibByPass = collection.mutable.ArrayBuffer.empty[Vector[Double]]
     val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
     for (_ <- 1 to reps) {
+      val stamps = collection.mutable.ArrayBuffer.empty[Double]
       // a transient calibration failure must not abort the run and
       // discard every completed query timing — queries get the same
       // catch-and-continue treatment below
-      try calibRaw += calibrate(spark)
-      catch { case t: Throwable =>
-        System.err.println(s"CALIB FAIL: ${t.getClass.getName}: ${t.getMessage}")
-      }
-      for (name <- names) {
+      def stamp(): Unit =
+        try stamps += calibrate(spark)
+        catch { case t: Throwable =>
+          System.err.println(s"CALIB FAIL: ${t.getClass.getName}: ${t.getMessage}")
+        }
+      val every = math.max(1, (names.size + 2) / 3)
+      for ((name, i) <- names.zipWithIndex) {
+      if (i % every == 0) stamp()
       val t0 = System.nanoTime()
       val ok =
         try { force(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -136,13 +184,33 @@ object Bench {
       val rec = (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       raw(name) = raw.getOrElse(name, Vector.empty) :+ rec
       dropLeakedBlocks(spark)
-    } }
+      }
+      stamp()
+      calibByPass += stamps.toVector
+      calibRaw ++= stamps
+    }
     val results = names.map { name =>
       val rs = raw(name)
       val ok = rs.forall(_._2)
       val sec = if (ok) rs.map(_._1).min else -1.0
       name -> (sec, ok, rs.map(_._1))
     }
+    // the control basket compares THIS run's control minima against the
+    // COMMITTED floors (read before any write below, so a full run's
+    // own overwrite never feeds back): the judge separates code from
+    // machine by this one number instead of hand-adjudicating raws
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
+      "BENCH_LOCAL.json")
+    val floors = readFloors(floorPath)
+    val resultMap = results.toMap
+    val ctrlRatios = ControlQueries.flatMap { c =>
+      for {
+        (sec, ok, _) <- resultMap.get(c) if ok && sec > 0
+        fl <- floors.get(c) if fl > 0
+      } yield c -> sec / fl
+    }
+    val ctrlMedian =
+      if (ctrlRatios.isEmpty) -1.0 else median(ctrlRatios.map(_._2))
     def jsonLine(fmt: Double => String, withRaw: Boolean): String = {
       val qs = results.map { case (k, (sec, _, _)) => "\"" + k + "\":" + fmt(sec) }
         .mkString("{", ",", "}")
@@ -159,7 +227,12 @@ object Bench {
       // non-positive as "no stamp")
       val calib = fmt(if (calibRaw.isEmpty) -1.0 else calibRaw.min)
       val calibAll = calibRaw.map(fmt).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_sec":$calib,"calib_raw":$calibAll,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+      val calibPasses = calibByPass
+        .map(_.map(fmt).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      val ctrls = ctrlRatios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"calib_sec":$calib,"calib_raw":$calibAll,"calib_by_pass":$calibPasses,"ctrl_ratio_vs_floor":${fmt(ctrlMedian)},"ctrl_ratios":$ctrls,"queries":$qs$rawJson,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
     }
     // Full-precision copy goes to a file (survives any log-tail bound);
     // the printed line is 3-decimal so the whole line fits in a bounded
