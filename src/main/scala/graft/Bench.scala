@@ -145,6 +145,15 @@ object Bench {
     // min-of-N needs to actually decorrelate. A failed query records
     // ok=false and seconds=-1 so it can never masquerade as a timing.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_WARMREPS=N → N UNTIMED passes over the selected
+    // queries before the timed reps. Isolation runs (BENCH_ONLY) have a
+    // cold-JIT bias the full pass does not: the same query measured
+    // 7.6 s isolated vs 5.5 s in-pass in the r17 session purely from
+    // JIT/codegen warm-state, which poisons isolated-floor vs
+    // full-pass-floor comparisons. Default 0 (the full pass warms
+    // itself); set 1 for regression-hunt subsets.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMREPS", "0")
+      .toInt.max(0)
     // SPARK_GRAFT_BENCH_ONLY=a,b,c → time just those queries (targeted
     // regression hunts); unset = the full list, as the driver runs it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -161,6 +170,13 @@ object Bench {
     val calibRaw = collection.mutable.ArrayBuffer.empty[Double]
     val calibByPass = collection.mutable.ArrayBuffer.empty[Vector[Double]]
     val raw = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    for (_ <- 1 to warmReps; name <- names) {
+      try force(SparkEntry.queries(name)(spark, sfDir))
+      catch { case t: Throwable =>
+        System.err.println(s"WARMREP FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+      }
+      dropLeakedBlocks(spark)
+    }
     for (_ <- 1 to reps) {
       val stamps = collection.mutable.ArrayBuffer.empty[Double]
       // a transient calibration failure must not abort the run and

@@ -230,8 +230,22 @@ object ScaleSmoke {
       "\"" + k + "\":" + fmt(sec / math.max(base(k), 0.3))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (sec, true)) => sec }.sum
+    // the same control basket Bench emits, in 10x units: the controls'
+    // median (10x time / factor x floor) reads ~1 when the machine
+    // matches the floor window and the data scales linearly — a smoke
+    // VIOLATION is dispositioned machine when the basket moved with it
+    val resMap = results.toMap
+    val ctrl = Bench.ControlQueries.flatMap { c =>
+      for {
+        (sec, ok) <- resMap.get(c) if ok && sec > 0
+        fl <- base.get(c) if fl > 0
+      } yield c -> sec / (factor * math.max(fl, 0.3))
+    }
+    val ctrlJson = ctrl.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val ctrlMed = fmt(if (ctrl.isEmpty) -1.0 else Bench.median(ctrl.map(_._2)))
     val json =
-      s"""{"metric":"sf1_smoke","factor":$factor,"value":${fmt(total)},"unit":"sec","queries":$qs,"ratio_vs_floor":$ratios,"violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"exempt":${Exempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"base":"$basePath","src":"$srcDir"}"""
+      s"""{"metric":"sf1_smoke","factor":$factor,"value":${fmt(total)},"unit":"sec","ctrl_ratio_vs_floor":$ctrlMed,"ctrl_ratios":$ctrlJson,"queries":$qs,"ratio_vs_floor":$ratios,"violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"exempt":${Exempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"base":"$basePath","src":"$srcDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)
