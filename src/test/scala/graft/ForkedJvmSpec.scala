@@ -115,6 +115,55 @@ class ForkedJvmSpec extends AnyFunSuite {
     finally { p2.waitFor(); p2.destroyForcibly() }
   }
 
+  test("serve-through-re-shard across processes: another JVM's leased searches answer identically through two keepGens=0 flips here") {
+    // the face-level form of the reader-lease claim: the OTHER process
+    // is not just holding a lease file, it is reading the generation's
+    // parquet (vectors, graphs, dead sidecars) through searchSingleDf
+    // while THIS process re-shards the index twice with no grace
+    // window. Survivor results are flip-invariant (pinned in-JVM by
+    // GenerationSpec's re-shard test); what this adds is that a
+    // separate process's in-flight scans never observe a mid-retire
+    // state — no read error, no divergence, across real file reads.
+    import org.apache.spark.sql.functions.col
+    import graft.index.ShardedIndex
+    import graft.queries.IndexQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_serve_").toString
+    val root = s"$dir/root"
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 250)
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildVersioned(spark, emb, IndexQueries.FixtureParams,
+      nShards = 2, root)
+    assert(ShardedIndex.deleteVersioned(spark, root, Seq(5L, 44L)) === 2L)
+    val ready = s"$dir/ready"; val stop = s"$dir/stop"
+    val result = s"$dir/result"
+    val p = launch(dir, "serve", root, sfDir, ready, stop, result)
+    spark.conf.set("spark.graft.gen.keepGens", "0")
+    try {
+      assert(awaitFile(ready, Seq(p)) === "ready")
+      // two re-shard flips (2 -> more -> 2) with retirement immediate
+      // except where the child's lease pins; survivors unchanged
+      val g1 = ShardedIndex.compactVersioned(spark, root,
+        IndexQueries.FixtureParams, targetShardRows = 60)
+      assert(g1.path === s"$root/gen1" && g1.nShards > 2)
+      val g2 = ShardedIndex.compactVersioned(spark, root,
+        IndexQueries.FixtureParams, targetShardRows = 125)
+      assert(g2.path === s"$root/gen2" && g2.nShards === 2)
+      java.nio.file.Files.write(java.nio.file.Paths.get(stop),
+        "stop".getBytes("UTF-8"))
+      val res = awaitFile(result, Seq(p))
+      p.waitFor()
+      assert(res.startsWith("ok "),
+        s"cross-process leased serving failed: $res")
+      assert(res.stripPrefix("ok ").trim.toInt >= 2,
+        s"child completed too few iterations to span a flip: $res")
+      assert(p.exitValue() === 0, "serve child failed")
+    } finally {
+      spark.conf.unset("spark.graft.gen.keepGens")
+      p.destroyForcibly()
+    }
+  }
+
   test("reader lease across processes: a generation pinned by another JVM survives keepGens=0 publishes here") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_fork_rlease_").toString

@@ -76,6 +76,43 @@ object TwoProcessMain {
           waitFor(release)
         }
         write(release + ".done", "ok")
+      // serve <root> <sfDir> <readyFile> <stopFile> <resultFile>:
+      // leased search loop over the versioned sharded face — resolve
+      // + search under ShardedIndex.withReaderLease each iteration,
+      // assert every iteration answers exactly what the first did,
+      // until told to stop. The parent flips generations (keepGens=0
+      // re-shards) underneath; any mid-retirement read error or
+      // result divergence fails here.
+      case "serve" =>
+        val Array(_, root, sfDir, ready, stop, result) = args
+        import org.apache.spark.sql.functions.col
+        val q = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 250 && col("vec_id") % 30 === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .persist()
+        q.count()
+        def top10(): Map[Long, Seq[Long]] =
+          graft.index.ShardedIndex.withReaderLease(spark, root,
+            "cosine") { r =>
+            graft.index.ShardedIndex
+              .searchSingleDf(spark, q, r, l = 600, k = 16)
+              .collect()
+              .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+              .groupBy(_._1).view
+              .mapValues(_.sortBy(t => (-t._3, t._2)).take(10)
+                .map(_._2).toSeq)
+              .toMap
+          }
+        val first = top10()
+        write(ready, "ready")
+        var n = 1
+        var diverged = false
+        while (!diverged &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(stop))) {
+          val m = top10(); n += 1
+          if (m != first) diverged = true
+        }
+        write(result, if (diverged) s"diverged after $n" else s"ok $n")
       case other => sys.error(s"TwoProcessMain: unknown mode $other")
     } finally spark.stop()
   }
