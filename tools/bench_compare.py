@@ -53,7 +53,31 @@ def main():
         calib_note = ("no calib stamp in " + ", ".join(missing)
                       + " — ratios reported UNNORMALIZED")
 
+    # Second, WORKLOAD-SHAPED machine ratio: the median new/old ratio
+    # over the untouched control basket (the same five queries Bench
+    # emits as ctrl_ratios). The synthetic calib stamp measures burst
+    # CPU+shuffle; on this VM that can move OPPOSITE to sustained
+    # many-small-job throughput (r17: calib 2x faster while lifecycle
+    # queries ran 1.7x slower), so when both artifacts carry the
+    # controls, their ratio is the better normalizer and drives the
+    # --fail-over gate.
+    CONTROLS = ["p1_vec_l2sq", "p2_vec_dot", "p6_vec_cosine", "q1_agg",
+                "mm_video_decode"]
+
     qo, qn = old["queries"], new["queries"]
+    ctrl = sorted(qn[q] / qo[q] for q in CONTROLS
+                  if qo.get(q, 0) > 0 and qn.get(q, 0) > 0)
+    if len(ctrl) >= 3:
+        m = len(ctrl) // 2
+        ctrl_ratio = (ctrl[m] if len(ctrl) % 2 else
+                      (ctrl[m - 1] + ctrl[m]) / 2)
+        print(f"control basket ({len(ctrl)} queries): "
+              f"machine ratio {ctrl_ratio:.3f} — drives the gate")
+    else:
+        ctrl_ratio = None
+        print("control basket: absent/incomplete — gate falls back to calib")
+    gate_ratio = ctrl_ratio if ctrl_ratio else None
+
     common = sorted(set(qo) & set(qn))
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
@@ -67,7 +91,8 @@ def main():
             degenerate.append(q)
             continue
         raw = qn[q] / qo[q]
-        rows.append((q, qo[q], qn[q], raw, raw / calib_ratio))
+        rows.append((q, qo[q], qn[q], raw,
+                     raw / (gate_ratio if gate_ratio else calib_ratio)))
     if degenerate:
         print(f"WARNING: {len(degenerate)} queries with non-positive timings "
               "excluded from ratios: " + ", ".join(degenerate))
@@ -85,9 +110,13 @@ def main():
         print("  added:   " + ", ".join(added))
     if removed:
         print("  removed: " + ", ".join(removed))
+    norm_by = ("control basket" if gate_ratio else "calib")
+    eff = gate_ratio if gate_ratio else calib_ratio
     print(f"sum (common): {sum_o:.1f}s -> {sum_n:.1f}s  "
-          f"raw {sum_n / sum_o:.3f}x  normalized {sum_n / sum_o / calib_ratio:.3f}x")
-    print(f"geomean per-query: raw {geomean_raw:.3f}x  normalized {geomean_norm:.3f}x")
+          f"raw {sum_n / sum_o:.3f}x  normalized {sum_n / sum_o / eff:.3f}x"
+          f"  (by {norm_by})")
+    print(f"geomean per-query: raw {geomean_raw:.3f}x  "
+          f"normalized {geomean_norm:.3f}x  (by {norm_by})")
 
     worst = sorted(rows, key=lambda r: -r[4])[:args.top]
     print(f"\nworst {len(worst)} by normalized ratio:")
