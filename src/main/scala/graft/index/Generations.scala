@@ -169,25 +169,32 @@ object Generations {
         "to spark.graft.gen.casSchemes")
   }
 
-  /** Which commit protocol [[publish]] runs
-    * (`spark.graft.gen.committer`): `rename` (default) flips a single
-    * MANIFEST pointer with one atomic rename-over; `seqlog` appends an
-    * immutable, sequence-numbered `MANIFEST.<seq>` to a commit log via
-    * exclusive create — the conditional-put variant for object stores,
-    * where rename is copy+delete. Reads are SELF-DESCRIBING (seq
-    * entries win when present, else the legacy pointer), so the mode
-    * only matters to writers and a root migrates on its first seqlog
-    * publish. */
-  private def committerMode(spark: SparkSession): String =
-    spark.conf.get("spark.graft.gen.committer", "rename") match {
+  /** Which commit protocol [[publish]] runs: the EXPLICIT argument a
+    * caller passed ("" = unspecified), else `spark.graft.gen.committer`
+    * (default `rename`). `rename` flips a single MANIFEST pointer with
+    * one atomic rename-over; `seqlog` appends an immutable,
+    * sequence-numbered `MANIFEST.<seq>` to a commit log via exclusive
+    * create — the conditional-put variant for object stores, where
+    * rename is copy+delete. Reads are SELF-DESCRIBING (seq entries win
+    * when present, else the legacy pointer), so the mode only matters
+    * to writers and a root migrates on its first seqlog publish.
+    * The explicit parameter exists because the conf is SESSION-GLOBAL:
+    * a multi-step build that toggled the conf around itself would
+    * silently migrate any OTHER root published on the same session in
+    * that window — the faces thread the mode per call instead, and the
+    * conf remains only the default. */
+  private def committerMode(spark: SparkSession,
+                            explicit: String = ""): String =
+    (if (explicit.nonEmpty) explicit
+     else spark.conf.get("spark.graft.gen.committer", "rename")) match {
       case m @ ("rename" | "seqlog") => m
       case other => throw new IllegalArgumentException(
-        s"spark.graft.gen.committer must be rename|seqlog, got '$other'")
+        s"committer mode must be rename|seqlog, got '$other'")
     }
 
   private def requireStore(spark: SparkSession, f: FileSystem,
-                           root: String): Unit =
-    if (committerMode(spark) == "seqlog") requireCasStore(spark, f, root)
+                           root: String, mode: String): Unit =
+    if (mode == "seqlog") requireCasStore(spark, f, root)
     else requireAtomicStore(spark, f, root)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -444,10 +451,11 @@ object Generations {
     * next is already preferred by readers and promoted by the next
     * publish. */
   def publish(spark: SparkSession, root: String, gen: String,
-              keepGens: Int = -1): Unit = {
+              keepGens: Int = -1, committer: String = ""): Unit = {
     require(gen.matches("gen\\d+"), s"bad generation name: $gen")
+    val mode = committerMode(spark, committer)
     val f = fs(spark, root)
-    requireStore(spark, f, root)
+    requireStore(spark, f, root, mode)
     require(f.exists(new Path(s"$root/$gen")),
       s"publish: generation dir $root/$gen does not exist")
     val keep =
@@ -457,7 +465,7 @@ object Generations {
     // lock's mtime so a legitimate multi-publish maintenance pass
     // spanning leaseTimeoutMs is not broken mid-run by a second writer
     refreshWriterLease(spark, root)
-    if (committerMode(spark) == "seqlog")
+    if (mode == "seqlog")
       publishSeqlog(spark, f, root, gen, keep)
     else
       publishRename(spark, f, root, gen, keep)
@@ -783,9 +791,10 @@ object Generations {
     * touch the lock. Re-entrant holds are a caller bug (the faces
     * acquire only at their public entry points). */
   def withWriterLease[T](spark: SparkSession, root: String,
-                         what: String)(body: => T): T = {
+                         what: String, committer: String = "")(
+                         body: => T): T = {
     val f = fs(spark, root)
-    requireStore(spark, f, root)
+    requireStore(spark, f, root, committerMode(spark, committer))
     f.mkdirs(new Path(root))
     val lock = new Path(s"$root/$LockName")
     val now = System.currentTimeMillis()

@@ -739,10 +739,16 @@ object ShardedIndex {
         s"with $nd distinct of $n rows")
     val j = ref.nDeltas
     val dir = deltaDir(ref, j)
-    import org.apache.spark.sql.expressions.Window
+    // Shard-local renumbering is a pure projection: the density check
+    // above proved the gids are exactly [existing, existing+n), so
+    // rank-by-gid IS gid - existing. The pre-r18 spelling
+    // (row_number over an unpartitioned Window.orderBy(gid)) computed
+    // the same thing through a single-partition exchange — bounded by
+    // micro-batch size in streaming, but a backfill-sized delta (100M
+    // rows) would serialize through one task. This stays distributed
+    // at any delta size.
     val local = delta.select(col("vec_id").as("gid"), col("embedding"))
-      .withColumn("vec_id",
-        (row_number().over(Window.orderBy(col("gid"))) - 1).cast("long"))
+      .withColumn("vec_id", (col("gid") - lit(existing)).cast("long"))
     enterShard()
     try {
       val shardDf = local.select(col("vec_id"), col("embedding"))
@@ -1143,14 +1149,17 @@ object ShardedIndex {
   // atomic pointer flip. Writers stay single-writer among themselves.
 
   /** Build the first generation of a versioned index under `root` and
-    * publish the manifest. */
+    * publish the manifest. `committer` selects the manifest commit
+    * protocol for THIS call ("" = the `spark.graft.gen.committer`
+    * session default) — per-call so a multi-root session never has to
+    * toggle the session-global conf around one build. */
   def buildVersioned(spark: SparkSession, emb: DataFrame,
                      params: BuildParams, nShards: Int,
-                     root: String): ShardedIndexRef =
-    Generations.withWriterLease(spark, root, "sharded.build") {
+                     root: String, committer: String = ""): ShardedIndexRef =
+    Generations.withWriterLease(spark, root, "sharded.build", committer) {
       val (gen, dir) = Generations.next(spark, root)
       val ref = buildPersisted(spark, emb, params, nShards, dir)
-      Generations.publish(spark, root, gen)
+      Generations.publish(spark, root, gen, committer = committer)
       ref
     }
 
@@ -1227,7 +1236,8 @@ object ShardedIndex {
                             maxDeltaFrac: Double = 0.2,
                             maxDeletedFrac: Double = 0.2,
                             maxShardDeletedFrac: Double = 0.2,
-                            targetShardRows: Long = 0)
+                            targetShardRows: Long = 0,
+                            committer: String = "")
       : ShardedIndexRef = {
     val live = resolveVersioned(spark, root, params.metric)
     // the re-shard trigger: growth has pushed the live per-shard size
@@ -1238,7 +1248,7 @@ object ShardedIndex {
         deletedFraction(spark, live) > maxDeletedFrac ||
         maxShardDeletedFraction(spark, live) > maxShardDeletedFrac ||
         reshard)
-      compactVersioned(spark, root, params, targetShardRows)
+      compactVersioned(spark, root, params, targetShardRows, committer)
     else live
   }
 
@@ -1264,14 +1274,16 @@ object ShardedIndex {
     * sidecar writer, and readers never pause. */
   def compactVersioned(spark: SparkSession, root: String,
                        params: BuildParams,
-                       targetShardRows: Long = 0): ShardedIndexRef =
-    Generations.withWriterLease(spark, root, "sharded.compact") {
-      compactVersionedLocked(spark, root, params, targetShardRows)
+                       targetShardRows: Long = 0,
+                       committer: String = ""): ShardedIndexRef =
+    Generations.withWriterLease(spark, root, "sharded.compact", committer) {
+      compactVersionedLocked(spark, root, params, targetShardRows, committer)
     }
 
   private def compactVersionedLocked(spark: SparkSession, root: String,
                                      params: BuildParams,
-                                     targetShardRows: Long): ShardedIndexRef = {
+                                     targetShardRows: Long,
+                                     committer: String): ShardedIndexRef = {
     import spark.implicits._
     val live = resolveVersioned(spark, root, params.metric)
     val tomb = tombstonesDf(spark, live.path)
@@ -1342,7 +1354,7 @@ object ShardedIndex {
         .contains("true"))
       throw new IllegalStateException(
         "compactVersioned: injected crash before publish")
-    Generations.publish(spark, root, gen)
+    Generations.publish(spark, root, gen, committer = committer)
     newRef
   }
 }

@@ -224,33 +224,27 @@ object IndexQueries extends QueryPack {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sharded_seqlog_").toString
       val emb = Tables.embeddings(s, dir)
-      // snapshot/restore rather than set/unset: the committer conf is
-      // session-global, and another publish on this session during the
-      // fixture build would otherwise silently migrate ITS root to the
-      // seqlog protocol (this session is the dedicated versioned_seqlog
-      // certificate session, but the restore keeps that a fact rather
-      // than a requirement)
-      val prev = s.conf.getOption("spark.graft.gen.committer")
-      s.conf.set("spark.graft.gen.committer", "seqlog")
-      try {
-        ShardedIndex.buildVersioned(s, emb, FixtureParams, 2, root)
-        val tranche = emb.filter(col("vec_id") % 13 === 0)
-          .select(col("vec_id").as("gid"))
-        require(ShardedIndex.deleteVersioned(s, root, tranche) > 0,
-          "seqlog-certificate fixture produced an empty tranche")
-        val live = ShardedIndex.compactVersioned(s, root, FixtureParams)
-        require(live.path == s"$root/gen1",
-          "seqlog fixture did not flip generations")
-        require(java.nio.file.Files.exists(java.nio.file.Paths.get(
-            s"$root/MANIFEST.000000000002")) &&
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(
-            s"$root/MANIFEST")),
-          "seqlog fixture did not commit through the CAS log")
-        live
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.gen.committer", v)
-        case None => s.conf.unset("spark.graft.gen.committer")
-      }
+      // the commit protocol is passed PER CALL (never via the
+      // session-global spark.graft.gen.committer conf): the faces
+      // thread it down to Generations.publish, so another publish on
+      // this session during the fixture build can never be silently
+      // migrated to the seqlog protocol by a fixture-scoped toggle
+      ShardedIndex.buildVersioned(s, emb, FixtureParams, 2, root,
+        committer = "seqlog")
+      val tranche = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("gid"))
+      require(ShardedIndex.deleteVersioned(s, root, tranche) > 0,
+        "seqlog-certificate fixture produced an empty tranche")
+      val live = ShardedIndex.compactVersioned(s, root, FixtureParams,
+        committer = "seqlog")
+      require(live.path == s"$root/gen1",
+        "seqlog fixture did not flip generations")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$root/MANIFEST.000000000002")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$root/MANIFEST")),
+        "seqlog fixture did not commit through the CAS log")
+      live
     })
 
   /** One GROWTH-ONLY versioned sharded index per dir — gen0 built on
@@ -457,6 +451,46 @@ object IndexQueries extends QueryPack {
         .groupBy("qset_id")
         .agg(round(countDistinct(col("d_id")).cast("double") /
           count(lit(1)), 6).as("unique_frac"))
+    }),
+
+    // A11's ORACLE-CHECKABLE twin: the same unique÷total overlap
+    // statistic computed over candidate lists with EXACT membership.
+    // Each subquery's beam runs SATURATED (l = 2n, budget = c·2n, the
+    // g8/g9_sql_saturated regime: the beam then holds every reachable
+    // node — full reachability is what those hash-green certificates
+    // already prove for this fixture graph), and the per-subquery
+    // top-K slice is re-ranked by exact double cosine with the
+    // KnnJoin discipline (round-9 score, d_id tie-break) — so the
+    // lists, and therefore the overlap ratio, are deterministic and
+    // DuckDB-recomputable. The production a11_overlap keeps its
+    // budgeted adaptive beams (order-dependent by design, rows-only).
+    "a11_overlap_saturated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = handles(s, dir)
+      val n = h.idx.graph.n
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      val beam = BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
+          h.idx.params.metric, minPq = 2 * n, maxPq = 2 * n,
+          budget = 2 * n * C, adaptive = false)
+        .select(col("qset_id"), col("q_sub"), col("d_id"))
+      val q = querySets.withColumn("q_norm", vecNorm(col("q_vec")))
+      val d = emb(s, dir).select(col("vec_id").as("d_id"),
+        col("embedding").as("d_vec"),
+        vecNorm(col("embedding")).as("d_norm"))
+      val scored = beam.join(broadcast(q), Seq("qset_id", "q_sub"))
+        .join(broadcast(d), Seq("d_id"))
+        .withColumn("score", round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9))
+      val w = Window.partitionBy(col("qset_id"), col("q_sub"))
+        .orderBy(col("score").desc, col("d_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .groupBy("qset_id")
+        .agg(round(round(countDistinct(col("d_id")).cast("double") /
+          count(lit(1)), 9), 6).as("unique_frac"))
     }),
 
     // G9 + rerank: the reference's flagship `test_search_multivector_rerank`
@@ -766,6 +800,28 @@ object IndexQueries extends QueryPack {
          |  FROM scored)
          |SELECT q_id, rank, d_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    // a11_overlap_saturated: exact top-K per subquery over the full
+    // corpus (the saturated beam's membership), KnnJoin ranking
+    // discipline (round-9 score, d_id tie-break), then unique÷total
+    // across each set's subqueries — the A11 statistic with exact,
+    // engine-independent list membership.
+    "a11_overlap_saturated" ->
+      s"""WITH q AS (SELECT vec_id // $C AS qset_id, vec_id % $C AS q_sub,
+         |             embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.qset_id, q.q_sub, d.d_id,
+         |         round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d),
+         |ranked AS (
+         |  SELECT qset_id, q_sub, d_id,
+         |         row_number() OVER (PARTITION BY qset_id, q_sub
+         |           ORDER BY score DESC, d_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT qset_id,
+         |       round(round(CAST(count(DISTINCT d_id) AS DOUBLE) /
+         |         count(*), 9), 6) AS unique_frac
+         |FROM ranked WHERE rnk <= $K GROUP BY qset_id""".stripMargin,
     "j5_edges" -> s"$rankedCte\nSELECT src, dst, kind FROM edges",
     "a5_degree" ->
       s"""$rankedCte,
