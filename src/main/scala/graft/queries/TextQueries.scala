@@ -1235,6 +1235,39 @@ object TextQueries extends QueryPack {
         "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
     }),
 
+    // table_profile_approx's ORACLE-CHECKABLE twin: the same one-pass
+    // stacked profile with the engine-specific HLL++ estimate replaced
+    // by a DETERMINISTIC hash-bucket distinct estimator both engines
+    // recompute bit-for-bit — count the distinct cent-quantized values
+    // whose md5 lands in hex bucket '0' (1 of 16) and scale by 16, the
+    // classic sample-by-hash-of-value cardinality estimator: bucket
+    // membership depends only on the VALUE, never on row order, RNG,
+    // or sketch internals, so Spark and DuckDB agree exactly. The
+    // production HLL path keeps its within-5%-of-exact + Expand-free
+    // plan gates in LlmPipelineSpec; this twin hash-checks the profile
+    // SHAPE (stack pivot, null/min/max/count legs) and the estimator
+    // plumbing end-to-end.
+    "table_profile_approx_seeded" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // cent-quantize before hashing: double→string rendering differs
+      // between engines, an integral BIGINT's rendering does not
+      def cents(c: String) = round(col(c) * 100).cast("long")
+      val aggs = cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nn"),
+        (countDistinct(when(
+          substring(md5(cents(c).cast("string")), 1, 1) === "0",
+          cents(c))) * 16).as(s"${c}__nd"),
+        round(round(min(col(c)), 9), 6).as(s"${c}__mn"),
+        round(round(max(col(c)), 9), 6).as(s"${c}__mx"))) :+
+        count(lit(1)).as("__n")
+      val a = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      a.selectExpr(s"stack(${cols.length}, $stackArgs) as " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
+    }),
+
     // Overlapping token CHUNKING (the RAG/embedding prep step: size 64,
     // stride 48 ⇒ 16-token overlap): per-doc chunk table with the
     // chunk's token span and content hash. Chunk count from INTEGER
@@ -2031,6 +2064,22 @@ object TextQueries extends QueryPack {
              |  round(round(min($c), 9), 6) AS min_v,
              |  round(round(max($c), 9), 6) AS max_v
              |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(prof).mkString("\nUNION ALL\n")
+      },
+      "table_profile_approx_seeded" -> {
+        def prof(c: String) = {
+          val cents = s"CAST(round($c * 100) AS BIGINT)"
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(16 * count(DISTINCT CASE WHEN
+             |      substring(md5(CAST($cents AS VARCHAR)), 1, 1) = '0'
+             |    THEN $cents END) AS BIGINT) AS n_distinct,
+             |  round(round(min($c), 9), 6) AS min_v,
+             |  round(round(max($c), 9), 6) AS max_v
+             |FROM lineitem""".stripMargin
+        }
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(prof).mkString("\nUNION ALL\n")
       },
