@@ -164,6 +164,85 @@ class ForkedJvmSpec extends AnyFunSuite {
     }
   }
 
+  // The DEAD-process recovery claim, one case per committer: the other
+  // protocol tests prove exclusion between LIVE processes; this kills
+  // the second JVM with SIGKILL mid-publish — after its commit point
+  // (seqlog: the CAS create landed; rename: MANIFEST__next committed),
+  // before retirement or lock release — and asserts the test JVM
+  // (a) already serves the committed flip read-only, (b) is excluded
+  // LOUDLY while the dead holder's lease is fresh, (c) recovers by
+  // breaking the timed-out lease, and (d) its next publish CHAINS ON
+  // the dead process's committed flip instead of losing it.
+  for (committer <- Seq("rename", "seqlog"))
+    test(s"kill -9 mid-publish ($committer): dead holder's committed flip survives, lease times out, next publish recovers") {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_fork_kill9_${committer}_").toString
+      val root = s"$dir/root"
+      def mkGen(n: String): Unit = java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+      def exists(n: String) = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(s"$root/$n"))
+      mkGen("gen0")
+      Generations.publish(spark, root, "gen0", committer = committer)
+      mkGen("gen1") // the child's flip target must exist to parse valid
+      val committed = s"$dir/committed"
+      val p = launch(dir, "crashpublish", root, committer, committed)
+      try {
+        assert(awaitFile(committed, Seq(p)) === "committed")
+        p.destroyForcibly() // SIGKILL: no finally blocks, no lock release
+        p.waitFor()
+        // the dead process's commit is already read-preferred
+        Generations.invalidateManifestCache(root)
+        assert(Generations.live(spark, root) === Some("gen1"),
+          s"$committer: committed flip of the killed publisher not served")
+        assert(exists("_writer.lock"),
+          "SIGKILL should have left the writer lock in place")
+        // fresh lease (default 10 min timeout): loud exclusion naming
+        // the dead holder — never silent corruption
+        val e = intercept[IllegalStateException] {
+          Generations.withWriterLease(spark, root, "parentProbe",
+            committer) { fail("must not acquire over a fresh dead lease") }
+        }
+        assert(e.getMessage.contains("childCrashPublisher"),
+          s"exclusion did not name the dead holder: ${e.getMessage}")
+        // timed-out lease: the next writer breaks it and publishes,
+        // chaining on the dead process's flip (gen1 becomes the grace
+        // predecessor, gen0 retires)
+        spark.conf.set("spark.graft.gen.leaseTimeoutMs", "500")
+        Thread.sleep(600)
+        mkGen("gen2")
+        Generations.withWriterLease(spark, root, "parentRecovery",
+          committer) {
+          Generations.publish(spark, root, "gen2", committer = committer)
+        }
+        assert(Generations.manifest(spark, root) === Seq("gen2", "gen1"),
+          s"$committer: recovery publish did not chain on the dead flip")
+        assert(!exists("gen0"), "out-of-grace generation not retired")
+        assert(!exists("_writer.lock"),
+          "recovery did not release the writer lock")
+        if (committer == "seqlog") {
+          // the dead process's log entry is intact and the recovery
+          // claimed the slot ABOVE it
+          assert(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$root/MANIFEST.000000000002")),
+            "UTF-8") === "gen1\ngen0")
+          assert(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$root/MANIFEST.000000000003")),
+            "UTF-8") === "gen2\ngen1")
+        } else {
+          // the stranded committed-next was promoted, then flipped over
+          assert(!exists("MANIFEST__next"),
+            "recovery left the stranded committed-next in place")
+          assert(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$root/MANIFEST")), "UTF-8")
+            === "gen2\ngen1")
+        }
+      } finally {
+        spark.conf.unset("spark.graft.gen.leaseTimeoutMs")
+        p.destroyForcibly()
+      }
+    }
+
   test("reader lease across processes: a generation pinned by another JVM survives keepGens=0 publishes here") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_fork_rlease_").toString

@@ -67,6 +67,39 @@ object TwoProcessMain {
           case e: IllegalStateException =>
             write(result, "blocked:" + e.getMessage.replace('\n', ' '))
         }
+      // crashpublish <root> <committer> <committedFile>: take the
+      // writer lease, land a COMMITTED flip to gen1 (seqlog: the CAS
+      // create of MANIFEST.<seq>; rename: the committed MANIFEST__next,
+      // the state publishRename leaves between commit and promote),
+      // signal, then hang — the parent kill -9s this process HERE, i.e.
+      // after the commit point and before retirement or lock release.
+      // What must then hold in the parent: readers already serve gen1
+      // (both committers' crash windows are read-preferred), the dead
+      // process's lease times out and breaks cleanly, and the next
+      // publish chains on the committed flip instead of losing it.
+      case "crashpublish" =>
+        val Array(_, root, committer, committed) = args
+        graft.index.Generations.withWriterLease(spark, root,
+          "childCrashPublisher", committer) {
+          if (committer == "seqlog") {
+            val f = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // slot 2: the parent published gen0 at slot 1
+            graft.index.Generations.commitSeqlogAt(spark, f, root, 2L,
+              Seq("gen1", "gen0"))
+          } else {
+            // the rename committer's crash window: full body to a tmp,
+            // one atomic move to the committed-next name; promote (the
+            // second rename) never happens — this process dies first
+            val tmp = java.nio.file.Paths.get(s"$root/MANIFEST__next.tmp")
+            java.nio.file.Files.write(tmp, "gen1\ngen0".getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp,
+              java.nio.file.Paths.get(s"$root/MANIFEST__next"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          write(committed, "committed")
+          Thread.sleep(600000) // killed -9 by the parent long before this
+        }
       // readerlease <root> <leasedFile> <releaseFile>: pin the live
       // generation, report it, hold the lease until told to release
       case "readerlease" =>
