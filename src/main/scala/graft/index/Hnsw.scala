@@ -65,7 +65,8 @@ object Hnsw {
   private def searchLayer(vecs: VectorStore, metric: VectorMetric,
                           layers: Array[Array[Array[Int]]], layer: Int,
                           q: Array[Float], eps: Seq[Int],
-                          ef: Int): mutable.ArrayBuffer[(Int, Float)] = {
+                          ef: Int,
+                          cmps: Array[Long] = null): mutable.ArrayBuffer[(Int, Float)] = {
     val visited = new mutable.HashSet[Int]
     // candidates: min-heap by dist; results: max-heap by dist (bounded ef)
     val cand = mutable.PriorityQueue.empty[(Float, Int)](
@@ -75,6 +76,7 @@ object Hnsw {
     eps.foreach { e =>
       if (visited.add(e)) {
         val d = metric.dist(vecs.data, vecs.offset(e), q, 0, vecs.dim)
+        if (cmps != null) cmps(0) += 1
         cand.enqueue((d, e))
         res.enqueue((d, e))
         if (res.size > ef) res.dequeue()
@@ -89,6 +91,7 @@ object Hnsw {
           val v = nbrs(i)
           if (visited.add(v)) {
             val d = metric.dist(vecs.data, vecs.offset(v), q, 0, vecs.dim)
+            if (cmps != null) cmps(0) += 1
             if (res.size < ef || d < res.head._1) {
               cand.enqueue((d, v))
               res.enqueue((d, v))
@@ -337,9 +340,20 @@ object Hnsw {
     * reference arm). `vecs` is the same store the index was built over
     * (shared broadcast, see class doc). Returns (id, dist) ascending. */
   def searchKnn(idx: HnswIndex, vecs: VectorStore, q0: Array[Float], k: Int,
-                ef: Int): Seq[(Int, Float)] = {
+                ef: Int): Seq[(Int, Float)] =
+    searchKnnCounted(idx, vecs, q0, k, ef)._1
+
+  /** [[searchKnn]] plus the DISTANCE-COMPUTATION count — the
+    * deterministic work measure the baseline-ordering gate (SweepSpec)
+    * compares against the RoarGraph kernel's `cmps`: on a time-shared
+    * VM wall-clock QPS is machine noise, while comparisons-per-query
+    * is exact, machine-independent, and is the quantity the in-memory
+    * kernels' QPS is proportional to. */
+  def searchKnnCounted(idx: HnswIndex, vecs: VectorStore, q0: Array[Float],
+                       k: Int, ef: Int): (Seq[(Int, Float)], Long) = {
     val metric = Metrics(idx.metricName)
     val q = if (metric.normalizeAtLoad) VectorStore.normalized(q0) else q0
+    val cmps = Array(0L)
     var ep = idx.entryPoint
     var layer = idx.maxLevel
     while (layer > 0) {
@@ -348,17 +362,20 @@ object Hnsw {
         changed = false
         val nbrs = idx.neighbors(layer, ep)
         var bestD = metric.dist(vecs.data, vecs.offset(ep), q, 0, vecs.dim)
+        cmps(0) += 1
         var i = 0
         while (i < nbrs.length) {
           val d = metric.dist(vecs.data, vecs.offset(nbrs(i)), q, 0, vecs.dim)
+          cmps(0) += 1
           if (d < bestD) { bestD = d; ep = nbrs(i); changed = true }
           i += 1
         }
       }
       layer -= 1
     }
-    searchLayer(vecs, metric, idx.layers, 0, q, Seq(ep),
-      math.max(ef, k)).take(k).map { case (id, d) => (id, d) }.toSeq
+    val out = searchLayer(vecs, metric, idx.layers, 0, q, Seq(ep),
+      math.max(ef, k), cmps).take(k).map { case (id, d) => (id, d) }.toSeq
+    (out, cmps(0))
   }
 
   /** Distributed search surface, shaped like

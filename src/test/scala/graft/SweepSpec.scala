@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{BeamSearch, GraphBuild, Hnsw, Metrics, VectorStore, VisitedSet}
+
+/** Baseline-arm ORDERING gate — the reference's qualitative claim as a
+  * suite failure, not just a bend in a sweep TSV.
+  *
+  * The RoarGraph paper's claim (`CITATION.cff:7-12`, VLDB'24): on
+  * OUT-OF-DISTRIBUTION (cross-modal) workloads, RoarGraph reaches the
+  * same recall (≥0.9) at higher QPS than the best graph baselines,
+  * HNSW included — because the bipartite projection builds the graph
+  * FROM the query distribution, while HNSW only ever sees the corpus.
+  *
+  * This spec pins that ordering on a deterministic synthetic OOD
+  * fixture: corpus directions uniform on the sphere; every query pulled
+  * toward one FIXED off-corpus direction (the distribution shift — all
+  * queries live in a cone the corpus does not), with a per-query corpus
+  * anchor so ground truth is meaningful. RoarGraph builds from 400
+  * training queries of that distribution; HNSW (reference knobs M=35,
+  * efC=500) builds from the corpus alone.
+  *
+  * The compared quantity is DISTANCE COMPUTATIONS per query at equal
+  * beam budget, not wall-clock QPS: on a time-shared VM wall-clock is
+  * machine noise (the r15-r17 bench archaeology), while comparisons
+  * are exact, machine-independent, and are what in-memory graph-kernel
+  * QPS is proportional to (both kernels do one metric.dist per visited
+  * node and nothing else data-dependent). A kernel regression that
+  * flips the ordering — roar needing MORE work than HNSW for the same
+  * ≥0.9 recall on OOD queries — fails here deterministically.
+  */
+class SweepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Dim = 32
+  private val N = 2000
+  private val NTrain = 400
+  private val NEval = 50
+  private val K = 10
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val nm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (nm == 0) v else v.map(x => (x / nm).toFloat)
+  }
+
+  private def unit(r: scala.util.Random): Array[Float] =
+    normalize(Array.fill(Dim)(r.nextGaussian().toFloat))
+
+  private lazy val corpus: Array[Array[Float]] = {
+    val r = new scala.util.Random(11)
+    Array.fill(N)(unit(r))
+  }
+
+  // the FIXED off-corpus pull: one direction shared by every query —
+  // the distribution shift that makes the workload OOD
+  private lazy val shift: Array[Float] = unit(new scala.util.Random(13))
+
+  /** One OOD query: anchored at a corpus point (so GT is meaningful),
+    * pulled hard toward the shared shift direction, plus noise. */
+  private def oodQuery(j: Int, seed: Long): Array[Float] = {
+    val c = corpus(math.abs(j * 37) % N)
+    val nz = unit(new scala.util.Random(seed))
+    normalize(Array.tabulate(Dim)(i =>
+      0.6f * c(i) + 0.8f * shift(i) + 0.25f * nz(i)))
+  }
+
+  private lazy val trainQs: Seq[Array[Float]] =
+    (0 until NTrain).map(j => oodQuery(j, 100000L + j))
+  private lazy val evalQs: Seq[Array[Float]] =
+    (0 until NEval).map(j => oodQuery(7919 * (j + 1), 900000L + j))
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < Dim) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Exact top-K ids per eval query (cosine desc, id asc). */
+  private lazy val gt: Seq[Set[Int]] = evalQs.map { q =>
+    corpus.zipWithIndex
+      .map { case (v, i) => (cosine(q, v), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(K).map(_._2).toSet
+  }
+
+  private lazy val fixture = {
+    import spark.implicits._
+    val corpusDf = corpus.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val trainDf = trainQs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    // reference-shape knobs scaled to the 2k corpus (the production
+    // knobs are 100/35/100; degree must scale with corpus size)
+    val params = graft.queries.IndexQueries.FixtureParams
+      .copy(mSq = 50, mPjbp = 35, lPjpq = 100)
+    val idx = GraphBuild.build(spark, corpusDf, trainDf, params)
+    val hnsw = Hnsw.buildParallel(idx.vecs, "cosine")
+    (idx, hnsw)
+  }
+
+  /** (mean Recall@K, total distance computations) per arm at beam
+    * budget `l`. */
+  private def roarAt(l: Int): (Double, Long) = {
+    val (idx, _) = fixture
+    val metric = Metrics("cosine")
+    val visited = new VisitedSet(idx.graph.n)
+    var cmps = 0L
+    var hit = 0
+    for ((q, qi) <- evalQs.zipWithIndex) {
+      val (queue, c, _) = BeamSearch.searchSingle(idx.graph, idx.vecs,
+        metric, VectorStore.normalized(q), l, visited)
+      cmps += c
+      val ids = (0 until math.min(K, queue.size)).map(queue.id)
+      hit += ids.count(gt(qi).contains)
+    }
+    (hit.toDouble / (K * NEval), cmps)
+  }
+
+  private def hnswAt(ef: Int): (Double, Long) = {
+    val (idx, hnsw) = fixture
+    var cmps = 0L
+    var hit = 0
+    for ((q, qi) <- evalQs.zipWithIndex) {
+      val (res, c) = Hnsw.searchKnnCounted(hnsw, idx.vecs, q, K, ef)
+      cmps += c
+      hit += res.map(_._1).count(gt(qi).contains)
+    }
+    (hit.toDouble / (K * NEval), cmps)
+  }
+
+  test("OOD ordering: RoarGraph reaches recall>=0.9 with no more distance work than HNSW at equal budget") {
+    val budgets = Seq(20, 30, 40, 60, 80, 120)
+    val rows = budgets.map { b =>
+      val (rr, rc) = roarAt(b)
+      val (hr, hc) = hnswAt(b)
+      info(f"budget $b%4d  roar recall $rr%.3f cmps $rc%7d   " +
+        f"hnsw recall $hr%.3f cmps $hc%7d")
+      (b, rr, rc, hr, hc)
+    }
+    // the gate: at every budget point where BOTH arms clear the
+    // paper's 0.9 recall bar, roar must not need more distance work;
+    // and at least two such points must exist (the gate must never be
+    // vacuously green)
+    val both = rows.filter { case (_, rr, _, hr, _) => rr >= 0.9 && hr >= 0.9 }
+    assert(both.size >= 2,
+      s"fewer than 2 grid points with both arms at recall>=0.9: $rows")
+    for ((b, rr, rc, hr, hc) <- both)
+      assert(rc <= hc,
+        f"ordering flipped at budget $b: roar $rc cmps (recall $rr%.3f) " +
+          f"> hnsw $hc cmps (recall $hr%.3f)")
+    // and roar must not need a LARGER budget to clear the bar at all
+    val roarFirst = rows.find(_._2 >= 0.9).map(_._1)
+    val hnswFirst = rows.find(_._4 >= 0.9).map(_._1)
+    assert(roarFirst.isDefined, s"roar never reached 0.9 on the grid: $rows")
+    assert(hnswFirst.forall(h => roarFirst.get <= h),
+      s"roar needed a larger budget than hnsw to reach 0.9: $rows")
+  }
+}
