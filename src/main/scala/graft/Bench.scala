@@ -112,6 +112,53 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** PURE provenance-guard decision for a default run's floors write —
+    * `Left(reason)` diverts the pass to the candidate file,
+    * `Right(rawSlowerNote)` replaces the committed floors (note=true
+    * when a raw-slower pass replaces via machine adjustment, which
+    * main() reports loudly). Extracted from main() so the guard's
+    * rules are unit-tested (BenchGuardSpec) — two rounds of ADVICE
+    * findings were bugs in exactly this decision while it lived
+    * untested inline.
+    *
+    * Rules, in order: (1) failed or non-positive queries never make a
+    * floor; (2) a different-scale run never replaces the sf artifact;
+    * (3) with usable same-surface floors and a control basket, the
+    * pass must be machine-adjusted BETTER (total/ctrlMedian below the
+    * committed total) AND its raw total must stay within
+    * `rawLoosenCap`x of the committed total (a uniform code
+    * regression also slows the controls and would otherwise
+    * masquerade as a slow host); (4) anything else — different query
+    * surface, no usable floors, no basket — replaces (ScaleSmoke
+    * floors must cover every key). */
+  private[graft] def floorGuardDecision(
+      failedCount: Int, anyNonPositive: Boolean,
+      committedSf: Option[String], sfDir: String,
+      floorsUsable: Boolean, floors: Map[String, Double],
+      names: Set[String], ctrlMedian: Double, newTotal: Double,
+      rawLoosenCap: Double = 1.5): Either[String, Boolean] =
+    if (failedCount > 0)
+      Left(s"$failedCount failed queries - a partial total is not a floor")
+    else if (anyNonPositive)
+      Left("non-positive timing recorded - not a usable floor")
+    else if (committedSf.exists(_ != sfDir))
+      Left(s"committed floors are for ${committedSf.get}, this run " +
+        s"is $sfDir")
+    else if (floorsUsable && floors.keySet == names && ctrlMedian > 0 &&
+             floors.values.forall(_ > 0)) {
+      val committedTotal = floors.values.sum
+      if (newTotal / ctrlMedian >= committedTotal)
+        Left(f"this pass $newTotal%.1f s / ctrl $ctrlMedian%.3f = " +
+          f"${newTotal / ctrlMedian}%.1f s machine-adjusted vs " +
+          f"committed $committedTotal%.1f s")
+      else if (newTotal > committedTotal * rawLoosenCap)
+        Left(f"machine-adjusted better but raw $newTotal%.1f s exceeds " +
+          f"$rawLoosenCap%.1fx committed $committedTotal%.1f s - " +
+          "run the binary A/B before loosening floors this far")
+      else Right(newTotal > committedTotal)
+    }
+    else Right(false)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -306,45 +353,23 @@ object Bench {
     val floorsUsable =
       !sys.env.contains("SPARK_GRAFT_BENCH_FLOORS") && floors.nonEmpty
     val failedCount = results.count { case (_, (_, ok, _)) => !ok }
-    // Machine-adjusted replacement is allowed to land a raw-slower pass
-    // (slow-host window, ctrlMedian > 1) — but a uniform CODE regression
-    // also slows the five controls and would masquerade as machine.
-    // Bound the damage: a raw total beyond 1.5x the committed total
-    // never auto-replaces; the binary A/B (docs/BENCH_NOTES.md) is the
-    // documented adjudication path for anything rawer.
-    val rawLoosenCap = 1.5
     val divert: Option[String] =
       if (!defaultRun) None
-      else if (failedCount > 0)
-        Some(s"$failedCount failed queries - a partial total is not a floor")
-      else if (results.exists { case (_, (sec, _, _)) => sec <= 0 })
-        Some("non-positive timing recorded - not a usable floor")
-      else if (committedSf.exists(_ != sfDir))
-        // a different-scale run can never be the sf-floors artifact
-        Some(s"committed floors are for ${committedSf.get}, this run " +
-          s"is $sfDir")
-      else if (floorsUsable && floors.keySet == names.toSet &&
-               ctrlMedian > 0 && floors.values.forall(_ > 0)) {
-        val committedTotal = floors.values.sum
-        if (newTotal / ctrlMedian >= committedTotal)
-          Some(f"this pass $newTotal%.1f s / ctrl $ctrlMedian%.3f = " +
-            f"${newTotal / ctrlMedian}%.1f s machine-adjusted vs " +
-            f"committed $committedTotal%.1f s")
-        else if (newTotal > committedTotal * rawLoosenCap)
-          Some(f"machine-adjusted better but raw $newTotal%.1f s exceeds " +
-            f"$rawLoosenCap%.1fx committed $committedTotal%.1f s - " +
-            "run the binary A/B before loosening floors this far")
-        else {
-          if (newTotal > committedTotal)
+      else floorGuardDecision(
+        failedCount,
+        anyNonPositive = results.exists { case (_, (sec, _, _)) => sec <= 0 },
+        committedSf, sfDir, floorsUsable, floors, names.toSet,
+        ctrlMedian, newTotal) match {
+        case Left(reason) => Some(reason)
+        case Right(rawSlower) =>
+          if (rawSlower)
             System.err.println(f"FLOOR GUARD NOTE: replacing floors with " +
               f"a RAW-SLOWER pass ($newTotal%.1f s vs committed " +
-              f"$committedTotal%.1f s), justified by ctrl " +
+              f"${floors.values.sum}%.1f s), justified by ctrl " +
               f"$ctrlMedian%.3f > 1 (slow-host window); binary A/B is " +
               "the backstop if this recurs")
           None
-        }
       }
-      else None
     val outPath = divert match {
       case Some(why) =>
         System.err.println("FLOOR GUARD: committed BENCH_LOCAL.json " +
