@@ -459,11 +459,13 @@ object InvertedIndex {
   /** Ingest the first batch as generation 0 under `root` and publish
     * the manifest. Returns the live generation dir. */
   def buildVersioned(spark: SparkSession, docsDf: DataFrame,
-                     root: String): String =
-    graft.index.Generations.withWriterLease(spark, root, "inv.build") {
+                     root: String, committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "inv.build",
+        committer) {
       val (gen, dir) = graft.index.Generations.next(spark, root)
       append(spark, docsDf, dir)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       dir
     }
 
@@ -573,13 +575,15 @@ object InvertedIndex {
     * successful publish. Query results are identical before and after
     * (compaction only erases content the tombstone anti-join already
     * hides). */
-  def compactVersioned(spark: SparkSession, root: String): String =
-    graft.index.Generations.withWriterLease(spark, root, "inv.compact") {
-      compactVersionedLocked(spark, root)
+  def compactVersioned(spark: SparkSession, root: String,
+                       committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "inv.compact",
+        committer) {
+      compactVersionedLocked(spark, root, committer)
     }
 
-  private def compactVersionedLocked(spark: SparkSession,
-                                     root: String): String = {
+  private def compactVersionedLocked(spark: SparkSession, root: String,
+                                     committer: String = ""): String = {
     val liveDir = resolveVersioned(spark, root)
     val (gen, newDir) = graft.index.Generations.next(spark, root)
     val f = fs(spark, root)
@@ -622,7 +626,7 @@ object InvertedIndex {
     readStats(spark, liveDir).foreach { case (wm, n, s) =>
       writeStats(spark, newDir, wm, n, s)
     }
-    graft.index.Generations.publish(spark, root, gen)
+    graft.index.Generations.publish(spark, root, gen, committer = committer)
     newDir
   }
 }

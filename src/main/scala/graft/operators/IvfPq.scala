@@ -343,12 +343,15 @@ object IvfPq {
   def buildVersioned(spark: SparkSession, data: DataFrame, root: String,
                      centroids: Array[Array[Float]],
                      codebooks: PqAnn.Codebooks,
-                     seeded: Boolean = false): String =
-    graft.index.Generations.withWriterLease(spark, root, "ivfpq.build") {
+                     seeded: Boolean = false,
+                     committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.build",
+        committer) {
       val (gen, dir) = graft.index.Generations.next(spark, root)
       if (seeded) writeIndexSeeded(spark, data, dir, centroids, codebooks)
       else writeIndex(spark, data, dir, centroids, codebooks)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       dir
     }
 
@@ -447,8 +450,10 @@ object IvfPq {
     * read-only input; a crash before publish leaves the old pointer
     * serving. The successor starts tombstone-free (nothing left to
     * mask once the rows are gone), so the deletion trigger re-arms. */
-  def compactVersioned(spark: SparkSession, root: String): String =
-    graft.index.Generations.withWriterLease(spark, root, "ivfpq.compact") {
+  def compactVersioned(spark: SparkSession, root: String,
+                       committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.compact",
+        committer) {
       val liveDir = resolveVersioned(spark, root)
       val (gen, newDir) = graft.index.Generations.next(spark, root)
       fs(spark, root).delete(new Path(newDir), true) // crashed debris
@@ -457,7 +462,8 @@ object IvfPq {
         .repartition(col("cell"))
         .sortWithinPartitions("d_id")
         .write.partitionBy("cell").mode("overwrite").parquet(newDir)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       newDir
     }
 

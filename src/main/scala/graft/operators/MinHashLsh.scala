@@ -247,12 +247,15 @@ object MinHashLsh {
 
   /** Persist the first corpus's band keys as generation 0 under `root`
     * and publish. Returns the live generation dir. */
-  def buildVersioned(keys: DataFrame, root: String): String = {
+  def buildVersioned(keys: DataFrame, root: String,
+                     committer: String = ""): String = {
     val spark = keys.sparkSession
-    graft.index.Generations.withWriterLease(spark, root, "band.build") {
+    graft.index.Generations.withWriterLease(spark, root, "band.build",
+        committer) {
       val (gen, dir) = graft.index.Generations.next(spark, root)
       writeBandIndex(keys, dir)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       dir
     }
   }
@@ -359,8 +362,10 @@ object MinHashLsh {
     * generation, the gross watermark carried verbatim; publish; retire
     * out-of-grace generations. Live generation strictly read-only. */
   def compactVersioned(spark: org.apache.spark.sql.SparkSession,
-                       root: String, numFiles: Int = 0): String =
-    graft.index.Generations.withWriterLease(spark, root, "band.compact") {
+                       root: String, numFiles: Int = 0,
+                       committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "band.compact",
+        committer) {
       val liveDir = resolveVersioned(spark, root)
       val (gen, newDir) = graft.index.Generations.next(spark, root)
       val f = new org.apache.hadoop.fs.Path(root)
@@ -375,7 +380,8 @@ object MinHashLsh {
         .sortWithinPartitions("key", "band")
         .write.mode("overwrite").parquet(newDir)
       wm.foreach(Watermark.write(spark, newDir, _))
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       newDir
     }
 

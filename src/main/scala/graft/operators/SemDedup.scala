@@ -305,12 +305,14 @@ object SemDedup {
   /** Persist the first corpus as generation 0 under `root` and
     * publish. Returns the live generation dir. */
   def buildVersioned(corpus: DataFrame, centroids: Array[Array[Float]],
-                     root: String): String = {
+                     root: String, committer: String = ""): String = {
     val spark = corpus.sparkSession
-    graft.index.Generations.withWriterLease(spark, root, "cell.build") {
+    graft.index.Generations.withWriterLease(spark, root, "cell.build",
+        committer) {
       val (gen, dir) = graft.index.Generations.next(spark, root)
       writeCellIndex(corpus, centroids, dir)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       dir
     }
   }
@@ -408,8 +410,9 @@ object SemDedup {
     * gross watermark carried verbatim; publish; retire out-of-grace
     * generations. Live generation strictly read-only. */
   def compactVersioned(spark: org.apache.spark.sql.SparkSession,
-                       root: String): String =
-    graft.index.Generations.withWriterLease(spark, root, "cell.compact") {
+                       root: String, committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "cell.compact",
+        committer) {
       val liveDir = resolveVersioned(spark, root)
       val (gen, newDir) = graft.index.Generations.next(spark, root)
       fsFor(spark, root).delete(
@@ -421,7 +424,8 @@ object SemDedup {
         .sortWithinPartitions("id")
         .write.partitionBy("cell").mode("overwrite").parquet(newDir)
       wm.foreach(writeWatermark(spark, newDir, _))
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       newDir
     }
 

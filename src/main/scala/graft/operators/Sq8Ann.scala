@@ -379,11 +379,14 @@ object Sq8Ann {
   /** Train + encode the first corpus as generation 0 under `root` and
     * publish. Returns (live generation dir, trained bounds). */
   def buildVersioned(spark: org.apache.spark.sql.SparkSession,
-                     data: DataFrame, root: String): (String, Bounds) =
-    graft.index.Generations.withWriterLease(spark, root, "sq8.build") {
+                     data: DataFrame, root: String,
+                     committer: String = ""): (String, Bounds) =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.build",
+        committer) {
       val (gen, dir) = graft.index.Generations.next(spark, root)
       val b = writeIndex(data, dir)
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       (dir, b)
     }
 
@@ -456,8 +459,9 @@ object Sq8Ann {
     * bounds sidecar into a NEW generation; publish; retire
     * out-of-grace generations. Live generation strictly read-only. */
   def compactVersioned(spark: org.apache.spark.sql.SparkSession,
-                       root: String): String =
-    graft.index.Generations.withWriterLease(spark, root, "sq8.compact") {
+                       root: String, committer: String = ""): String =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.compact",
+        committer) {
       val liveDir = resolveVersioned(spark, root)
       val (gen, newDir) = graft.index.Generations.next(spark, root)
       val f = new org.apache.hadoop.fs.Path(root)
@@ -470,7 +474,8 @@ object Sq8Ann {
         .write.mode("overwrite").parquet(s"$newDir/codes")
       spark.read.parquet(s"$liveDir/bounds")
         .coalesce(1).write.mode("overwrite").parquet(s"$newDir/bounds")
-      graft.index.Generations.publish(spark, root, gen)
+      graft.index.Generations.publish(spark, root, gen,
+        committer = committer)
       newDir
     }
 }
