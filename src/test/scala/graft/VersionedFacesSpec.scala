@@ -301,6 +301,51 @@ class VersionedFacesSpec extends AnyFunSuite {
       "inverted-face BM25 diverged between commit protocols")
   }
 
+  test("explicit committer parameter overrides the session conf on a face's build/compact") {
+    // the r17-flagged pattern was a fixture toggling the SESSION-GLOBAL
+    // spark.graft.gen.committer around a multi-step build; the faces
+    // now take the protocol per call. Pin both directions: the param
+    // selects seqlog while the conf sits at its rename default, and
+    // selects rename while the conf says seqlog — the conf is only the
+    // default, never an override.
+    import spark.implicits._
+    def names(root: String): Set[String] = {
+      val d = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val sh = TextQueries.shingleHashes((1L to 30L).map(i =>
+      (i, s"alpha beta gamma delta${i % 5} eps${i % 3}"))
+      .toDF("doc_id", "text"))
+    // conf untouched (default rename); the param alone lands a CAS log
+    val r1 = java.nio.file.Files
+      .createTempDirectory("graft_param_seqlog_").toString
+    MinHashLsh.buildVersioned(MinHashLsh.bandKeys(sh, 8, 2), r1,
+      committer = "seqlog")
+    assert(MinHashLsh.compactVersioned(spark, r1, committer = "seqlog")
+      === s"$r1/gen1")
+    val n1 = names(r1)
+    assert(n1.contains("MANIFEST.000000000001") &&
+      n1.contains("MANIFEST.000000000002") && !n1.contains("MANIFEST"),
+      s"explicit seqlog param did not commit through the CAS log: $n1")
+    // conf says seqlog; the explicit rename param wins for this call
+    val corpus = (1L to 20L).map(i => (i, s"t${i % 5} shared"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    try {
+      val r2 = java.nio.file.Files
+        .createTempDirectory("graft_param_rename_").toString
+      graft.operators.InvertedIndex.buildVersioned(spark, corpus, r2,
+        committer = "rename")
+      val n2 = names(r2)
+      assert(n2.contains("MANIFEST") &&
+        !n2.exists(_.matches("MANIFEST\\.\\d{12}")),
+        s"explicit rename param did not flip the legacy pointer: $n2")
+    } finally spark.conf.unset("spark.graft.gen.committer")
+  }
+
   test("seqlog on a rename-free store: full lifecycles on the sharded and inverted faces never rename a root-level file") {
     // NonAtomicMockFs proves the GUARD trips on an unknown scheme; this
     // is the stronger claim — the whole g8_sql_versioned_seqlog shape
