@@ -1202,26 +1202,39 @@ object ShardedIndex {
     }
 
   /** [[appendDelta]] against the live generation (writer face —
-    * single-writer contract unchanged). */
+    * single-writer contract unchanged). `committer` is per-call on
+    * EVERY mutating face, not just build/compact: the lease's store
+    * check derives from the committer mode, so on a CAS-only store a
+    * seqlog lifecycle would otherwise fail loudly at its first
+    * append/delete unless the session-global conf were also set —
+    * contradicting the "conf is only the default" contract. */
   def appendVersioned(spark: SparkSession, delta: DataFrame, root: String,
-                      params: BuildParams): ShardedIndexRef =
-    Generations.withWriterLease(spark, root, "sharded.append") {
+                      params: BuildParams,
+                      committer: String = ""): ShardedIndexRef =
+    Generations.withWriterLease(spark, root, "sharded.append", committer) {
       appendDelta(spark, delta,
         resolveVersioned(spark, root, params.metric), params)
     }
 
-  /** [[deleteFromIndex]] against the live generation (writer face). */
+  /** [[deleteFromIndex]] against the live generation (writer face).
+    * Explicit overload pair (not a default argument): Scala allows
+    * default arguments on only ONE overloaded alternative, and the
+    * DataFrame variant holds it. */
   def deleteVersioned(spark: SparkSession, root: String,
                       gids: Seq[Long]): Long =
-    Generations.withWriterLease(spark, root, "sharded.delete") {
+    deleteVersioned(spark, root, gids, "")
+
+  def deleteVersioned(spark: SparkSession, root: String,
+                      gids: Seq[Long], committer: String): Long =
+    Generations.withWriterLease(spark, root, "sharded.delete", committer) {
       Generations.liveDir(spark, root)
         .map(deleteFromIndex(spark, _, gids)).getOrElse(0L)
     }
 
   /** [[deleteVersioned]] for an id RELATION (`gid` column). */
   def deleteVersioned(spark: SparkSession, root: String,
-                      idsDf: DataFrame): Long =
-    Generations.withWriterLease(spark, root, "sharded.delete") {
+                      idsDf: DataFrame, committer: String = ""): Long =
+    Generations.withWriterLease(spark, root, "sharded.delete", committer) {
       Generations.liveDir(spark, root)
         .map(deleteFromIndex(spark, _, idsDf)).getOrElse(0L)
     }

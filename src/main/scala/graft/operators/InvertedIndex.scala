@@ -478,24 +478,37 @@ object InvertedIndex {
       sys.error(s"no published inverted-index generation at $root"))
 
   /** [[append]] / [[deleteDocs]] / [[bm25Query]] against the live
-    * generation (writer faces keep the single-writer contract). */
+    * generation (writer faces keep the single-writer contract).
+    * `committer` is per-call on every mutating face (the lease's store
+    * check derives from it — a CAS-only store needs it on append/delete
+    * too, not just build/compact). */
   def appendVersioned(spark: SparkSession, docsDf: DataFrame,
-                      root: String): Unit =
-    graft.index.Generations.withWriterLease(spark, root, "inv.append") {
+                      root: String, committer: String = ""): Unit =
+    graft.index.Generations.withWriterLease(spark, root, "inv.append",
+        committer) {
       append(spark, docsDf, resolveVersioned(spark, root))
     }
 
+  // explicit overload pair (not a default argument): Scala allows
+  // default arguments on only ONE overloaded alternative, and the
+  // DataFrame variant holds it
   def deleteVersioned(spark: SparkSession, root: String,
                       ids: Seq[Long]): Long =
-    graft.index.Generations.withWriterLease(spark, root, "inv.delete") {
+    deleteVersioned(spark, root, ids, "")
+
+  def deleteVersioned(spark: SparkSession, root: String,
+                      ids: Seq[Long], committer: String): Long =
+    graft.index.Generations.withWriterLease(spark, root, "inv.delete",
+        committer) {
       deleteDocs(spark, resolveVersioned(spark, root), ids)
     }
 
   /** [[deleteVersioned]] for an id RELATION (`doc_id` column) — the
     * takedown-feed shape. */
   def deleteVersioned(spark: SparkSession, root: String,
-                      idsDf: DataFrame): Long =
-    graft.index.Generations.withWriterLease(spark, root, "inv.delete") {
+                      idsDf: DataFrame, committer: String = ""): Long =
+    graft.index.Generations.withWriterLease(spark, root, "inv.delete",
+        committer) {
       deleteDocs(spark, resolveVersioned(spark, root), idsDf)
     }
 

@@ -364,12 +364,17 @@ object IvfPq {
       sys.error(s"no published IVF-PQ generation at $root"))
 
   /** [[appendIndex]] against the live generation (delta files only;
-    * the frozen-quantizer contract unchanged). */
+    * the frozen-quantizer contract unchanged). `committer` is per-call
+    * on every mutating face (the lease's store check derives from it —
+    * a CAS-only store needs it on append/delete too, not just
+    * build/compact). */
   def appendVersioned(spark: SparkSession, delta: DataFrame, root: String,
                       centroids: Array[Array[Float]],
                       codebooks: PqAnn.Codebooks,
-                      seeded: Boolean = false): Unit =
-    graft.index.Generations.withWriterLease(spark, root, "ivfpq.append") {
+                      seeded: Boolean = false,
+                      committer: String = ""): Unit =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.append",
+        committer) {
       if (seeded) appendIndexSeeded(spark, delta,
         resolveVersioned(spark, root), centroids, codebooks)
       else appendIndex(spark, delta,
@@ -378,18 +383,26 @@ object IvfPq {
 
   /** [[deleteFromIndex]] against the live generation. */
   def deleteVersioned(spark: SparkSession, root: String,
-                      idsDf: DataFrame): Long =
-    graft.index.Generations.withWriterLease(spark, root, "ivfpq.delete") {
+                      idsDf: DataFrame, committer: String = ""): Long =
+    graft.index.Generations.withWriterLease(spark, root, "ivfpq.delete",
+        committer) {
       deleteFromIndex(spark, resolveVersioned(spark, root), idsDf)
     }
 
-  /** [[deleteVersioned]] for a literal takedown list. */
+  /** [[deleteVersioned]] for a literal takedown list. Explicit overload
+    * pair (not a default argument): Scala allows default arguments on
+    * only ONE overloaded alternative, and the DataFrame variant holds
+    * it. */
   def deleteVersioned(spark: SparkSession, root: String,
                       ids: Seq[Long]): Long =
+    deleteVersioned(spark, root, ids, "")
+
+  def deleteVersioned(spark: SparkSession, root: String,
+                      ids: Seq[Long], committer: String): Long =
     if (ids.isEmpty) 0L
     else {
       import spark.implicits._
-      deleteVersioned(spark, root, ids.distinct.toDF("d_id"))
+      deleteVersioned(spark, root, ids.distinct.toDF("d_id"), committer)
     }
 
   /** Tombstoned fraction of the live generation's physical rows — the

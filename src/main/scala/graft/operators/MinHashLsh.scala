@@ -273,28 +273,43 @@ object MinHashLsh {
                     root: String): DataFrame =
     readBandIndex(spark, resolveVersioned(spark, root))
 
-  /** [[appendBandIndex]] against the live generation. */
-  def appendVersioned(keys: DataFrame, root: String): Unit = {
+  /** [[appendBandIndex]] against the live generation. `committer` is
+    * per-call on every mutating face (the lease's store check derives
+    * from it — a CAS-only store needs it on append/delete too, not just
+    * build/compact). */
+  def appendVersioned(keys: DataFrame, root: String,
+                      committer: String = ""): Unit = {
     val spark = keys.sparkSession
-    graft.index.Generations.withWriterLease(spark, root, "band.append") {
+    graft.index.Generations.withWriterLease(spark, root, "band.append",
+        committer) {
       appendBandIndex(keys, resolveVersioned(spark, root))
     }
   }
 
   /** [[deleteFromBandIndex]] against the live generation. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
-                      root: String, idsDf: DataFrame): Long =
-    graft.index.Generations.withWriterLease(spark, root, "band.delete") {
+                      root: String, idsDf: DataFrame,
+                      committer: String = ""): Long =
+    graft.index.Generations.withWriterLease(spark, root, "band.delete",
+        committer) {
       deleteFromBandIndex(spark, resolveVersioned(spark, root), idsDf)
     }
 
-  /** [[deleteVersioned]] for a literal takedown list. */
+  /** [[deleteVersioned]] for a literal takedown list. Explicit overload
+    * pair (not a default argument): Scala allows default arguments on
+    * only ONE overloaded alternative, and the DataFrame variant holds
+    * it. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
                       root: String, ids: Seq[Long]): Long =
+    deleteVersioned(spark, root, ids, "")
+
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long],
+                      committer: String): Long =
     if (ids.isEmpty) 0L
     else {
       import spark.implicits._
-      deleteVersioned(spark, root, ids.distinct.toDF("doc_id"))
+      deleteVersioned(spark, root, ids.distinct.toDF("doc_id"), committer)
     }
 
   /** Band count per doc, cached per live GENERATION dir — immutable

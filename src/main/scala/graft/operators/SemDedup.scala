@@ -339,29 +339,43 @@ object SemDedup {
     incrementalMark(spark, resolveVersioned(spark, root), centroids,
       batch, tau)
 
-  /** [[appendCellIndex]] against the live generation. */
+  /** [[appendCellIndex]] against the live generation. `committer` is
+    * per-call on every mutating face (the lease's store check derives
+    * from it — a CAS-only store needs it on append/delete too, not just
+    * build/compact). */
   def appendVersioned(batch: DataFrame, centroids: Array[Array[Float]],
-                      root: String): Unit = {
+                      root: String, committer: String = ""): Unit = {
     val spark = batch.sparkSession
-    graft.index.Generations.withWriterLease(spark, root, "cell.append") {
+    graft.index.Generations.withWriterLease(spark, root, "cell.append",
+        committer) {
       appendCellIndex(batch, centroids, resolveVersioned(spark, root))
     }
   }
 
   /** [[deleteFromCellIndex]] against the live generation. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
-                      root: String, idsDf: DataFrame): Long =
-    graft.index.Generations.withWriterLease(spark, root, "cell.delete") {
+                      root: String, idsDf: DataFrame,
+                      committer: String = ""): Long =
+    graft.index.Generations.withWriterLease(spark, root, "cell.delete",
+        committer) {
       deleteFromCellIndex(spark, resolveVersioned(spark, root), idsDf)
     }
 
-  /** [[deleteVersioned]] for a literal takedown list. */
+  /** [[deleteVersioned]] for a literal takedown list. Explicit overload
+    * pair (not a default argument): Scala allows default arguments on
+    * only ONE overloaded alternative, and the DataFrame variant holds
+    * it. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
                       root: String, ids: Seq[Long]): Long =
+    deleteVersioned(spark, root, ids, "")
+
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long],
+                      committer: String): Long =
     if (ids.isEmpty) 0L
     else {
       import spark.implicits._
-      deleteVersioned(spark, root, ids.distinct.toDF("id"))
+      deleteVersioned(spark, root, ids.distinct.toDF("id"), committer)
     }
 
   /** Tombstoned fraction of the live generation (one row per doc, so

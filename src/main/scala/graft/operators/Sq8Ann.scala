@@ -399,27 +399,42 @@ object Sq8Ann {
     graft.index.Generations.liveDir(spark, root).getOrElse(
       sys.error(s"no published SQ8 generation at $root"))
 
-  /** [[appendIndex]] against the live generation (frozen bounds). */
+  /** [[appendIndex]] against the live generation (frozen bounds).
+    * `committer` is per-call on every mutating face (the lease's store
+    * check derives from it — a CAS-only store needs it on append/delete
+    * too, not just build/compact). */
   def appendVersioned(spark: org.apache.spark.sql.SparkSession,
-                      root: String, delta: DataFrame): Unit =
-    graft.index.Generations.withWriterLease(spark, root, "sq8.append") {
+                      root: String, delta: DataFrame,
+                      committer: String = ""): Unit =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.append",
+        committer) {
       appendIndex(spark, resolveVersioned(spark, root), delta)
     }
 
   /** [[deleteFromIndex]] against the live generation. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
-                      root: String, idsDf: DataFrame): Long =
-    graft.index.Generations.withWriterLease(spark, root, "sq8.delete") {
+                      root: String, idsDf: DataFrame,
+                      committer: String = ""): Long =
+    graft.index.Generations.withWriterLease(spark, root, "sq8.delete",
+        committer) {
       deleteFromIndex(spark, resolveVersioned(spark, root), idsDf)
     }
 
-  /** [[deleteVersioned]] for a literal takedown list. */
+  /** [[deleteVersioned]] for a literal takedown list. Explicit overload
+    * pair (not a default argument): Scala allows default arguments on
+    * only ONE overloaded alternative, and the DataFrame variant holds
+    * it. */
   def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
                       root: String, ids: Seq[Long]): Long =
+    deleteVersioned(spark, root, ids, "")
+
+  def deleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Long],
+                      committer: String): Long =
     if (ids.isEmpty) 0L
     else {
       import spark.implicits._
-      deleteVersioned(spark, root, ids.distinct.toDF("d_id"))
+      deleteVersioned(spark, root, ids.distinct.toDF("d_id"), committer)
     }
 
   /** Tombstoned fraction of the live generation's physical code rows —

@@ -360,7 +360,13 @@ class VersionedFacesSpec extends AnyFunSuite {
     import graft.queries.IndexQueries
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.casonly.impl", classOf[CasOnlyMockFs].getName)
-    spark.conf.set("spark.graft.gen.committer", "seqlog")
+    // committer=seqlog travels PER CALL on every mutating face below —
+    // the session conf stays at its "rename" default throughout. This
+    // is the contract pin: the lease's store check derives from the
+    // call's committer, so append/delete on a CAS-only store must work
+    // without any session-global toggle (they used to fail at
+    // requireAtomicStore unless the conf was also set, which this
+    // test's earlier shape masked by setting it).
     spark.conf.set("spark.graft.gen.casSchemes", "casonly")
     try {
       // ----- sharded face: the g8 certificate shape -----
@@ -371,11 +377,13 @@ class VersionedFacesSpec extends AnyFunSuite {
       ShardedIndex.resetResidencyTracking()
       ShardedIndex.buildVersioned(spark,
         emb.filter(col("vec_id") < 250), IndexQueries.FixtureParams,
-        nShards = 2, root)
+        nShards = 2, root, committer = "seqlog")
       ShardedIndex.appendVersioned(spark,
-        emb.filter(col("vec_id") >= 250), root, IndexQueries.FixtureParams)
+        emb.filter(col("vec_id") >= 250), root, IndexQueries.FixtureParams,
+        committer = "seqlog")
       val victims = Seq(5L, 260L)
-      assert(ShardedIndex.deleteVersioned(spark, root, victims) === 2L)
+      assert(ShardedIndex.deleteVersioned(spark, root, victims,
+        committer = "seqlog") === 2L)
       val q = emb.filter(col("vec_id") % 30 === 1)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       def top10(): Map[Long, Seq[Long]] =
@@ -389,7 +397,7 @@ class VersionedFacesSpec extends AnyFunSuite {
       val before = top10()
       assert(before.values.flatten.forall(d => !victims.contains(d)))
       val live = ShardedIndex.compactVersioned(spark, root,
-        IndexQueries.FixtureParams)
+        IndexQueries.FixtureParams, committer = "seqlog")
       assert(live.path === s"$root/gen1")
       assert(top10() === before, "the fold changed survivor results")
       // every flip landed as an immutable CAS append; no legacy pointer
@@ -414,10 +422,12 @@ class VersionedFacesSpec extends AnyFunSuite {
       }
       // second fold (delete → compact) exercises retirement + the
       // history floor on the same rename-free store
-      assert(ShardedIndex.deleteVersioned(spark, root, Seq(7L)) === 1L)
+      assert(ShardedIndex.deleteVersioned(spark, root, Seq(7L),
+        committer = "seqlog") === 1L)
       val expected = top10()
       assert(ShardedIndex.maybeCompactVersioned(spark, root,
-        IndexQueries.FixtureParams, maxDeletedFrac = 0.001)
+        IndexQueries.FixtureParams, maxDeletedFrac = 0.001,
+        committer = "seqlog")
         .path === s"$root/gen2")
       assert(top10() === expected,
         "the second fold diverged from mask semantics")
@@ -429,11 +439,13 @@ class VersionedFacesSpec extends AnyFunSuite {
       val docs = (1L to 40L).map(i =>
         (i, s"term${i % 7} term${i % 5} shared filler${i % 3}"))
         .toDF("doc_id", "text")
-      graft.operators.InvertedIndex.buildVersioned(spark, docs, iroot)
+      graft.operators.InvertedIndex.buildVersioned(spark, docs, iroot,
+        committer = "seqlog")
       assert(graft.operators.InvertedIndex
-        .deleteVersioned(spark, iroot, Seq(3L, 15L)) === 2L)
+        .deleteVersioned(spark, iroot, Seq(3L, 15L),
+          committer = "seqlog") === 2L)
       val ilive = graft.operators.InvertedIndex
-        .compactVersioned(spark, iroot)
+        .compactVersioned(spark, iroot, committer = "seqlog")
       assert(ilive === s"$iroot/gen1")
       val ranked = graft.operators.InvertedIndex
         .bm25Query(spark, ilive, Seq("term1", "shared"), k = 15)
@@ -443,7 +455,6 @@ class VersionedFacesSpec extends AnyFunSuite {
         s"$ilocal/MANIFEST.000000000002")))
     } finally {
       spark.conf.unset("spark.graft.gen.casSchemes")
-      spark.conf.unset("spark.graft.gen.committer")
     }
   }
 
