@@ -141,17 +141,30 @@ object HybridServeCompact {
     val reader = new Thread(() => {
       var i = 0
       try while (!stop.get()) {
-        val ph = phase.get()
-        if (ph == "pause") Thread.sleep(10)
+        if (phase.get() == "pause") Thread.sleep(10)
         else {
           busy.set(true)
           try {
-            val exp = expected.get()
-            val t0 = System.nanoTime()
-            val got = fusedTop20(survivorsOnly = ph != "before")
-            val lat = (System.nanoTime() - t0) / 1e9
-            out.add((ph, i, lat, got == exp))
-            i += 1
+            // re-read the phase AFTER raising busy, and only run the
+            // batch if it is still un-paused: the main thread lands the
+            // takedown and swaps the expectation once it observes
+            // busy==false after setting "pause", so a phase snapshot
+            // taken BEFORE busy went up can be stale — the stale batch
+            // would run survivorsOnly=false against the post-takedown
+            // oracle and record a spurious mismatch (exit 1). With the
+            // re-check, either the batch's phase read follows the pause
+            // write (it skips, nothing scored), or busy was up before
+            // the main thread's drain check (the batch completes
+            // against the not-yet-swapped expectation).
+            val ph = phase.get()
+            if (ph != "pause") {
+              val exp = expected.get()
+              val t0 = System.nanoTime()
+              val got = fusedTop20(survivorsOnly = ph != "before")
+              val lat = (System.nanoTime() - t0) / 1e9
+              out.add((ph, i, lat, got == exp))
+              i += 1
+            }
           } finally busy.set(false)
         }
       } catch { case t: Throwable => errors.add(t) }
