@@ -672,6 +672,41 @@ object AnnQueries extends QueryPack {
           round(element_at(col("embedding"), 1), 6).as("first_elem"))
     }),
 
+    // S14 DETERMINISTIC TWIN (hash-green certificate for the random
+    // source's generate→normalize pipeline shape, reference semantics
+    // utility_methods.cpp:104-154): the JVM RNG is replaced by a
+    // value-hash generator BOTH engines recompute bit-for-bit — an
+    // integer multiplicative hash per (vec_id, pos, rep) mapped to a
+    // uniform in [0,1), twelve uniforms summed (Irwin–Hall, the CLT
+    // pseudo-Gaussian) and centered, then L2-normalized per vector.
+    // Irwin–Hall instead of Box–Muller DELIBERATELY: log/cos are libm
+    // calls whose last-ulp rounding is not pinned across engines (the
+    // plantNearDupsExact precedent), while integer arithmetic, exact
+    // division, and same-order double addition are. The sum-of-squares
+    // accumulates in ascending-pos order on both sides (ordered
+    // cumulative window), and the boundary double-rounds like every
+    // other certified FP query.
+    "s14_random_vectors_seeded" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val Q = 2147483647L // 2^31-1: keeps every intermediate < 2^63 (ANSI)
+      def u(t: Int) =
+        (((col("vec_id") * 1000003L + col("pos") * 7919L +
+           lit(t.toLong) * 104729L) * 2654435761L) % Q)
+          .cast("double") / lit(2147483647.0)
+      val v = (1 to 12).map(u).reduce(_ + _) - lit(6.0)
+      val cum = Window.partitionBy("vec_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.range(200).toDF("vec_id")
+        .select(col("vec_id"),
+          explode(sequence(lit(0L), lit(15L))).as("pos"))
+        .withColumn("v", v)
+        .withColumn("css", sum(col("v") * col("v")).over(cum))
+        .withColumn("ss",
+          max(col("css")).over(Window.partitionBy("vec_id")))
+        .select(col("vec_id"), col("pos"),
+          round(round(col("v") / sqrt(col("ss")), 9), 6).as("val"))
+    }),
+
     // Multimodal: batched byte-level features over opaque binary payloads,
     // scalarized at the query boundary (the driver's compare can't sort
     // array columns) and DuckDB-oracled: n_bytes + entropy + all 16
@@ -1987,7 +2022,44 @@ object AnnQueries extends QueryPack {
        |SELECT vec_id, round(score, 6) AS score FROM ranked
        |WHERE rnk <= ${2 * K}""".stripMargin
 
+  /** s14_random_vectors_seeded oracle — the identical integer-hash
+    * Irwin–Hall generator in SQL: same multiplicative hash, same
+    * twelve-term left-to-right uniform sum, same ascending-pos ordered
+    * cumulative sum-of-squares, same round9→round6 boundary. */
+  private val s14SeededOracle: String = {
+    val terms = (1 to 12).map(t =>
+      s"(CAST(((i*1000003 + j*7919 + $t*104729) * 2654435761) % 2147483647" +
+        " AS DOUBLE) / 2147483647.0)").mkString(" + ")
+    s"""WITH raw AS (
+       |  SELECT i AS vec_id, j AS pos, ($terms) - 6.0 AS v
+       |  FROM range(0,200) t1(i), range(0,16) t2(j)),
+       |css AS (
+       |  SELECT vec_id, pos, v,
+       |         SUM(v*v) OVER (PARTITION BY vec_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+       |  FROM raw),
+       |n AS (SELECT vec_id, MAX(cs) AS ss FROM css GROUP BY vec_id)
+       |SELECT r.vec_id, r.pos,
+       |       round(round(r.v / sqrt(n.ss), 9), 6) AS val
+       |FROM raw r JOIN n USING (vec_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "s14_random_vectors_seeded" -> s14SeededOracle,
+    // mm decode FIXTURE-CHECKSUM oracles: the decode outputs are
+    // deterministic pure-JVM functions of synthetic payloads derived
+    // from doc_id alone (no sf dependence below the doc_id filter), so
+    // the oracle reads back a committed expected-parquet generated by
+    // graft.tools.MmExpected — a behavior-drift checksum gate. If the
+    // decode semantics intentionally change, regenerate via that tool.
+    "mm_image_decode" ->
+      """SELECT doc_id, png_bytes, pos, val FROM
+        |read_parquet('/root/repo/fixtures/mm_image_decode_expected.parquet')"""
+        .stripMargin,
+    "mm_video_decode" ->
+      """SELECT doc_id, frame_idx, pos, val FROM
+        |read_parquet('/root/repo/fixtures/mm_video_decode_expected.parquet')"""
+        .stripMargin,
     "knn_sql_filtered" -> filteredExactOracle,
     "knn_sql_filtered_sharded_exact" -> filteredExactOracle,
     // g8_sql_saturated (+ the sharded / ivfpq tier certificates, same
