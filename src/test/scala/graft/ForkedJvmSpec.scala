@@ -243,6 +243,54 @@ class ForkedJvmSpec extends AnyFunSuite {
       }
     }
 
+  test("kill -9 the reader: a dead JVM's fresh lease still pins; after its TTL the next publish retires generation and lease file") {
+    // the symmetric claim to the kill -9 publisher cases: the READER
+    // dies mid-scan holding a lease. (a) While the lease is fresh its
+    // pinned generation must survive keepGens=0 publishes — a reader
+    // that is merely slow is indistinguishable from a dead one, and
+    // deleting under it would corrupt an in-flight scan. (b) Once the
+    // lease's own TTL passes, the next publish must retire the pinned
+    // generation (a dead reader must not wedge storage reclamation
+    // forever) and (c) delete the leaked lease file — no unbounded
+    // lease-file accumulation from crashed readers.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_kill9_reader_").toString
+    val root = s"$dir/root"
+    def mkGen(n: String): Unit = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/$n"))
+    def exists(n: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/$n"))
+    def readerLeases(): Long = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.filter(_.getFileName.toString.startsWith("_reader.")).count()
+      finally s.close()
+    }
+    mkGen("gen0"); Generations.publish(spark, root, "gen0")
+    val leased = s"$dir/leased"
+    // 8 s TTL: long enough that the first (fresh-lease) publish below
+    // certainly lands inside it, short enough to wait out
+    val p = launch(dir, "readerpin", root, "8000", leased)
+    try {
+      assert(awaitFile(leased, Seq(p)) === s"$root/gen0")
+      p.destroyForcibly() // SIGKILL mid-scan: no release, no cleanup
+      p.waitFor()
+      assert(readerLeases() === 1,
+        "SIGKILL should have left the reader lease file in place")
+      // (a) the dead-but-fresh lease pins through a keepGens=0 flip
+      mkGen("gen1"); Generations.publish(spark, root, "gen1", keepGens = 0)
+      assert(exists("gen0"),
+        "a fresh lease of a dead reader did not pin its generation")
+      // (b)+(c) after the TTL, the next publish retires AND cleans up
+      Thread.sleep(8200) // > ttl since acquisition (stamped at acquire)
+      mkGen("gen2"); Generations.publish(spark, root, "gen2", keepGens = 0)
+      assert(!exists("gen0"),
+        "an expired dead-reader lease kept pinning its generation")
+      assert(!exists("gen1"), "keepGens=0 grace should retire gen1")
+      assert(readerLeases() === 0,
+        "the expired dead-reader lease file leaked")
+    } finally p.destroyForcibly()
+  }
+
   test("reader lease across processes: a generation pinned by another JVM survives keepGens=0 publishes here") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_fork_rlease_").toString

@@ -100,6 +100,20 @@ object TwoProcessMain {
           write(committed, "committed")
           Thread.sleep(600000) // killed -9 by the parent long before this
         }
+      // readerpin <root> <ttlMs> <leasedFile>: take a reader lease with
+      // a SHORT explicit TTL, report the pinned dir, then hang
+      // mid-"scan" — the parent kill -9s this process HERE, so the
+      // lease file is never released. What must then hold in the
+      // parent: the pinned generation survives publishes while the
+      // dead lease is fresh, and after the TTL the next publish both
+      // retires the generation and deletes the leaked lease file.
+      case "readerpin" =>
+        val Array(_, root, ttlMs, leased) = args
+        spark.conf.set("spark.graft.gen.readerLeaseMs", ttlMs)
+        graft.index.Generations.withReaderLease(spark, root) { dir =>
+          write(leased, dir)
+          Thread.sleep(600000) // killed -9 by the parent long before this
+        }
       // readerlease <root> <leasedFile> <releaseFile>: pin the live
       // generation, report it, hold the lease until told to release
       case "readerlease" =>
