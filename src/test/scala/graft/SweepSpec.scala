@@ -129,6 +129,36 @@ class SweepSpec extends AnyFunSuite {
     (hit.toDouble / (K * NEval), cmps)
   }
 
+  /** NSG interop arm (the reference's vendored baseline shape,
+    * `tests/nsg/search_rerank_nsg.cpp`): the SAME built graph exported
+    * to the NSG byte format, re-imported, served by the same kernel —
+    * the format and serving path are what the arm locks, exactly as in
+    * Sweep's nsg arm. */
+  private lazy val nsgGraph = {
+    val (idx, _) = fixture
+    val f = java.nio.file.Files.createTempFile("graft_sweepspec_nsg_", ".nsg")
+    graft.index.CsrGraph.saveNsg(idx.graph, f.toString)
+    val g = graft.index.CsrGraph.loadNsg(f.toString)
+    java.nio.file.Files.delete(f)
+    g
+  }
+
+  private def nsgAt(l: Int): (Double, Long) = {
+    val (idx, _) = fixture
+    val metric = Metrics("cosine")
+    val visited = new VisitedSet(nsgGraph.n)
+    var cmps = 0L
+    var hit = 0
+    for ((q, qi) <- evalQs.zipWithIndex) {
+      val (queue, c, _) = BeamSearch.searchSingle(nsgGraph, idx.vecs,
+        metric, VectorStore.normalized(q), l, visited)
+      cmps += c
+      val ids = (0 until math.min(K, queue.size)).map(queue.id)
+      hit += ids.count(gt(qi).contains)
+    }
+    (hit.toDouble / (K * NEval), cmps)
+  }
+
   test("OOD ordering: RoarGraph reaches recall>=0.9 with no more distance work than HNSW at equal budget") {
     val budgets = Seq(20, 30, 40, 60, 80, 120)
     val rows = budgets.map { b =>
@@ -155,5 +185,39 @@ class SweepSpec extends AnyFunSuite {
     assert(roarFirst.isDefined, s"roar never reached 0.9 on the grid: $rows")
     assert(hnswFirst.forall(h => roarFirst.get <= h),
       s"roar needed a larger budget than hnsw to reach 0.9: $rows")
+  }
+
+  test("NSG arm gate: the format-roundtripped graph holds the same >=0.9 ordering vs HNSW, and is bit-faithful to roar") {
+    val budgets = Seq(20, 30, 40, 60, 80, 120)
+    val rows = budgets.map { b =>
+      val (nr, nc) = nsgAt(b)
+      val (hr, hc) = hnswAt(b)
+      info(f"budget $b%4d  nsg recall $nr%.3f cmps $nc%7d   " +
+        f"hnsw recall $hr%.3f cmps $hc%7d")
+      (b, nr, nc, hr, hc)
+    }
+    // format FIDELITY: the NSG roundtrip preserves entry point and
+    // adjacency, so the same kernel must do exactly the same work —
+    // any divergence is a save/load regression, caught before the
+    // weaker ordering gate can paper over it
+    for (b <- budgets)
+      assert(nsgAt(b) === roarAt(b),
+        s"NSG roundtrip diverged from the source graph at budget $b")
+    // same non-vacuous ordering gate as the roar arm: wherever both
+    // arms clear the 0.9 bar, the NSG-served graph needs no more
+    // distance work than HNSW, and it never needs a larger budget to
+    // clear the bar at all
+    val both = rows.filter { case (_, nr, _, hr, _) => nr >= 0.9 && hr >= 0.9 }
+    assert(both.size >= 2,
+      s"fewer than 2 grid points with both arms at recall>=0.9: $rows")
+    for ((b, nr, nc, hr, hc) <- both)
+      assert(nc <= hc,
+        f"ordering flipped at budget $b: nsg $nc cmps (recall $nr%.3f) " +
+          f"> hnsw $hc cmps (recall $hr%.3f)")
+    val nsgFirst = rows.find(_._2 >= 0.9).map(_._1)
+    val hnswFirst = rows.find(_._4 >= 0.9).map(_._1)
+    assert(nsgFirst.isDefined, s"nsg never reached 0.9 on the grid: $rows")
+    assert(hnswFirst.forall(h => nsgFirst.get <= h),
+      s"nsg needed a larger budget than hnsw to reach 0.9: $rows")
   }
 }
