@@ -184,8 +184,22 @@ object Bench {
     }
     else if (floorsUsable && floors.keySet.subsetOf(names) &&
              floors.keySet != names && ctrlMedian > 0 &&
-             floors.values.forall(_ > 0))
-      MergeNew(names -- floors.keySet)
+             floors.values.forall(_ > 0)) {
+      val committedTotal = floors.values.sum
+      // a superset pass that ALSO wins the better-pass comparison
+      // replaces wholesale — it covers the new queries and tightens the
+      // old floors in one healthy window (the r19 session lost exactly
+      // such a pass to an unconditional merge: its candidate artifact
+      // was then clobbered by a later slow pass's divert). The
+      // comparison is vs the OLD total while newTotal includes the new
+      // queries — a small penalty on the new pass, in the safe
+      // direction. A pass that does NOT win still merges: old floors
+      // carry forward, only the new queries get (normalized) floors.
+      if (newTotal / ctrlMedian < committedTotal &&
+          newTotal <= committedTotal * rawLoosenCap)
+        Replace(newTotal > committedTotal)
+      else MergeNew(names -- floors.keySet)
+    }
     else Replace(false)
 
   /** Merged-floors artifact for a [[MergeNew]] decision: the committed

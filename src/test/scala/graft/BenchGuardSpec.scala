@@ -76,6 +76,21 @@ class BenchGuardSpec extends AnyFunSuite {
       newTotal = 999.0) === Bench.MergeNew(Set("c", "d")))
   }
 
+  test("surface growth on a WINNING window replaces wholesale — growth must not block a tightening pass") {
+    // 25 s at ctrl 1.0 beats the committed 30 s and stays under the raw
+    // cap: the pass covers the new query AND tightens the old floors
+    assert(decide(nm = Set("a", "b", "c"), ctrlMedian = 1.0,
+      newTotal = 25.0) === Bench.Replace(false))
+    // raw-slower but machine-adjusted better, within the cap: replace
+    // with the loud note, same as the equal-surface rule
+    assert(decide(nm = Set("a", "b", "c"), ctrlMedian = 1.5,
+      newTotal = 40.0) === Bench.Replace(true))
+    // machine-adjusted better but beyond the raw cap: merge, don't
+    // loosen (the uniform-regression disguise applies here too)
+    assert(decide(nm = Set("a", "b", "c"), ctrlMedian = 2.0,
+      newTotal = 50.0) === Bench.MergeNew(Set("c")))
+  }
+
   test("surface growth without a control basket replaces (nothing to normalize new floors by)") {
     assert(decide(nm = Set("a", "b", "c"), ctrlMedian = -1.0,
       newTotal = 999.0) === Bench.Replace(false))
