@@ -2060,6 +2060,15 @@ object AnnQueries extends QueryPack {
       """SELECT doc_id, frame_idx, pos, val FROM
         |read_parquet('/root/repo/fixtures/mm_video_decode_expected.parquet')"""
         .stripMargin,
+    // frame-sample -> stub-codec decode -> CLIP4Clip mean-pool: also
+    // deterministic, but a function of the documents TEXT, so the
+    // fixture is pinned to sf0.01 — the scale the driver's oracle
+    // compare runs at (regenerate via graft.tools.MmExpected if the
+    // corpus or the pipeline changes on purpose)
+    "mm_frame_pipeline" ->
+      """SELECT video_id, pos, val FROM
+        |read_parquet('/root/repo/fixtures/mm_frame_pipeline_expected.parquet')"""
+        .stripMargin,
     "knn_sql_filtered" -> filteredExactOracle,
     "knn_sql_filtered_sharded_exact" -> filteredExactOracle,
     // g8_sql_saturated (+ the sharded / ivfpq tier certificates, same

@@ -540,6 +540,32 @@ object IndexQueries extends QueryPack {
         cands.select(col("qset_id"), col("d_id")), C, K)
     }),
 
+    // G9_varc's ORACLE-CHECKABLE twin: the same ragged query sets
+    // through the SAME kernel + varc rerank, but with every subquery's
+    // beam SATURATED (l = 2n, budget = 2n per subquery slot — the
+    // a11/g8/g9_sql_saturated regime, under which the beam holds every
+    // reachable node). The candidate set then covers the corpus, so the
+    // per-set-denominator rerank answers the EXHAUSTIVE ragged chamfer
+    // ranking, which DuckDB recomputes from the same S7 CASE mapping
+    // and the same LSE/round discipline the hash-green
+    // a1_smooth_chamfer_varc oracle already certifies. The production
+    // g9_varc keeps its budgeted adaptive beams (order-dependent by
+    // design, rows-only + IndexSpec's >=0.95 recall gate).
+    "g9_varc_saturated" -> ((s, dir) => {
+      val querySets = VarcQueries.membership(s, dir)
+        .filter(col("set_id") < 2 * NQ)
+        .select(col("set_id").as("qset_id"),
+          col("sub_idx").cast("int").as("q_sub"),
+          col("embedding").as("q_vec"))
+      val h = handles(s, dir)
+      val n = h.idx.graph.n
+      val cands = BeamSearch.searchMultiDf(s, querySets, h.graphB, h.vecsB,
+        h.idx.params.metric, minPq = 2 * n, maxPq = 2 * n,
+        budget = 2 * n * 5, adaptive = false)
+      Rerank.chamferTopKVarc(emb(s, dir), querySets,
+        cands.select(col("qset_id"), col("d_id")), C, K)
+    }),
+
     // G9 over the sharded tier explicitly (2 strided shards, per-shard
     // RoarGraph, same budget per shard, one bounded rerank merge) —
     // rows-only; IndexSpec holds it to the same >=0.95 Recall@10 gate as
@@ -800,6 +826,51 @@ object IndexQueries extends QueryPack {
          |  FROM scored)
          |SELECT q_id, rank, d_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    // g9_varc_saturated: the exhaustive ragged-QUERY chamfer ranking —
+    // the saturated beam covers the corpus, so the routed answer equals
+    // this full scan. Same S7 CASE mapping, same stable-LSE shape and
+    // round discipline as the hash-green a1_smooth_chamfer_varc oracle,
+    // with the roles swapped (query side ragged with per-set
+    // denominator c_q via smoothChamferAgg(.., 1) ÷ c_q; data side the
+    // fixed-c corpus grid).
+    "g9_varc_saturated" -> {
+      val ts = SetSim.Temperature * SetSim.TxtScale
+      val t = SetSim.Temperature
+      s"""WITH q AS (
+         |  SELECT set_id AS qset_id, sub_idx AS q_sub, embedding
+         |  FROM (${VarcQueries.membershipSql}) WHERE set_id < ${2 * NQ}),
+         |cq AS (SELECT qset_id, CAST(count(DISTINCT q_sub) AS DOUBLE) AS c_q
+         |       FROM q GROUP BY qset_id),
+         |d AS (SELECT CAST(vec_id // $C AS BIGINT) AS dset_id,
+         |             vec_id % $C AS d_sub, embedding FROM embeddings),
+         |sims AS (
+         |  SELECT q.qset_id, d.dset_id, q.q_sub, d.d_sub,
+         |         ${cosineSql("q", "d")} AS sim
+         |  FROM q CROSS JOIN d),
+         |rl AS (
+         |  SELECT qset_id, dset_id, q_sub, mx + ln(sum(exp(x - mx))) AS lse FROM (
+         |    SELECT qset_id, dset_id, q_sub, sim * $ts AS x,
+         |           max(sim * $ts) OVER (PARTITION BY qset_id, dset_id, q_sub) AS mx
+         |    FROM sims) GROUP BY qset_id, dset_id, q_sub, mx),
+         |cl AS (
+         |  SELECT qset_id, dset_id, d_sub, mx + ln(sum(exp(x - mx))) AS lse FROM (
+         |    SELECT qset_id, dset_id, d_sub, sim * $t AS x,
+         |           max(sim * $t) OVER (PARTITION BY qset_id, dset_id, d_sub) AS mx
+         |    FROM sims) GROUP BY qset_id, dset_id, d_sub, mx),
+         |t1 AS (SELECT qset_id, dset_id, sum(lse) AS s1 FROM rl GROUP BY qset_id, dset_id),
+         |t2 AS (SELECT qset_id, dset_id, sum(lse) AS s2 FROM cl GROUP BY qset_id, dset_id),
+         |scored AS (
+         |  SELECT t1.qset_id, t1.dset_id,
+         |         round(((t1.s1 / (1.0 * $ts) + t2.s2 / (1.0 * $t)) / ${SetSim.Denominator}) / cq.c_q, 9) AS score
+         |  FROM t1 JOIN t2 ON t1.qset_id = t2.qset_id AND t1.dset_id = t2.dset_id
+         |       JOIN cq ON t1.qset_id = cq.qset_id),
+         |ranked AS (
+         |  SELECT qset_id, dset_id, score,
+         |         row_number() OVER (PARTITION BY qset_id ORDER BY score DESC, dset_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, rank, dset_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $K""".stripMargin
+    },
     // a11_overlap_saturated: exact top-K per subquery over the full
     // corpus (the saturated beam's membership), KnnJoin ranking
     // discipline (round-9 score, d_id tie-break), then unique÷total

@@ -96,7 +96,7 @@ object VarcQueries extends QueryPack {
   private def normSqlOf(e: String) =
     s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  private val membershipSql =
+  private[queries] val membershipSql =
     s"""SELECT vec_id,
        |       CAST(vec_id // $CycleLen AS BIGINT) * $SetsPerCycle + ${caseSqlOf(_._2)} AS set_id,
        |       ${caseSqlOf(_._3)} AS sub_idx,

@@ -23,7 +23,12 @@ object MmExpected {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    for (q <- Seq("mm_image_decode", "mm_video_decode")) {
+    // mm_image/video_decode are pure functions of doc_id (synthetic
+    // payloads); mm_frame_pipeline reads the documents TEXT, so its
+    // fixture is pinned to the sf0.01 corpus — the driver's correctness
+    // gate scale (the oracle compare never runs at another sf)
+    for (q <- Seq("mm_image_decode", "mm_video_decode",
+        "mm_frame_pipeline")) {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_mm_expected_").toString
       // one sorted file so the committed artifact is byte-stable
