@@ -421,6 +421,45 @@ object IndexQueries extends QueryPack {
         h.idx.params.metric, maxPq = 200, budget = 120)
     }),
 
+    // G10's ORACLE-CHECKABLE twin: the shared-visited kernel run
+    // SATURATED (per-subquery beam l = budget/c = 2n, maxPq = 2n — the
+    // a11/g8/g9_sql_saturated regime). The shared visited set scores
+    // every expanded node against ALL c subqueries (the round-robin
+    // loop in [[graft.index.BeamSearch.searchMultiShared]], reference
+    // `index_bipartite.cpp:2668-2764`), so at saturation every
+    // subquery's queue holds every reachable node; the per-subquery
+    // top-K slice re-ranked by exact double cosine (KnnJoin
+    // discipline: round-9 score, d_id tie-break) is therefore the
+    // exhaustive per-subquery ranking, which DuckDB recomputes. The
+    // production g10_shared_search keeps its budgeted beams
+    // (order-dependent by design, rows-only + VariantSpec's gate).
+    "g10_shared_saturated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = handles(s, dir)
+      val n = h.idx.graph.n
+      val querySets = emb(s, dir).filter(col("vec_id") < NQ * C).select(
+        (col("vec_id") / C).cast("long").as("qset_id"),
+        (col("vec_id") % C).cast("int").as("q_sub"),
+        col("embedding").as("q_vec"))
+      val beam = BeamSearch.searchMultiSharedDf(s, querySets, h.graphB,
+          h.vecsB, h.idx.params.metric, maxPq = 2 * n, budget = 2 * n * C)
+        .select(col("qset_id"), col("q_sub"), col("d_id"))
+      val q = querySets.withColumn("q_norm", vecNorm(col("q_vec")))
+      val d = emb(s, dir).select(col("vec_id").as("d_id"),
+        col("embedding").as("d_vec"),
+        vecNorm(col("embedding")).as("d_norm"))
+      val scored = beam.join(broadcast(q), Seq("qset_id", "q_sub"))
+        .join(broadcast(d), Seq("d_id"))
+        .withColumn("score", round(vecDot(col("q_vec"), col("d_vec")) /
+          (col("q_norm") * col("d_norm")), 9))
+      val w = Window.partitionBy(col("qset_id"), col("q_sub"))
+        .orderBy(col("score").desc, col("d_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qset_id"), col("q_sub"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // G12: overlap-instrumented search — TRUE visited-node logs per
     // subquery, unique/total across the set (rows-only).
     "g12_visited_overlap" -> ((s, dir) => {
@@ -710,6 +749,31 @@ object IndexQueries extends QueryPack {
           K, idName = "d_id")
         .select(col("q_id"), col("rank"), col("d_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // The DELTA face's EXACTNESS certificate: the same delta-grown
+    // index (base shards + appendDelta's renumbered delta shard) at
+    // per-shard SATURATING budget — every shard's beam exposes its
+    // whole sub-corpus, so the exposed id set must be the ENTIRE
+    // grown corpus (a delta row lost or mis-renumbered by appendDelta
+    // goes missing here and hash-mismatches), and the proven exact
+    // scorer ranks exactly what the tier exposed — the
+    // takedown_lifecycle stage-4 discipline applied to the append
+    // path. The production g8_sharded_delta keeps its budgeted beams
+    // (rows-only + IndexSpec's recall/self-hit/byte-untouched gates).
+    "g8_sharded_delta_saturated" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val n = e.count().toInt
+      val q = e.filter(col("vec_id") < NQ * C)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exposed = ShardedIndex.searchSingleDf(s, q,
+          deltaShardedHandles(s, dir), l = 2 * n, k = n)
+        .select(col("d_id")).distinct()
+      val d = exposed.join(e, exposed("d_id") === e("vec_id"))
+        .select(col("d_id"), col("embedding").as("d_vec"))
+      KnnJoin.bruteForce(q, d, K, "cosine", excludeSelf = false)
+        .select(col("q_id"), col("rank"), col("d_id"),
+          round(col("score"), 6).as("score"))
     })
   )
 
@@ -893,6 +957,42 @@ object IndexQueries extends QueryPack {
          |       round(round(CAST(count(DISTINCT d_id) AS DOUBLE) /
          |         count(*), 9), 6) AS unique_frac
          |FROM ranked WHERE rnk <= $K GROUP BY qset_id""".stripMargin,
+    // g10_shared_saturated: exact top-K per subquery over the full
+    // corpus (the saturated shared beam's membership), KnnJoin ranking
+    // discipline — the a11_overlap_saturated oracle with the ranked
+    // lists themselves as the output instead of the overlap statistic.
+    "g10_shared_saturated" ->
+      s"""WITH q AS (SELECT vec_id // $C AS qset_id, vec_id % $C AS q_sub,
+         |             embedding FROM embeddings WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.qset_id, q.q_sub, d.d_id,
+         |         round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d),
+         |ranked AS (
+         |  SELECT qset_id, q_sub, d_id, score,
+         |         row_number() OVER (PARTITION BY qset_id, q_sub
+         |           ORDER BY score DESC, d_id ASC) AS rank
+         |  FROM scored)
+         |SELECT qset_id, q_sub, rank, d_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    // g8_sharded_delta_saturated: the exhaustive per-query ranking
+    // over the ENTIRE grown corpus — base rows and appended delta rows
+    // alike (the saturated per-shard beams must expose every one).
+    "g8_sharded_delta_saturated" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |           WHERE vec_id < ${NQ * C}),
+         |d AS (SELECT vec_id AS d_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.q_id, d.d_id, round(${cosineSql("q", "d")}, 9) AS score
+         |  FROM q CROSS JOIN d),
+         |ranked AS (
+         |  SELECT q_id, d_id, score,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, d_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, d_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "j5_edges" -> s"$rankedCte\nSELECT src, dst, kind FROM edges",
     "a5_degree" ->
       s"""$rankedCte,
