@@ -201,4 +201,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.reprobeSelection(mins, fls, cap = 1) === Seq("worse"))
     assert(Bench.reprobeSelection(mins, Map.empty) === Seq.empty)
   }
+
+  test("candidate write-path is OUTCOME-KEYED: a divert can never clobber a merge pass's artifact") {
+    // the r19 session lost a WINNING growth pass's full artifact to a
+    // later slow pass's divert because both wrote one shared candidate
+    // file; outcome-keyed names make that clobber impossible
+    assert(Bench.candidatePath(Bench.Divert("slow window"))
+      === "BENCH_LOCAL_candidate.divert.json")
+    assert(Bench.candidatePath(Bench.MergeNew(Set("new_q")))
+      === "BENCH_LOCAL_candidate.merge.json")
+    assert(Bench.candidatePath(Bench.Replace(false)) === "BENCH_LOCAL.json")
+  }
+
+  test("best-so-far candidate is immutable against worse passes; only a machine-adjusted better pass replaces it") {
+    // no best recorded yet: any complete pass claims the slot
+    assert(Bench.bestCandidateWins(None, newTotal = 200.0, newCtrl = 1.0))
+    // a failed/empty pass never claims it
+    assert(!Bench.bestCandidateWins(None, newTotal = -1.0, newCtrl = 1.0))
+    val best = """{"metric":"total","value":150.0,"unit":"sec",""" +
+      """"ctrl_ratio_vs_floor":1.0,"queries":{"a":1.0}}"""
+    // raw-slower on a slow window: 180/1.5 = 120 adjusted < 150 — wins
+    assert(Bench.bestCandidateWins(Some(best), 180.0, 1.5))
+    // raw-faster on a FAST window: 140/0.8 = 175 adjusted — correctly
+    // refused (the window, not the code, made it fast)
+    assert(!Bench.bestCandidateWins(Some(best), 140.0, 0.8))
+    // plainly worse: never overwrites
+    assert(!Bench.bestCandidateWins(Some(best), 300.0, 1.0))
+    // unreadable ctrl in the recorded best: falls back to raw totals
+    val noCtrl = """{"metric":"total","value":150.0,"queries":{}}"""
+    assert(Bench.bestCandidateWins(Some(noCtrl), 100.0, 1.0))
+    assert(!Bench.bestCandidateWins(Some(noCtrl), 200.0, 1.0))
+  }
+
+  test("reprobeSelection never heals a control: an elevated control is the machine signal, not a transient to retry") {
+    val ctrl = Bench.ControlQueries.head
+    val mins = Map(ctrl -> 10.0, "spike" -> 10.0)
+    val fls = Map(ctrl -> 1.0, "spike" -> 1.0)
+    assert(Bench.reprobeSelection(mins, fls) === Seq("spike"),
+      "a >2x control must stay out of the re-probe set so " +
+        "ctrl_ratio_vs_floor reports the window as measured")
+  }
 }

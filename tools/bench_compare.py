@@ -37,6 +37,7 @@ def load(path):
     # tail always ends on parseable JSON. A truncated leading line
     # (decapitated by the tail bound) is skipped, not fatal.
     queries, summary = {}, None
+    part_seen, part_of = set(), None
     for ln in text.splitlines():
         ln = ln.strip()
         if not ln.startswith("{"):
@@ -46,12 +47,26 @@ def load(path):
         except json.JSONDecodeError:
             continue
         if "bench_part" in obj:
+            part_seen.add(obj["bench_part"])
+            part_of = obj.get("of", part_of)
             queries.update(obj.get("queries", {}))
         elif obj.get("metric") == "total":
             summary = obj
     if summary is not None:
         summary.setdefault("queries", {})
         summary["queries"].update(queries)
+        # Every part line stamps "of":n — a bounded tail capture usually
+        # decapitates the leading parts, so an incomplete 1..n cover
+        # means the per-query map is PARTIAL. Mark it loudly instead of
+        # returning a dict indistinguishable from a full artifact (a
+        # regression in a dropped part would read as "no change").
+        if part_of is not None and part_seen != set(range(1, part_of + 1)):
+            missing = sorted(set(range(1, part_of + 1)) - part_seen)
+            summary["partial"] = True
+            print(f"WARNING: {path}: stdout tail holds only part lines "
+                  f"{sorted(part_seen)} of 1..{part_of} (missing "
+                  f"{missing}) — per-query map is PARTIAL; only the "
+                  "summary totals are complete", file=sys.stderr)
         if summary["queries"]:
             return summary
     sys.exit(f"{path}: not a graft.Bench artifact (no 'queries' key)")
@@ -68,6 +83,25 @@ def main():
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
+    # A PARTIAL reassembly (marked by load()) covers only whichever part
+    # lines survived the tail bound: per-query ratios over it are
+    # systematically blind to the dropped parts, and the --fail-over
+    # gate would pass vacuously. Compare the (complete) summary totals
+    # and refuse the per-query path.
+    if old.get("partial") or new.get("partial"):
+        which = [p for p, d in ((args.old, old), (args.new, new))
+                 if d.get("partial")]
+        to, tn = old.get("value"), new.get("value")
+        if to and tn:
+            print(f"summary totals: {to:.1f}s -> {tn:.1f}s  "
+                  f"raw {tn / to:.3f}x  (PARTIAL per-query map in "
+                  + ", ".join(which) + " — totals only)")
+        if args.fail_over is not None:
+            sys.exit(f"PARTIAL artifact(s) {', '.join(which)}: the "
+                     "--fail-over per-query gate cannot run on an "
+                     "incomplete map; rerun against the full JSON "
+                     "artifact (BENCH_LOCAL*.json), not the stdout tail")
+        sys.exit(0)
     co, cn = old.get("calib_sec"), new.get("calib_sec")
     co = co if co and co > 0 else None   # -1 = stamp failed in that run
     cn = cn if cn and cn > 0 else None
