@@ -280,6 +280,19 @@ object StreamingIngest {
         .contains("true"))
       throw new IllegalStateException(
         "ingestVectorBatch: injected crash after delta append")
+    // Cross-PROCESS form of the same crash window (ForkedJvmSpec): the
+    // conf value is a signal-file path — write it (tmp+rename, so the
+    // observer never reads a partial file) and HANG; the test harness
+    // SIGKILLs this JVM here, i.e. with the delta fully landed and the
+    // caller's ref never updated. No finally blocks run.
+    spark.conf.getOption("spark.graft.test.ingestHangAfterAppend")
+      .foreach { sig =>
+        val tmp = java.nio.file.Paths.get(sig + ".tmp")
+        java.nio.file.Files.write(tmp, "appended".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(sig),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(600000)
+      }
     if (ShardedIndex.deltaFraction(spark, appended) >= compactAt)
       (ShardedIndex.compact(spark, appended, params), "append+compact")
     else (appended, "append")
@@ -338,11 +351,30 @@ object StreamingIngest {
       val failAfter = spark.conf
         .getOption("spark.graft.test.takedownFailAfter")
         .map(_.toInt).getOrElse(Int.MaxValue)
+      // cross-PROCESS form ("N:sigPath"): after N faces applied, write
+      // the signal file and HANG — ForkedJvmSpec SIGKILLs this JVM
+      // mid-fan-out, leaving the earlier faces deleted and the later
+      // ones untouched (the window the replay-idempotence claim covers)
+      val hangAfter = spark.conf
+        .getOption("spark.graft.test.takedownHangAfter")
+        .map { v =>
+          val Array(n, p) = v.split(":", 2); (n.toInt, p)
+        }
       var applied = 0
       def face(name: String)(body: => Long): (String, Long) = {
         if (applied >= failAfter)
           throw new IllegalStateException(
             s"takedownBatch: injected crash after $applied faces")
+        hangAfter.foreach { case (n, sig) =>
+          if (applied == n) {
+            val tmp = java.nio.file.Paths.get(sig + ".tmp")
+            java.nio.file.Files.write(tmp,
+              s"applied $applied".getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, java.nio.file.Paths.get(sig),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Thread.sleep(600000)
+          }
+        }
         val n = body; applied += 1; name -> n
       }
       Seq(
@@ -403,22 +435,28 @@ object StreamingIngest {
                       bandRoot: Option[String] = None,
                       cellRoot: Option[String] = None,
                       maxDeletedFrac: Double = 0.2,
-                      targetShardRows: Long = 0): Map[String, String] =
+                      targetShardRows: Long = 0,
+                      committer: String = ""): Map[String, String] =
     Seq(
       shardedRoot.map { case (r, params) => "sharded" ->
         graft.index.ShardedIndex.maybeCompactVersioned(spark, r, params,
           maxDeletedFrac = maxDeletedFrac,
-          targetShardRows = targetShardRows).path },
+          targetShardRows = targetShardRows, committer = committer).path },
       invertedRoot.map(r => "inverted" -> graft.operators.InvertedIndex
-        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+        .maybeCompactVersioned(spark, r, maxDeletedFrac,
+          committer = committer)),
       ivfPqRoot.map(r => "ivfpq" -> graft.operators.IvfPq
-        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+        .maybeCompactVersioned(spark, r, maxDeletedFrac,
+          committer = committer)),
       sq8Root.map(r => "sq8" -> graft.operators.Sq8Ann
-        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+        .maybeCompactVersioned(spark, r, maxDeletedFrac,
+          committer = committer)),
       bandRoot.map(r => "band" -> graft.operators.MinHashLsh
-        .maybeCompactVersioned(spark, r, maxDeletedFrac)),
+        .maybeCompactVersioned(spark, r, maxDeletedFrac,
+          committer = committer)),
       cellRoot.map(r => "cell" -> graft.operators.SemDedup
-        .maybeCompactVersioned(spark, r, maxDeletedFrac))
+        .maybeCompactVersioned(spark, r, maxDeletedFrac,
+          committer = committer))
     ).flatten.toMap
 
   /** Running per-event-type counters via the typed state API

@@ -291,6 +291,127 @@ class ForkedJvmSpec extends AnyFunSuite {
     } finally p.destroyForcibly()
   }
 
+  test("kill -9 mid-ingest-batch: the other JVM dies with the delta landed but unrecorded; serving stays exact and the next batch recovers") {
+    // the cross-PROCESS form of ingestVectorBatch's documented crash
+    // window (the in-process hook test lives in StreamingSpec): a
+    // second JVM runs one streaming ingest micro-batch and is SIGKILLed
+    // after appendDelta landed the delta shard but before the caller
+    // could record the new ref. What must hold here: (a) the held
+    // (pre-append) ref still serves EXACTLY the base corpus — the
+    // orphan delta is invisible to it; (b) the redelivered batch
+    // against that ref is not a skip: appendDelta re-validates the same
+    // dense window and OVERWRITES the orphan delta dir byte-
+    // convergently, after which the grown corpus serves completely.
+    import org.apache.spark.sql.functions.col
+    import graft.index.{ShardedIndex, ShardedIndexRef}
+    import graft.queries.IndexQueries
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_kill9_ingest_").toString
+    val root = s"$dir/root"
+    val (nBase, batchEnd) = (200L, 250L)
+    val e = Tables.embeddings(spark, sfDir)
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildPersisted(spark, e.filter(col("vec_id") < nBase),
+      IndexQueries.FixtureParams, 1, root)
+    val sig = s"$dir/appended"
+    val p = launch(dir, "crashingest", root, sfDir, nBase.toString,
+      batchEnd.toString, sig)
+    try {
+      assert(awaitFile(sig, Seq(p)) === "appended")
+      p.destroyForcibly() // SIGKILL: the child's ref update never happens
+      p.waitFor()
+      val held = ShardedIndexRef(root, 1, IndexQueries.FixtureParams.metric)
+      // (a) the held ref is blind to the orphan delta: exactly the base
+      // corpus is exposed at saturating budget
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def exposed(r: ShardedIndexRef): Set[Long] =
+        ShardedIndex.searchSingleDf(spark, q, r,
+            l = 2 * batchEnd.toInt, k = batchEnd.toInt)
+          .select("d_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(exposed(held) === (0L until nBase).toSet,
+        "held-ref serving saw the dead JVM's unrecorded delta (or lost " +
+          "base rows)")
+      // (b) at-least-once redelivery against the held ref converges:
+      // same dense window, delta dir overwritten, corpus complete
+      val batch = e.filter(col("vec_id") >= nBase &&
+        col("vec_id") < batchEnd)
+      // compactAt raised above this batch's 50/200 delta fraction so
+      // the redelivery's ACTION stays observable as a plain append
+      // (the fold path has its own lifecycle certificates)
+      val (ref1, action) = StreamingIngest.ingestVectorBatch(spark, batch,
+        held, IndexQueries.FixtureParams, compactAt = 0.5)
+      assert(action === "append",
+        s"redelivery after the kill was '$action', not a clean append")
+      assert(ShardedIndex.totalRows(spark, ref1) === batchEnd)
+      assert(exposed(ref1) === (0L until batchEnd).toSet,
+        "recovered index does not serve the full grown corpus")
+    } finally p.destroyForcibly()
+  }
+
+  test("kill -9 mid-takedown-fan-out: the other JVM dies between faces; replay converges every face and serving stays exact") {
+    // the cross-PROCESS form of takedownBatch's non-transactional
+    // fan-out window: a second JVM applies one deletion micro-batch to
+    // two faces (inverted, then sharded) and is SIGKILLed after face 1
+    // — inverted tombstoned, sharded untouched. At-least-once replay
+    // from THIS process must converge: the already-deleted face reports
+    // 0 new, the missed face applies fully, a second replay reports all
+    // zeros, and the sharded face then serves exactly the survivors.
+    import org.apache.spark.sql.functions.col
+    import graft.index.{ShardedIndex, ShardedIndexRef}
+    import graft.operators.InvertedIndex
+    import graft.queries.IndexQueries
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fork_kill9_takedown_").toString
+    val shardedPath = s"$dir/sharded"
+    val invPath = s"$dir/inv"
+    val e = Tables.embeddings(spark, sfDir)
+    ShardedIndex.resetResidencyTracking()
+    ShardedIndex.buildPersisted(spark, e.filter(col("vec_id") < 250),
+      IndexQueries.FixtureParams, 1, shardedPath)
+    InvertedIndex.append(spark,
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")), invPath)
+    val feed = e.filter(col("vec_id") < 250 && col("vec_id") % 13 === 0)
+      .select(col("vec_id"))
+    val nFeed = feed.count() // ids 0,13,...,247
+    val sig = s"$dir/applied"
+    val p = launch(dir, "crashtakedown", shardedPath, invPath, sfDir, sig)
+    try {
+      assert(awaitFile(sig, Seq(p)) === "applied 1")
+      p.destroyForcibly() // SIGKILL between face 1 and face 2
+      p.waitFor()
+      // replay from this process: the dead JVM's applied face converges
+      // to zero, the missed face applies fully
+      val replay = StreamingIngest.takedownBatch(
+        invertedIndexPath = Some(invPath),
+        shardedIndexPath = Some(shardedPath))(feed, 1L)
+      assert(replay("inverted") === 0L,
+        s"face applied by the killed JVM re-deleted: $replay")
+      assert(replay("sharded") === nFeed,
+        s"face missed by the killed JVM did not apply fully: $replay")
+      // a second replay converges everywhere
+      val replay2 = StreamingIngest.takedownBatch(
+        invertedIndexPath = Some(invPath),
+        shardedIndexPath = Some(shardedPath))(feed, 2L)
+      assert(replay2.values.forall(_ === 0L),
+        s"takedown replay did not converge: $replay2")
+      // the sharded face serves exactly the survivors at saturation
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exposed = ShardedIndex.searchSingleDf(spark, q,
+          ShardedIndexRef(shardedPath, 1,
+            IndexQueries.FixtureParams.metric),
+          l = 500, k = 250)
+        .select("d_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(exposed ===
+        (0L until 250L).filter(_ % 13 != 0).toSet,
+        "post-recovery serving does not match the survivor set")
+    } finally p.destroyForcibly()
+  }
+
   test("reader lease across processes: a generation pinned by another JVM survives keepGens=0 publishes here") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_fork_rlease_").toString

@@ -114,6 +114,41 @@ object TwoProcessMain {
           write(leased, dir)
           Thread.sleep(600000) // killed -9 by the parent long before this
         }
+      // crashingest <root> <sfDir> <nBase> <batchEnd> <sigFile>: run ONE
+      // streaming ingest micro-batch against the sharded index at root
+      // with the hang-after-append hook armed — the child signals with
+      // the delta fully landed and the caller's ref never recorded,
+      // then hangs; the parent kill -9s it THERE (the documented
+      // mid-micro-batch crash window of ingestVectorBatch).
+      case "crashingest" =>
+        val Array(_, root, sfDir, nBase, batchEnd, sig) = args
+        import org.apache.spark.sql.functions.col
+        val ref = graft.index.ShardedIndexRef(root, 1,
+          graft.queries.IndexQueries.FixtureParams.metric)
+        val batch = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") >= nBase.toLong &&
+            col("vec_id") < batchEnd.toLong)
+        spark.conf.set("spark.graft.test.ingestHangAfterAppend", sig)
+        graft.streaming.StreamingIngest.ingestVectorBatch(spark, batch,
+          ref, graft.queries.IndexQueries.FixtureParams)
+        sys.error("crashingest: hang hook did not fire")
+      // crashtakedown <shardedPath> <invPath> <sfDir> <sigFile>: apply
+      // one deletion micro-batch across TWO faces with the
+      // hang-mid-fan-out hook armed after face 1 — the child signals
+      // with the inverted face deleted and the sharded face untouched,
+      // then hangs; the parent kill -9s it THERE (the non-transactional
+      // fan-out window takedownBatch's replay-idempotence claim covers).
+      case "crashtakedown" =>
+        val Array(_, shardedPath, invPath, sfDir, sig) = args
+        import org.apache.spark.sql.functions.col
+        val feed = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 250 && col("vec_id") % 13 === 0)
+          .select(col("vec_id"))
+        spark.conf.set("spark.graft.test.takedownHangAfter", s"1:$sig")
+        graft.streaming.StreamingIngest.takedownBatch(
+          invertedIndexPath = Some(invPath),
+          shardedIndexPath = Some(shardedPath))(feed, 0L)
+        sys.error("crashtakedown: hang hook did not fire")
       // readerlease <root> <leasedFile> <releaseFile>: pin the live
       // generation, report it, hold the lease until told to release
       case "readerlease" =>
