@@ -557,7 +557,8 @@ object InvertedIndex {
     * the live generation dir either way. */
   def maybeCompactVersioned(spark: SparkSession, root: String,
                             maxDeletedFrac: Double = 0.2,
-                            maxPostingsFiles: Int = 4 * NumBuckets): String = {
+                            maxPostingsFiles: Int = 4 * NumBuckets,
+                            committer: String = ""): String = {
     val liveDir = resolveVersioned(spark, root)
     val f = fs(spark, root)
     def postingsFiles(): Int = {
@@ -574,7 +575,7 @@ object InvertedIndex {
     }
     if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
         postingsFiles() > maxPostingsFiles)
-      compactVersioned(spark, root)
+      compactVersioned(spark, root, committer)
     else liveDir
   }
 

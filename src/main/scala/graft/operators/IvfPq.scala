@@ -447,12 +447,13 @@ object IvfPq {
     * either way. */
   def maybeCompactVersioned(spark: SparkSession, root: String,
                             maxDeletedFrac: Double = 0.2,
-                            maxFilesPerCell: Double = 4.0): String = {
+                            maxFilesPerCell: Double = 4.0,
+                            committer: String = ""): String = {
     val live = resolveVersioned(spark, root)
     val cells = math.max(liveCells(spark, live), 1)
     if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
         liveFiles(spark, live) > maxFilesPerCell * cells)
-      compactVersioned(spark, root)
+      compactVersioned(spark, root, committer)
     else live
   }
 

@@ -359,7 +359,8 @@ object MinHashLsh {
     * either way. */
   def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
                             root: String, maxDeletedFrac: Double = 0.2,
-                            maxFiles: Int = 64): String = {
+                            maxFiles: Int = 64,
+                            committer: String = ""): String = {
     val live = resolveVersioned(spark, root)
     val p = new org.apache.hadoop.fs.Path(live)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -367,7 +368,7 @@ object MinHashLsh {
       st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
         keyFiles() > maxFiles)
-      compactVersioned(spark, root)
+      compactVersioned(spark, root, committer = committer)
     else live
   }
 

@@ -396,7 +396,8 @@ object SemDedup {
     * partition. Returns the live dir either way. */
   def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
                             root: String, maxDeletedFrac: Double = 0.2,
-                            maxFilesPerCell: Double = 4.0): String = {
+                            maxFilesPerCell: Double = 4.0,
+                            committer: String = ""): String = {
     val live = resolveVersioned(spark, root)
     val p = new org.apache.hadoop.fs.Path(live)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -414,7 +415,7 @@ object SemDedup {
     }
     if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
         dataFiles() > maxFilesPerCell * cells)
-      compactVersioned(spark, root)
+      compactVersioned(spark, root, committer)
     else live
   }
 

@@ -455,7 +455,8 @@ object Sq8Ann {
     * live dir either way. */
   def maybeCompactVersioned(spark: org.apache.spark.sql.SparkSession,
                             root: String, maxDeletedFrac: Double = 0.2,
-                            maxCodesFiles: Int = 64): String = {
+                            maxCodesFiles: Int = 64,
+                            committer: String = ""): String = {
     val live = resolveVersioned(spark, root)
     val codes = new org.apache.hadoop.fs.Path(s"$live/codes")
     val f = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -465,7 +466,7 @@ object Sq8Ann {
         st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (deletedFractionVersioned(spark, root) > maxDeletedFrac ||
         codesFiles() > maxCodesFiles)
-      compactVersioned(spark, root)
+      compactVersioned(spark, root, committer)
     else live
   }
 
