@@ -35,10 +35,19 @@ import graft.queries.{IndexQueries, VarcQueries, VectorQueries}
   *    per factor under the work dir and REUSED across runs.
   *
   * Per row: arm, factor, n (corpus vectors), qsets (ragged sets),
+  * budget (per-shard beam budget; 0 for the fullscan GT arm),
   * build_sec (0 = reused/none), search_sec, rerank_sec, recall@10 vs
   * the fullscan GT, qps. Output MERGES with an existing TSV by
-  * (arm, factor), like the other sweep tools — the ladder accretes one
-  * expensive point at a time.
+  * (arm, factor, budget), like the other sweep tools — the ladder
+  * accretes one expensive point at a time; legacy 9-column rows are
+  * migrated in place (their budget was the then-fixed 120).
+  *
+  * The sharded arm runs a BUDGET LADDER per factor (r19 verdict task
+  * 5: the fixed-c face has SWEEP_SF10_POLICY.tsv, varc had only the
+  * default point): budgets from `SPARK_GRAFT_VARC_BUDGETS` (default
+  * "120,240,480,960"), stopping at the first point that recovers the
+  * paper's ≥0.9 recall — the (factor, budget) recovery frontier a
+  * 100 TB deployment reads to size ragged-query serving.
   *
   * Usage: `runMain graft.tools.VarcSweep [srcDir] [factors-csv] [out]`
   * — defaults /root/testdata/sf0.1, "1,10,100", SWEEP_VARC.tsv.
@@ -56,6 +65,8 @@ object VarcSweep {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_VARC_WORK",
       "/tmp/graft_varcsweep")
     val roarMax = sys.env.getOrElse("SPARK_GRAFT_VARC_ROAR_MAX", "10").toInt
+    val budgets = sys.env.getOrElse("SPARK_GRAFT_VARC_BUDGETS",
+      "120,240,480,960").split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -81,7 +92,7 @@ object VarcSweep {
     GraphBuild.build(spark, Tables.embeddings(spark, srcDir),
       Tables.embeddings(spark, srcDir), IndexQueries.FixtureParams)
 
-    val header = "arm\tfactor\tn\tqsets\tbuild_sec\tsearch_sec" +
+    val header = "arm\tfactor\tn\tqsets\tbudget\tbuild_sec\tsearch_sec" +
       "\trerank_sec\trecall\tqps"
     val rows = new scala.collection.mutable.ArrayBuffer[String]
 
@@ -120,12 +131,12 @@ object VarcSweep {
           .localCheckpoint(true))
       val gt = idsOf(gtRanked)
         .withColumnRenamed("ids", "gt_ids").localCheckpoint(true)
-      rows += f"varc_fullscan\t$f\t$n\t$nQ\t0.0\t$tGt%.1f\t0.0\t1.0000" +
+      rows += f"varc_fullscan\t$f\t$n\t$nQ\t0\t0.0\t$tGt%.1f\t0.0\t1.0000" +
         f"\t${nQ / tGt}%.1f"
       println(rows.last)
 
-      def evalArm(arm: String, buildSec: Double,
-                  search: => DataFrame): Unit = {
+      def evalArm(arm: String, buildSec: Double, budget: Int,
+                  search: => DataFrame): Double = {
         val (cands, tS) = timed(
           search.select(col("qset_id"), col("d_id")).localCheckpoint(true))
         val (ranked, tR) = timed(
@@ -133,9 +144,10 @@ object VarcSweep {
             .localCheckpoint(true))
         val rec = Recall.atK(idsOf(ranked), gt, K)
           .agg(avg(col("recall"))).head().getDouble(0)
-        rows += f"$arm\t$f\t$n\t$nQ\t$buildSec%.1f\t$tS%.1f\t$tR%.1f" +
-          f"\t$rec%.4f\t${nQ / (tS + tR)}%.1f"
+        rows += f"$arm\t$f\t$n\t$nQ\t$budget\t$buildSec%.1f\t$tS%.1f" +
+          f"\t$tR%.1f\t$rec%.4f\t${nQ / (tS + tR)}%.1f"
         println(rows.last)
+        rec
       }
 
       // ---- varc_roar: the g9_varc broadcast shape ----
@@ -144,7 +156,7 @@ object VarcSweep {
           params.copy(knnSource = "ivf")))
         val graphB = spark.sparkContext.broadcast(idx.graph)
         val vecsB = spark.sparkContext.broadcast(idx.vecs)
-        evalArm("varc_roar", tB,
+        evalArm("varc_roar", tB, 120,
           BeamSearch.searchMultiDf(spark, querySets, graphB, vecsB,
             params.metric, minPq = 10, maxPq = 200, budget = 120,
             adaptive = true))
@@ -152,7 +164,8 @@ object VarcSweep {
       } else println(s"varc_roar skipped at $f (broadcast build priced " +
         s"out past ${roarMax}x; SWEEP_BUILD.tsv prices it)")
 
-      // ---- varc_sharded: the 100 TB posture, index reused on disk ----
+      // ---- varc_sharded: the 100 TB posture, index reused on disk,
+      // one row per budget-ladder point until recall recovers 0.9 ----
       val nShards = math.max(2, math.ceil(n / 5000.0).toInt)
       val shardPath = s"$workDir/x$f/sharded$nShards"
       val (ref, tSh) =
@@ -165,24 +178,41 @@ object VarcSweep {
             shardPath))
         }
       ShardedIndex.resetResidencyTracking()
-      evalArm("varc_sharded", tSh,
-        ShardedIndex.searchMultiDf(spark, querySets, ref,
-          minPq = 10, maxPq = 200, budget = 120, adaptive = true))
+      val recovered = budgets.zipWithIndex.exists { case (b, i) =>
+        val rec = evalArm("varc_sharded", if (i == 0) tSh else 0.0, b,
+          ShardedIndex.searchMultiDf(spark, querySets, ref,
+            minPq = 10, maxPq = 200, budget = b, adaptive = true))
+        rec >= 0.9
+      }
+      if (!recovered)
+        println(s"varc_sharded at ${f}x: no ladder point " +
+          s"(${budgets.mkString(",")}) recovered recall>=0.9 — extend " +
+          "SPARK_GRAFT_VARC_BUDGETS")
     }
 
-    // merge with an existing ladder by (arm, factor), like BuildSweep
+    // merge with an existing ladder by (arm, factor, budget); legacy
+    // 9-column rows (pre-budget schema) carried the then-fixed 120
     val armOrder = Seq("varc_fullscan", "varc_roar", "varc_sharded")
-    def key(line: String): (String, Int) = {
-      val c = line.split("\t"); (c(0), c(1).toInt)
+    def migrate(line: String): String = {
+      val c = line.split("\t")
+      if (c.length == 9) // arm factor n qsets build search rerank rec qps
+        (c.take(4) :+ (if (c(0) == "varc_fullscan") "0" else "120"))
+          .mkString("\t") + "\t" + c.drop(4).mkString("\t")
+      else line
+    }
+    def key(line: String): (String, Int, Int) = {
+      val c = line.split("\t"); (c(0), c(1).toInt, c(4).toInt)
     }
     val existing =
       if (Files.exists(Paths.get(out)))
         scala.io.Source.fromFile(out).getLines().drop(1)
-          .filter(_.nonEmpty).toSeq
+          .filter(_.nonEmpty).map(migrate).toSeq
       else Seq.empty
     val fresh = rows.map(r => key(r) -> r).toMap
     val merged = (existing.filterNot(l => fresh.contains(key(l))) ++ rows)
-      .sortBy { l => val (a, f) = key(l); (f, armOrder.indexOf(a)) }
+      .sortBy { l =>
+        val (a, f, b) = key(l); (f, armOrder.indexOf(a), b)
+      }
     Files.write(Paths.get(out),
       ((header +: merged).mkString("\n") + "\n").getBytes("UTF-8"))
     println(s"wrote $out (${merged.size} rows)")

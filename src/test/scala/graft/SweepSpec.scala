@@ -220,4 +220,77 @@ class SweepSpec extends AnyFunSuite {
     assert(hnswFirst.forall(h => nsgFirst.get <= h),
       s"nsg needed a larger budget than hnsw to reach 0.9: $rows")
   }
+
+  test("varc budget policy at scale: sharded ragged search recovers recall>=0.9 on the pinned ladder point") {
+    // the suite-gate form of SWEEP_VARC.tsv's budget ladder (r19
+    // verdict task 5): ragged query sets (cards 1..5, the S7 skew)
+    // against a SHARDED index on the same deterministic OOD fixture
+    // the roar-vs-HNSW ordering gate uses. The sharded tier hands each
+    // shard the full per-query budget, so effective work scales with
+    // the shard count — the policy that held recall at 100x in the
+    // committed sweep. The gate pins (a) the default production budget
+    // (120) stays above the floor it measured when this was pinned,
+    // and (b) some point on the ladder recovers the paper's 0.9 bar —
+    // a kernel or merge regression that starves ragged recall at scale
+    // fails here deterministically instead of waiting for a 100x sweep.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.index.ShardedIndex
+    import graft.operators.{Recall, Rerank}
+    val c = 4 // corpus grid cardinality (dsets of 4, as the fixtures)
+    val corpusDf = corpus.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      .coalesce(2)
+    // ragged OOD query sets: card cycles 1..5 inside every 5-set cycle
+    val ragged = (0 until 40).flatMap { sId =>
+      val card = sId % 5 + 1
+      (0 until card).map(j =>
+        (sId.toLong, j, oodQuery(31 * sId + 7 * j + 3, 500000L + 97 * sId + j)))
+    }.toDF("qset_id", "q_sub", "q_vec")
+    val nQ = 40
+    val K = 10
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sweepspec_varc_").toString
+    ShardedIndex.resetResidencyTracking()
+    val params = graft.queries.IndexQueries.FixtureParams
+      .copy(mSq = 50, mPjbp = 35, lPjpq = 100)
+    val ref = ShardedIndex.buildPersisted(spark, corpusDf, params, 4, path)
+    // GT: exhaustive ragged chamfer (one candidate per dset suffices)
+    val dsetReps = corpusDf
+      .select(((col("vec_id") / c).cast("long") * c).as("d_id")).distinct()
+    val allCands = ragged.select("qset_id").distinct().crossJoin(dsetReps)
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("qset_id").as("query_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("rank"), col("dset_id")))),
+          x => x.getField("dset_id")).as("ids"))
+    val gtIds = idsOf(Rerank.chamferTopKVarc(corpusDf, ragged, allCands, c, K))
+      .withColumnRenamed("ids", "gt_ids").localCheckpoint(true)
+    def recallAt(budget: Int): Double = {
+      val cands = ShardedIndex.searchMultiDf(spark, ragged, ref,
+          minPq = 10, maxPq = 200, budget = budget, adaptive = true)
+        .select(col("qset_id"), col("d_id"))
+      val ranked = Rerank.chamferTopKVarc(corpusDf, ragged, cands, c, K)
+      Recall.atK(idsOf(ranked), gtIds, K)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val ladder = Seq(3, 6, 12, 24, 60, 120).map { b =>
+      val r = recallAt(b)
+      info(f"budget $b%4d  sharded varc recall $r%.3f  (qsets $nQ)")
+      b -> r
+    }
+    val byBudget = ladder.toMap
+    // pinned from the measured curve (0.920 / 0.920 / 0.932 / 0.975 /
+    // 1.000 / 1.000 when landed), with build-nondeterminism margin:
+    // the sub-saturation point guards kernel/merge QUALITY (a ragged
+    // path that visits the wrong subsets collapses here first), the
+    // budget-60 point is the paper's 0.9 bar with margin — the
+    // recovery the shard-scaled policy must keep buying at scale
+    assert(byBudget(12) >= 0.85,
+      s"sub-saturation ragged recall collapsed below its pinned floor: $ladder")
+    assert(byBudget(60) >= 0.95,
+      s"ladder recovery point regressed below its pinned floor: $ladder")
+    assert(ladder.exists(_._2 >= 0.9),
+      s"no ladder point recovered recall>=0.9: $ladder")
+  }
 }
