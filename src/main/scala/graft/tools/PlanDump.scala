@@ -56,7 +56,11 @@ object PlanDump {
       "g9_sql_versioned_grace" -> "the mv flagship answered by the GRACE generation (pre-flip ref on a grown index): per-shard beams over gen0+delta, exact chamfer rescore — what a reader holding the old manifest runs mid-compaction",
       "text_bm25_versioned" -> "the lexical face's serve-through-compaction certificate: grace-generation postings scan (bucket-pruned), broadcast tombstone anti-join, gross-minus-tombstone constants, shared bm25Rank tail — the fixture's build/append/delete/compact jobs run before this plan",
       "g9_varc_saturated" -> "the ragged flagship's exactness certificate: saturated per-subquery beams (kernel scan), varc rerank with the cQ=1 aggregator and broadcast per-set cardinality divide — the plan must equal g9_varc's with a bigger beam constant, nothing else",
-      "s14_random_vectors_seeded" -> "the seeded-source twin: pure integer-hash projection (no scan, no libm), one vec_id-partitioned window pair for the ordered sum-of-squares — the only exchange is the window's hash partitioning")
+      "s14_random_vectors_seeded" -> "the seeded-source twin: pure integer-hash projection (no scan, no libm), one vec_id-partitioned window pair for the ordered sum-of-squares — the only exchange is the window's hash partitioning",
+      "g10_shared_saturated" -> "the shared-visited kernel's exactness certificate: saturated shared beams (every expanded node scored against all c subqueries), exact-cosine rescore of the per-subquery slice, rank window",
+      "g8_sharded_delta_saturated" -> "the delta face's exactness certificate: saturated per-shard beams over base + renumbered delta expose the whole grown corpus, exact kNN ranks exactly what the tier exposed",
+      "g9_sq8" -> "the compressed-tier flagship, now hash-checked end-to-end: SQ8 coarse scan proposes, exact rerank bounds, chamfer ranks — deterministic from exact min/max bounds down",
+      "g9_ivfpq" -> "the trained IVF-PQ flagship at sf0.01 = the CERTIFICATE arm: committed-codes ADC at full probe, exact rerank, chamfer — the committed fixture is what DuckDB recomputes")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.PlanDump at sf0.01)\n")
     picks.foreach { case (name, note) =>
