@@ -82,8 +82,8 @@ object ScaleSmoke {
   /** Queries replaced by a capped-slice form at scale (see above). */
   private[graft] val CappedSlice = Set("dedup_embedding_cosine")
 
-  private def cappedQuery(name: String, spark: SparkSession,
-                          workDir: String, baseRows: Long)
+  private[graft] def cappedQuery(name: String, spark: SparkSession,
+                                 workDir: String, baseRows: Long)
       : org.apache.spark.sql.DataFrame = name match {
     case "dedup_embedding_cosine" =>
       val e = Tables.embeddings(spark, workDir)

@@ -241,4 +241,24 @@ class BenchGuardSpec extends AnyFunSuite {
       "a >2x control must stay out of the re-probe set so " +
         "ctrl_ratio_vs_floor reports the window as measured")
   }
+
+  test("capped-slice smoke query pushes its vec_id bound to the parquet scan — the slice never reads the replicas") {
+    // the zero-exemption smoke's honesty hinges on the slice being a
+    // constant-work PRUNED read of the scaled corpus: replica 0 is the
+    // base corpus verbatim and the bound must reach the scan, or the
+    // "capped" form would still scan all 10x replicas and the
+    // exponent-0.5 budget would be a lie
+    import TestSpark._
+    val df = ScaleSmoke.cappedQuery("dedup_embedding_cosine", spark,
+      sfDir, baseRows = 100)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains(
+      "LessThan(vec_id,100)")),
+      s"vec_id slice bound not pushed to the scan:\n$plan")
+    intercept[RuntimeException](
+      ScaleSmoke.cappedQuery("not_a_capped_query", spark, sfDir, 100))
+  }
 }
