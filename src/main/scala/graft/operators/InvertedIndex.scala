@@ -153,38 +153,52 @@ object InvertedIndex {
     // stranded old — the full historical table
     recoverCompact(spark, path)
     import graft.queries.TextQueries
-    val toks = TextQueries.tokenizedOf(docsDf)
+    // REPLAY FAST-PATH: the replay decision needs only the batch's id
+    // RANGE, and ids are a bare parquet column — probing min/max BEFORE
+    // the tokenizer means an at-least-once re-delivered batch costs one
+    // column-pruned scan (the text column is never read) instead of a
+    // full tokenize pass, and a partially-covered batch tokenizes only
+    // the uncovered suffix instead of tokenizing everything and then
+    // re-aggregating the filtered remainder.
+    val idr = docsDf.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (idr.isNullAt(0)) return // empty batch: nothing to append
+    val (minId, maxId) = (idr.getLong(0), idr.getLong(1))
+    val prior = readStats(spark, path)
+    if (prior.exists(_._1 >= maxId)) return // replay: already indexed
+    val pruned = prior.map(_._1) match {
+      // partial coverage: append only the ids the watermark missed
+      case Some(wm) if wm >= minId => docsDf.filter(col("doc_id") > wm)
+      case _ => docsDf
+    }
+    val toks = TextQueries.tokenizedOf(pruned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (cnt, sumDl, minId, maxId) =
-        TextQueries.corpusStatsOfTokenized(toks)
-      if (cnt == 0) return // empty batch: nothing to append
-      val prior = readStats(spark, path)
-      if (prior.exists(_._1 >= maxId)) return // replay: already indexed
-      val (batch, bCnt, bSum) = prior.map(_._1) match {
-        case Some(wm) if wm >= minId =>
-          // partial coverage: append the ids the watermark missed
-          val suffix = toks.filter(col("doc_id") > wm)
-          val (c2, s2, _, _) = TextQueries.corpusStatsOfTokenized(suffix)
-          (suffix, c2, s2)
-        case _ => (toks, cnt, sumDl)
-      }
-      if (bCnt > 0) {
-        TextQueries.postingsOfTokenized(batch)
-          .withColumn("bucket",
-            pmod(crc32(col("term")), lit(NumBuckets.toLong)))
-          .write.mode("append").partitionBy("bucket")
-          .parquet(s"$path/postings")
-        // the doc-length sidecar rides the same batch (and the same
-        // replay convergence: a crash before the sidecar promote
-        // re-appends both, and reads fold the duplicates). coalesce(1)
-        // — ONE flat file per batch of 16-byte rows: ids are monotone,
-        // so the file's row-group min/max on doc_id makes later id
-        // probes prune to the touched batches, cheaper than (and
-        // without) a 64-dir partitionBy commit per append
-        batch.select(col("doc_id"), col("dl")).coalesce(1)
-          .write.mode("append").parquet(s"$path/doclens")
-      }
+      // the pruned batch is non-empty by the id-range checks above, so
+      // both writes always run; the postings write is what fills the
+      // persisted tokenized projection (ONE tokenize pass per batch)
+      TextQueries.postingsOfTokenized(toks)
+        .withColumn("bucket",
+          pmod(crc32(col("term")), lit(NumBuckets.toLong)))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      // the doc-length sidecar rides the same batch (and the same
+      // replay convergence: a crash before the sidecar promote
+      // re-appends both, and reads fold the duplicates). coalesce(1)
+      // — ONE flat file per batch of 16-byte rows: ids are monotone,
+      // so the file's row-group min/max on doc_id makes later id
+      // probes prune to the touched batches, cheaper than (and
+      // without) a 64-dir partitionBy commit per append. The batch
+      // stats the `_stats` sidecar needs PIGGYBACK on this write
+      // (CollectMetrics via Observation, the writeBandIndex posture) —
+      // no separate aggregation job over the tokenized batch.
+      val obs = org.apache.spark.sql.Observation()
+      toks.select(col("doc_id"), col("dl"))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$path/doclens")
+      val m = obs.get
+      val (bCnt, bSum) = (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
       val (n0, s0) = prior.map(p => (p._2, p._3)).getOrElse((0L, 0L))
       writeStats(spark, path, maxId, n0 + bCnt, s0 + bSum)
     } finally toks.unpersist(false)
@@ -300,6 +314,46 @@ object InvertedIndex {
     * the swap. The `_stats` sidecar is untouched: compaction changes
     * no doc's membership, so the gross constants and watermark remain
     * exact. */
+  /** The postings FOLD both compaction faces share: drop dead docs'
+    * rows, fold replay-duplicated rows, and return rows clustered and
+    * sorted for the partitionBy("bucket") writer. bucket must LEAD the
+    * sort: the dynamic-partition writer requires ordering by the
+    * partition column and would insert its own Sort(bucket) over a
+    * (term, doc_id)-only ordering, destroying the term clustering this
+    * fold exists to produce; with the prefix satisfied the writer keeps
+    * our order. */
+  private[graft] def foldedPostings(postings: DataFrame,
+                                    tombIds: Option[DataFrame]): DataFrame = {
+    val live = tombIds
+      .map(t => postings.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(postings)
+    // ONE exchange, not two: repartition(bucket) FIRST both distributes
+    // the fold's groupBy — HashPartitioning(bucket) satisfies the
+    // aggregate's clustered distribution over (bucket, term, doc_id,
+    // dl), since every row of a group shares one bucket — and is
+    // already the layout the partitionBy("bucket") writer needs. The
+    // previous groupBy-then-repartition shape shuffled the full
+    // postings relation twice (hash on the 4-column key, then again on
+    // bucket); at the 100 TB posture that second exchange re-moves the
+    // whole inverted file once per compaction for nothing.
+    live
+      .repartition(col("bucket"))
+      .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
+      .agg(max(col("tf")).as("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("bucket"))
+      .sortWithinPartitions("bucket", "term", "doc_id")
+  }
+
+  /** Plan-evidence probe (graft.tools.ExplainDump): the fold DataFrame
+    * of an existing index, un-executed — the committed
+    * invidx_fold plan evidence under plans/ is captured from this, so
+    * it can never drift from the code. */
+  private[graft] def foldPlanProbe(spark: SparkSession,
+                                   path: String): DataFrame =
+    foldedPostings(spark.read.parquet(s"$path/postings"),
+      tombstonesOf(spark, path).map(_.select(col("doc_id"))))
+
   def compactPostings(spark: SparkSession, path: String): Unit = {
     recoverCompact(spark, path)
     val f = fs(spark, path)
@@ -309,19 +363,7 @@ object InvertedIndex {
     val live = new Path(s"$path/postings")
     if (f.exists(live))
       swapDir(spark, path, "postings") { staging =>
-        dropDead(spark.read.parquet(live.toString))
-          .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
-          .agg(max(col("tf")).as("tf"))
-          .select(col("doc_id"), col("dl"), col("term"), col("tf"),
-            col("bucket"))
-          .repartition(col("bucket"))
-          // bucket must LEAD the sort: the dynamic-partition writer
-          // requires ordering by the partition column and would insert
-          // its own Sort(bucket) over a (term, doc_id)-only ordering,
-          // destroying the term clustering this compaction exists to
-          // produce; with the prefix satisfied the writer keeps our
-          // order
-          .sortWithinPartitions("bucket", "term", "doc_id")
+        foldedPostings(spark.read.parquet(live.toString), tombIds)
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(staging.toString)
       }
@@ -334,21 +376,22 @@ object InvertedIndex {
     if (f.exists(new Path(doclens, "_SUCCESS")) &&
         (tombIds.isDefined || doclensFiles() > 16))
       swapDir(spark, path, "doclens") { staging =>
-        val folded = dropDead(spark.read.parquet(doclens.toString)
+        // output file count sized by ROWS (~8M 16-byte rows per file),
+        // not spark.sql.shuffle.partitions: a default-width fold would
+        // write >16 files and permanently re-trigger the files-guard
+        // above on every later compact. The row count comes from the
+        // GROSS `_stats` sidecar (one tiny file read) — an upper bound
+        // on the folded table (deletions only shrink it), so the fold
+        // never pays a count job + a persisted double pass just to
+        // size its own output files.
+        val grossDocs = readStats(spark, path).map(_._2).getOrElse(1L)
+        val parts = math.max(1L,
+          (grossDocs + (8L << 20) - 1) / (8L << 20)).toInt
+        dropDead(spark.read.parquet(doclens.toString)
             .select(col("doc_id"), col("dl")).distinct())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // output file count sized by ROWS (~8M 16-byte rows per
-          // file), not spark.sql.shuffle.partitions: a default-width
-          // fold would write >16 files and permanently re-trigger the
-          // files-guard above on every later compact
-          val parts = math.max(1L,
-            (folded.count() + (8L << 20) - 1) / (8L << 20)).toInt
-          folded
-            .repartitionByRange(parts, col("doc_id")) // range-prunable
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite").parquet(staging.toString)
-        } finally folded.unpersist(false)
+          .repartitionByRange(parts, col("doc_id")) // range-prunable
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(staging.toString)
       }
     if (f.exists(new Path(s"$path/tombstones/_SUCCESS")))
       swapDir(spark, path, "tombstones") { staging =>
@@ -429,17 +472,22 @@ object InvertedIndex {
       // re-append (see the crash-window note above)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(max(col("tf")).as("tf"))
-    val (nDocs, sumDl, tf) = tombstonesOf(spark, path) match {
-      case None => (nGross, sumGross, tf0)
+    // live constants = gross minus the tombstone aggregate, composed as
+    // a 1-row DataFrame INSIDE the serving plan (it broadcasts into the
+    // scoring crossJoin) rather than collected driver-side first: the
+    // subtraction is the same exact long arithmetic either way, and
+    // folding it in removes one synchronous driver action per query
+    val (stats, tf) = tombstonesOf(spark, path) match {
+      case None => (spark.range(1).select(
+        lit(nGross).cast("double").as("n_docs"),
+        lit(sumGross).cast("double").as("sum_dl")), tf0)
       case Some(tomb) =>
-        val dead = tomb.agg(count(lit(1)),
-          coalesce(sum(col("dl")), lit(0L))).head()
-        (nGross - dead.getLong(0), sumGross - dead.getLong(1),
-          tf0.join(tomb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        val st = tomb.agg(count(lit(1)).as("dead_n"),
+            coalesce(sum(col("dl")), lit(0L)).as("dead_dl"))
+          .select((lit(nGross) - col("dead_n")).cast("double").as("n_docs"),
+            (lit(sumGross) - col("dead_dl")).cast("double").as("sum_dl"))
+        (st, tf0.join(tomb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     }
-    val stats = spark.range(1).select(
-      lit(nDocs).cast("double").as("n_docs"),
-      lit(sumDl).cast("double").as("sum_dl"))
     TextQueries.bm25Rank(tf, stats, k)
   }
 
@@ -606,31 +654,24 @@ object InvertedIndex {
     def dropDead(df: DataFrame): DataFrame =
       tombIds.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
     if (f.exists(new Path(s"$liveDir/postings")))
-      dropDead(spark.read.parquet(s"$liveDir/postings"))
-        .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
-        .agg(max(col("tf")).as("tf"))
-        .select(col("doc_id"), col("dl"), col("term"), col("tf"),
-          col("bucket"))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "term", "doc_id")
+      foldedPostings(spark.read.parquet(s"$liveDir/postings"), tombIds)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$newDir/postings")
     if (f.exists(new Path(s"$liveDir/doclens/_SUCCESS"))) {
       // row-sized output file count (~8M 16-byte rows per file), the
       // in-place compactPostings discipline: a coalesce(1) here would
       // serialize the whole corpus doc-length table through ONE task
-      // at the 100 TB posture
-      val folded = dropDead(spark.read.parquet(s"$liveDir/doclens")
+      // at the 100 TB posture. Sized from the gross `_stats` sidecar
+      // (an upper bound — deletions only shrink the fold), not a count
+      // job over a persisted double pass.
+      val grossDocs = readStats(spark, liveDir).map(_._2).getOrElse(1L)
+      val parts = math.max(1L,
+        (grossDocs + (8L << 20) - 1) / (8L << 20)).toInt
+      dropDead(spark.read.parquet(s"$liveDir/doclens")
           .select(col("doc_id"), col("dl")).distinct())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val parts = math.max(1L,
-          (folded.count() + (8L << 20) - 1) / (8L << 20)).toInt
-        folded
-          .repartitionByRange(parts, col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$newDir/doclens")
-      } finally folded.unpersist(false)
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$newDir/doclens")
     }
     if (f.exists(new Path(s"$liveDir/tombstones/_SUCCESS")))
       spark.read.parquet(s"$liveDir/tombstones")

@@ -303,19 +303,25 @@ object TextQueries extends QueryPack {
   def dupSpanStrip(docsDf: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docsDf.select(col("doc_id"), tokensCol.as("toks"))
-    // materialized ONCE: consumed by the per-gram doc counts AND the
-    // interval join — un-materialized, the tokenize + positioned
-    // 8-gram md5 pipeline (the dominant cost) runs per consumer
-    val withPos = t.select(col("doc_id"), explode(
+    // materialized ONCE, arrays + n_tokens together: consumed by the
+    // per-gram doc counts, the interval join, AND the final per-doc
+    // report — un-materialized, the tokenize + positioned 8-gram md5
+    // pipeline (the dominant cost) runs per consumer, and a separate
+    // report-side projection would re-tokenize the corpus just for
+    // size(toks). The explodes downstream re-run over the checkpointed
+    // arrays (cheap), never over the text.
+    val base = t.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
             i => struct(i.cast("long").as("s"),
               md5(concat_ws(" ", (0 until n).map(j =>
                 element_at(col("toks"), i + j + 1)): _*)).as("g"))))
-          .otherwise(array().cast("array<struct<s:bigint,g:string>>")))
-        .as("pg"))
-      .select(col("doc_id"), col("pg.s").as("s"), col("pg.g").as("g"))
+          .otherwise(array().cast("array<struct<s:bigint,g:string>>"))
+          .as("pgs"))
       .localCheckpoint(true)
+    val withPos = base.select(col("doc_id"), explode(col("pgs")).as("pg"))
+      .select(col("doc_id"), col("pg.s").as("s"), col("pg.g").as("g"))
     val dc = withPos.groupBy("g").agg(countDistinct("doc_id").as("n_docs"))
     val iv = withPos.join(dc, "g").filter(col("n_docs") >= 2)
       .select(col("doc_id"), col("s"), (col("s") + n).as("e"))
@@ -333,7 +339,7 @@ object TextQueries extends QueryPack {
     val perDoc = perIsland.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_regions"),
         sum("covered").cast("long").as("dup_tokens"))
-    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
@@ -568,16 +574,29 @@ object TextQueries extends QueryPack {
     // SQL statement over the full corpus.
     "dedup_incremental" -> ((s, dir) => {
       import graft.operators.MinHashLsh
-      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      // ONE shingle→signature pass for every tranche: bandKeys
+      // aggregates per doc_id, so a doc_id predicate commutes through
+      // it exactly — bandKeys(sh.filter(p)) == bandKeys(sh).filter(p).
+      // Computing the whole corpus's keys once (the index write
+      // materializes it, the probe filter reads the blocks, the bench's
+      // between-queries eviction drops them) replaces one full
+      // tokenize+trigram+md5+signature pipeline PER TRANCHE — the
+      // dominant cost of these certificates at every scale.
+      // localCheckpoint, NOT persist: persist registers the plan in the
+      // JVM-global CacheManager, silently rewriting every LATER query
+      // over the same band-key subtree (e.g. dedup_minhash_*) into an
+      // InMemoryTableScan — cross-query plan leakage this repo bans.
+      val allKeys = MinHashLsh.bandKeys(
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand)
+        .localCheckpoint(false)
       val idx = java.nio.file.Files
         .createTempDirectory("graft_bandidx_").toString
       MinHashLsh.writeBandIndex(
-        MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 =!= 0),
-          NumHashes, RowsPerBand), idx)
+        allKeys.filter(col("doc_id") % 4 =!= 0), idx)
       MinHashLsh.incrementalPairs(
         MinHashLsh.readBandIndex(s, idx),
-        MinHashLsh.bandKeys(sh.filter(col("doc_id") % 4 === 0),
-          NumHashes, RowsPerBand))
+        allKeys.filter(col("doc_id") % 4 === 0))
     }),
 
     // The COMPACTION lifecycle on the oracle surface: the resident
@@ -590,11 +609,17 @@ object TextQueries extends QueryPack {
     // answer-preserving, including after a replay double-append.
     "dedup_incremental_compacted" -> ((s, dir) => {
       import graft.operators.MinHashLsh
-      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      // one signature pass for all four tranches (see dedup_incremental
+      // — a doc_id filter commutes through bandKeys); the replayed
+      // delta in particular re-APPENDS from the cache instead of
+      // re-running the whole shingle pipeline for identical rows
+      val allKeys = MinHashLsh.bandKeys(
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand)
+        .localCheckpoint(false)
       val idx = java.nio.file.Files
         .createTempDirectory("graft_bandidx_compact_").toString
-      def keysOf(pred: org.apache.spark.sql.Column) =
-        MinHashLsh.bandKeys(sh.filter(pred), NumHashes, RowsPerBand)
+      def keysOf(pred: org.apache.spark.sql.Column) = allKeys.filter(pred)
       MinHashLsh.writeBandIndex(
         keysOf(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2), idx)
       MinHashLsh.appendBandIndex(keysOf(col("doc_id") % 4 === 3), idx)
@@ -615,11 +640,15 @@ object TextQueries extends QueryPack {
     // and none after the physical erase either.
     "dedup_incremental_deleted" -> ((s, dir) => {
       import graft.operators.MinHashLsh
-      val sh = trigramsAll(s, dir).withColumn("h", md5(col("shingle")))
+      // one signature pass for resident + probe tranches (see
+      // dedup_incremental — a doc_id filter commutes through bandKeys)
+      val allKeys = MinHashLsh.bandKeys(
+          trigramsAll(s, dir).withColumn("h", md5(col("shingle"))),
+          NumHashes, RowsPerBand)
+        .localCheckpoint(false)
       val idx = java.nio.file.Files
         .createTempDirectory("graft_bandidx_del_").toString
-      def keysOf(pred: org.apache.spark.sql.Column) =
-        MinHashLsh.bandKeys(sh.filter(pred), NumHashes, RowsPerBand)
+      def keysOf(pred: org.apache.spark.sql.Column) = allKeys.filter(pred)
       MinHashLsh.writeBandIndex(keysOf(col("doc_id") % 4 =!= 0), idx)
       val t1 = docs(s, dir)
         .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 9 === 0)
@@ -698,18 +727,23 @@ object TextQueries extends QueryPack {
     // asc) identically in both engines.
     "text_oov_rate" -> ((s, dir) => {
       val V = 500
+      // explode_outer keeps zero-token docs as one null-token row, so a
+      // single exploded relation serves BOTH the vocab aggregate and the
+      // per-doc scoring pass — the previous shape tokenized the corpus
+      // three times (vocab counts, membership join, per-doc n_tokens).
+      // count(token) skips the null sentinel, so n_tokens is exact.
       val toks = docs(s, dir)
-        .select(col("doc_id"), explode(tokensCol).as("token"))
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), explode_outer(tokensCol).as("token"))
+      val vocab = toks.filter(col("token").isNotNull)
+        .groupBy("token").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("token").asc).limit(V)
-        .select(col("token"))
-      val inv = toks.join(broadcast(vocab), Seq("token"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
-      docs(s, dir)
-        .select(col("doc_id"), size(tokensCol).cast("long").as("n_tokens"))
-        .join(inv, Seq("doc_id"), "left")
+        .select(col("token"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id").agg(
+          count(col("token")).as("n_tokens"),
+          coalesce(sum(col("in_vocab")), lit(0L)).as("n_in"))
         .select(col("doc_id"), col("n_tokens"),
-          round(round((col("n_tokens") - coalesce(col("n_in"), lit(0L)))
+          round(round((col("n_tokens") - col("n_in"))
             .cast("double") / col("n_tokens"), 9), 6).as("oov_rate"))
     }),
 
@@ -732,12 +766,24 @@ object TextQueries extends QueryPack {
             slice(col("toks"), lit(2), size(col("toks")) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // ONE bigram pass: the LM counts DERIVE from the per-doc tf by
+      // exact integer sums — c(w1,w2) = Σ_doc tf, c(w1) = Σ_w2 c(w1,w2)
+      // — computed as WINDOW sums over tf itself, so the
+      // tokenize+zip+explode pipeline (the dominant cost) runs once
+      // instead of once per count table (the previous shape was 3
+      // corpus passes + two re-shuffling joins). The c1 window comes
+      // first: its exchange hash-partitions by w1, which already
+      // satisfies the (w1, w2) window's clustering (w1 is a subset of
+      // its keys), so the second window adds only a sort — one
+      // tf-sized exchange serves both LM count tables.
       val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
       val vdf = docs(s, dir).select(explode(tokensCol).as("t"))
         .agg(countDistinct(col("t")).as("v"))
-      val scored = tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      import org.apache.spark.sql.expressions.Window
+      val scored = tf
+        .withColumn("c1", sum(col("tf")).over(Window.partitionBy("w1")))
+        .withColumn("c12",
+          sum(col("tf")).over(Window.partitionBy("w1", "w2")))
         .crossJoin(broadcast(vdf))
         .select(col("doc_id"), col("tf"),
           round(log((col("c12") + lit(1)).cast("double") /
@@ -1164,10 +1210,16 @@ object TextQueries extends QueryPack {
     // window would put a billion-doc source in one task.
     "mix_token_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ONE tokenize pass (the pack_sequences discipline): `t` feeds
+      // BOTH the in-bucket cumsum and the per-(source, bucket) offsets
+      // aggregate; un-materialized each branch re-scans and
+      // re-tokenizes the text. The checkpointed projection is ~60 B/doc
+      // — corpus metadata, never the text.
       val t = docs(s, dir).select(col("source"), col("doc_id"),
           size(tokensCol).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string")).as("skey"))
         .withColumn("bucket", substring(col("skey"), 1, 2))
+        .localCheckpoint(true)
       val wIn = Window.partitionBy("source", "bucket")
         .orderBy(col("skey"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

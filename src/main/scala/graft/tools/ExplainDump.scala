@@ -24,9 +24,27 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Internal plan probes — DataFrames of operator-internal jobs (e.g.
+    // a compaction's fold) that no declared query returns but whose
+    // shape the round's claims are about. Each probe builds its tiny
+    // input state from sfDir, then returns the un-executed DataFrame.
+    val probes: Map[String, SparkSession => org.apache.spark.sql.DataFrame] =
+      Map(
+        "invidx_fold" -> { s =>
+          import org.apache.spark.sql.functions._
+          val d = graft.Tables.documents(s, sfDir)
+            .select(col("doc_id"), col("text"))
+          val idx = java.nio.file.Files
+            .createTempDirectory("graft_explain_inv_").toString
+          graft.operators.InvertedIndex.append(s, d, idx)
+          graft.operators.InvertedIndex.deleteDocs(s, idx,
+            d.filter(col("doc_id") % 13 === 0).select("doc_id"))
+          graft.operators.InvertedIndex.foldPlanProbe(s, idx)
+        })
     for (name <- names) {
-      val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query $name"))
+      val fn = probes.get(name).map(p => (s: SparkSession, _: String) => p(s))
+        .orElse(graft.SparkEntry.queries.get(name))
+        .getOrElse(sys.error(s"unknown query $name"))
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
