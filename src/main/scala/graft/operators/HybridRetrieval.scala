@@ -129,8 +129,16 @@ object HybridRetrieval {
                  wLex: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def norm(df: DataFrame, out: String): DataFrame = {
-      val st = df.agg(min("score").as("mn"), max("score").as("mx"))
-      df.crossJoin(broadcast(st))
+      // min/max as a whole-frame WINDOW over the arm, not an aggregate
+      // crossJoined back: the agg+crossJoin shape put the arm's full
+      // scoring pipeline in the plan TWICE (once under the broadcast
+      // aggregate, once as the probe side) and neither exchange reuse
+      // nor CTE dedup rescued it — each arm's bm25/cosine DAG ran twice
+      // per fuse. The arm is top-k-bounded (≤ its list length), so the
+      // single-partition window frame is ≤k rows by construction.
+      val w = Window.partitionBy()
+      df.select(col("doc_id"), col("score"),
+          min("score").over(w).as("mn"), max("score").over(w).as("mx"))
         .select(col("doc_id"),
           when(col("mx") === col("mn"), 1.0)
             .otherwise(round((col("score") - col("mn")) /

@@ -63,7 +63,13 @@ object SemDedup {
     * corpus row. */
   def mark(corpus: DataFrame, centroids: Array[Array[Float]],
            tau: Double): DataFrame = {
-    val asg = assigned(corpus, centroids)
+    // materialized ONCE: the assignment pass (N·nlist cosines — the
+    // pipeline's dominant scan at corpus scale) feeds BOTH sides of the
+    // cell-local pair join AND the final per-row join-back; left lazy,
+    // the typed mapPartitions kernel re-runs per consumer (it is opaque
+    // to exchange reuse). localCheckpoint, not persist — a CacheManager
+    // entry would rewrite other queries' matching subtrees.
+    val asg = assigned(corpus, centroids).localCheckpoint(true)
     val a = asg.select(col("cell"), col("id").as("a_id"),
       col("vec").as("a_vec"))
     val b = asg.select(col("cell"), col("id").as("b_id"),
