@@ -1485,7 +1485,12 @@ object TextQueries extends QueryPack {
         (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       require(a == b,
         "grace-generation BM25 diverged from the post-flip generation")
-      stale
+      // return the asserted rows as a local relation: the equality
+      // check above already materialized BOTH serving plans; handing
+      // back the lazy `stale` would run the grace generation's whole
+      // serving query a third time when the caller evaluates it
+      import s.implicits._
+      a.toDF("rank", "doc_id", "score")
     }),
 
     // The UPDATE recipe, certified end-to-end: an index has no
